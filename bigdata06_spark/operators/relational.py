@@ -1,0 +1,134 @@
+"""Reference-parity relational operators (SURVEY.md §2.A.3, R1-R11).
+
+The reference implements these as pandas calls / Python loops; here each
+is the declarative Spark equivalent so Catalyst plans them (broadcast
+joins instead of loop-of-filters, TakeOrderedAndProject instead of
+sort-then-slice, map-side partial aggregation for counts).
+
+Scale notes per operator are inline; the shared principle: keep every op
+expressible as a narrow projection/filter or a keyed shuffle that AQE can
+re-plan, never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_first_wins(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]) -> DataFrame:
+    """R1 — keep exactly one row per key, "first" pinned deterministically.
+
+    Reference: `drop_duplicates(subset='id')` (Spotify_API2.py:139,
+    Spotify_API3.py:126, Spotify_API4.py:523) keeps the first *arrival* —
+    nondeterministic under parallelism. We pin "first" with an explicit
+    order so results are reproducible (required for oracle hashing).
+
+    Scale: one hash shuffle on `keys`; the `row_number` window does a
+    per-partition sort only. Skewed keys are handled by AQE skew-join/agg
+    splitting. Equivalent plan to `dropDuplicates` but deterministic.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """R1 (loose form) — exact reference semantics: an arbitrary row per key.
+
+    Use when the caller doesn't care which duplicate survives;
+    `dropDuplicates` avoids the window sort.
+    """
+    return df.dropDuplicates(list(keys))
+
+
+def union_all(dfs: Sequence[DataFrame], allow_missing_columns: bool = True) -> DataFrame:
+    """R2 — n-way union by column NAME.
+
+    Reference: `pd.concat` accumulation loops (Spotify_API.py:187,193,
+    Spotify_API4.py:503,519,552). pd.concat aligns on column names and
+    NaN-fills missing columns, hence `allowMissingColumns=True`.
+
+    Scale: union is a no-shuffle plan node (children just concatenate);
+    AQE coalesces the resulting small partitions.
+    """
+    if not dfs:
+        raise ValueError("union_all of zero DataFrames")
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing_columns), dfs)
+
+
+def sort_desc(df: DataFrame, key: str) -> DataFrame:
+    """R3 — global descending sort (`sort_values(..., ascending=False)`,
+    Spotify_API3.py:401). Scale: range-partitioned sort (sampling pass +
+    shuffle). Prefer `top_k` when a limit follows — Spark then plans
+    TakeOrderedAndProject and never materializes the full sort."""
+    return df.orderBy(F.desc(key))
+
+
+def top_k(df: DataFrame, key: str, k: int, *tiebreak: str) -> DataFrame:
+    """R4 — sort-then-slice (`.head(3)` / `[:100]` after sort,
+    Spotify_API4.py:542, Spotify_API3.py:401-404).
+
+    Scale: `orderBy(...).limit(k)` plans TakeOrderedAndProject — each task
+    keeps a k-row heap, driver merges k*numPartitions rows; no global
+    sort, no full shuffle. Tiebreak columns pin determinism.
+    """
+    order = [F.desc(key), *[F.asc(c) for c in tiebreak]]
+    return df.orderBy(*order).limit(k)
+
+
+def filter_eq(df: DataFrame, column: str, value) -> DataFrame:
+    """R5 — equality filter (`df[df['id'] == album_id]`,
+    Spotify_API3.py:383). Pushed to the parquet scan by Catalyst."""
+    return df.filter(F.col(column) == F.lit(value))
+
+
+def enrichment_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    payload: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """R7 — broadcast enrichment join.
+
+    Reference: per-album loop that filters the albums frame by id and
+    copies `name`/`artists` onto that album's tracks
+    (Spotify_API3.py:381-390) — a row-at-a-time nested-loop join. The
+    Spark form is a single broadcast hash equi-join: dimension hashed
+    once on the driver, shipped to every executor, zero shuffle of the
+    fact side.
+
+    Scale: correct as long as `dim` fits in executor memory (~10s of MB
+    per the broadcast threshold); for larger dims drop the hint and let
+    AQE pick sort-merge vs shuffled-hash from runtime stats.
+    """
+    dim_sel = dim.select(F.col(dim_key).alias("__dk"), *[F.col(c) for c in payload])
+    joined = facts.join(F.broadcast(dim_sel), facts[fact_key] == F.col("__dk"), how)
+    return joined.drop("__dk")
+
+
+def count_rows(df: DataFrame) -> int:
+    """R8 — `len(df)` recap (Spotify_API3.py:424-429). Driver-edge action;
+    plans a map-side partial count + single-row final agg."""
+    return df.count()
+
+
+def is_empty(df: DataFrame) -> bool:
+    """R9 — `df.empty` guard (Spotify_API.py:176). `isEmpty` only runs the
+    plan until the first row is produced."""
+    return df.isEmpty()
+
+
+def column_to_driver_list(df: DataFrame, column: str) -> list:
+    """R10 — `df['id'].tolist()` to drive the next fetch stage
+    (Spotify_API.py:190). Legal only at the connector boundary (the
+    result seeds external API calls), never inside a dataflow."""
+    return [r[0] for r in df.select(column).collect()]

@@ -1,0 +1,277 @@
+"""Reference-parity queries (SURVEY.md §2.A) expressed on the driver tables.
+
+Each query exercises one `[REF]` operator with the exact reference
+semantics (citations inline), re-expressed declaratively. The driver's
+DuckDB oracle verifies each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata06_spark.catalog import load_table
+from bigdata06_spark.functions.dates import normalize_release_date, release_date_precision
+from bigdata06_spark.operators.relational import (
+    dedup_first_wins,
+    enrichment_join,
+    filter_eq,
+    top_k,
+    union_all,
+)
+from bigdata06_spark.queries import register
+from bigdata06_spark.queries.qutil import rnd
+
+
+@register(
+    "ref_dedup_first_wins",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def ref_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 — `drop_duplicates(subset='id')` (Spotify_API3.py:126), with
+    "first" pinned to min o_orderkey for determinism. One row per
+    customer: their earliest order. Single hash shuffle on the key."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return dedup_first_wins(o, ["o_custkey"], [F.asc("o_orderkey")])
+
+
+@register(
+    "ref_union_ragged",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority, NULL AS o_orderstatus, 'jan' AS src
+    FROM orders WHERE o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, o_orderstatus, 'big' AS src
+    FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def ref_union_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 — `pd.concat` with ragged schemas NaN-fills missing columns
+    (Spotify_API4.py:503,519; multi-country union Spotify_API4.py:512-524).
+    `unionByName(allowMissingColumns=True)` reproduces that: each branch
+    projects a different column subset plus a provenance literal (P11,
+    `source_country` — Spotify_API4.py:518). Union adds no shuffle."""
+    o = load_table(spark, "orders", sf_dir)
+    jan = (
+        o.filter(F.col("o_orderdate") < F.lit("1995-02-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("src", F.lit("jan"))
+    )
+    big = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .withColumn("src", F.lit("big"))
+    )
+    return union_all([jan, big]).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus", "src"
+    )
+
+
+@register(
+    "ref_sort_topk",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def ref_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3+R4 — `sort_values('popularity', ascending=False).head(...)`
+    (Spotify_API3.py:401-404, Spotify_API4.py:542). Plans
+    TakeOrderedAndProject: per-task k-row heap, no global sort."""
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name", "c_acctbal")
+    return top_k(c, "c_acctbal", 10, "c_custkey")
+
+
+@register(
+    "ref_filter_eq",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 45
+    """,
+)
+def ref_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 — equality filter (`new_releases[new_releases['id'] == album_id]`,
+    Spotify_API3.py:383) plus a range conjunct. Both predicates push to
+    the parquet scan (verified in tests/test_plans.py)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return filter_eq(li, "l_returnflag", "R").filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "ref_enrichment_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name, p.p_brand
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def ref_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 — the reference's per-album filter-and-copy loop
+    (Spotify_API3.py:381-390) as a single broadcast hash join: fact side
+    never shuffles, dimension ships once per executor."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber", "l_partkey")
+    p = load_table(spark, "part", sf_dir)
+    return enrichment_join(li, p, "l_partkey", "p_partkey", ["p_name", "p_brand"])
+
+
+@register(
+    "ref_counts",
+    oracle="""
+    SELECT (SELECT count(*) FROM orders)    AS orders_rows,
+           (SELECT count(*) FROM lineitem)  AS lineitem_rows,
+           (SELECT count(*) FROM customer)  AS customer_rows,
+           (SELECT count(*) FROM events)    AS events_rows
+    """,
+)
+def ref_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 — the end-of-run row-count recap (Spotify_API3.py:424-429).
+    Each count is a map-side partial count + 1-row final agg; the four
+    single-row results cross-join into the recap row."""
+    o = load_table(spark, "orders", sf_dir).agg(F.count(F.lit(1)).alias("orders_rows"))
+    li = load_table(spark, "lineitem", sf_dir).agg(F.count(F.lit(1)).alias("lineitem_rows"))
+    c = load_table(spark, "customer", sf_dir).agg(F.count(F.lit(1)).alias("customer_rows"))
+    e = load_table(spark, "events", sf_dir).agg(F.count(F.lit(1)).alias("events_rows"))
+    return o.crossJoin(li).crossJoin(c).crossJoin(e)
+
+
+@register(
+    "ref_flatten_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ref_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P6 — nested-JSON field extraction (`artist['followers']['total']`,
+    Spotify_API.py:82) via `from_json` + struct access instead of
+    row-at-a-time dict access. JSON parse happens inside codegen;
+    one shuffle for the group-by."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.from_json(F.col("props"), "struct<k:bigint>")["k"]
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "ref_ragged_dates",
+    oracle="""
+    WITH ragged AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 3
+               WHEN 0 THEN strftime(o_orderdate, '%Y')
+               WHEN 1 THEN strftime(o_orderdate, '%Y-%m')
+               ELSE strftime(o_orderdate, '%Y-%m-%d')
+             END AS release_date
+      FROM orders
+    )
+    SELECT CASE
+             WHEN regexp_matches(release_date, '^\\d{4}$')           THEN 'year'
+             WHEN regexp_matches(release_date, '^\\d{4}-\\d{2}$')    THEN 'month'
+             WHEN regexp_matches(release_date, '^\\d{4}-\\d{2}-\\d{2}$') THEN 'day'
+           END AS precision,
+           CASE
+             WHEN regexp_matches(release_date, '^\\d{4}$')        THEN release_date || '-01-01'
+             WHEN regexp_matches(release_date, '^\\d{4}-\\d{2}$') THEN release_date || '-01'
+             ELSE release_date
+           END AS release_dt,
+           count(*) AS n
+    FROM ragged
+    GROUP BY 1, 2
+    """,
+)
+def ref_ragged_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §7 hard part — Spotify's ragged `release_date`
+    (`YYYY`|`YYYY-MM`|`YYYY-MM-DD`, Spotify_API.py:105). The driver
+    tables have no ragged strings, so the query manufactures them
+    deterministically from o_orderdate (keyed on o_orderkey % 3), then
+    normalizes back with the engine's tolerant expression — pure
+    codegen, no UDF."""
+    o = load_table(spark, "orders", sf_dir)
+    ragged = o.withColumn(
+        "release_date",
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")),
+    )
+    return (
+        ragged.withColumn("precision", release_date_precision("release_date"))
+        .withColumn("release_dt", F.date_format(normalize_release_date("release_date"), "yyyy-MM-dd"))
+        .groupBy("precision", "release_dt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ref_derived_columns",
+    oracle="""
+    SELECT event_id,
+           floor((value / 60.0) * 100.0 + 0.5) / 100.0 AS duration_min,
+           coalesce(nullif(event_type, ''), 'unknown') AS event_type_filled,
+           'batch42' AS ingest_tag
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def ref_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P6/P11 — derived column `duration_min = round(x/60000, 2)`
+    (Spotify_API4.py:379), safe-get default (Spotify_API4.py:380-387),
+    and a stamped literal column (`source_country`, Spotify_API4.py:518).
+    Narrow projection, no shuffle."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        rnd(F.col("value") / 60.0, 2).alias("duration_min"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("")), F.lit("unknown")).alias(
+            "event_type_filled"
+        ),
+        F.lit("batch42").alias("ingest_tag"),
+    )
+
+
+@register(
+    "ref_array_flatten",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:5], ', ') AS head_words,
+           string_split(text, ' ')[1] AS first_word,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+    """,
+)
+def ref_array_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/P5 — array head with null guard (Spotify_API.py:84) and
+    array→joined-string collapse (Spotify_API.py:83,144). The engine
+    keeps arrays native (SURVEY.md §1.5) and collapses only at the
+    export edge — this query is that edge."""
+    d = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, 5), ", ").alias("head_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.size(words).cast("long").alias("n_words"),
+    )

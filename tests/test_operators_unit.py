@@ -1,0 +1,102 @@
+"""Unit tests for operator/function modules on tiny in-memory frames,
+covering the reference's edge-case semantics (SURVEY.md §7 hard parts):
+ragged release_date, first-wins dedup determinism, ragged-schema union,
+empty-input guards, null-guarded flattening."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata06_spark.functions.dates import normalize_release_date, release_date_precision
+from bigdata06_spark.functions.flatten import (
+    array_head_or,
+    array_joined,
+    array_of_struct_names_joined,
+    duration_min,
+    safe_get,
+)
+from bigdata06_spark.operators.relational import (
+    dedup_first_wins,
+    is_empty,
+    top_k,
+    union_all,
+)
+
+
+def test_ragged_release_date(spark):
+    df = spark.createDataFrame(
+        [("1999",), ("1999-07",), ("1999-07-16",), ("",), (None,), ("bogus",)],
+        ["release_date"],
+    )
+    out = df.select(
+        normalize_release_date("release_date").cast("string").alias("d"),
+        release_date_precision("release_date").alias("p"),
+    ).collect()
+    assert [(r.d, r.p) for r in out] == [
+        ("1999-01-01", "year"),
+        ("1999-07-01", "month"),
+        ("1999-07-16", "day"),
+        (None, None),
+        (None, None),
+        (None, None),
+    ]
+
+
+def test_dedup_first_wins_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 3, "x"), ("a", 1, "y"), ("b", 2, "z"), ("a", 2, "w")],
+        ["id", "seq", "payload"],
+    )
+    out = dedup_first_wins(df, ["id"], [F.asc("seq")]).orderBy("id").collect()
+    assert [(r.id, r.seq, r.payload) for r in out] == [("a", 1, "y"), ("b", 2, "z")]
+
+
+def test_union_ragged_schemas(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "only_a"])
+    b = spark.createDataFrame([(2, 9.5)], ["id", "only_b"])
+    out = union_all([a, b]).orderBy("id").collect()
+    assert out[0].only_a == "x" and out[0].only_b is None
+    assert out[1].only_a is None and out[1].only_b == 9.5
+
+
+def test_top_k_ties_pinned(spark):
+    df = spark.createDataFrame([(1, 10), (2, 10), (3, 5)], ["id", "pop"])
+    out = top_k(df, "pop", 2, "id").collect()
+    assert [(r.id, r.pop) for r in out] == [(1, 10), (2, 10)]
+
+
+def test_empty_guard(spark):
+    df = spark.range(0).select(F.col("id"))
+    assert is_empty(df)
+    assert not is_empty(spark.range(1))
+
+
+def test_flatten_helpers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                images=[Row(url="u1"), Row(url="u2")],
+                artists=[Row(name="A"), Row(name="B")],
+                genres=["pop", "rock"],
+                explicit=None,
+                duration_ms=123456,
+            ),
+            Row(images=[], artists=[], genres=None, explicit=True, duration_ms=60000),
+        ]
+    )
+    out = df.select(
+        array_head_or(F.col("images")["url"]).alias("img"),
+        array_of_struct_names_joined("artists").alias("names"),
+        array_joined("genres").alias("genres"),
+        safe_get("explicit", False).alias("explicit"),
+        duration_min("duration_ms").alias("mins"),
+    ).collect()
+    assert out[0].img == "u1"
+    assert out[0].names == "A, B"
+    assert out[0].genres == "pop, rock"
+    assert out[0].explicit is False  # reference default (Spotify_API4.py:380)
+    assert out[0].mins == 2.06
+    assert out[1].img == ""
+    assert out[1].names == ""
+    assert out[1].genres == ""
+    assert out[1].explicit is True
+    assert out[1].mins == 1.0
