@@ -149,7 +149,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) surfaced as long (spark.sql.legacy.parquet.
         # nanosAsLong); truncate ns→us exactly like DuckDB/pyarrow do.
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer `div`, NOT `/`: float division loses sub-µs precision at
+        # 1e18-nanosecond magnitudes (beyond double's 2^53 exact range)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

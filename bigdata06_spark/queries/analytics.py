@@ -1,1 +1,586 @@
-"""Placeholder — filled in as coverage widens."""
+"""Core analytics operators (SURVEY.md §2.B batch): join surface,
+aggregation surface, window functions, set operations, sessionization.
+
+Every query is paired with DuckDB oracle SQL. Determinism rules from
+`qutil` apply: decimal-backed sums for doubles (window sums included —
+DuckDB computes window aggregates over segment trees, so float window
+sums are reassociated there too), BIGINT casts for integer-producing
+functions, key tiebreaks on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata06_spark.catalog import load_table
+from bigdata06_spark.queries import register
+from bigdata06_spark.queries.qutil import dsum, dsum_sql
+
+# ---------------------------------------------------------------- joins
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, both sides small → broadcast hash join, no shuffle."""
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a selective ON-clause predicate (kept in the
+    join condition, NOT pushed as a filter — outer-join semantics).
+    Scale: shuffle-free if customer broadcasts; at 100 TB both sides
+    shuffle on the key once."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000),
+         rich   AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+    SELECT b.o_custkey AS buyer_key, r.c_custkey AS rich_key
+    FROM buyers b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two derived key sets. Plans sort-merge (full
+    outer can't broadcast); one shuffle each side on the key."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    buyers = o.filter(F.col("o_totalprice") > 400000).select("o_custkey").distinct()
+    rich = c.filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    return buyers.join(rich, buyers.o_custkey == rich.c_custkey, "full").select(
+        F.col("o_custkey").alias("buyer_key"), F.col("c_custkey").alias("rich_key")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS. Probe side streams; no row duplication,
+    no payload from the build side — cheapest join shape at scale."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS (customers with no orders)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (explicit — tiny dimension only; a cross join of fact
+    tables is a design bug at any scale)."""
+    r1 = load_table(spark, "region", sf_dir).select(
+        F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region")
+    )
+    r2 = load_table(spark, "region", sf_dir).select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region")
+    )
+    return r1.crossJoin(r2).filter(F.col("k1") != F.col("k2")).select("from_region", "to_region")
+
+
+@register(
+    "join_nonequi",
+    oracle="""
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS region
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+def join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi-part on region (hashable → shuffle/broadcast) +
+    non-equi residual predicate. Catalyst plans the equi conjunct as the
+    join key and applies `<` as a post-join filter — the scalable shape
+    for mixed predicates (pure theta would be nested-loop)."""
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("nation_a"),
+        F.col("n_regionkey").alias("region"),
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("nation_b"),
+        F.col("n_regionkey").alias("r2"),
+    )
+    return (
+        n1.join(n2, (F.col("region") == F.col("r2")) & (F.col("k1") < F.col("k2")))
+        .select("nation_a", "nation_b", "region")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'
+    ), v AS (SELECT user_id, ts, event_id FROM views WHERE rn = 1),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.value, v.event_id AS view_event_id
+    FROM purchases p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2.B): for each
+    purchase, the latest view at-or-before it for the same user.
+
+    Implementation is the union-marker trick: tag both streams, union,
+    sort per user by (ts, tag), and carry the last non-null view id
+    forward with `last(ignorenulls)`. ONE shuffle on user_id and a
+    per-partition sort — same cost as a window, fully distributed,
+    no per-group pandas. Ties (same user, same ts) are pinned by
+    ordering views before purchases and keeping the max view event_id.
+    """
+    e = load_table(spark, "events", sf_dir)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_event_id"))
+        .withColumn("tag", F.lit(0))
+        .withColumn("event_id", F.lit(None).cast("long"))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("tag", F.lit(1))
+        .withColumn("view_event_id", F.lit(None).cast("long"))
+    )
+    unioned = views.unionByName(purchases)
+    # views sort before purchases at equal ts (tag 0 < 1); among views at
+    # equal ts the max event_id wins (ordered ascending → last carried)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("tag"), F.col("view_event_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("matched_view", F.last("view_event_id", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "user_id", "value", F.col("matched_view").alias("view_event_id"))
+    )
+
+
+# ---------------------------------------------------------- aggregations
+
+
+@register(
+    "agg_group_stats",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           {dsum_sql('o_totalprice')} AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregation: count/sum/avg/min/max over two keys. Map-side
+    partial agg shrinks the shuffle to (#groups × #tasks) rows."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+        (F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT DISTINCT — Spark plans expand + two-phase agg;
+    the expensive-but-exact path (`agg_approx_distinct` is the sketch
+    alternative for 100 TB)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL++ sketch values are engine-specific — rows-only check
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=1%) — the scale path for
+    distinct counts: constant memory, one pass, mergeable sketches.
+    No oracle: sketch estimates are engine-specific by construction."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (status, priority) → (status) → ().
+    Spark plans one Expand node feeding a single hash agg — the rollup
+    costs one extra shuffle row per grouping set, not extra scans."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, {dsum_sql('l_extendedprice')} AS total
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets in one Expand+agg pass."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_extendedprice")).alias("total")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit values (explicit list keeps it one pass — value
+    discovery would need an extra job). Compiles to conditional
+    aggregation, same as the oracle's CASE form."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+    )
+
+
+# --------------------------------------------------------------- windows
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions. One shuffle on the partition key + sort
+    within partitions; total order pinned by the c_custkey tiebreak."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lag/lead/first) per user ordered by
+    time. No arithmetic → values bit-exact."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer over order history (rows frame).
+    Decimal accumulation: DuckDB evaluates window sums over a segment
+    tree, so even sequential-looking float window sums reassociate."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double").alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+                      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_24h,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+                          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing-24h rolling sum/count.
+    Ordered on epoch microseconds so the frame bound is an exact integer
+    range in both engines."""
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_24h"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (generalizes reference R4 from global to grouped):
+    top-3 orders by price per customer. row_number + filter — one
+    shuffle; with AQE the rank filter prunes early per partition."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers with both a finished and an open
+    order. Plans as an aggregate + semi-join under the hood."""
+    o = load_table(spark, "orders", sf_dir)
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity preserved)."""
+    o = load_table(spark, "orders", sf_dir)
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.exceptAll(p)
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nations having customers or suppliers."""
+    c = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# --------------------------------------------------------- sessionization
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                  > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag → gap flag →
+    running count = session id → per-session aggregate. Two window
+    passes over ONE shuffle on user_id (same partitioning reused), then
+    the groupBy reuses it again — no extra exchange under AQE."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_start = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("is_start", is_start)
+        .withColumn("session_id", F.sum("is_start").over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+    )
