@@ -56,6 +56,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         tpch,
         refparity,
         analytics,
+        scalars_q,
         llm,
         streaming_q,
     )

@@ -1,0 +1,228 @@
+"""Scalar function surface (SURVEY.md §2.B "Scalar fns"): string, date,
+math, array, map/json, conditional expression coverage — all built-in
+`pyspark.sql.functions` inside whole-stage codegen, no UDFs.
+
+Cross-engine notes: only exactly-rounded IEEE math functions appear in
+oracle-checked outputs (sqrt/abs/floor/ceil/mod — libm `log`/`exp`/`pow`
+can differ from the JVM in the last ulp); integer-producing functions
+are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata06_spark.catalog import load_table
+from bigdata06_spark.queries import register
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                                   AS name_lower,
+           upper(p_brand)                                  AS brand_upper,
+           trim(concat('  ', p_type, ' '))                 AS type_trimmed,
+           CAST(length(p_name) AS BIGINT)                  AS name_len,
+           substr(p_name, 1, 4)                            AS name_head,
+           replace(p_type, 'E', '*')                       AS type_replaced,
+           regexp_extract(p_name, '([0-9]+)', 1)           AS first_num,
+           contains(p_type, 'ECO')                         AS is_eco,
+           CAST(levenshtein(p_brand, 'BRAND_1') AS BIGINT) AS brand_dist,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+           split_part(p_name, '_', 1)                      AS name_prefix
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function coverage: case, trim, length, substring, replace,
+    regexp_extract, contains, levenshtein, pad, split_part."""
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trimmed"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_head"),
+        F.replace(F.col("p_type"), F.lit("E"), F.lit("*")).alias("type_replaced"),
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_num"),
+        F.contains(F.col("p_type"), F.lit("ECO")).alias("is_eco"),
+        F.levenshtein(F.col("p_brand"), F.lit("BRAND_1")).cast("long").alias("brand_dist"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split_part(F.col("p_name"), F.lit("_"), F.lit(1)).alias("name_prefix"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)     AS yr,
+           CAST(month(o_orderdate) AS BIGINT)    AS mo,
+           CAST(day(o_orderdate) AS BIGINT)      AS dy,
+           CAST(dayofweek(o_orderdate) AS BIGINT) + 1 AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS plus_30d,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+                                                 AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m-%d')     AS iso_day,
+           CAST(quarter(o_orderdate) AS BIGINT)  AS qtr
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function coverage: extract fields, truncation, interval
+    arithmetic, date_diff, formatting. Date-typed outputs are formatted
+    to ISO strings so both engines hash identically.
+
+    DOW convention: DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday —
+    the oracle adds 1 to align (documented divergence)."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("plus_30d"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT c_custkey,
+           abs(c_acctbal)                       AS abs_bal,
+           floor(c_acctbal)                     AS floor_bal,
+           ceil(c_acctbal)                      AS ceil_bal,
+           sqrt(abs(c_acctbal))                 AS sqrt_bal,
+           CAST(c_custkey % 7 AS BIGINT)        AS key_mod,
+           CASE WHEN c_acctbal > 0 THEN 1.0 WHEN c_acctbal < 0 THEN -1.0 ELSE 0.0 END AS bal_sign,
+           greatest(c_acctbal, 0.0)             AS bal_pos,
+           least(c_acctbal, 0.0)                AS bal_neg
+    FROM customer
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function coverage restricted to exactly-rounded IEEE ops
+    (abs/floor/ceil/sqrt/mod/sign/greatest/least) so results are
+    bit-identical cross-engine. (log/exp/pow exist in the engine too —
+    they're excluded from oracle checks because libm vs JVM can differ
+    in the final ulp, not because Spark lacks them.)"""
+    c = load_table(spark, "customer", sf_dir)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.floor(bal).cast("double").alias("floor_bal"),
+        F.ceil(bal).cast("double").alias("ceil_bal"),
+        F.sqrt(F.abs(bal)).alias("sqrt_bal"),
+        (F.col("c_custkey") % 7).cast("long").alias("key_mod"),
+        F.when(bal > 0, 1.0).when(bal < 0, -1.0).otherwise(0.0).alias("bal_sign"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
+        F.least(bal, F.lit(0.0)).alias("bal_neg"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT)                     AS n_words,
+           CAST(len(list_distinct(words)) AS BIGINT)      AS n_distinct_words,
+           list_contains(words, 'spark')                  AS has_spark,
+           array_to_string(list_sort(list_distinct(words))[1:3], '|') AS first3_sorted,
+           CAST(len(list_filter(words, w -> length(w) > 5)) AS BIGINT) AS n_long_words,
+           array_to_string(list_transform(words[1:3], w -> upper(w)), ' ') AS head_upper
+    FROM w
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function coverage: size, distinct, contains, sort+slice,
+    lambda filter, lambda transform — all Catalyst higher-order
+    functions, no Python."""
+    d = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(words)), 1, 3), "|").alias(
+            "first3_sorted"
+        ),
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).cast("long").alias("n_long_words"),
+        F.array_join(F.transform(F.slice(words, 1, 3), F.upper), " ").alias("head_upper"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           json_extract_string(props, '$.k')                 AS k_raw,
+           json_extract_string(props, '$.missing')           AS missing_field,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events WHERE event_id < 2000
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function coverage: schema-full parse (`from_json`) and
+    path extraction (`get_json_object`), including a missing-path NULL.
+    At scale prefer from_json once into a struct over repeated
+    get_json_object calls (single parse per row)."""
+    e = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 2000)
+    parsed = F.from_json(F.col("props"), "struct<k:bigint>")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_raw"),
+        F.get_json_object(F.col("props"), "$.missing").alias("missing_field"),
+        (parsed["k"] % 10).alias("k_mod"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 400000 THEN 'high'
+                WHEN o_totalprice >= 200000 THEN 'mid'
+                ELSE 'low' END                          AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_mapped,
+           (o_orderstatus = 'F' AND o_totalprice > 100000) AS big_finished,
+           if(o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%', 'urgent', 'normal')
+                                                        AS urgency
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression coverage: CASE WHEN bands, nullif/coalesce
+    remapping, boolean conjunction column, LIKE-based if()."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 400000, "high")
+        .when(F.col("o_totalprice") >= 200000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_mapped"
+        ),
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000)).alias("big_finished"),
+        F.when(
+            F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"), "urgent"
+        )
+        .otherwise("normal")
+        .alias("urgency"),
+    )
