@@ -1,0 +1,217 @@
+"""Deduplication operators for the LLM-data-pipeline surface:
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Architecture (100 TB design point):
+- Exact dedup is a hash-groupBy on a fingerprint — one shuffle on the
+  16-byte digest, perfectly balanced.
+- Pairwise-similarity dedup never materializes the O(N²) cross join.
+  Candidates come from an inverted-index self-join (shared shingle /
+  shared MinHash band / shared SimHash chunk), which shuffles on the
+  index key; the quadratic blowup is confined to per-key buckets.
+  Frequent keys are the skew hazard → `max_df` drops stop-shingles
+  (standard trick; AQE skew-split handles the rest).
+- Verification (exact Jaccard on candidate pairs) joins per-doc
+  distinct-shingle ARRAYS (collect_set) to the candidate pair list —
+  linear in candidates, not pairs².
+
+Every function returns DataFrames; no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata06_spark.operators.textops import distinct_shingles, fingerprint_md5, words
+
+NUM_MINHASH = 64
+MINHASH_BANDS = 32  # r=2 rows/band: P(miss | j=0.8) ≈ (1-0.8²)³² ≈ 4e-15
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 16  # 4-bit chunks: pigeonhole-guaranteed recall for hamming ≤ 15
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one representative (min id) per normalized-text
+    fingerprint, with the group size. One shuffle on the digest."""
+    return (
+        docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("rep_" + id_col), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingle_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, max_df: int | None = None) -> DataFrame:
+    """Inverted index: (id, shingle), distinct. `max_df` drops shingles
+    appearing in more than max_df docs (stop-shingle skew control; None
+    keeps all → exact candidate recall)."""
+    idx = docs.select(
+        F.col(id_col), F.explode(distinct_shingles(words(F.col(text_col)), n)).alias("shingle")
+    )
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        idx = idx.withColumn("_df", F.count(F.lit(1)).over(w)).filter(
+            F.col("_df") <= max_df
+        ).drop("_df")
+    return idx
+
+
+def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all pairs with J ≥ threshold.
+
+    Pure relational plan: inverted-index self-join on shingle counts the
+    intersection per pair; per-doc distinct-shingle counts give the
+    union via |A|+|B|-|A∩B|. Shuffles: index build (1), self-join on
+    shingle (reuses it), pair groupBy (1 on the pair key). Jaccard is an
+    exact integer ratio → bit-identical cross-engine.
+    """
+    idx = shingle_index(docs, id_col, text_col, n)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _verify_candidates(cands: DataFrame, docs: DataFrame, id_col: str, text_col: str,
+                       n: int, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs via per-doc shingle
+    arrays. Linear in candidate count; arrays broadcast-joinable when
+    candidates are few."""
+    sets_ = docs.select(
+        F.col(id_col), distinct_shingles(words(F.col(text_col)), n).alias("sh_set")
+    )
+    a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
+    b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3, num_hashes: int = NUM_MINHASH) -> DataFrame:
+    """MinHash signatures: h_j(doc) = min over shingles of murmur3(shingle, j).
+    Computed as `num_hashes` min-aggregates over the exploded inverted
+    index — one shuffle on the doc id, map-side partial mins."""
+    idx = shingle_index(docs, id_col, text_col, n)
+    mins = [F.min(F.hash(F.col("shingle"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
+    return idx.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, threshold: float = 0.5,
+                      num_hashes: int = NUM_MINHASH, bands: int = MINHASH_BANDS) -> DataFrame:
+    """MinHash + LSH banding near-duplicate join, exact-verified.
+
+    Pipeline: signatures → split into `bands` bands of r rows → band
+    hash → self-join on (band_idx, band_hash) → distinct candidate
+    pairs → exact-Jaccard verification ≥ threshold.
+
+    Scale: candidate generation shuffles on the band key (uniform by
+    construction). With r=2/b=32, recall at J≥0.8 is 1-4e-15 — the
+    verified output is exact-equal to `jaccard_pairs` in practice
+    (hence the DuckDB oracle can be the exact computation), while the
+    cost is linear in docs + candidates instead of quadratic.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.hash(*[F.col(f"h{bi * r + j}") for j in range(r)]).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    left = buckets.select(F.col(id_col).alias("doc_a"), "band", "bh")
+    right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    cands = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_candidates(cands, docs, id_col, text_col, n, threshold)
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash: 64-bit signature from the sign of per-bit sums of token
+    hashes (xxhash64). Exploded-token aggregation: one shuffle on id,
+    64 conditional-sum aggregates map-side combined."""
+    toks = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 10, n: int = 3, threshold: float = 0.5,
+                  chunks: int = SIMHASH_CHUNKS) -> DataFrame:
+    """SimHash near-duplicate join: candidates share ≥1 of `chunks`
+    signature chunks (pigeonhole: any pair with hamming ≤ chunks-1 is
+    guaranteed a shared chunk → recall is exact, not probabilistic, for
+    max_hamming ≤ 15 at 16 chunks), filtered to hamming ≤ max_hamming,
+    then exact-Jaccard verified ≥ threshold."""
+    width = SIMHASH_BITS // chunks
+    sig = simhash_signatures(docs, id_col, text_col)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), ci * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("cv"),
+            )
+            for ci in range(chunks)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv")
+    )
+    left = buckets.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "cv")
+    right = buckets.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "cv")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    cands = (
+        left.join(right, ["chunk", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= max_hamming)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_candidates(cands, docs, id_col, text_col, n, threshold)

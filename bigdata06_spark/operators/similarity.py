@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Three tiers (SURVEY.md §2.B "LLM-pipeline: similarity search"):
+- brute-force cosine top-k: exact baseline; O(Q×N) — fine when the
+  query set is small or as the verification pass;
+- LSH (random hyperplanes): sign-bucket join, probabilistic recall —
+  the 100 TB candidate-generation path;
+- IVF (fixed seeded centroids): partition the corpus by nearest
+  centroid, probe top-`nprobe` cells per query.
+
+All expressed in native Column algebra (zip_with/aggregate — codegen,
+no Python in the hot loop). Vectors are cast float→double once so dot
+products run in double precision (bit-compatible with the DuckDB
+oracle's `::DOUBLE[]` lists).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata06_spark.queries.qutil import rnd
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold — same op order as DuckDB's list_dot_product."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_sim: int | None = 6) -> DataFrame:
+    """Exact cosine top-k: query×corpus join, rank per query.
+
+    The join is a broadcast nested loop (queries broadcast — the small
+    side by design). Ranking pins total order via (rounded sim desc,
+    neighbor id asc); rounding to 6dp makes the rank key cross-engine
+    deterministic while keeping real ties broken by id.
+
+    Scale: Q×N work with Q small is embarrassingly parallel over corpus
+    partitions; for large Q use `lsh_ann` / `ivf_ann` to cut N.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
+    sim = rnd(cosine(F.col("qv"), F.col("cv")), round_sim) if round_sim else cosine(
+        F.col("qv"), F.col("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def _seeded_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: one sign bit per plane, packed
+    into a long. Deterministic (seeded planes baked into the plan)."""
+    sig = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(w)) for w in plane])
+        bit = F.when(dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sig
+
+
+def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """ANN via hyperplane-LSH bucketing: exact re-rank within the
+    query's bucket. Recall < 1 by construction (rows-only check).
+    Scale: the bucket join shuffles on the signature — each query
+    touches ~N/2^n_planes candidates instead of N."""
+    sample = corpus.select(vec_col).first()
+    dim = len(sample[0])
+    planes = _seeded_planes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str, out: str = "cell") -> DataFrame:
+    """Assign each vector to its max-dot-product centroid (fixed seeded
+    centroids — deterministic, no training step; a production build
+    would fit k-means offline and broadcast the codebook the same way)."""
+    v = as_double(F.col(vec_col))
+    best_cell, best_score = None, None
+    for ci, cent in enumerate(centroids):
+        p = F.array(*[F.lit(float(w)) for w in cent])
+        s = dot(v, p)
+        if best_cell is None:
+            best_cell, best_score = F.lit(ci), s
+        else:
+            cond = s > best_score
+            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return df.withColumn(out, best_cell)
+
+
+def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
+            nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 7) -> DataFrame:
+    """IVF-style ANN: corpus partitioned into `n_cells` by nearest
+    centroid; queries probe their top-`nprobe` cells and re-rank
+    exactly. Rows-only check (recall < 1). Scale: corpus would be
+    written partitioned by cell → probing = partition pruning."""
+    sample = corpus.select(vec_col).first()
+    dim = len(sample[0])
+    rng = np.random.RandomState(seed)
+    centroids = [list(v / math.sqrt(dim)) for v in rng.randn(n_cells, dim)]
+
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")),
+        centroids,
+        "cv",
+        "cell",
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    # top-nprobe cells per query: score against each centroid, explode
+    scores = F.array(
+        *[
+            F.struct(
+                dot(F.col("qv"), F.array(*[F.lit(float(w)) for w in cent])).alias("score"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cent in enumerate(centroids)
+        ]
+    )
+    probes = (
+        qv.withColumn("probe", F.explode(F.slice(F.sort_array(scores, asc=False), 1, nprobe)))
+        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+    )
+    scored = (
+        probes.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis building blocks for the LLM-data-pipeline surface:
+tokenization, shingling, token statistics, language ID, fingerprints.
+
+All pure Column expressions (codegen'd, no UDFs) so they compose into
+any query and push work JVM-side. Tokenization is whitespace-based to
+match the synthetic `documents` corpus; the BPE-ish regex tokenizer is
+`regexp_extract_all` with a letters/digits/other pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic; real pipelines would
+# plug a fastText-style model in via pandas_udf (multimodal.py shows the
+# UDF plumbing pattern).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+}
+
+BPE_ISH_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(text_col) -> Column:
+    """Whitespace tokenization (the corpus is space-separated)."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.split(c, " ")
+
+
+def word_shingles(words_col: Column, n: int = 3, sep: str = " ") -> Column:
+    """All n-word shingles, in order (documents shorter than n words
+    yield no shingles). Pure higher-order-function expression."""
+    idx = F.sequence(F.lit(1), F.size(words_col) - (n - 1))
+    return F.transform(idx, lambda i: F.array_join(F.slice(words_col, i, n), sep))
+
+
+def distinct_shingles(words_col: Column, n: int = 3) -> Column:
+    return F.array_distinct(word_shingles(words_col, n))
+
+
+def regex_token_count(text_col) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), F.lit(0))).cast("long")
+
+
+def stopword_hits(words_col: Column, lang: str) -> Column:
+    """# distinct stopwords of `lang` present in the document."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(words_col), sw)).cast("long")
+
+
+def lang_scores(words_col: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(words_col, lang) for lang in STOPWORDS}
+
+
+def predict_lang(words_col: Column) -> Column:
+    """Argmax language by stopword hits; ties broken by language-code
+    order (deterministic); 'und' (undetermined) when no hits at all."""
+    scores = lang_scores(words_col)
+    best = None
+    for lang in sorted(STOPWORDS):  # later langs win only on strictly-greater
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            cond = s > best[0]
+            best = (F.when(cond, s).otherwise(best[0]), F.when(cond, F.lit(lang)).otherwise(best[1]))
+    return F.when(best[0] > 0, best[1]).otherwise(F.lit("und"))
+
+
+def punct_ratio(text_col) -> Column:
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    n_punct = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    return n_punct.cast("double") / F.length(c)
+
+
+def mean_word_len(words_col: Column) -> Column:
+    total = F.aggregate(
+        F.transform(words_col, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return total.cast("double") / F.size(words_col)
+
+
+def fingerprint_md5(text_col) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "))
+
+
+def rolling_hash(text_col, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters (Karp-Rabin style document
+    fingerprint): h = (h*base + ascii(ch)) % mod, left-to-right fold.
+    Pure `aggregate` over the char array — stays in codegen; the modulus
+    keeps the accumulator < 2^60 so ANSI long arithmetic never overflows."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

@@ -1,1 +1,309 @@
-"""Placeholder — filled in as coverage widens."""
+"""LLM-data-pipeline queries (SURVEY.md §2.B + north star): dedup
+family, similarity search, text analysis, multimodal columns.
+
+Oracle strategy: everything relationally expressible gets exact DuckDB
+SQL (including MinHash/SimHash — their outputs are exact-verified
+against the full Jaccard computation, and the LSH parameters guarantee
+recall on this corpus: r=2/b=32 bands → miss ≈ 4e-15 at J≥0.8;
+SimHash 16 chunks → pigeonhole-exact for hamming ≤ 15). Only the
+probabilistic-recall ANN variants are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata06_spark.catalog import load_table
+from bigdata06_spark.operators import dedup as D
+from bigdata06_spark.operators import multimodal as M
+from bigdata06_spark.operators import similarity as S
+from bigdata06_spark.operators import textops as T
+from bigdata06_spark.queries import register
+
+# Shared oracle fragments -------------------------------------------------
+
+_SHINGLES_CTE = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                        for i in range(1, len(ws) - 1)])) AS shingle
+           FROM w),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+"""
+
+_JACCARD_SQL = f"""
+    WITH {_SHINGLES_CTE}
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+"""
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS rep_doc_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized-text md5 fingerprint,
+    min-id representative per group. One perfectly-balanced shuffle."""
+    return D.exact_dedup_groups(load_table(spark, "documents", sf_dir))
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity self-join (J ≥ 0.5) via inverted
+    shingle index — no N² cross join; see operators/dedup.py."""
+    return D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH banding (32 bands × r=2) with exact-Jaccard
+    verification. The oracle is the full exact computation: band recall
+    at the corpus's J≥0.8 duplicate pairs is 1-4e-15, so verified
+    output ≡ exact output. The LSH path is the one that scales: cost
+    linear in docs + candidates, shuffle on uniform band keys."""
+    return D.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash", oracle=_JACCARD_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup join: 16-chunk banding (pigeonhole-exact
+    candidate recall for hamming ≤ 15), hamming ≤ 10 filter, exact
+    Jaccard ≥ 0.5 verification. Verified output ≡ exact oracle as long
+    as every J≥0.5 pair has hamming ≤ 10 (holds on this corpus — near
+    dups are ≥0.8 Jaccard → few token flips → low hamming)."""
+    return D.simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=10, threshold=0.5)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+             / 1000000.0 AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+            / 1000000.0 >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs
+    (exact; the ANN variants are the scale path). Cosine computed in
+    double with a left-to-right fold, rounded 6dp on both engines."""
+    e = load_table(spark, "embeddings", sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), S.as_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), S.as_double(F.col("embedding")).alias("vb"))
+    from bigdata06_spark.queries.qutil import rnd
+
+    sim = rnd(S.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.4)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the 10 probe vectors: broadcast the query
+    side, scan the corpus once, rank per query."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.knn_bruteforce(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@register("knn_lsh_ann", oracle=None)
+def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH buckets (8 planes, seeded) +
+    exact re-rank in-bucket. Probabilistic recall → rows-only check."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.lsh_ann(e.filter(F.col("vec_id") < 10), e, k=5, n_planes=8)
+
+
+@register("knn_ivf_ann", oracle=None)
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF cells (8 seeded centroids, nprobe=2) + exact
+    re-rank in probed cells. Probabilistic recall → rows-only check."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.ivf_ann(e.filter(F.col("vec_id") < 10), e, k=5, n_cells=8, nprobe=2)
+
+
+# ---------------------------------------------------------- text analysis
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_tokens_bpeish,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+             AS punct_ratio,
+           CAST(len(list_filter(ws, x -> length(x) > 3)) AS DOUBLE) / len(ws) AS long_word_ratio,
+           CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) AS mean_word_len
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality metrics: char/word/BPE-ish-token counts, punct
+    ratio, long-word ratio, mean word length — all codegen expressions,
+    ratios computed as exact-int divisions (bit-equal cross-engine)."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = T.words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(ws).cast("long").alias("n_words"),
+        T.regex_token_count(F.col("text")).alias("n_tokens_bpeish"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        (F.size(F.filter(ws, lambda x: F.length(x) > 3)).cast("double") / F.size(ws)).alias(
+            "long_word_ratio"
+        ),
+        T.mean_word_len(ws).alias("mean_word_len"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_intersect(ws, ['the','and','of','to','in','is','that','with','for','on'])) AS s_en,
+        len(list_intersect(ws, ['el','la','de','que','y','en','un','por','con','para'])) AS s_es,
+        len(list_intersect(ws, ['le','la','de','et','les','des','en','un','du','que'])) AS s_fr,
+        len(list_intersect(ws, ['der','die','und','das','von','zu','mit','den','ist','im'])) AS s_de
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang,
+           CAST(s_en AS BIGINT) AS s_en, CAST(s_es AS BIGINT) AS s_es,
+           CAST(s_fr AS BIGINT) AS s_fr, CAST(s_de AS BIGINT) AS s_de
+    FROM scores
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic): score each language
+    by distinct-stopword overlap, argmax with alphabetical tiebreak
+    (de > en > es > fr on ties — mirrored exactly in the oracle CASE)."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = T.words(F.col("text"))
+    scores = T.lang_scores(ws)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predict_lang(ws).alias("predicted_lang"),
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["fr"].alias("s_fr"),
+        scores["de"].alias("s_de"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+           list_reduce(
+             list_prepend(0::BIGINT, list_transform(string_split(text, ''), ch -> ascii(ch))),
+             (acc, ch) -> (acc * 31 + ch) % 1000000007
+           ) AS fp_rolling
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalized md5 + polynomial rolling hash
+    (base 31 mod 1e9+7), the latter as a left fold over the char array —
+    identical fold order in both engines."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        T.rolling_hash(F.col("text")).alias("fp_rolling"),
+    )
+
+
+# -------------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+    )
+    SELECT doc_id, media_type, byte_len,
+           CASE media_type WHEN 'image/png' THEN 1 + byte_len % 640
+                           WHEN 'audio/wav' THEN 0
+                           ELSE 1 + byte_len % 1920 END AS width,
+           CASE media_type WHEN 'image/png' THEN 1 + byte_len % 480
+                           WHEN 'audio/wav' THEN 0
+                           ELSE 1 + byte_len % 1080 END AS height,
+           CASE media_type WHEN 'image/png' THEN 1
+                           WHEN 'audio/wav' THEN 1 + byte_len % 1000
+                           ELSE 1 + byte_len % 240 END AS n_frames
+    FROM b
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: binary payload column + metadata struct →
+    Arrow-batched mapInPandas decode stage (codec stubbed with a
+    deterministic fake — SQL-expressible on purpose so the driver can
+    verify the real plumbing: schema, batch shape, partitioning)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return M.decode_media(M.attach_binary_payload(docs))
