@@ -22,12 +22,23 @@ from bigdata06_spark.queries import load_all_queries
 from bigdata06_spark.session import get_spark
 
 HEADLINE = [
+    # fact-table agg / star joins / top-k
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "q10_returned_revenue",
+    # reference-parity ops
     "ref_dedup_first_wins",
     "ref_enrichment_join",
+    # windows + sessionization
+    "topk_per_group",
+    "sessionize_events",
+    # LLM-pipeline: dedup + similarity + text
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_quality_score",
+    # streaming
+    "stream_tumbling_agg",
 ]
 
 

@@ -91,4 +91,7 @@ def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_media(with_payloads: DataFrame) -> DataFrame:
     """Run the (stubbed) decode over every asset: Arrow-batched, no
     shuffle, schema declared up front."""
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(with_payloads.sparkSession)
     return with_payloads.mapInPandas(decode_batch, schema=DECODED_SCHEMA)

@@ -1,1 +1,114 @@
-"""Placeholder — filled in as coverage widens."""
+"""Streaming queries (SURVEY.md §2.B streaming, §7 M4): the events
+table replayed through Structured Streaming (availableNow → memory
+sink), oracle-checked against the equivalent batch SQL — the
+batch-equivalence gate for every streaming operator with deterministic
+output. Watermark/append and custom-state ops are rows-only (their
+emitted sets depend on watermark progression / batch boundaries, which
+is streaming-only semantics DuckDB can't mirror)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata06_spark.queries import register
+from bigdata06_spark.streaming import ops as SO
+from bigdata06_spark.streaming.stateful import running_user_totals
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type, streamed (complete mode).
+    Oracle = batch epoch-hour bucketing: Spark's tumbling windows align
+    to the epoch, so `window.start == floor(epoch_us/3.6e9)`."""
+    return SO.run_to_table(SO.tumbling_counts(SO.stream_events(spark, sf_dir)), "complete")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH x AS (
+      SELECT user_id,
+             make_timestamp(((epoch_us(ts) // 3600000000) - o.off) * 3600000000) AS window_start
+      FROM events, (VALUES (0), (1)) AS o(off)
+    )
+    SELECT window_start, user_id, count(*) AS n
+    FROM x GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows per user, streamed (complete mode). Each
+    event lands in exactly width/slide = 2 windows — the oracle
+    replicates via the two-offset union."""
+    return SO.run_to_table(SO.sliding_counts(SO.stream_events(spark, sf_dir)), "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts ASC) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`session_window(ts, '30 minutes')` per user — gap-merged sessions
+    in the streaming state store. Oracle = batch sessionization with
+    end = last_event + gap (the session_window end semantics)."""
+    return SO.run_to_table(SO.session_windows(SO.stream_events(spark, sf_dir)), "complete")
+
+
+@register(
+    "stream_dedup_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_distinct_users
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) then count per type.
+    State = one entry per distinct pair (watermark-bounded via
+    dropDuplicatesWithinWatermark on a real stream)."""
+    return SO.run_to_table(SO.dedup_counts(SO.stream_events(spark, sf_dir)), "complete")
+
+
+@register("stream_watermark_append", oracle=None)
+def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode aggregation (10-min late-data bound):
+    emits each window once the watermark passes it — windows still open
+    at end-of-replay are intentionally unemitted, so the result is a
+    streaming-semantics artifact → rows-only check."""
+    return SO.run_to_table(SO.watermarked_tumbling(SO.stream_events(spark, sf_dir)), "append")
+
+
+@register("stream_stateful_running", oracle=None)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals across micro-batches. Output rows depend on batch
+    boundaries → rows-only check."""
+    return SO.run_to_table(running_user_totals(SO.stream_events(spark, sf_dir)), "update")

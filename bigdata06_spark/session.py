@@ -27,6 +27,32 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the bigdata06_spark package to executors (addPyFile zip).
+
+    Functions used in mapInPandas/pandas_udf stages are pickled by
+    REFERENCE to their module; workers must be able to import it even
+    when the driver process was launched from another cwd. Idempotent;
+    cheap (one small zip)."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "bigdata06_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        staging = os.path.join(tempfile.gettempdir(), "bigdata06_spark_staging")
+        target = os.path.join(staging, "bigdata06_spark")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        shutil.copytree(pkg_dir, target, ignore=shutil.ignore_patterns("__pycache__"))
+        shutil.make_archive(zip_base, "zip", staging)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added in this context
+        pass
+
+
 def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 

@@ -1,0 +1,49 @@
+"""Sinks (SURVEY.md §2.A.4 K1 + parquet as the primary format).
+
+The reference writes timestamped CSVs per dataset
+(`df.to_csv(f"{name}_{ts}.csv")` — Spotify_API.py:159-165, skipping
+empties). The engine's export edge:
+
+- parquet is the primary sink (columnar, splittable, stats for
+  pushdown); optionally partitioned by a column → directory layout
+  replaces the reference's filename timestamps;
+- CSV remains for reference-parity export, with array columns
+  collapsed to joined strings at this edge only (SURVEY.md §1.5 —
+  arrays stay native inside the engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def collapse_arrays_for_csv(df: DataFrame, sep: str = ", ") -> DataFrame:
+    """Array<string> → joined string, the reference's storage shape
+    (`', '.join(artist['genres'])` — Spotify_API.py:83)."""
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.ArrayType):
+            out = out.withColumn(field.name, F.array_join(F.col(field.name), sep))
+    return out
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K1 — CSV sink with header; empty frames still write a valid
+    (header-only) output rather than the reference's skip-on-empty,
+    so downstream consumers see a stable layout."""
+    collapse_arrays_for_csv(df).write.mode(mode).option("header", True).csv(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Primary sink. `partition_by` produces hive-style directories →
+    partition pruning on re-read; at 100 TB pick low-cardinality
+    partition columns (date, country) and avoid small-file explosions
+    by repartitioning on the partition key first."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,172 @@
+"""Spotify-shaped ingest connector — the reference's entire `[REF]`
+source surface (SURVEY.md §2.A.1 S1-S10) re-expressed as a Spark-first
+pipeline.
+
+The reference is four imperative scripts doing sequential
+`requests.get` calls into pandas (`make_api_request` —
+Spotify_API3.py:48-83; genre fan-out — Spotify_API3.py:88-104;
+pagination — Spotify_API4.py:327-356; 50-id batching —
+Spotify_API3.py:160-209). This module keeps the connector concerns
+(auth, retry, rate limit, pagination) at the driver edge behind a
+pluggable `fetcher` callable — tests and offline runs inject a fixture
+fetcher; a live run would inject a requests-based one — and hands
+Spark typed DataFrames immediately:
+
+- payload flattening is Catalyst expressions (functions/flatten.py),
+  not row loops;
+- the per-artist / per-album fetch loops (S4/S6) become an ID
+  DataFrame → `mapInPandas` batch fetch at scale (each partition
+  fetches its ID batch — the chunking the reference hand-rolled with
+  `[i:i+50]` slices becomes partition sizing);
+- dedup/union/sort/top-k on the results are the engine operators
+  (operators/relational.py).
+
+No network code lives here: `fetcher(endpoint, params) -> dict` is the
+boundary. That keeps the connector testable and the engine pure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata06_spark.functions.flatten import array_head_or
+
+Fetcher = Callable[[str, dict], dict]
+
+GENRES = ["pop", "rock", "hip hop", "k-pop", "edm"]  # Spotify_API3.py:88
+
+ARTIST_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("popularity", T.IntegerType()),
+        T.StructField("followers", T.StructType([T.StructField("total", T.LongType())])),
+        T.StructField("genres", T.ArrayType(T.StringType())),
+        T.StructField("images", T.ArrayType(T.StructType([T.StructField("url", T.StringType())]))),
+    ]
+)
+
+TRACK_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("popularity", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("explicit", T.BooleanType()),
+        T.StructField(
+            "album",
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType()),
+                    T.StructField("release_date", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "artists",
+            T.ArrayType(
+                T.StructType(
+                    [T.StructField("id", T.StringType()), T.StructField("name", T.StringType())]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def search_artists(spark: SparkSession, fetcher: Fetcher, genres: list[str] = None,
+                   limit_per_genre: int = 50) -> DataFrame:
+    """S6 genre fan-out + S1 GET + payload flatten (P1-P5).
+
+    The fetch loop is driver-side (it seeds the pipeline — reference
+    semantics, ≤5 calls); everything after `createDataFrame` is
+    Catalyst. Flattening reproduces the reference row shape
+    (Spotify_API3.py:113-120): followers.total lifted, genres kept as a
+    native array, first-image URL with '' default."""
+    rows = []
+    for genre in genres or GENRES:
+        payload = fetcher("search", {"q": f'genre:"{genre}"', "type": "artist",
+                                     "limit": limit_per_genre})
+        rows.extend(payload.get("artists", {}).get("items", []))
+    raw = spark.createDataFrame(rows, schema=ARTIST_PAYLOAD_SCHEMA)
+    return raw.select(
+        "id",
+        "name",
+        F.coalesce("popularity", F.lit(0)).alias("popularity"),
+        F.coalesce(F.col("followers.total"), F.lit(0)).alias("followers"),
+        F.coalesce("genres", F.array().cast("array<string>")).alias("genres"),
+        array_head_or(F.col("images")["url"]).alias("image_url"),
+    )
+
+
+def _batch_fetch_tracks(fetcher: Fetcher, batch_size: int = 50):
+    """S4 — batched multi-get as a mapInPandas stage: each Arrow batch
+    of IDs becomes ceil(n/batch_size) API calls (the reference's
+    `[i:i+50]` chunk loop — Spotify_API3.py:176), executed per
+    partition, i.e. in parallel across executors instead of one
+    sequential driver loop."""
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            items = []
+            for i in range(0, len(ids), batch_size):
+                payload = fetcher("tracks", {"ids": ",".join(ids[i : i + batch_size])})
+                items.extend(payload.get("tracks", []))
+            yield pd.DataFrame(
+                {
+                    "id": [t.get("id") for t in items],
+                    "name": [t.get("name") for t in items],
+                    "popularity": [t.get("popularity", 0) for t in items],
+                    "duration_ms": [t.get("duration_ms", 0) for t in items],
+                }
+            )
+
+    return fn
+
+
+def fetch_tracks_for_ids(id_df: DataFrame, fetcher: Fetcher, batch_size: int = 50) -> DataFrame:
+    """Distributed S4: ID DataFrame → per-partition batched fetch.
+    `fetcher` is shipped to executors — it must be picklable by value
+    (a closure/local def) or importable on workers."""
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(id_df.sparkSession)
+    schema = "id string, name string, popularity int, duration_ms long"
+    return id_df.select("id").mapInPandas(_batch_fetch_tracks(fetcher, batch_size), schema=schema)
+
+
+def paginate(fetcher: Fetcher, endpoint: str, params: dict, page_size: int = 50,
+             max_pages: int = 100) -> list[dict]:
+    """S5 — offset/limit pagination until a short page
+    (Spotify_API4.py:327-356). Driver-edge connector loop."""
+    items: list[dict] = []
+    for page in range(max_pages):
+        payload = fetcher(endpoint, {**params, "limit": page_size, "offset": page * page_size})
+        batch = payload.get("items", [])
+        items.extend(batch)
+        if len(batch) < page_size:
+            break
+    return items
+
+
+def flatten_tracks(spark: SparkSession, payloads: list[dict]) -> DataFrame:
+    """P1-P4 flatten of track payloads into the reference's v3 track
+    shape (Spotify_API3.py:141-151), arrays kept native."""
+    raw = spark.createDataFrame(payloads, schema=TRACK_PAYLOAD_SCHEMA)
+    return raw.select(
+        "id",
+        "name",
+        F.coalesce("popularity", F.lit(0)).alias("popularity"),
+        F.col("album.name").alias("album_name"),
+        F.col("album.release_date").alias("release_date"),
+        F.coalesce("duration_ms", F.lit(0)).alias("duration_ms"),
+        F.coalesce("explicit", F.lit(False)).alias("explicit"),
+        array_head_or(F.col("artists")["id"]).alias("artist_id"),
+        array_head_or(F.col("artists")["name"]).alias("artist_name"),
+    )

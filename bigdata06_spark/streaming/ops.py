@@ -1,0 +1,147 @@
+"""Structured Streaming operators over the `events` table.
+
+Design: every streaming op is expressed against `readStream` exactly as
+it would run against Kafka/files on a cluster; tests and the driver
+replay the static events parquet through the file source with an
+`availableNow` trigger into a memory sink, which drains the whole table
+synchronously. Batch-equivalence (streaming result == batch SQL on the
+same rows) is the correctness gate — the oracle side is plain SQL.
+
+Watermarks: aggregations used for oracle comparison run in `complete`
+output mode (no watermark) so every window is emitted regardless of
+where the replay's final watermark lands. The watermark + append path
+(late-data drop) is exercised separately (`stream_watermark_append`) as
+a rows-only check, because its emitted set intentionally depends on
+watermark progression, which is a streaming-only concept.
+
+Scale: windowed/stateful aggs shuffle on (key, window); state lives in
+the state store keyed the same way. `session_window` merges per key;
+`dropDuplicates` state is bounded by watermark on a real stream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata06_spark.catalog import table_path
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file stream source wants a DIRECTORY; the driver tables are
+    single read-only files. Symlink into a per-sf temp dir."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), "bigdata06_stream", key, "events")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded stream (file source). Same ns→µs
+    conversion as the batch catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .load(_events_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(result: DataFrame, mode: str) -> DataFrame:
+    """Drain a streaming DataFrame through availableNow → memory sink;
+    return the materialized table.
+
+    Clamps shuffle partitions for the replay: a session built without
+    engine configs (e.g. the external driver's) defaults to 200, which
+    is pure task overhead at this state size. Runtime-settable, applies
+    to the streaming query's stateful shuffles."""
+    spark = result.sparkSession
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window count/sum per event_type."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding-window count per user (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-merged in the streaming state store)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_counts(events: DataFrame) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) → counts per type.
+    On a real stream `dropDuplicatesWithinWatermark` bounds the state."""
+    return (
+        events.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+    )
+
+
+def watermarked_tumbling(events: DataFrame, width: str = "1 hour", late: str = "10 minutes") -> DataFrame:
+    """Append-mode watermarked aggregation: emits a window only once the
+    watermark passes its end (late data beyond `late` dropped)."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )

@@ -1,0 +1,80 @@
+"""Physical-plan assertions — the 100 TB design checks (SURVEY.md §4).
+
+Correctness says the query returns the right rows; these tests pin the
+PLAN SHAPE that makes it scale: filters pushed to the parquet scan,
+column pruning in ReadSchema, broadcast joins where a dimension is
+small, whole-stage codegen present, no shuffle where none is needed.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from bigdata06_spark.catalog import load_table
+from bigdata06_spark.queries import load_all_queries
+
+SPECS = load_all_queries()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def count_plan_nodes(plan: str, node: str) -> int:
+    """Count operator occurrences in the plan TREE (the formatted output
+    repeats each node in the detail section below the tree)."""
+    return len(re.findall(rf"^[\s:+-]*[+:]- {node}", plan, flags=re.M))
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    df = SPECS["ref_filter_eq"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*l_returnflag.*\]", plan), plan
+
+
+def test_column_pruning_in_readschema(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    plan = plan_of(li)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "l_orderkey" in cols and "l_quantity" in cols
+    assert "l_extendedprice" not in cols  # unused columns pruned at scan
+
+
+def test_flagship_uses_broadcast_joins(spark, sf_dir):
+    plan = plan_of(SPECS["q5_revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the one big shuffle is the fact join; dims must not add sort-merge joins
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_flagship_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of(SPECS["ref_sort_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q1_partial_agg_single_shuffle(spark, sf_dir):
+    plan = plan_of(SPECS["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "partial_sum" in plan  # map-side partial aggregation
+    # shuffle carries only (#groups x #tasks) pre-aggregated rows, once
+    assert count_plan_nodes(plan, "Exchange") == 1, plan
+
+
+def test_enrichment_join_no_fact_shuffle(spark, sf_dir):
+    plan = plan_of(SPECS["ref_enrichment_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must not shuffle
+
+
+def test_projection_only_query_no_exchange(spark, sf_dir):
+    plan = plan_of(SPECS["ref_derived_columns"].fn(spark, sf_dir))
+    assert "Exchange" not in plan  # narrow projection: zero shuffles
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    plan = plan_of(SPECS["join_asof"].fn(spark, sf_dir))
+    # union-marker implementation: the only shuffle is the user_id window
+    n_exchanges = count_plan_nodes(plan, "Exchange")
+    assert n_exchanges == 1, f"as-of join should shuffle exactly once:\n{plan}"

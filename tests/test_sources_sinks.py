@@ -1,0 +1,155 @@
+"""Round-trip tests for readers/sinks and the offline Spotify connector
+(reference pipeline semantics without network)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata06_spark.sinks import collapse_arrays_for_csv, write_csv, write_parquet
+from bigdata06_spark.sources.readers import read_csv, read_json
+from bigdata06_spark.sources.spotify import (
+    fetch_tracks_for_ids,
+    flatten_tracks,
+    paginate,
+    search_artists,
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", -2.0)], schema=schema)
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_parquet_partitioned_sink(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x", "2024-01"), (2, "y", "2024-02")], ["id", "v", "dt"])
+    path = str(tmp_path / "pq_out")
+    write_parquet(df, path, partition_by=["dt"])
+    assert os.path.isdir(os.path.join(path, "dt=2024-01"))
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+
+
+def test_json_reader_nested(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("meta", T.StructType([T.StructField("n", T.LongType())])),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    p = tmp_path / "rows.json"
+    with open(p, "w") as f:
+        f.write(json.dumps({"id": "a", "meta": {"n": 3}, "tags": ["x", "y"]}) + "\n")
+    df = read_json(spark, str(p), schema)
+    row = df.select(F.col("meta.n").alias("n"), F.size("tags").alias("t")).first()
+    assert (row.n, row.t) == (3, 2)
+
+
+def test_collapse_arrays_for_csv(spark):
+    df = spark.createDataFrame([(["a", "b"],)], ["genres"])
+    out = collapse_arrays_for_csv(df).first()
+    assert out.genres == "a, b"
+
+
+# ---- offline Spotify connector (fixture fetcher, no network) ----
+
+
+def _fixture_fetcher(endpoint, params):
+    if endpoint == "search":
+        genre = params["q"]
+        return {
+            "artists": {
+                "items": [
+                    {
+                        "id": f"ar_{abs(hash(genre)) % 100}",
+                        "name": f"Artist {genre[:12]}",
+                        "popularity": 80,
+                        "followers": {"total": 1000},
+                        "genres": ["pop"],
+                        "images": [{"url": "http://img/1"}],
+                    },
+                    {  # duplicate id across genres → dedup downstream
+                        "id": "ar_dup",
+                        "name": "Dup Artist",
+                        "popularity": 50,
+                        "followers": None,
+                        "genres": None,
+                        "images": [],
+                    },
+                ]
+            }
+        }
+    if endpoint == "tracks":
+        ids = params["ids"].split(",")
+        return {
+            "tracks": [
+                {"id": i, "name": f"t{i}", "popularity": 10, "duration_ms": 60000} for i in ids
+            ]
+        }
+    if endpoint == "playlist_items":
+        offset = params["offset"]
+        if offset >= 120:
+            return {"items": []}
+        n = min(params["limit"], 120 - offset)
+        return {"items": [{"pos": offset + i} for i in range(n)]}
+    raise AssertionError(f"unexpected endpoint {endpoint}")
+
+
+def test_search_artists_flatten_and_defaults(spark):
+    df = search_artists(spark, _fixture_fetcher, genres=["pop", "rock"])
+    rows = {r.id: r for r in df.collect()}
+    assert rows["ar_dup"].followers == 0  # None → 0 default (Spotify_API.py:82-84)
+    assert rows["ar_dup"].image_url == ""
+    assert rows["ar_dup"].genres == []
+    assert df.count() == 4  # 2 genres × 2 artists, dedup is downstream's job
+
+
+def test_fetch_tracks_batched_mapinpandas(spark):
+    ids = spark.createDataFrame([(f"t{i}",) for i in range(7)], ["id"])
+
+    # defined locally so cloudpickle serializes it BY VALUE to executors
+    def tracks_fetcher(endpoint, params):
+        assert endpoint == "tracks"
+        return {
+            "tracks": [
+                {"id": i, "name": f"t{i}", "popularity": 10, "duration_ms": 60000}
+                for i in params["ids"].split(",")
+            ]
+        }
+
+    out = fetch_tracks_for_ids(ids, tracks_fetcher, batch_size=3)
+    got = sorted(r.id for r in out.collect())
+    assert got == sorted(f"t{i}" for i in range(7))
+
+
+def test_pagination_until_short_page():
+    items = paginate(_fixture_fetcher, "playlist_items", {}, page_size=50)
+    assert len(items) == 120  # 50 + 50 + 20 (short page stops)
+
+
+def test_flatten_tracks_ragged_dates(spark):
+    payloads = [
+        {
+            "id": "t1",
+            "name": "Song",
+            "popularity": 5,
+            "duration_ms": 61000,
+            "explicit": None,
+            "album": {"name": "Al", "release_date": "1999"},
+            "artists": [{"id": "a1", "name": "A One"}],
+        }
+    ]
+    row = flatten_tracks(spark, payloads).first()
+    assert row.artist_id == "a1" and row.explicit is False and row.release_date == "1999"

@@ -1,0 +1,70 @@
+"""Streaming batch-equivalence tests (SURVEY.md §5.2): the events table
+replayed through Structured Streaming must equal the same computation
+done in batch on the same rows."""
+
+from pyspark.sql import functions as F
+
+from bigdata06_spark.catalog import load_table
+from bigdata06_spark.streaming import ops as SO
+from bigdata06_spark.streaming.stateful import running_user_totals
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    streamed = SO.run_to_table(SO.tumbling_counts(SO.stream_events(spark, sf_dir)), "complete")
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_session_window_equals_batch_sessionization(spark, sf_dir):
+    streamed = SO.run_to_table(SO.session_windows(SO.stream_events(spark, sf_dir)), "complete")
+    # independent batch check: number of sessions == number of >30min gaps + users
+    e = load_table(spark, "events", sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = e.withColumn(
+        "gap_us", F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    )
+    n_sessions_batch = gaps.filter(
+        F.col("gap_us").isNull() | (F.col("gap_us") > 1_800_000_000)
+    ).count()
+    assert streamed.count() == n_sessions_batch
+    assert streamed.agg(F.sum("n_events")).first()[0] == e.count()
+
+
+def test_stateful_running_totals_consistency(spark, sf_dir):
+    out = SO.run_to_table(running_user_totals(SO.stream_events(spark, sf_dir)), "update")
+    e = load_table(spark, "events", sf_dir)
+    # final per-user counts must equal the batch counts
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n")).orderBy("user_id").collect()
+    )
+    batch = (
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).orderBy("user_id").collect()
+    )
+    assert [(r.user_id, r.n) for r in final] == [(r.user_id, r.n) for r in batch]
+
+
+def test_watermark_append_drops_open_windows(spark, sf_dir):
+    streamed = SO.run_to_table(
+        SO.watermarked_tumbling(SO.stream_events(spark, sf_dir)), "append"
+    )
+    batch_windows = (
+        load_table(spark, "events", sf_dir)
+        .select(F.window("ts", "1 hour").alias("w"))
+        .select(F.col("w.start"))
+        .distinct()
+        .count()
+    )
+    # append mode emits only watermark-closed windows: strictly fewer or
+    # equal, and nonzero (the replay spans ~30 days)
+    n = streamed.select("window_start").distinct().count()
+    assert 0 < n <= batch_windows
