@@ -54,6 +54,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     the full registry."""
     from bigdata06_spark.queries import (  # noqa: F401
         tpch,
+        tpch2,
         refparity,
         analytics,
         scalars_q,

@@ -307,3 +307,63 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify the real plumbing: schema, batch shape, partitioning)."""
     docs = load_table(spark, "documents", sf_dir)
     return M.decode_media(M.attach_binary_payload(docs))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000.0 + 0.5) / 1000000.0
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 characteristic terms per document.
+
+    Fully relational (no pyspark.ml fit/transform state): term
+    frequencies and document frequencies are two aggregations over the
+    exploded token index; idf = ln(N/df) with the score rounded 6dp on
+    both engines (ln can differ in the final ulp across libm/JVM) and
+    ties pinned by term.
+
+    Scale: the token explode is the big intermediate (total tokens), but
+    both aggregations shuffle on compact keys (doc_id+term, term); df
+    joins back by term (shuffle reused); N broadcasts.
+    """
+    from bigdata06_spark.queries.qutil import rnd
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            rnd(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )
