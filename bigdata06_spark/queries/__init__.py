@@ -55,6 +55,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     from bigdata06_spark.queries import (  # noqa: F401
         tpch,
         tpch2,
+        tpch3,
         refparity,
         analytics,
         scalars_q,

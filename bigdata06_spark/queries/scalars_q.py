@@ -226,3 +226,38 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("urgency"),
     )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           p_brand                                AS brand_v,
+           p_type                                 AS type_v,
+           CAST(2 AS BIGINT)                      AS n_keys,
+           'brand,type'                           AS keys_csv,
+           concat(p_brand, ',', p_type)           AS vals_csv,
+           TRUE                                   AS has_brand,
+           CAST(NULL AS VARCHAR)                  AS missing_v
+    FROM part
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY.md §2.B "map"): build a map column with
+    create_map, then exercise element_at / try_element_at (missing key →
+    NULL, not ANSI error), map_keys / map_values, map_contains_key, and
+    size. The map exists only mid-plan — outputs are scalars so the
+    oracle (which has no Spark-identical map type) compares plain
+    columns computed directly."""
+    p = load_table(spark, "part", sf_dir)
+    m = F.create_map(F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type"))
+    return p.select(
+        "p_partkey",
+        F.element_at(m, F.lit("brand")).alias("brand_v"),
+        F.element_at(m, F.lit("type")).alias("type_v"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.array_join(F.map_values(m), ",").alias("vals_csv"),
+        F.map_contains_key(m, F.lit("brand")).alias("has_brand"),
+        F.try_element_at(m, F.lit("absent")).alias("missing_v"),
+    )
