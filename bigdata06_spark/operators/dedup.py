@@ -112,7 +112,17 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                        n: int = 3, num_hashes: int = NUM_MINHASH) -> DataFrame:
     """MinHash signatures: h_j(doc) = min over shingles of murmur3(shingle, j).
     Computed as `num_hashes` min-aggregates over the exploded inverted
-    index — one shuffle on the doc id, map-side partial mins."""
+    index — one shuffle on the doc id, map-side partial mins.
+
+    Measured alternatives (sf0.1, local[32], warm):
+    - narrow `array_min(transform(sh, s -> hash(s, j)))` per row: 2.4x
+      slower — higher-order array functions are interpreted, while this
+      form keeps hash+min inside whole-stage codegen, and partial mins
+      already shrink the shuffle to one 64-int row per doc.
+    - fusing `collect_set(shingle)` into this aggregate (to reuse the
+      shuffle for exact-Jaccard verification): ~13% slower — the object
+      agg (collect_set) kicks the whole aggregate out of codegen'd
+      HashAggregate into ObjectHashAggregate."""
     idx = shingle_index(docs, id_col, text_col, n)
     mins = [F.min(F.hash(F.col("shingle"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
     return idx.groupBy(id_col).agg(*mins)
