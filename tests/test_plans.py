@@ -78,3 +78,32 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     # union-marker implementation: the only shuffle is the user_id window
     n_exchanges = count_plan_nodes(plan, "Exchange")
     assert n_exchanges == 1, f"as-of join should shuffle exactly once:\n{plan}"
+
+
+def test_q6_pushdown_and_single_exchange(spark, sf_dir):
+    """Q6 is the pushdown probe: all three predicates reach the scan,
+    and the only exchange is the 1-row partial-aggregate gather."""
+    plan = plan_of(SPECS["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_quantity.*\]", plan), plan
+    assert count_plan_nodes(plan, "Exchange") == 1, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_returnflag" not in m.group(1)  # unused columns pruned
+
+
+def test_q7_q9_dims_all_broadcast(spark, sf_dir):
+    """Five-way joins where every dimension side broadcasts: no
+    sort-merge join may appear for supplier/customer/nation/part."""
+    for name in ("q7_volume_shipping", "q9_profit_by_nation"):
+        plan = plan_of(SPECS[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
+        assert plan.count("SortMergeJoin") <= 1, f"{name}: dims must broadcast\n{plan}"
+
+
+def test_q19_single_scan_broadcast_join(spark, sf_dir):
+    """Disjunctive-predicate join: part broadcasts, lineitem never
+    shuffles pre-aggregate — one exchange total (the 1-row gather)."""
+    plan = plan_of(SPECS["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert count_plan_nodes(plan, "Exchange") == 1, plan
