@@ -170,3 +170,96 @@ def flatten_tracks(spark: SparkSession, payloads: list[dict]) -> DataFrame:
         array_head_or(F.col("artists")["id"]).alias("artist_id"),
         array_head_or(F.col("artists")["name"]).alias("artist_name"),
     )
+
+
+class SpotifyFetcher:
+    """S1-S3 + S7: the reference's `make_api_request` micro-lifecycle
+    (SURVEY.md §3 E3) as an injectable-transport Fetcher.
+
+    - S2 token fetch: OAuth2 client-credentials with a base64 Basic
+      header (Spotify_API.py:16-40).
+    - S3 retry: on HTTP 401 refresh the token and retry once
+      (Spotify_API.py:54-57, Spotify_API3.py:70-73).
+    - S7 throttle: ≥`min_interval` seconds between calls
+      (Spotify_API3.py:63) — a min-interval gate, not per-call sleeps,
+      so back-to-back calls pay only the remaining wait.
+    - market default injection for endpoints that accept it
+      (Spotify_API3.py:57-60).
+    - errors → None, matching the reference's sentinel contract
+      (Spotify_API3.py:74-83); callers guard with `is_empty` (R9).
+
+    `transport(url, params, headers) -> (status, payload)` is the
+    network boundary — tests inject a fake; a live run injects a
+    requests-based one. `sleep`/`clock` are injectable for testing the
+    throttle without wall-clock waits.
+    """
+
+    TOKEN_URL = "https://accounts.spotify.com/api/token"
+    API_BASE = "https://api.spotify.com/v1"
+    MARKET_ENDPOINTS = {"search", "new-releases", "top-tracks"}
+
+    def __init__(self, client_id: str, client_secret: str, transport,
+                 min_interval: float = 0.5, market: str = "US",
+                 sleep=None, clock=None):
+        import time
+
+        self._auth = (client_id, client_secret)
+        self._transport = transport
+        self._min_interval = min_interval
+        self._market = market
+        self._sleep = sleep or time.sleep
+        self._clock = clock or time.monotonic
+        self._token: str | None = None
+        self._last_call: float | None = None
+
+    def _basic_auth_header(self) -> dict:
+        import base64
+
+        raw = f"{self._auth[0]}:{self._auth[1]}".encode()
+        return {"Authorization": "Basic " + base64.b64encode(raw).decode()}
+
+    def _refresh_token(self) -> None:
+        status, payload = self._transport(
+            self.TOKEN_URL, {"grant_type": "client_credentials"}, self._basic_auth_header()
+        )
+        self._token = payload.get("access_token") if status == 200 else None
+
+    def _throttle(self) -> None:
+        now = self._clock()
+        if self._last_call is not None:
+            wait = self._min_interval - (now - self._last_call)
+            if wait > 0:
+                self._sleep(wait)
+        self._last_call = self._clock()
+
+    def __call__(self, endpoint: str, params: dict) -> dict | None:
+        if self._token is None:
+            self._refresh_token()
+        if endpoint in self.MARKET_ENDPOINTS and "market" not in params:
+            params = {**params, "market": self._market}
+        self._throttle()
+        status, payload = self._transport(
+            f"{self.API_BASE}/{endpoint}", params, {"Authorization": f"Bearer {self._token}"}
+        )
+        if status == 401:  # S3: stale token → refresh once, retry
+            self._refresh_token()
+            status, payload = self._transport(
+                f"{self.API_BASE}/{endpoint}", params, {"Authorization": f"Bearer {self._token}"}
+            )
+        return payload if status == 200 else None
+
+
+def first_nonempty(*thunks) -> DataFrame | None:
+    """S10 — fallback source: evaluate alternatives in order, return the
+    first non-empty DataFrame (featured playlists when the primary
+    extract is empty — Spotify_API2.py:93-116; new-release albums —
+    Spotify_API2.py:342-372). Driver-edge control flow: each thunk is
+    only invoked (and its fetches only happen) if the previous ones
+    came back empty."""
+    last = None
+    for thunk in thunks:
+        df = thunk()
+        last = df
+        if df is not None and not df.isEmpty():
+            return df
+    return last

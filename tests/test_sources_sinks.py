@@ -153,3 +153,81 @@ def test_flatten_tracks_ragged_dates(spark):
     ]
     row = flatten_tracks(spark, payloads).first()
     assert row.artist_id == "a1" and row.explicit is False and row.release_date == "1999"
+
+
+def _fake_transport(calls, expire_after=None):
+    """Transport double: serves tokens, expires them after
+    `expire_after` API calls (forcing a 401 → S3 retry path)."""
+    state = {"token_gen": 0, "api_calls": 0}
+
+    def transport(url, params, headers):
+        calls.append((url, dict(params), dict(headers)))
+        if url.endswith("/api/token"):
+            state["token_gen"] += 1
+            return 200, {"access_token": f"tok{state['token_gen']}"}
+        state["api_calls"] += 1
+        expired = expire_after is not None and state["api_calls"] > expire_after \
+            and headers["Authorization"] == "Bearer tok1"
+        if expired:
+            return 401, {}
+        return 200, {"artists": {"items": []}, "ok": True}
+
+    return transport
+
+
+def test_fetcher_token_and_market_default():
+    from bigdata06_spark.sources.spotify import SpotifyFetcher
+
+    calls = []
+    f = SpotifyFetcher("cid", "secret", _fake_transport(calls), sleep=lambda s: None)
+    out = f("search", {"q": "genre:pop"})
+    assert out == {"artists": {"items": []}, "ok": True}
+    token_calls = [c for c in calls if c[0].endswith("/api/token")]
+    assert len(token_calls) == 1  # S2: one client-credentials fetch
+    assert token_calls[0][2]["Authorization"].startswith("Basic ")
+    api_call = [c for c in calls if "/v1/" in c[0]][0]
+    assert api_call[1]["market"] == "US"  # market defaulting (Spotify_API3.py:57-60)
+    assert api_call[2]["Authorization"] == "Bearer tok1"
+    # explicit market not overridden
+    f("search", {"q": "x", "market": "ID"})
+    assert [c for c in calls if "/v1/" in c[0]][-1][1]["market"] == "ID"
+
+
+def test_fetcher_401_refresh_retry():
+    from bigdata06_spark.sources.spotify import SpotifyFetcher
+
+    calls = []
+    f = SpotifyFetcher("cid", "secret", _fake_transport(calls, expire_after=1),
+                       sleep=lambda s: None)
+    assert f("tracks", {"ids": "a"}) is not None   # call 1: tok1 valid
+    assert f("tracks", {"ids": "b"}) is not None   # call 2: 401 → refresh → retry
+    token_calls = [c for c in calls if c[0].endswith("/api/token")]
+    assert len(token_calls) == 2  # S3: exactly one refresh
+    assert [c for c in calls if "/v1/" in c[0]][-1][2]["Authorization"] == "Bearer tok2"
+
+
+def test_fetcher_throttle_min_interval():
+    from bigdata06_spark.sources.spotify import SpotifyFetcher
+
+    slept, clock = [], iter([float(i) * 0.1 for i in range(100)])
+    f = SpotifyFetcher("cid", "secret", _fake_transport([]), min_interval=0.5,
+                       sleep=slept.append, clock=lambda: next(clock))
+    f("tracks", {"ids": "a"})
+    f("tracks", {"ids": "b"})
+    assert slept and 0 < slept[0] <= 0.5  # S7: second call waits out the interval
+
+
+def test_first_nonempty_fallback(spark):
+    from bigdata06_spark.sources.spotify import first_nonempty
+
+    empty = spark.createDataFrame([], "id string")
+    full = spark.createDataFrame([("x",)], "id string")
+    fired = []
+
+    def never():
+        fired.append(True)
+        return full
+
+    out = first_nonempty(lambda: empty, lambda: full, never)
+    assert out.count() == 1
+    assert not fired  # S10: later alternatives not evaluated
