@@ -225,3 +225,61 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         .distinct()
     )
     return _verify_candidates(cands, docs, id_col, text_col, n, threshold)
+
+
+def connected_components(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every doc
+    labeled with the min doc-id reachable through dup pairs — the
+    canonical-representative assignment that turns pairwise dedup output
+    into dedup GROUPS (keep one row per component).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its label and its neighbors' labels; converges in
+    O(diameter) rounds — near-dup clusters are tiny (diameter ≤ 3-4 in
+    practice), so the loop runs ~3 distributed joins. The driver-side
+    loop is control flow only (a convergence count per round); all data
+    movement is distributed joins/aggregations. `localCheckpoint`
+    truncates the growing lineage each round (without it, iteration N
+    replans all N-1 predecessors).
+
+    Scale: each round shuffles edges on src and labels on node — both
+    uniform keys. For graphs with giant components / large diameter
+    (not the dedup case) switch to large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14),
+    which converges in O(log n) rounds with the same join primitive.
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        nodes.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), F.col("label").alias("src_label")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.select("node", F.col("label").alias("old")), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

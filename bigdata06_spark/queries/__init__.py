@@ -61,6 +61,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         scalars_q,
         llm,
         streaming_q,
+        sampling,
     )
 
     return REGISTRY

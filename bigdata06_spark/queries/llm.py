@@ -367,3 +367,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rn"))
     )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES_CTE},
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+    ),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    comp(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, c.label FROM comp c JOIN e ON e.src = c.node
+    )
+    SELECT node AS doc_id, min(label) AS component FROM comp GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the exact
+    near-dup pair graph (3-gram Jaccard ≥ 0.5) — every doc labeled with
+    the min doc_id in its component; singletons label themselves. The
+    step that turns pairwise dedup output into keep-one-per-group
+    decisions. Iterative min-label propagation (see
+    operators/dedup.py:connected_components); the oracle is DuckDB's
+    recursive-CTE transitive closure of the same pair graph."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.connected_components(D.jaccard_pairs(docs, threshold=0.5), docs)

@@ -1,0 +1,64 @@
+"""Deterministic sampling operators — the training-data-pipeline
+subsetting surface (corpus down-sampling, per-class balancing).
+
+Cross-engine note: seeded RNG sampling (`df.sample`, `TABLESAMPLE`)
+can never hash-match another engine (different generators), so the
+oracle-checked queries use the two standard DETERMINISTIC designs —
+systematic (key-modulus) and stratified-by-rank — which are also what
+you want at 100 TB: reproducible across runs, re-runnable per
+partition, no RNG state. `df.sample` is still exercised (rows-only
+semantics) in the unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata06_spark.catalog import load_table
+from bigdata06_spark.queries import register
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 sample by key modulus: deterministic,
+    partition-local (no shuffle), and stable under re-runs/appends —
+    the properties RNG sampling lacks. The predicate stays in the scan
+    stage (evaluated post-decode but pre-shuffle; narrow)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 50
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-quota sample: exactly min(50, |stratum|) orders
+    per status, chosen by deterministic rank (smallest keys) — per-class
+    balancing for training sets. One shuffle on the stratum key. At
+    100 TB with few strata, the per-stratum window sort is the
+    bottleneck → swap rank for `o_orderkey % k = 0` within strata
+    (systematic-within-stratum) to stay sort-free."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+    )

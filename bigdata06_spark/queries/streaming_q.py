@@ -112,3 +112,24 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     running totals across micro-batches. Output rows depend on batch
     boundaries → rows-only check."""
     return SO.run_to_table(running_user_totals(SO.stream_events(spark, sf_dir)), "update")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, v.event_id AS view_event_id, p.value
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases ⋈ same-user views in the
+    preceding hour), both sides watermarked so join state is evictable.
+    Inner join in append mode is batch-equivalent on a full replay →
+    exact oracle."""
+    return SO.run_to_table(
+        SO.purchase_view_interval_join(SO.stream_events(spark, sf_dir)), "append"
+    )

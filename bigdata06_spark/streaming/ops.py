@@ -145,3 +145,34 @@ def watermarked_tumbling(events: DataFrame, width: str = "1 hour", late: str = "
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+def purchase_view_interval_join(events: DataFrame, lookback: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's views within the preceding `lookback`. Both sides carry
+    watermarks and the join condition time-bounds view_ts relative to
+    p_ts — the two requirements that let Structured Streaming expire
+    join state (a view older than lookback past the watermark can never
+    match a future purchase and is evicted). Inner join in append mode
+    is batch-equivalent on a full replay."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("event_id", "user_id", "view_event_id", "value")

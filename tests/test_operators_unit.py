@@ -100,3 +100,16 @@ def test_flatten_helpers(spark):
     assert out[1].genres == ""
     assert out[1].explicit is True
     assert out[1].mins == 1.0
+
+
+def test_connected_components_hand_graph(spark):
+    """Two chains and a singleton: {1-2-3}, {10-11}, {99}. Chain 1-2-3
+    has no direct 1-3 edge — needs ≥2 propagation rounds."""
+    from bigdata06_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    got = {r.doc_id: r.component for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
