@@ -62,6 +62,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         llm,
         streaming_q,
         sampling,
+        udfs_q,
     )
 
     return REGISTRY
