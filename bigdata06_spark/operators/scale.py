@@ -1,0 +1,52 @@
+"""Scale-hygiene operators (SURVEY.md §4.2, §7 M5): the partitioning
+tools that keep the 100 TB plan healthy — bucketing for repeated
+co-located joins, salting for skewed join keys.
+
+These complement what AQE already does (broadcast selection, skew-join
+splitting, partition coalescing — all ON in session.py): bucketing
+removes the shuffle AQE can't (a sort-merge join between two large
+tables that are re-joined on the same key every run), and salting
+handles skew in aggregations/joins where AQE's post-shuffle splitting
+is too late or disabled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, name: str, path: str, key: str, n_buckets: int = 16) -> None:
+    """Persist `df` bucketed (and sorted) by `key`: each bucket file
+    holds one hash-slice of the key space. Two tables bucketed the same
+    way join with ZERO shuffle (and zero sort, since bucket files are
+    sorted) — the physical layout replaces the per-query exchange.
+    The table is external (explicit path) so tests and pipelines
+    control storage."""
+    (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str, n_salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-resilient equi-join: the big (skewed) side gets a
+    deterministic salt in [0, n_salts) derived from its full row hash;
+    the small side is replicated n_salts times — so one hot key's rows
+    spread over n_salts reducers instead of one straggler task.
+
+    Trade-off: small side shuffles n_salts× its size. Use when a hot
+    key dominates (e.g. one customer with 1% of a 100 TB fact) and the
+    small side is modest but above the broadcast threshold; below the
+    threshold, `F.broadcast` is strictly better (no shuffle at all).
+    Result is identical to the unsalted join for any join type where
+    the salted side is preserved (inner/left with big on the left)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).alias("_salt")
+    b = big.select("*", salt)
+    s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return b.join(s, [key, "_salt"], how).drop("_salt")

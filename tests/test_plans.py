@@ -107,3 +107,57 @@ def test_q19_single_scan_broadcast_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
     assert count_plan_nodes(plan, "Exchange") == 1, plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed+sorted on the join key: the join plan has no
+    Exchange and no Sort — the physical layout replaces both."""
+    from bigdata06_spark.operators.scale import write_bucketed
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", str(tmp_path / "li_b"), "l_orderkey", 8)
+    write_bucketed(o, "o_b", str(tmp_path / "o_b"), "o_orderkey", 8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf0.01 both tables fit the broadcast threshold, which would
+        # hide the property under test (no shuffle for a LARGE-LARGE
+        # join); disable broadcast to get the 100 TB plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("li_b").join(
+            spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan
+        assert count_plan_nodes(plan, "Exchange") == 0, f"bucketed join must not shuffle:\n{plan}"
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salted join == plain join on a skewed input (one hot key with
+    half the rows), and the join key carries the salt column."""
+    from bigdata06_spark.operators.scale import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir)
+    # make a skewed big side: map half the rows onto one hot orderkey
+    big = li.select(
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit(1)).otherwise(F.col("l_orderkey"))
+        .alias("l_orderkey"),
+        "l_quantity",
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = big.join(o, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    salted = salted_join(big, o, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    assert plain.n == salted.n and plain.q == salted.q
+    plan = plan_of(salted_join(big, o, "l_orderkey"))
+    assert "_salt" in plan  # salt participates in the join key
