@@ -22,11 +22,14 @@ from bigdata06_spark.queries import load_all_queries
 from bigdata06_spark.session import get_spark
 
 HEADLINE = [
-    # fact-table agg / star joins / top-k
+    # scan-bound filter-agg (pushdown probe)
+    "q6_forecast_revenue",
+    # fact-table agg / star joins / semi-join / top-k
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "q10_returned_revenue",
+    "q18_large_volume_customers",
     # reference-parity ops
     "ref_dedup_first_wins",
     "ref_enrichment_join",
@@ -37,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "text_quality_score",
+    "tfidf_top_terms",
     # streaming
     "stream_tumbling_agg",
 ]
