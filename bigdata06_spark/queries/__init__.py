@@ -56,6 +56,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         tpch,
         tpch2,
         tpch3,
+        tpch4,
         refparity,
         analytics,
         scalars_q,
