@@ -51,8 +51,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     specs = load_all_queries()
     spark = get_spark("bench")
-    # warm the JVM/session so the first query doesn't pay startup costs
+    # warm the JVM/session so the first query doesn't pay startup costs:
+    # include a parquet read so datasource/codec init is excluded too
     spark.range(1000).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

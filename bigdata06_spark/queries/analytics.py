@@ -584,3 +584,29 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("session_value"),
         )
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytic functions: percent_rank ((rank-1)/(N-1))
+    and cume_dist (rows≤current / N) per market segment. Both are exact
+    small-integer ratios in double — bit-identical cross-engine. The
+    tiebreak on c_custkey pins rank determinism. One shuffle on the
+    partition key."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
