@@ -95,3 +95,105 @@ def decode_media(with_payloads: DataFrame) -> DataFrame:
 
     ensure_workers_can_import(with_payloads.sparkSession)
     return with_payloads.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, width long, height long, new_width long, new_height long"
+)
+FRAME_SCHEMA = "doc_id long, frame_idx long"
+FEATURE_SCHEMA = "doc_id long, feat_idx long, feat_val double"
+
+
+def resize_batch(max_w: int, max_h: int):
+    """mapInPandas stage: aspect-preserving downscale of decoded dims.
+    The geometry is real (min-scale rule, floor to pixels); only the
+    pixel resample itself would call a codec. Pure IEEE double ops →
+    oracle-checkable."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].to_numpy(dtype="float64")
+            h = pdf["height"].to_numpy(dtype="float64")
+            with np.errstate(divide="ignore"):
+                scale = np.minimum(1.0, np.minimum(max_w / w, max_h / h))
+            has_dims = (w > 0) & (h > 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "new_width": np.where(has_dims, np.floor(w * scale), 0).astype("int64"),
+                    "new_height": np.where(has_dims, np.floor(h * scale), 0).astype("int64"),
+                }
+            )
+
+    return fn
+
+
+def resize_media(decoded: DataFrame, max_w: int = 320, max_h: int = 240) -> DataFrame:
+    """Resize stage over decoded metadata: Arrow-batched, zero shuffle."""
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(decoded.sparkSession)
+    return decoded.mapInPandas(resize_batch(max_w, max_h), schema=RESIZED_SCHEMA)
+
+
+def frame_sample_batch(every: int):
+    """mapInPandas stage: video rows fan OUT to one row per sampled
+    frame index (0, every, 2*every, … < n_frames) — the UDTF-shaped
+    expansion a frame extractor feeds downstream."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_frames"]):
+                for k in range(0, int(n), every):
+                    ids.append(doc_id)
+                    idxs.append(k)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int64")})
+
+    return fn
+
+
+def sample_frames(decoded: DataFrame, every: int = 24) -> DataFrame:
+    """Frame sampling over video assets. The filter prunes non-video
+    before the Python stage (evaluated JVM-side)."""
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(decoded.sparkSession)
+    videos = decoded.filter(F.col("media_type") == "video/mp4").select("doc_id", "n_frames")
+    return videos.mapInPandas(frame_sample_batch(every), schema=FRAME_SCHEMA)
+
+
+def feature_batch(dim: int):
+    """mapInPandas stage: deterministic fake embedding, long form
+    (doc_id, feat_idx, feat_val) — a real extractor would run the model
+    forward pass here; the fake is SQL-expressible so the Spark-side
+    batch plumbing is oracle-checked end-to-end."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for doc_id, blen in zip(pdf["doc_id"], pdf["byte_len"]):
+                for i in range(1, dim + 1):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    vals.append(((int(blen) * i + int(doc_id)) % 997) / 997.0)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "feat_idx": pd.Series(idxs, dtype="int64"),
+                                "feat_val": pd.Series(vals, dtype="float64")})
+
+    return fn
+
+
+def extract_features(decoded: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction over decoded assets (stubbed model)."""
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(decoded.sparkSession)
+    return decoded.select("doc_id", "byte_len").mapInPandas(
+        feature_batch(dim), schema=FEATURE_SCHEMA
+    )

@@ -401,3 +401,79 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure of the same pair graph."""
     docs = load_table(spark, "documents", sf_dir)
     return D.connected_components(D.jaccard_pairs(docs, threshold=0.5), docs)
+
+
+_DECODED_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+"""
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH b AS ({_DECODED_SQL}),
+    d AS (
+      SELECT doc_id, media_type,
+             CASE media_type WHEN 'image/png' THEN 1 + byte_len % 640
+                             WHEN 'audio/wav' THEN 0
+                             ELSE 1 + byte_len % 1920 END AS width,
+             CASE media_type WHEN 'image/png' THEN 1 + byte_len % 480
+                             WHEN 'audio/wav' THEN 0
+                             ELSE 1 + byte_len % 1080 END AS height
+      FROM b
+    )
+    SELECT doc_id, media_type, width, height,
+           CASE WHEN width > 0 AND height > 0
+                THEN CAST(floor(width * least(1.0, 320.0 / width, 240.0 / height)) AS BIGINT)
+                ELSE 0 END AS new_width,
+           CASE WHEN width > 0 AND height > 0
+                THEN CAST(floor(height * least(1.0, 320.0 / width, 240.0 / height)) AS BIGINT)
+                ELSE 0 END AS new_height
+    FROM d
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: decode → aspect-preserving downscale to 320×240
+    (floor-to-pixel), audio passthrough — Arrow-batched mapInPandas,
+    geometry oracle-checked bit-exact (pure IEEE min/div/mul/floor)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return M.resize_media(M.decode_media(M.attach_binary_payload(docs)))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH b AS ({_DECODED_SQL})
+    SELECT doc_id, unnest(range(0, 1 + byte_len % 240, 24)) AS frame_idx
+    FROM b WHERE media_type = 'video/mp4'
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every-24th frame index per video asset — the
+    row-expanding (UDTF-shaped) mapInPandas stage; non-video rows are
+    pruned JVM-side before Python."""
+    docs = load_table(spark, "documents", sf_dir)
+    return M.sample_frames(M.decode_media(M.attach_binary_payload(docs)))
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    WITH b AS ({_DECODED_SQL})
+    SELECT doc_id, unnest(range(1, 9)) AS feat_idx,
+           CAST(((byte_len * unnest(range(1, 9)) + doc_id) % 997) AS DOUBLE) / 997.0
+             AS feat_val
+    FROM b
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction (stubbed model): 8-dim deterministic fake
+    embedding per asset in long form — the mapInPandas forward-pass
+    slot, with exact-ratio values so the plumbing is oracle-checked."""
+    docs = load_table(spark, "documents", sf_dir)
+    return M.extract_features(M.decode_media(M.attach_binary_payload(docs)))
