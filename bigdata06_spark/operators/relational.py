@@ -132,3 +132,37 @@ def column_to_driver_list(df: DataFrame, column: str) -> list:
     (Spotify_API.py:190). Legal only at the connector boundary (the
     result seeds external API calls), never inside a dataflow."""
     return [r[0] for r in df.select(column).collect()]
+
+
+def banded_range_join(left: DataFrame, right: DataFrame, left_ts: str, right_ts: str,
+                      band_seconds: int, extra_keys: list[str] | None = None,
+                      how: str = "inner") -> DataFrame:
+    """Scalable time-range join: right.ts in [left.ts - band, left.ts].
+
+    A naive theta join on the interval predicate is a nested-loop cross
+    product — O(|L|*|R|) at any scale. This implements the standard
+    BANDING decomposition: both sides get a coarse bucket
+    floor(epoch / band_seconds); each left row probes its own bucket
+    and the previous one (any right row within band of left.ts lives in
+    one of the two); the exact interval predicate filters residually.
+    The join becomes an EQUI-join on (bucket, *extra_keys) — hashable,
+    shuffle-partitioned, AQE-skew-splittable — with <=2 bucket probes
+    per row, i.e. linear shuffle volume instead of quadratic compare.
+    """
+    def bucket(c: str) -> Column:
+        return F.floor(F.unix_timestamp(F.col(c)) / F.lit(band_seconds))
+
+    probes = F.explode(F.array(F.lit(0), F.lit(1))).alias("_probe")
+    l = left.withColumn("_bkt", bucket(left_ts))
+    r = (
+        right.withColumn("_bkt0", bucket(right_ts))
+        .select("*", probes)
+        .withColumn("_bkt", F.col("_bkt0") + F.col("_probe"))
+    )
+    keys = ["_bkt"] + (extra_keys or [])
+    lower = F.col(left_ts) - F.expr(f"INTERVAL {band_seconds} SECONDS")
+    return (
+        l.join(r, keys, how)
+        .filter((F.col(right_ts) >= lower) & (F.col(right_ts) <= F.col(left_ts)))
+        .drop("_bkt", "_bkt0", "_probe")
+    )

@@ -610,3 +610,36 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "join_range_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 5 MINUTE
+     AND v.ts <= p.ts
+    """,
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join on events.ts (SURVEY.md §2.B joins): views within 5
+    minutes before each purchase, same user. Implemented as a BANDED
+    equi-join (operators/relational.py:banded_range_join): coarse
+    ts-buckets + user_id become the hash keys, ≤2 probes/row, exact
+    interval predicate as residual — linear shuffle volume where the
+    naive theta join is a quadratic nested loop. The oracle is the
+    naive form (DuckDB's IEJoin handles it at test scale)."""
+    from bigdata06_spark.operators.relational import banded_range_join
+
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id"), F.col("ts").alias("v_ts")
+    )
+    return banded_range_join(
+        p, v, "p_ts", "v_ts", band_seconds=300, extra_keys=["user_id"]
+    ).select("purchase_id", "view_id", "user_id")

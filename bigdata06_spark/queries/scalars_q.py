@@ -261,3 +261,32 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key(m, F.lit("brand")).alias("has_brand"),
         F.try_element_at(m, F.lit("absent")).alias("missing_v"),
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity / nullif(l_linenumber - 1, 0)      AS safe_div,
+           TRY_CAST(l_returnflag AS INTEGER)             AS flag_as_int,
+           strftime(TRY_CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_as_date,
+           CASE WHEN l_linenumber >= 1 THEN l_returnflag END AS head_flag
+    FROM lineitem
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe `try_*` surface (Spark 4 runs ANSI mode by default, so
+    division by zero / bad casts THROW unless the try_ variants are
+    used): try_divide → NULL on zero, try_cast of a non-numeric string
+    → NULL (not an error), try_element_at on a guaranteed-present index.
+    All stay inside whole-stage codegen."""
+    li = load_table(spark, "lineitem", sf_dir)
+    arr = F.array(F.col("l_returnflag"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1).alias("safe_div"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.date_format(F.col("l_shipdate").try_cast("date"), "yyyy-MM-dd").alias("ship_as_date"),
+        F.try_element_at(arr, F.lit(1)).alias("head_flag"),
+    )

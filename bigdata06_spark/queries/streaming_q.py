@@ -133,3 +133,22 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SO.run_to_table(
         SO.purchase_view_interval_join(SO.stream_events(spark, sf_dir)), "append"
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n_distinct_users
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup state is EVICTED once the
+    watermark passes last-seen + horizon (plain dropDuplicates keeps
+    every key forever — unbounded state on an infinite stream). On a
+    full single-pass replay no key re-appears past the horizon, so the
+    counts equal batch DISTINCT — the oracle."""
+    return SO.run_to_table(
+        SO.watermarked_dedup_counts(SO.stream_events(spark, sf_dir)), "complete"
+    )

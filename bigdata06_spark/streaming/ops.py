@@ -176,3 +176,17 @@ def purchase_view_interval_join(events: DataFrame, lookback: str = "1 hour") -> 
         & (F.col("view_ts") <= F.col("p_ts")),
         "inner",
     ).select("event_id", "user_id", "view_event_id", "value")
+
+
+def watermarked_dedup_counts(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark: state for a
+    key is dropped once the watermark passes its last-seen ts +
+    horizon — the bounded-state form of dropDuplicates (which keeps
+    every key forever). Counts per type make the output deterministic
+    (which physical row survives per key is arrival-order-dependent)."""
+    return (
+        events.withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+    )
