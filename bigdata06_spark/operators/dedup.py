@@ -191,7 +191,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 10, n: int = 3, threshold: float = 0.5,
+                  max_hamming: int = 15, n: int = 3, threshold: float = 0.5,
                   chunks: int = SIMHASH_CHUNKS) -> DataFrame:
     """SimHash near-duplicate join: candidates share ≥1 of `chunks`
     signature chunks (pigeonhole: any pair with hamming ≤ chunks-1 is
