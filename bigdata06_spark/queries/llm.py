@@ -337,15 +337,18 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-3 characteristic terms per document.
 
-    Fully relational (no pyspark.ml fit/transform state): term
-    frequencies and document frequencies are two aggregations over the
-    exploded token index; idf = ln(N/df) with the score rounded 6dp on
-    both engines (ln can differ in the final ulp across libm/JVM) and
-    ties pinned by term.
+    Fully relational (no pyspark.ml fit/transform state). The exploded
+    token index is aggregated ONCE to term frequencies; document
+    frequency is then a window count over the tf relation (tf rows are
+    already distinct per (doc, term), so count-per-term == distinct-doc
+    count) — the naive second aggregation over the raw token explode
+    costs an extra full-corpus explode + shuffle for the same number.
+    idf = ln(N/df), rounded 6dp on both engines (ln can differ in the
+    final ulp across libm/JVM); ties pinned by term.
 
-    Scale: the token explode is the big intermediate (total tokens), but
-    both aggregations shuffle on compact keys (doc_id+term, term); df
-    joins back by term (shuffle reused); N broadcasts.
+    Shuffles: tf groupBy on (doc_id, term), df window on term, rank
+    window on doc_id — 3, vs 5 for the two-aggregation form. N
+    broadcasts as a 1-row cross join.
     """
     from bigdata06_spark.queries.qutil import rnd
     from pyspark.sql import Window
@@ -353,15 +356,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "tfidf",
-            rnd(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
-        )
+    scored = df.crossJoin(F.broadcast(n)).withColumn(
+        "tfidf",
+        rnd(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -52,11 +52,14 @@ def _ps_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each qualifying part, the supplier(s) with
     the minimum balance among its suppliers — a correlated MIN subquery
-    decorrelated into (aggregate per part) ⋈ (candidates), keeping
-    ties like the original. part is pre-filtered then broadcast; the
-    bridge shuffles once on partkey, reused by both the min-aggregate
-    and the equality join under AQE. (Cost proxy: s_acctbal for
-    ps_supplycost — no partsupp in the driver schema.)"""
+    decorrelated as a WINDOW min over the candidate relation (one
+    shuffle on partkey) rather than aggregate-plus-self-join (which
+    shuffles the same relation twice more on compound keys); ties kept
+    like the original. part is pre-filtered then broadcast. (Cost
+    proxy: s_acctbal for ps_supplycost — no partsupp in the driver
+    schema.)"""
+    from pyspark.sql import Window
+
     p = load_table(spark, "part", sf_dir).filter(
         (F.col("p_size") == 25) & (F.col("p_type") == "STANDARD")
     )
@@ -68,15 +71,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("l_partkey", "s_name", "s_acctbal", "n_name")
     )
-    m = cand.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        cand.join(
-            m,
-            (cand.l_partkey == m.m_partkey) & (cand.s_acctbal == m.min_bal),
-        )
-        .join(F.broadcast(p), cand.l_partkey == p.p_partkey)
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
     )
 
