@@ -643,3 +643,58 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_range_join(
         p, v, "p_ts", "v_ts", band_seconds=300, extra_keys=["user_id"]
     ).select("purchase_id", "view_id", "user_id")
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(25,6))) AS tv
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT date_trunc('day', bucket_ts) AS bucket_ts, event_type,
+             CAST(sum(n_events) AS BIGINT) AS n_events, sum(tv) AS tv
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS resolution, bucket_ts, event_type, n_events,
+           CAST(tv AS DOUBLE) AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS resolution, bucket_ts, event_type, n_events,
+           CAST(tv AS DOUBLE) AS total_value
+    FROM daily
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    shape): hourly (bucket, event_type) aggregates are computed from the
+    fact scan ONCE; the daily resolution re-aggregates the HOURLY
+    relation, never rescanning events. At 100 TB this is the difference
+    between one fact pass + a tiny hierarchy pass and one full pass per
+    resolution; the re-aggregation input is already |buckets|-sized, so
+    its shuffle is negligible. Sums stay in DECIMAL across both levels
+    (exact + associative → re-aggregation order can't perturb values;
+    see qutil docstring), cast to double only at the output edge."""
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("tv"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("tv").alias("tv"))
+
+    def shape(res: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket_ts",
+            "event_type",
+            "n_events",
+            F.col("tv").cast("double").alias("total_value"),
+        )
+
+    return shape("hour", hourly).unionByName(shape("day", daily))
