@@ -669,32 +669,38 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup (continuous-aggregate
-    shape): hourly (bucket, event_type) aggregates are computed from the
-    fact scan ONCE; the daily resolution re-aggregates the HOURLY
-    relation, never rescanning events. At 100 TB this is the difference
-    between one fact pass + a tiny hierarchy pass and one full pass per
-    resolution; the re-aggregation input is already |buckets|-sized, so
-    its shuffle is negligible. Sums stay in DECIMAL across both levels
-    (exact + associative → re-aggregation order can't perturb values;
-    see qutil docstring), cast to double only at the output edge."""
+    shape) in ONE fact pass: GROUPING SETS ((hour, et), (day, et)) scans
+    events once, Expand emits each row into both resolutions, and the
+    map-side partial aggregate collapses to ~|buckets| rows before the
+    single shuffle. The naive union-of-two-groupBys plans TWO full
+    scans + three exchanges (exchange reuse does not fire across the
+    union branches); at 100 TB a second fact pass dwarfs the 2× Expand
+    of a projected 3-column relation. Sums stay in DECIMAL (exact +
+    associative → aggregation order can't perturb values; see qutil
+    docstring), cast to double only at the output edge."""
     e = load_table(spark, "events", sf_dir)
-    hourly = e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), "event_type"
+    hour_b = F.date_trunc("hour", F.col("ts"))
+    prepared = e.select(
+        hour_b.alias("hour_b"),
+        F.date_trunc("day", hour_b).alias("day_b"),
+        "event_type",
+        F.col("value").cast("decimal(25,6)").alias("v"),
+    )
+    rolled = prepared.groupingSets(
+        [["hour_b", "event_type"], ["day_b", "event_type"]],
+        "hour_b",
+        "day_b",
+        "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(25,6)")).alias("tv"),
+        F.sum("v").alias("tv"),
+        (F.grouping("hour_b") == 0).alias("is_hour"),
     )
-    daily = hourly.groupBy(
-        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"), "event_type"
-    ).agg(F.sum("n_events").alias("n_events"), F.sum("tv").alias("tv"))
-
-    def shape(res: str, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.lit(res).alias("resolution"),
-            "bucket_ts",
-            "event_type",
-            "n_events",
-            F.col("tv").cast("double").alias("total_value"),
-        )
-
-    return shape("hour", hourly).unionByName(shape("day", daily))
+    is_hour = F.col("is_hour")
+    return rolled.select(
+        F.when(is_hour, F.lit("hour")).otherwise(F.lit("day")).alias("resolution"),
+        F.when(is_hour, F.col("hour_b")).otherwise(F.col("day_b")).alias("bucket_ts"),
+        "event_type",
+        "n_events",
+        F.col("tv").cast("double").alias("total_value"),
+    )

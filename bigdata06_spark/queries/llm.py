@@ -275,6 +275,108 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_curation_funnel",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS ntok,
+             (len(string_split(text, ' ')) >= 5
+              AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / length(text) <= 0.2) AS q,
+             (SELECT CASE
+                WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr'
+              END
+              FROM (SELECT
+                len(list_intersect(ws, ['the','and','of','to','in','is','that','with','for','on'])) AS s_en,
+                len(list_intersect(ws, ['el','la','de','que','y','en','un','por','con','para'])) AS s_es,
+                len(list_intersect(ws, ['le','la','de','et','les','des','en','un','du','que'])) AS s_fr,
+                len(list_intersect(ws, ['der','die','und','das','von','zu','mit','den','ist','im'])) AS s_de
+                FROM (SELECT list_distinct(string_split(text, ' ')) AS ws))) = 'en' AS en
+      FROM documents
+    )
+    SELECT '1_raw' AS stage, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM d
+    UNION ALL
+    SELECT '2_quality', count(*), CAST(sum(ntok) AS BIGINT) FROM d WHERE q
+    UNION ALL
+    SELECT '3_lang_en', count(*), CAST(sum(ntok) AS BIGINT) FROM d WHERE q AND en
+    UNION ALL
+    SELECT '4_dedup', count(*), CAST(sum(ntok) AS BIGINT) FROM (
+      SELECT arg_min(ntok, doc_id) AS ntok FROM d WHERE q AND en GROUP BY fp
+    )
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation funnel: raw → quality gate
+    (≥5 words, punct ratio ≤ 0.2) → language filter (predicted en) →
+    exact dedup (min-id representative per fingerprint), reporting doc
+    and BPE-ish-token counts per stage.
+
+    One fact pass: per-doc flags (fingerprint, token count, quality,
+    language) are computed in a single projection; ONE groupBy on the
+    fingerprint carries conditional aggregates for every stage at once
+    (n/tokens overall, under q, under q∧en, plus the min-(doc_id,ntok)
+    representative via a struct-min — no second scan for the dedup
+    stage); a final global aggregate over the |fingerprints|-sized
+    relation folds stages into one row, exploded into the 4-row funnel.
+    At 100 TB the alternative — one filtered pass per stage — costs 4
+    scans; this shape costs one scan + one uniform-key shuffle (16-byte
+    digest) + one negligible global agg."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = T.words(F.col("text"))
+    qe = F.col("q") & F.col("en")
+    flags = d.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+        T.regex_token_count(F.col("text")).alias("ntok"),
+        ((F.size(ws) >= 5) & (T.punct_ratio(F.col("text")) <= 0.2)).alias("q"),
+        (T.predict_lang(ws) == "en").alias("en"),
+    )
+    per_fp = flags.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("ntok").alias("tok_all"),
+        F.count(F.when(F.col("q"), 1)).alias("n_q"),
+        F.sum(F.when(F.col("q"), F.col("ntok"))).alias("tok_q"),
+        F.count(F.when(qe, 1)).alias("n_qe"),
+        F.sum(F.when(qe, F.col("ntok"))).alias("tok_qe"),
+        F.min(F.when(qe, F.struct("doc_id", "ntok"))).alias("rep"),
+    )
+    totals = per_fp.agg(
+        F.sum("n_all").alias("raw_n"),
+        F.sum("tok_all").alias("raw_t"),
+        F.sum("n_q").alias("q_n"),
+        F.sum("tok_q").alias("q_t"),
+        F.sum("n_qe").alias("e_n"),
+        F.sum("tok_qe").alias("e_t"),
+        F.count(F.when(F.col("n_qe") > 0, 1)).alias("d_n"),
+        F.sum(F.col("rep.ntok")).alias("d_t"),
+    )
+
+    def stage(name: str, n: str, t: str):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            F.col(n).alias("n_docs"),
+            F.col(t).alias("n_tokens"),
+        )
+
+    return totals.select(
+        F.explode(
+            F.array(
+                stage("1_raw", "raw_n", "raw_t"),
+                stage("2_quality", "q_n", "q_t"),
+                stage("3_lang_en", "e_n", "e_t"),
+                stage("4_dedup", "d_n", "d_t"),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
 # -------------------------------------------------------------- multimodal
 
 
