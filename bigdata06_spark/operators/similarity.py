@@ -184,3 +184,78 @@ def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------- k-means
+
+
+def quantize(vec: Column, scale: int = 1_000_000) -> Column:
+    """Integer-quantize a float vector: x → floor(x·scale) as LONG.
+    All k-means arithmetic below runs on these integers, which makes
+    distances, argmins, and recomputed centroids EXACT — no float
+    reassociation anywhere, so a DuckDB replay of the same algorithm
+    is bit-identical (the property the correctness gate needs).
+    floor(double) is IEEE-deterministic; quantization error 1e-6 is
+    far below embedding noise."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"))
+
+
+def _sq_l2_int(a: Column, b: Column) -> Column:
+    """Exact squared L2 between two quantized vectors. 64 dims at
+    |x|≲1e7 keeps the sum ≪ 2^63."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k×dim centroid
+    relation, fold the distance JVM-side per (vec, cell), take the
+    argmin as a map-side-combined min_by — one shuffle on vec_id
+    carrying (cell, dist) pairs, never the vectors."""
+    j = vecs.crossJoin(F.broadcast(cents))
+    return j.select(
+        "vec_id", "cell", _sq_l2_int(F.col("xq"), F.col("cq")).alias("dist")
+    ).groupBy("vec_id").agg(
+        F.min_by("cell", F.struct(F.col("dist"), F.col("cell"))).alias("cell")
+    )
+
+
+def kmeans_assign(corpus: DataFrame, k: int = 8, n_iter: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means over an embedding column, fully relational and
+    exact: quantized-integer geometry (see `quantize`), deterministic
+    seeding (centroids = vectors with the k smallest ids), `n_iter`
+    assign→recompute rounds, returning (vec_id, cluster) from the final
+    assignment. Ties in the argmin break toward the smaller cell id;
+    centroid recompute is floor(mean) per dimension — integer state
+    end-to-end. Clusters that lose all members simply drop out of the
+    next round (same semantics in the SQL replay).
+
+    Scale: per round = one broadcast cross-join fold (no dim explosion
+    — distances fold over the array in codegen'd JVM lambdas) + one
+    min_by shuffle on vec_id + one centroid shuffle whose input is
+    |assignments|×dim ints after map-side partial sums. The driver loop
+    is unrolled control flow only; k and dim stay broadcast-sized.
+    """
+    qv = corpus.select(F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("xq"))
+    cents = qv.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("xq").alias("cq")
+    )
+    assign = _assign_cells(qv, cents)
+    for _ in range(n_iter - 1):
+        per_dim = (
+            qv.join(assign, "vec_id")
+            .select("cell", F.posexplode("xq").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cx"))
+        )
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            ).alias("cq")
+        )
+        assign = _assign_cells(qv, cents)
+    return assign.select("vec_id", F.col("cell").alias("cluster"))

@@ -704,3 +704,63 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("tv").cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------- CDC merge
+
+
+@register(
+    "cdc_scd1_merge",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value
+      FROM (SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT coalesce(c.c_custkey, l.user_id) AS custkey,
+           c.c_name AS name,
+           CASE WHEN l.user_id IS NOT NULL THEN l.value ELSE c.c_acctbal END AS balance,
+           CASE WHEN l.user_id IS NOT NULL THEN 'changelog' ELSE 'snapshot' END AS src
+    FROM customer c FULL OUTER JOIN latest l ON l.user_id = c.c_custkey
+    WHERE l.user_id IS NULL OR l.event_type <> 'error'
+    """,
+)
+def cdc_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert (SCD type-1 MERGE): apply a changelog to a snapshot,
+    last-writer-wins. The event stream is the changelog on user_id
+    (version = (ts, event_id); latest 'error' entry = tombstone →
+    DELETE; any other latest entry = UPSERT of its value); customer is
+    the snapshot. Full-outer merge covers all three MERGE legs: update
+    (key in both), insert (changelog-only), keep (snapshot-only);
+    tombstoned keys drop.
+
+    Scale: changelog compaction is one window over user_id — at 100 TB
+    that shuffle carries only (key, version, value), and the compacted
+    relation is |distinct keys|-sized. The merge join is left unhinted
+    on purpose: compacted-changelog size is data-dependent, so AQE
+    picks broadcast vs sort-merge at runtime from the real post-window
+    size. Stored doubles pass through unchanged (bit-exact), no
+    rounding needed."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.select("user_id", "event_type", "value", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name", "c_acctbal")
+    in_log = F.col("user_id").isNotNull()
+    return (
+        c.join(latest, c["c_custkey"] == latest["user_id"], "full_outer")
+        .filter(F.col("user_id").isNull() | (F.col("event_type") != "error"))
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("user_id")).alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.when(in_log, F.col("value")).otherwise(F.col("c_acctbal")).alias("balance"),
+            F.when(in_log, F.lit("changelog")).otherwise(F.lit("snapshot")).alias("src"),
+        )
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from bigdata06_spark.catalog import load_table
 from bigdata06_spark.operators import dedup as D
 from bigdata06_spark.operators import multimodal as M
+from bigdata06_spark.operators import packing as P
 from bigdata06_spark.operators import similarity as S
 from bigdata06_spark.operators import textops as T
 from bigdata06_spark.queries import register
@@ -375,6 +376,87 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS ntok,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk(shard, rn, doc_id, ntok, pack_id, cum) AS (
+      SELECT shard, rn, doc_id, ntok, CAST(0 AS BIGINT), ntok FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.ntok,
+             CASE WHEN w.cum + d.ntok > 512 THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.cum + d.ntok > 512 THEN d.ntok ELSE w.cum + d.ntok END
+      FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1
+    )
+    SELECT doc_id, shard, pack_id, ntok FROM walk
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: every document assigned to a (shard, pack)
+    under a 512-token next-fit budget — the step that turns a curated
+    corpus into dense fixed-length training sequences (see
+    operators/packing.py for the scale architecture: shards are the
+    parallel unit, packing within a shard is sequential by design).
+    The oracle replays the same greedy walk as a recursive CTE stepping
+    one rank at a time per shard — integer-only state, so cross-engine
+    exact."""
+    d = load_table(spark, "documents", sf_dir)
+    return P.pack_next_fit(d, T.regex_token_count(F.col("text")), budget=512, n_shards=8)
+
+
+@register(
+    "embedding_kmeans",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell, pos, x AS cx FROM q WHERE vec_id < 8),
+    d1 AS (
+      SELECT q.vec_id, c.cell, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist
+      FROM q JOIN c0 c USING (pos) GROUP BY q.vec_id, c.cell
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cell, q.pos,
+             CAST(floor(CAST(sum(q.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      FROM q JOIN a1 USING (vec_id) GROUP BY a1.cell, q.pos
+    ),
+    d2 AS (
+      SELECT q.vec_id, c.cell, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist
+      FROM q JOIN c1 c USING (pos) GROUP BY q.vec_id, c.cell
+    )
+    SELECT vec_id, cell AS cluster FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+      FROM d2) WHERE rn = 1
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment over the embedding corpus (k=8, two
+    Lloyd rounds, deterministic min-id seeding) — the embedding-side
+    clustering primitive behind IVF cell construction and corpus
+    topic bucketing. Exact integer geometry end-to-end (see
+    operators/similarity.py:kmeans_assign), so the oracle replays the
+    identical algorithm relationally (explode-per-dim form) and
+    hash-matches bit-for-bit — an ITERATIVE algorithm under the full
+    value-hash gate, not a rows-only check."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.kmeans_assign(emb, k=8, n_iter=2)
 
 
 # -------------------------------------------------------------- multimodal

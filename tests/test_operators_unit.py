@@ -113,3 +113,52 @@ def test_connected_components_hand_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
     got = {r.doc_id: r.component for r in connected_components(pairs, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_pack_next_fit_semantics(spark):
+    """Next-fit walk: exact-fit closes at the boundary (not before),
+    an oversized doc occupies a pack alone, and the first doc always
+    lands in pack 0. Single shard so the walk order is total."""
+    from bigdata06_spark.operators.packing import pack_next_fit
+
+    docs = spark.createDataFrame(
+        [(0, 300), (1, 212), (2, 600), (3, 1), (4, 511), (5, 2)],
+        "doc_id long, ntok long",
+    )
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_next_fit(docs, F.col("ntok"), budget=512, n_shards=1).collect()
+    }
+    # pack 0: 300+212 = 512 exactly; pack 1: the 600 oversize alone;
+    # pack 2: 1+511 = 512; pack 3: trailing 2.
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 2, 5: 3}
+
+
+def test_pack_next_fit_prefix_stable(spark):
+    """Appending documents never reassigns earlier ones (the next-fit
+    property the operator docstring promises)."""
+    from bigdata06_spark.operators.packing import pack_next_fit
+
+    rows = [(i, 100 + 37 * (i % 7)) for i in range(20)]
+    small = spark.createDataFrame(rows[:12], "doc_id long, ntok long")
+    big = spark.createDataFrame(rows, "doc_id long, ntok long")
+    a = {r.doc_id: (r.shard, r.pack_id)
+         for r in pack_next_fit(small, F.col("ntok"), budget=512, n_shards=4).collect()}
+    b = {r.doc_id: (r.shard, r.pack_id)
+         for r in pack_next_fit(big, F.col("ntok"), budget=512, n_shards=4).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_kmeans_hand_clusters(spark):
+    """Two tight clusters in 2-D: seeding with k=2 (ids 0,1 — one in
+    each cluster) must label each point with its cluster's seed and be
+    stable across the centroid-recompute round."""
+    from bigdata06_spark.operators.similarity import kmeans_assign
+
+    pts = [
+        (0, [0.0, 0.1]), (2, [0.1, 0.0]), (4, [0.05, 0.05]),
+        (1, [5.0, 5.1]), (3, [5.1, 5.0]), (5, [4.95, 5.05]),
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=2, n_iter=2).collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
