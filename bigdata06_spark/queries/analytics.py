@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from bigdata06_spark.catalog import load_table
 from bigdata06_spark.queries import register
-from bigdata06_spark.queries.qutil import dsum, dsum_sql
+from bigdata06_spark.queries.qutil import davg_sql, dsum, dsum_sql
 
 # ---------------------------------------------------------------- joins
 
@@ -764,3 +764,77 @@ def cdc_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_log, F.lit("changelog")).otherwise(F.lit("snapshot")).alias("src"),
         )
     )
+
+
+# ---------------------------------------------------------------- gap-fill
+
+
+@register(
+    "events_gapfill_locf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+             count(*) AS n_events,
+             {davg_sql('value')} AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts, t.event_type
+      FROM bounds CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT s.event_type, s.bucket_ts,
+           CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+           h.bucket_ts IS NULL AS filled,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+    FROM spine s LEFT JOIN hourly h USING (bucket_ts, event_type)
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with last-observation-carried-forward (the
+    hypertable `time_bucket_gapfill` + `locf` shape): a dense hourly
+    spine per event_type, observed buckets carrying their aggregate,
+    missing buckets flagged and filled with the most recent prior
+    value (leading gaps stay null).
+
+    Scale: the fact table is touched ONCE (the hourly groupBy); the
+    spine is generated, not scanned — bounds are a 1-row aggregate of
+    the already-bucket-sized hourly relation, exploded into
+    |hours|×|types| rows. Every post-scan relation is bucket-sized, so
+    spine join and LOCF window are negligible at any corpus size. The
+    LOCF is one window per type ordered by bucket (`last` ignorenulls,
+    running frame). Averages use the decimal-sum form (see qutil), so
+    carried values are cross-engine exact."""
+    from bigdata06_spark.queries.qutil import davg
+
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), davg(F.col("value")).alias("avg_value"))
+    bounds = hourly.agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket_ts")
+        )
+        .crossJoin(e.select("event_type").distinct())
+    )
+    joined = spine.join(
+        hourly.withColumnRenamed("bucket_ts", "h_bucket"),
+        (F.col("bucket_ts") == F.col("h_bucket"))
+        & (spine["event_type"] == hourly["event_type"]),
+        "left",
+    ).select(
+        spine["event_type"],
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("h_bucket").isNull().alias("filled"),
+        "avg_value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn("avg_value", F.last("avg_value", ignorenulls=True).over(w))

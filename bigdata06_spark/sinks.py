@@ -47,3 +47,15 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar alternative when the consumer is
+    Hive/Trino-side; same partitioning rules as write_parquet apply."""
+    df.write.mode(mode).orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format corpus tooling expects;
+    one object per line, splittable downstream."""
+    df.write.mode(mode).json(path)

@@ -28,3 +28,24 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     """JSON-lines scan with declared schema — nested structs/arrays land
     typed, ready for the flatten helpers (functions/flatten.py)."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — schema from the file footer, same Catalyst
+    pruning/pushdown story as parquet (ORC carries min/max stride
+    stats the reader uses for row-group skipping)."""
+    return spark.read.orc(path)
+
+
+def read_jsonl_text(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Corpus-style JSONL ingested via the text reader + from_json:
+    one string column in, typed struct out. Unlike the json reader,
+    unparseable lines survive as a null struct next to their raw line
+    — the quarantine pattern for web-scale corpus ingestion where a
+    bad record must be routable to a reject sink, not dropped."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    return raw.select(
+        F.col("value").alias("raw"), F.from_json("value", schema).alias("rec")
+    )

@@ -231,3 +231,34 @@ def test_first_nonempty_fallback(spark):
     out = first_nonempty(lambda: empty, lambda: full, never)
     assert out.count() == 1
     assert not fired  # S10: later alternatives not evaluated
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from bigdata06_spark.sinks import write_orc
+    from bigdata06_spark.sources.readers import read_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -0.25)], "id long, name string, v double"
+    )
+    p = str(tmp_path / "orc_out")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(tuple(r) for r in df.collect())
+
+
+def test_jsonl_quarantine_pattern(spark, tmp_path):
+    """Good lines parse into the struct; a malformed line survives with
+    rec = null instead of vanishing."""
+    from pyspark.sql import types as T
+    from bigdata06_spark.sources.readers import read_jsonl_text
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text('{"doc_id": 1, "text": "hello"}\nnot json at all\n{"doc_id": 2, "text": "world"}\n')
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    rows = read_jsonl_text(spark, str(p), schema).collect()
+    parsed = sorted((r.rec.doc_id, r.rec.text) for r in rows if r.rec is not None and r.rec.doc_id is not None)
+    bad = [r.raw for r in rows if r.rec is None or r.rec.doc_id is None]
+    assert parsed == [(1, "hello"), (2, "world")]
+    assert bad == ["not json at all"]
