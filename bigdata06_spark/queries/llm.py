@@ -413,6 +413,45 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_chunk_windows",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws), 32)) AS start_tok FROM w)
+    SELECT doc_id,
+           CAST((start_tok - 1) // 32 AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(ws[start_tok:start_tok + 63]) AS BIGINT) AS n_tokens,
+           array_to_string(ws[start_tok:start_tok + 63], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping 64-token windows with stride 32
+    per document — the context-window preparation step between curation
+    and packing (each chunk becomes a unit for embedding / training).
+    The window arithmetic is a per-row array program (sequence →
+    explode → slice → join) entirely JVM-side; no shuffle at all — the
+    operator is embarrassingly parallel over the scan, which is exactly
+    what chunking must be at 100 TB. The trailing chunk is short by
+    construction (no padding here; padding is the packer's job)."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = T.words(F.col("text"))
+    chunks = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.explode(F.sequence(F.lit(1), F.size(ws), F.lit(32))).alias("start_tok"),
+    )
+    piece = F.slice(F.col("ws"), F.col("start_tok"), 64)
+    return chunks.select(
+        "doc_id",
+        (((F.col("start_tok") - 1) / 32).cast("long")).alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+@register(
     "embedding_kmeans",
     oracle="""
     WITH q AS (
