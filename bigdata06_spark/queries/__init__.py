@@ -61,6 +61,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         analytics,
         scalars_q,
         llm,
+        curation,
         streaming_q,
         sampling,
         udfs_q,

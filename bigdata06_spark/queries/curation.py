@@ -1,0 +1,285 @@
+"""Corpus-curation queries beyond the dedup/quality basics: benchmark
+decontamination, PII redaction, canonical-representative selection after
+dedup clustering, and vocabulary building.
+
+These are the remaining standard stages of a training-data pipeline
+(SURVEY.md §2.B north star). All stay in codegen'd Column expressions;
+the only shuffles are the key-partitioned aggregations each stage
+fundamentally needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata06_spark.catalog import load_table
+from bigdata06_spark.operators import dedup as D
+from bigdata06_spark.operators import textops as T
+from bigdata06_spark.queries import register
+from bigdata06_spark.queries.qutil import rnd, rnd_sql
+
+# 5-word shingles for decontamination (eval-overlap wants longer, rarer
+# n-grams than the 3-gram dedup shingles).
+_SHINGLES5_CTE = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(ws[i:i+4], ' ')
+                                        for i in range(1, len(ws) - 3)])) AS shingle
+           FROM w)
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES5_CTE},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with the held-out eval slice (doc_id % 97 — the stand-in for
+    a benchmark suite), reporting the distinct overlapping-shingle
+    count per contaminated doc.
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    KBs, corpora are TBs), so its distinct shingles BROADCAST and the
+    training-side explode never shuffles — one scan + one map-side hash
+    join + one groupBy on the (few) contaminated doc_ids. The naive
+    shuffle-join on shingle keys would move the entire exploded corpus.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(T.distinct_shingles(T.words(F.col("text")), 5)).alias("shingle"),
+    )
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
+_URL_RE = "https?://[^\\s]+"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' see https://example.com/d/' || doc_id ELSE '' END
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '{_URL_RE}', '<URL>', 'g'),
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM raw
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub emails / phone numbers / URLs to typed
+    placeholder tokens and count each redaction class per document.
+
+    The synthetic corpus contains no PII, so the query deterministically
+    injects it first (email for doc_id%3, phone for %4, URL for %5) —
+    the redaction path is exercised on both matching and non-matching
+    rows and stays fully oracle-checked. URL is scrubbed before email
+    (a URL can embed '@'); patterns are common-subset Java/RE2 regex.
+
+    Scale shape: pure per-row regexp_replace in one projection — no
+    shuffle, embarrassingly parallel over the scan, exactly what a
+    scrub pass must be at 100 TB.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), d, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" see https://example.com/d/"), d),
+        ).otherwise(F.lit("")),
+    )
+    t = F.col("t")
+
+    def n_matches(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+
+    return docs.select("doc_id", raw.alias("t")).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, _URL_RE, "<URL>"),
+                _EMAIL_RE,
+                "<EMAIL>",
+            ),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        n_matches(_URL_RE).alias("n_urls"),
+        n_matches(_EMAIL_RE).alias("n_emails"),
+        n_matches(_PHONE_RE).alias("n_phones"),
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle="""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                        for i in range(1, len(ws) - 1)])) AS shingle
+           FROM w),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+    ),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    comp(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, c.label FROM comp c JOIN e ON e.src = c.node
+    ),
+    assign AS (SELECT node AS doc_id, min(label) AS component FROM comp GROUP BY node),
+    st AS (
+      SELECT a.doc_id, a.component,
+             CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS ntok
+      FROM assign a JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, component, ntok,
+             row_number() OVER (PARTITION BY component ORDER BY ntok DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM st
+    )
+    SELECT doc_id, component, ntok, CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster: after connected components over the exact
+    near-dup graph (3-gram Jaccard ≥ 0.5), keep the canonical document
+    per component — most tokens wins, ties to min doc_id — with the
+    member count it now represents. This is the decision step that
+    turns pairwise dedup output into the filtered corpus.
+
+    Scale shape: the component labels join back to per-doc stats on
+    doc_id (co-partitioned with the label propagation's own shuffles),
+    then one window over component keys — components are near-uniform
+    (dup clusters are small), so no skew; the window adds a single
+    shuffle over |docs| rows of 3 columns, not the full text.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    comps = D.connected_components(D.jaccard_pairs(docs, threshold=0.5), docs)
+    stats = docs.select("doc_id", T.regex_token_count(F.col("text")).alias("ntok"))
+    w = Window.partitionBy("component")
+    ranked = (
+        comps.join(stats, "doc_id")
+        .withColumn("rn", F.row_number().over(w.orderBy(F.desc("ntok"), F.asc("doc_id"))))
+        .withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    return ranked.filter(F.col("rn") == 1).select("doc_id", "component", "ntok", "n_members")
+
+
+@register(
+    "text_vocabulary",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    st AS (
+      SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY term
+    ),
+    r AS (
+      SELECT term, cf, df,
+             row_number() OVER (ORDER BY cf DESC, term ASC) AS rn,
+             sum(cf) OVER (ORDER BY cf DESC, term ASC ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cf) OVER () AS total
+      FROM st
+    )
+    SELECT term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+           CAST(rn AS BIGINT) AS rn,
+           {rnd_sql('CAST(cum AS DOUBLE) / total', 6)} AS cum_share
+    FROM r WHERE rn <= 100
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 terms by collection frequency with
+    document frequency and cumulative corpus-coverage share — the
+    tokenizer-training / stopword-discovery primitive.
+
+    Scale shape: ONE corpus scan. The explode feeds a (term)-keyed
+    aggregation (Catalyst rewrites the count-distinct as a two-level
+    (term, doc_id) → (term) agg, both map-side-combining); everything
+    after runs on the |vocab|-sized relation (≪ corpus — Heaps' law),
+    so the single-partition rank/cumsum window is over thousands of
+    rows, not the 100 TB token stream. The total token count comes from
+    a whole-partition frame in the SAME window node — a second
+    scan+explode of the corpus (or a cross-joined global agg) just to
+    get the denominator would double the dominant cost.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
+    st = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.count_distinct(F.col("doc_id")).alias("df"),
+    )
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    r = (
+        st.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum", F.sum("cf").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        .withColumn(
+            "total",
+            F.sum("cf").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+        )
+    )
+    return r.filter(F.col("rn") <= 100).select(
+        "term",
+        F.col("cf").cast("long").alias("cf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("rn").cast("long").alias("rn"),
+        rnd(F.col("cum").cast("double") / F.col("total"), 6).alias("cum_share"),
+    )
