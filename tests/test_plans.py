@@ -161,3 +161,26 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert plain.n == salted.n and plain.q == salted.q
     plan = plan_of(salted_join(big, o, "l_orderkey"))
     assert "_salt" in plan  # salt participates in the join key
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval-shingle side is tiny (benchmarks vs corpus): it must
+    broadcast, and the training-side explode must not shuffle pre-join."""
+    plan = plan_of(SPECS["corpus_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_redact_pii_zero_shuffle(spark, sf_dir):
+    """Scrubbing is a per-row projection: no exchange anywhere."""
+    plan = plan_of(SPECS["text_redact_pii"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_vocabulary_single_scan(spark, sf_dir):
+    """The corpus is scanned and exploded exactly once; the coverage
+    denominator comes from a window frame, not a second scan."""
+    plan = plan_of(SPECS["text_vocabulary"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Scan parquet") == 1, plan
+    # vocab-sized single-partition window + two agg exchanges only
+    assert count_plan_nodes(plan, "Exchange") <= 3, plan
