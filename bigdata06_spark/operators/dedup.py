@@ -119,7 +119,14 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     - fusing `collect_set(shingle)` into this aggregate (to reuse the
       shuffle for exact-Jaccard verification): ~13% slower — the object
       agg (collect_set) kicks the whole aggregate out of codegen'd
-      HashAggregate into ObjectHashAggregate."""
+      HashAggregate into ObjectHashAggregate.
+    - 1-base-hash permutation families to avoid the 64 string hashes:
+      Kirsch-Mitzenmacher h1+j*h2 LOSES LSH recall (structured j
+      correlates per-band minima — 254/256 true pairs at sf0.1);
+      datasketch-style (a_j*h+b_j) mod 2^61-1 with seeded random
+      multipliers keeps exact recall but measures identical to this
+      form even at 4M shingle rows (murmur3 on short strings is as
+      cheap as the multiply-mod chain) — not worth the constants."""
     idx = shingle_index(docs, id_col, text_col, n)
     mins = [F.min(F.hash(F.col("shingle"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
     return idx.groupBy(id_col).agg(*mins)
