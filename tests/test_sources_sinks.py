@@ -262,3 +262,21 @@ def test_jsonl_quarantine_pattern(spark, tmp_path):
     bad = [r.raw for r in rows if r.rec is None or r.rec.doc_id is None]
     assert parsed == [(1, "hello"), (2, "world")]
     assert bad == ["not json at all"]
+
+
+def test_parquet_partition_pruning_on_reread(spark, tmp_path):
+    """The 100 TB point of a partitioned sink: a filter on the partition
+    column must become a PartitionFilter (directory pruning — no data
+    files of other partitions opened), not a row-level data filter."""
+    from tests.test_plans import plan_of
+
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 7 AS STRING) AS dt")
+    path = str(tmp_path / "pq_part")
+    write_parquet(df, path, partition_by=["dt"])
+    back = spark.read.parquet(path).filter(F.col("dt") == "3")
+    plan = plan_of(back)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dt" in m.group(1), plan
+    assert back.count() == len([i for i in range(1000) if i % 7 == 3])
