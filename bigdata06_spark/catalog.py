@@ -146,11 +146,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # driver) built the session without engine configs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) surfaced as long (spark.sql.legacy.parquet.
-        # nanosAsLong); truncate ns→us exactly like DuckDB/pyarrow do.
-        # integer `div`, NOT `/`: float division loses sub-µs precision at
-        # 1e18-nanosecond magnitudes (beyond double's 2^53 exact range)
+    if name == "events":
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` across driver testdata vintages.
+
+    - parquet TIMESTAMP(NANOS) surfaces as long under
+      spark.sql.legacy.parquet.nanosAsLong; truncate ns→µs exactly like
+      DuckDB/pyarrow do. Integer `div`, NOT `/`: float division loses
+      sub-µs precision at 1e18-nanosecond magnitudes (beyond double's
+      2^53 exact range).
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+      TIMESTAMP_NTZ in Spark 4 — kept as-is (naive wall clock, same as
+      the DuckDB oracle's view of the column).
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from bigdata06_spark.catalog import load_table
 from bigdata06_spark.queries import register
-from bigdata06_spark.queries.qutil import davg_sql, dsum, dsum_sql
+from bigdata06_spark.queries.qutil import davg_sql, dsum, dsum_sql, epoch_us
 
 # ---------------------------------------------------------------- joins
 
@@ -443,7 +443,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_us(F.col("ts")))
         .rangeBetween(-86_400_000_000, 0)
     )
     return e.select(
@@ -570,7 +570,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy reuses it again — no extra exchange under AQE."""
     e = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))
     is_start = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (

@@ -50,6 +50,22 @@ def davg_sql(expr: str) -> str:
     return f"CAST(sum(CAST(({expr}) AS {_DEC_SQL})) AS DOUBLE) / count(*)"
 
 
+def epoch_us(col: Column) -> Column:
+    """Microseconds since epoch, matching DuckDB `epoch_us(ts)`.
+
+    `timestamp_diff` accepts both TIMESTAMP and TIMESTAMP_NTZ (the
+    driver's events.parquet stores un-zoned micros, which Spark 4 reads
+    as NTZ), unlike `unix_micros`, which rejects NTZ outright. For NTZ
+    the naive wall clock is treated as UTC — exactly DuckDB's epoch_us
+    on a naive timestamp.
+    """
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
+
+
 def rnd(col: Column, n: int = 2) -> Column:
     """Half-up rounding as a pure IEEE expression (same bits as rnd_sql)."""
     p = float(10**n)

@@ -30,18 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bigdata06_spark.catalog import table_path
-
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from bigdata06_spark.catalog import normalize_events_ts, table_path
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -57,15 +46,34 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as an unbounded stream (file source). Same ns→µs
-    conversion as the batch catalog."""
+    """events.parquet as an unbounded stream (file source).
+
+    The file source needs an explicit schema; take it from a batch
+    footer read of the same file so the stream tracks whatever vintage
+    the driver testdata is (TIMESTAMP(NANOS)-as-long vs µs NTZ), then
+    apply the catalog's shared ts normalization."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(raw_schema)
         .load(_events_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
+
+
+def as_event_time(events: DataFrame) -> DataFrame:
+    """Cast `ts` to TIMESTAMP (LTZ) for watermark-bearing ops.
+
+    `withWatermark` rejects TIMESTAMP_NTZ outright
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The cast interprets the
+    naive wall clock in the session timezone (pinned UTC by
+    session.py), so epoch micros — and therefore window bounds and
+    join intervals — are unchanged, and collected values render the
+    same wall clock the oracle sees."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
 
 
 def run_to_table(result: DataFrame, mode: str) -> DataFrame:
@@ -140,7 +148,8 @@ def watermarked_tumbling(events: DataFrame, width: str = "1 hour", late: str = "
     """Append-mode watermarked aggregation: emits a window only once the
     watermark passes its end (late data beyond `late` dropped)."""
     return (
-        events.withWatermark("ts", late)
+        as_event_time(events)
+        .withWatermark("ts", late)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
@@ -155,6 +164,7 @@ def purchase_view_interval_join(events: DataFrame, lookback: str = "1 hour") -> 
     join state (a view older than lookback past the watermark can never
     match a future purchase and is evicted). Inner join in append mode
     is batch-equivalent on a full replay."""
+    events = as_event_time(events)
     views = (
         events.filter(F.col("event_type") == "view")
         .select(
@@ -185,7 +195,8 @@ def watermarked_dedup_counts(events: DataFrame, horizon: str = "1 hour") -> Data
     every key forever). Counts per type make the output deterministic
     (which physical row survives per key is arrival-order-dependent)."""
     return (
-        events.withWatermark("ts", horizon)
+        as_event_time(events)
+        .withWatermark("ts", horizon)
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_distinct_users"))

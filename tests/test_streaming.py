@@ -30,8 +30,10 @@ def test_session_window_equals_batch_sessionization(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
+    from bigdata06_spark.queries.qutil import epoch_us
+
     gaps = e.withColumn(
-        "gap_us", F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        "gap_us", epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w))
     )
     n_sessions_batch = gaps.filter(
         F.col("gap_us").isNull() | (F.col("gap_us") > 1_800_000_000)
