@@ -277,6 +277,98 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_stats",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+    u1 AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_token_n
+            FROM u1 GROUP BY 1),
+    bgl AS (SELECT doc_id,
+                   unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS bg
+            FROM w WHERE len(ws) >= 2),
+    b1 AS (SELECT doc_id, bg, count(*) AS c FROM bgl GROUP BY 1, 2),
+    bgs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_tokens
+            FROM b1 GROUP BY 1)
+    SELECT u.doc_id, u.n_tokens, u.n_distinct, u.top_token_n,
+           floor(CAST(u.n_distinct AS DOUBLE) / u.n_tokens * 1000000.0 + 0.5) / 1000000.0
+             AS distinct_ratio,
+           floor(CAST(u.top_token_n AS DOUBLE) / u.n_tokens * 1000000.0 + 0.5) / 1000000.0
+             AS top_token_frac,
+           coalesce(floor(CAST(b.dup_bigram_tokens AS DOUBLE) / b.n_bigrams * 1000000.0 + 0.5)
+                      / 1000000.0, 0.0) AS dup_bigram_frac,
+           (floor(CAST(u.top_token_n AS DOUBLE) / u.n_tokens * 1000000.0 + 0.5) / 1000000.0 <= 0.3
+            AND coalesce(floor(CAST(b.dup_bigram_tokens AS DOUBLE) / b.n_bigrams * 1000000.0 + 0.5)
+                           / 1000000.0, 0.0) <= 0.3) AS keep
+    FROM uni u LEFT JOIN bgs b USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-doc distinct-token
+    ratio, top-token fraction, and duplicated-bigram token fraction,
+    with a keep flag (top-token ≤ 0.3 AND dup-bigram ≤ 0.3, both on the
+    6dp-rounded values so the cut is bit-identical cross-engine).
+
+    Scale path (why explode+groupBy, not per-row array counting): a
+    pure higher-order-function mode/top-frequency is O(len x distinct)
+    per row — quadratic on long documents. Exploding to (doc_id, token)
+    keeps it linear: the first aggregate partial-combines map-side and
+    shuffles near-nothing (distinct tokens per doc), the second
+    aggregate and the bigram side both land on doc_id partitioning, and
+    the final join is co-partitioned on that same key — no skew (doc_id
+    is in every grouping key) and no row ever holds more than one
+    token."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = T.words(F.col("text"))
+    toks = d.select("doc_id", F.explode(ws).alias("tok"))
+    uni = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_token_n"),
+        )
+    )
+    # guard: sequence(1, size-1) in word_shingles is descending for
+    # 1-token docs (slice start 0 throws under ANSI) — emit no bigrams
+    bigrams = F.when(F.size(ws) >= 2, T.word_shingles(ws, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    bgl = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    bgs = (
+        bgl.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_bigram_tokens"
+            ),
+        )
+    )
+    from bigdata06_spark.queries.qutil import rnd
+
+    top_frac = rnd(F.col("top_token_n").cast("double") / F.col("n_tokens"), 6)
+    dup_frac = F.coalesce(
+        rnd(F.col("dup_bigram_tokens").cast("double") / F.col("n_bigrams"), 6), F.lit(0.0)
+    )
+    return uni.join(bgs, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_n",
+        rnd(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac <= 0.3) & (dup_frac <= 0.3)).alias("keep"),
+    )
+
+
+@register(
     "corpus_curation_funnel",
     oracle="""
     WITH d AS (
