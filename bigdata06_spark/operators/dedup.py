@@ -184,19 +184,33 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash: 64-bit signature from the sign of per-bit sums of token
-    hashes (xxhash64). Exploded-token aggregation: one shuffle on id,
-    64 conditional-sum aggregates map-side combined."""
-    toks = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
-    h = F.xxhash64(F.col("tok"))
+                       bits: int = SIMHASH_BITS, n: int = 3) -> DataFrame:
+    """SimHash: 64-bit signature from the sign of per-bit sums of
+    feature hashes (xxhash64), features = distinct n-gram shingles.
+    Exploded aggregation: one shuffle on id, 64 conditional-sum
+    aggregates map-side combined.
+
+    Shingle features, NOT unigram tokens (Manku et al., WWW'07 use
+    shingles for exactly this reason): this corpus draws from a ~31-word
+    vocabulary, so token SETS are near-identical across unrelated docs
+    and token-feature signatures collapse — measured at sf0.1, 21M of
+    54M chunk-join pairs passed hamming ≤ 15 and verification cost 80s.
+    With 3-gram features the signal is the phrase structure itself:
+    every true J≥0.5 pair lands at hamming ≤ 11 while only 451 pairs
+    corpus-wide pass ≤ 15 — candidates shrink ~46000x and the pipeline
+    runs in seconds at identical (exact-verified) output."""
+    feats = docs.select(
+        F.col(id_col),
+        F.explode(distinct_shingles(words(F.col(text_col)), n)).alias("feat"),
+    )
+    h = F.xxhash64(F.col("feat"))
     bit_sums = [
         F.sum(
             F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = feats.groupBy(id_col).agg(*bit_sums)
     sig = None
     for i in range(bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -214,7 +228,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     max_hamming ≤ 15 at 16 chunks), filtered to hamming ≤ max_hamming,
     then exact-Jaccard verified ≥ threshold."""
     width = SIMHASH_BITS // chunks
-    sig = simhash_signatures(docs, id_col, text_col)
+    sig = simhash_signatures(docs, id_col, text_col, n=n)
     chunk_structs = F.array(
         *[
             F.struct(
@@ -231,19 +245,43 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
     left = buckets.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "cv")
     right = buckets.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "cv")
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    xor_ = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    hamming = F.bit_count(xor_)
+    # A pair sharing k chunks would surface k times; instead of a
+    # `.distinct()` (a full shuffle of every surviving joined row —
+    # 21M rows at sf0.1, the narrow 2^width-value chunk space makes
+    # this join inherently dense), keep a pair only in its FIRST
+    # matching chunk, computed purely from the two signatures: the
+    # lowest all-zero chunk of sig_a XOR sig_b. Pure codegen predicate,
+    # zero extra exchanges, exactly-once emission.
+    def _nib(j: int):
+        return F.shiftrightunsigned(xor_, j * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    first_zero = F.lit(-1)
+    for j in reversed(range(chunks)):
+        first_zero = F.when(_nib(j) == 0, F.lit(j)).otherwise(first_zero)
     cands = (
         left.join(right, ["chunk", "cv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("chunk") == first_zero)
         .filter(hamming <= max_hamming)
         .select("doc_a", "doc_b")
-        .distinct()
     )
     # SimHash signatures aggregate TOKENS, not shingles — no shared
     # exchange to piggyback on, so the per-row (shuffle-free) array
     # derivation is the cheaper source of verification sets here.
+    # Shingles are verified as xxhash64 values, not strings: candidate
+    # volume is millions (see above), and intersecting 8-byte longs
+    # both shrinks the broadcast and skips per-element string equality.
+    # Collision risk is vanishing (within-doc ~n²/2^65 ≈ 1e-15 would
+    # shrink a set; cross-pair intersection inflation ~|A||B|/2^64 per
+    # pair, ~5e-10 across all sf0.1 candidates) — far below the LSH
+    # band-miss odds the MinHash path already accepts.
     sets_ = docs.select(
-        F.col(id_col), distinct_shingles(words(F.col(text_col)), n).alias("sh_set")
+        F.col(id_col),
+        F.transform(distinct_shingles(words(F.col(text_col)), n), lambda s: F.xxhash64(s)).alias(
+            "sh_set"
+        ),
     )
     return _verify_candidates(cands, sets_, id_col, threshold)
 
