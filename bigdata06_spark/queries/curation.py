@@ -283,3 +283,41 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("long").alias("rn"),
         rnd(F.col("cum").cast("double") / F.col("total"), 6).alias("cum_share"),
     )
+
+
+@register(
+    "corpus_split_assign",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  % 1000 AS BIGINT) AS bucket,
+           CASE
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % 1000 < 800 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % 1000 < 900 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first 32 bits
+    of md5(doc_id) mod 1000, split at 800/900. The property that makes
+    this THE standard split mechanism for training corpora: membership
+    is a pure function of the stable id — re-runs, backfills, and
+    late-arriving shards land in the same split with no coordination,
+    unlike rand()-based sampling. Zero shuffles: the whole assignment
+    is a scan-stage expression; writing the three splits is a
+    partitionBy('split') sink away."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test").alias("split"),
+    )
