@@ -92,3 +92,45 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInPandas(
         _order_history, "o_custkey long, o_orderkey long, seq long, days_since_prev double"
     )
+
+
+def _term_counts_udtf():
+    """Python UDTF (Spark 4 user-defined TABLE function): one input row
+    → many output rows, here per-document term frequencies. Built
+    lazily for the same session-parsing reason as the pandas UDF."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term string, n bigint")
+    class TermCounts:
+        def eval(self, text: str):
+            from collections import Counter
+
+            for term, n in sorted(Counter((text or "").split(" ")).items()):
+                yield term, n
+
+    return TermCounts
+
+
+@register(
+    "udf_table_function",
+    oracle="""
+    SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a correlated LATERAL join: each document row fans
+    out to its (term, count) rows — the UDTF analogue of
+    explode+groupBy, with the per-row expansion logic in Python.
+    Plan shape: BatchEvalPythonUDTF fused after the scan, no shuffle
+    (the fan-out is per-row); the relational rewrite on the oracle side
+    is the exact same result from pure SQL. Like every Python-path op
+    here, this exists to prove the API surface — the JVM-side
+    explode+groupBy (text_repetition_stats) is the scale path."""
+    docs = load_table(spark, "documents", sf_dir)
+    spark.udtf.register("term_counts", _term_counts_udtf())
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.term, t.n FROM _udtf_docs d, LATERAL term_counts(d.text) t"
+    )
