@@ -36,11 +36,14 @@ HEADLINE = [
     # windows + sessionization
     "topk_per_group",
     "sessionize_events",
-    # LLM-pipeline: dedup + similarity + text
+    # LLM-pipeline: dedup + similarity + text + curation
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_bruteforce",
     "text_quality_score",
+    "text_repetition_stats",
     "tfidf_top_terms",
+    "corpus_split_assign",
     # streaming
     "stream_tumbling_agg",
 ]
