@@ -97,6 +97,30 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SO.run_to_table(SO.dedup_counts(SO.stream_events(spark, sf_dir)), "complete")
 
 
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static left join (event stream ⋈ batch customer dim) then
+    per-(segment, type) aggregation, complete mode. The static dim is
+    re-read per micro-batch with no join state — see streaming/ops.py."""
+    from bigdata06_spark.catalog import load_table
+
+    return SO.run_to_table(
+        SO.static_segment_counts(
+            SO.stream_events(spark, sf_dir), load_table(spark, "customer", sf_dir)
+        ),
+        "complete",
+    )
+
+
 @register("stream_watermark_append", oracle=None)
 def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode aggregation (10-min late-data bound):

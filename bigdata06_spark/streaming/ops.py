@@ -134,6 +134,27 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def static_segment_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a BATCH dim
+    (customer market segment), then aggregate per (segment, type).
+
+    The static side is planned as an ordinary batch relation re-joined
+    in every micro-batch — no join state is kept for it (unlike
+    stream-stream joins), and at dim sizes like this it broadcasts, so
+    the stream side never shuffles for the join; the only stateful
+    shuffle is the aggregation's. Left join: stream rows without a dim
+    match still flow (segment null)."""
+    seg = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        events.join(seg, "user_id", "left")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
 def dedup_counts(events: DataFrame) -> DataFrame:
     """Streaming dedup on (user_id, event_type) → counts per type.
     On a real stream `dropDuplicatesWithinWatermark` bounds the state."""
