@@ -838,3 +838,59 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return joined.withColumn("avg_value", F.last("avg_value", ignorenulls=True).over(w))
+
+
+@register(
+    "events_zscore_outliers",
+    oracle="""
+    WITH st AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(15,6)) * CAST(value AS DECIMAL(15,6))) AS DOUBLE) AS ss
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           floor((e.value - s / n) / sqrt((ss - s * s / n) / (n - 1.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE abs(floor((e.value - s / n) / sqrt((ss - s * s / n) / (n - 1.0)) * 1000000.0 + 0.5)
+                / 1000000.0) >= 3.0
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier detection: events more than 3 sample
+    standard deviations from their type's mean.
+
+    Cross-engine determinism: `value` lands exactly on the 6-decimal
+    grid, so sum and sum-of-squares are EXACT decimal aggregates
+    ((15,6)² = (31,12) fits decimal128 in both engines); mean/variance
+    /z are then derived in double with a textually identical formula
+    on both sides — identical IEEE ops on identical inputs, 6dp
+    half-up rounding at the end.
+
+    Scale: one shuffle for the per-type stats (map-side combined,
+    |types| rows out), stats broadcast back onto the fact scan — the
+    events table is read twice but never shuffled; at 100 TB the
+    second scan beats caching the raw fact and both beat a window over
+    a global partitionBy(type) (catastrophic skew: one partition per
+    type)."""
+    e = load_table(spark, "events", sf_dir)
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("s"),
+        F.sum(F.col("value").cast("decimal(15,6)") * F.col("value").cast("decimal(15,6)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    from bigdata06_spark.queries.qutil import rnd
+
+    mean = F.col("s") / F.col("n")
+    sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - F.lit(1.0)))
+    z = rnd((F.col("value") - mean) / sd, 6)
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .select("event_id", "event_type", "value", "z")
+    )
