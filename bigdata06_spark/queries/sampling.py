@@ -62,3 +62,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("o_orderstatus", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+             / n_chars AS priority
+    FROM documents
+    ORDER BY priority ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (priority sampling, Duffield-
+    Lund-Thorup style): each doc gets priority u/w where u is a
+    32-bit hash-uniform of its id and w its weight (n_chars — the
+    domain-upweighting knob in corpus mixing); keep the k smallest.
+    Inclusion odds scale with weight, yet the draw is a pure function
+    of the stable id: re-runs, retries, and late shards agree with no
+    RNG state. Exact cross-engine: u is integer-exact from the md5 hex
+    prefix, and one double division of exact integers is the same IEEE
+    op on both engines; ties (impossible short of hash collision)
+    break on doc_id. Plan: single scan + TakeOrderedAndProject — no
+    shuffle at any corpus size."""
+    d = load_table(spark, "documents", sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("double")
+    return (
+        d.select("doc_id", "n_chars", (u / F.col("n_chars")).alias("priority"))
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(100)
+    )
