@@ -184,3 +184,37 @@ def test_vocabulary_single_scan(spark, sf_dir):
     assert count_plan_nodes(plan, "Scan parquet") == 1, plan
     # vocab-sized single-partition window + two agg exchanges only
     assert count_plan_nodes(plan, "Exchange") <= 3, plan
+
+
+def test_split_assign_zero_shuffle(spark, sf_dir):
+    plan = plan_of(SPECS["corpus_split_assign"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Exchange") == 0, plan
+
+
+def test_weighted_sample_topk_no_shuffle(spark, sf_dir):
+    plan = plan_of(SPECS["sample_weighted"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_plan_nodes(plan, "Exchange") == 0, plan
+
+
+def test_zscore_stats_broadcast_no_fact_shuffle(spark, sf_dir):
+    plan = plan_of(SPECS["events_zscore_outliers"].fn(spark, sf_dir))
+    # per-type stats broadcast back onto the scan: the only exchange is
+    # the |types|-row aggregation's, never the events fact
+    assert "BroadcastHashJoin" in plan, plan
+    assert count_plan_nodes(plan, "Exchange") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_stats_copartitioned_join(spark, sf_dir):
+    plan = plan_of(SPECS["text_repetition_stats"].fn(spark, sf_dir))
+    # 2 aggs per n-gram side; the final doc_id join must broadcast or
+    # co-locate, never add a 5th exchange
+    assert count_plan_nodes(plan, "Exchange") <= 4, plan
+
+
+def test_simhash_no_distinct_exchange(spark, sf_dir):
+    plan = plan_of(SPECS["dedup_simhash"].fn(spark, sf_dir))
+    # pair dedup is the inline first-matching-chunk predicate, not a
+    # .distinct(): exchanges = signature agg + chunk-key join sides only
+    assert count_plan_nodes(plan, "Exchange") <= 3, plan
