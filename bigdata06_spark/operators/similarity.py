@@ -94,24 +94,67 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
-def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 8,
-            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42) -> DataFrame:
-    """ANN via hyperplane-LSH bucketing: exact re-rank within the
-    query's bucket. Recall < 1 by construction (rows-only check).
-    Scale: the bucket join shuffles on the signature — each query
-    touches ~N/2^n_planes candidates instead of N."""
+def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6,
+            n_tables: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42) -> DataFrame:
+    """ANN via MULTI-TABLE hyperplane LSH: `n_tables` independent
+    signatures of `n_planes` sign bits each; a pair is a candidate if
+    ANY table's signatures match, then candidates re-rank exactly.
+
+    Why multi-table: with one b-bit table, recall at angle θ is
+    (1-θ/π)^b — measured 0.03 at b=8 on the fixture embeddings (a
+    cos≈0.5 neighbor agrees on all 8 bits 4% of the time). L tables
+    lift it to 1-(1-p^b)^L; b=6, L=12 measures ~0.48 across all three
+    fixture scales while probing ~L/2^b ≈ 19% of the corpus per query
+    — right on the formula's prediction for this fixture's true 5-NN
+    (near-random vectors, cos≈0.35 → p≈0.62 → 0.44). Recall follows
+    the (b, L) formula, not corpus-tuned thresholds; clusterable real
+    embeddings sit at higher p and recall correspondingly.
+
+    Each candidate pair is emitted exactly once — in its FIRST matching
+    table (array_position over the zipped signature arrays), the same
+    inline-dedup trick as the SimHash chunk join; no distinct shuffle.
+    Rows-only driver check (recall < 1 by construction); the recall
+    floor vs brute force is pinned in tests/test_operators_unit.py.
+
+    Scale: explode is L rows per vector; the join shuffles on
+    (table, bucket) — uniform sign-bit keys; vectors ride the exchange
+    once, candidate re-rank is linear in candidates."""
     sample = corpus.select(vec_col).first()
     dim = len(sample[0])
-    planes = _seeded_planes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    planes = _seeded_planes(dim, n_planes * n_tables, seed)
+    tables = [planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+
+    def sigs(vec: Column) -> Column:
+        return F.array(*[lsh_bucket(vec, tables[t]) for t in range(n_tables)])
+
+    def explode_tables(df: DataFrame, idc: str, vecc: str, sigc: str) -> DataFrame:
+        t = df.withColumn(sigc, sigs(F.col(vecc)))
+        pairs = F.array(
+            *[
+                F.struct(F.lit(ti).alias("t"), F.col(sigc)[ti].alias("bucket"))
+                for ti in range(n_tables)
+            ]
+        )
+        return t.select(
+            idc, vecc, sigc, F.explode(pairs).alias("tb")
+        ).select(idc, vecc, sigc, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    q = explode_tables(
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")),
+        "query_id", "qv", "qsig",
+    )
+    c = explode_tables(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")),
+        "neighbor_id", "cv", "csig",
+    )
+    first_match = F.array_position(
+        F.zip_with(F.col("qsig"), F.col("csig"), lambda x, y: x == y), True
+    )
     scored = (
-        q.join(c, "bucket")
+        q.join(c, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("t") + 1 == first_match)
         .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -154,18 +154,21 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_lsh_ann", oracle=None)
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via random-hyperplane LSH buckets (8 planes, seeded) +
-    exact re-rank in-bucket. Probabilistic recall → rows-only check."""
+    """ANN top-5 via multi-table hyperplane LSH (12 tables × 6 sign
+    bits, seeded) + exact re-rank over the union of matching buckets.
+    Probabilistic recall → rows-only check; the ~0.48 recall floor vs
+    brute force is pinned in tests/test_operators_unit.py."""
     e = load_table(spark, "embeddings", sf_dir)
-    return S.lsh_ann(e.filter(F.col("vec_id") < 10), e, k=5, n_planes=8)
+    return S.lsh_ann(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
 @register("knn_ivf_ann", oracle=None)
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via IVF cells (8 seeded centroids, nprobe=2) + exact
-    re-rank in probed cells. Probabilistic recall → rows-only check."""
+    """ANN top-5 via IVF cells (8 seeded centroids, nprobe=3) + exact
+    re-rank in probed cells. Probabilistic recall → rows-only check;
+    recall floor pinned in tests/test_operators_unit.py."""
     e = load_table(spark, "embeddings", sf_dir)
-    return S.ivf_ann(e.filter(F.col("vec_id") < 10), e, k=5, n_cells=8, nprobe=2)
+    return S.ivf_ann(e.filter(F.col("vec_id") < 10), e, k=5, n_cells=8, nprobe=3)
 
 
 # ---------------------------------------------------------- text analysis

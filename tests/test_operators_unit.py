@@ -162,3 +162,23 @@ def test_kmeans_hand_clusters(spark):
     emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
     got = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=2, n_iter=2).collect()}
     assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    """Quality gate for the rows-only ANN paths: recall vs the exact
+    brute-force top-5 on the fixture embeddings. Floors sit just under
+    the measured values (lsh 0.49, ivf 0.49 at sf0.001) — a regression
+    guard, not a guarantee; both operators' docstrings give the
+    formula-level expectations."""
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce(q, emb, k=5).collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in S.lsh_ann(q, emb, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in S.ivf_ann(q, emb, k=5, nprobe=3).collect()}
+    assert len(lsh & exact) / len(exact) >= 0.40
+    assert len(ivf & exact) / len(exact) >= 0.40
