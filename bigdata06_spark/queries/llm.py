@@ -124,6 +124,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             (doc_id % 10 = 7) AS is_new,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    ex AS (
+      SELECT n.doc_id AS new_id, min(o.doc_id) AS dup_of, 1.0 AS jaccard
+      FROM base n JOIN base o ON n.fp = o.fp AND n.is_new AND NOT o.is_new
+      GROUP BY 1
+    ),
+    tok AS (
+      SELECT doc_id, is_new,
+             unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                   for i in range(1, len(ws) - 1)])) AS shingle
+      FROM base
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
+      FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.is_new AND NOT b.is_new
+      GROUP BY 1, 2
+    ),
+    nj AS (
+      SELECT i.new_id, i.old_id,
+             CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+      FROM inter i
+        JOIN sz sa ON sa.doc_id = i.new_id
+        JOIN sz sb ON sb.doc_id = i.old_id
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+    ),
+    nbest AS (
+      SELECT new_id, old_id AS dup_of, jaccard FROM (
+        SELECT new_id, old_id, jaccard,
+               row_number() OVER (PARTITION BY new_id
+                                  ORDER BY jaccard DESC, old_id ASC) AS rn
+        FROM nj
+      ) WHERE rn = 1
+    ),
+    allb AS (SELECT * FROM ex UNION ALL SELECT * FROM nbest)
+    SELECT new_id, dup_of, jaccard FROM (
+      SELECT new_id, dup_of, jaccard,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, dup_of ASC) AS rn
+      FROM allb
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the new batch (doc_id % 10 = 7) checked
+    against the accumulated corpus — exact fingerprint match OR
+    MinHash-LSH-verified Jaccard ≥ 0.5, best old match per new doc.
+    Only new×old pairs are ever generated (the old corpus' self-pairs
+    are the quadratic term that can't exist in a daily ingest); see
+    operators/dedup.py:incremental_dedup for the state-reuse story."""
+    docs = load_table(spark, "documents", sf_dir)
+    new_b = docs.filter(F.col("doc_id") % 10 == 7)
+    old_b = docs.filter(F.col("doc_id") % 10 != 7)
+    return D.incremental_dedup(new_b, old_b, threshold=0.5)
+
+
 # ------------------------------------------------------------- similarity
 
 
