@@ -280,3 +280,30 @@ def test_parquet_partition_pruning_on_reread(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "dt" in m.group(1), plan
     assert back.count() == len([i for i in range(1000) if i % 7 == 3])
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning — the at-scale companion of static
+    pruning: when a partitioned fact joins a dim filtered on a
+    NON-partition column, the fact's partition filter is only known at
+    runtime; Spark injects a DynamicPruningExpression fed by the dim's
+    broadcast, so only the joined partitions' files are read."""
+    from tests.test_plans import plan_of
+
+    fact = spark.range(0, 20000).selectExpr(
+        "id", "id % 100 AS amount", "CAST(id % 20 AS STRING) AS dt"
+    )
+    path = str(tmp_path / "pq_dpp")
+    write_parquet(fact, path, partition_by=["dt"])
+    dim = spark.createDataFrame(
+        [(str(i), "keep" if i < 3 else "drop") for i in range(20)], "dt string, status string"
+    )
+    f = spark.read.parquet(path)
+    j = (
+        f.join(dim.filter(F.col("status") == "keep"), "dt")
+        .groupBy("dt")
+        .agg(F.sum("amount").alias("s"))
+    )
+    plan = plan_of(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert j.count() == 3
