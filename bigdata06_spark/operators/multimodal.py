@@ -197,3 +197,39 @@ def extract_features(decoded: DataFrame, dim: int = 8) -> DataFrame:
     return decoded.select("doc_id", "byte_len").mapInPandas(
         feature_batch(dim), schema=FEATURE_SCHEMA
     )
+
+
+CHECKSUM_SCHEMA = "doc_id long, byte_len long, byte_sum long"
+
+
+def checksum_batches(batches):
+    """mapInArrow stage: zero-copy Arrow RecordBatches in/out — the
+    lowest-overhead Python path (no pandas materialization; the
+    payload buffer is read straight through numpy.frombuffer). A real
+    pipeline does content hashing / magic-byte sniffing here."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column("doc_id")
+        payloads = batch.column("payload")
+        lens, sums = [], []
+        for p in payloads:
+            buf = p.as_buffer()
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            lens.append(len(arr))
+            sums.append(int(arr.sum()))
+        yield pa.RecordBatch.from_arrays(
+            [ids, pa.array(lens, type=pa.int64()), pa.array(sums, type=pa.int64())],
+            names=["doc_id", "byte_len", "byte_sum"],
+        )
+
+
+def checksum_media(with_payloads: DataFrame) -> DataFrame:
+    """Byte-level integrity pass over every asset via mapInArrow."""
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(with_payloads.sparkSession)
+    return with_payloads.select("doc_id", "payload").mapInArrow(
+        checksum_batches, schema=CHECKSUM_SCHEMA
+    )

@@ -690,6 +690,25 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_checksum",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+                AS BIGINT) AS byte_sum
+    FROM documents
+    """,
+)
+def multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level integrity pass over binary payloads via mapInArrow —
+    raw Arrow RecordBatches in Python with no pandas conversion, the
+    cheapest Python hop for byte-wise work. The corpus is ASCII, so the
+    oracle's per-char ascii() sum equals the UTF-8 byte sum."""
+    docs = load_table(spark, "documents", sf_dir)
+    return M.checksum_media(M.attach_binary_payload(docs))
+
+
+@register(
     "tfidf_top_terms",
     oracle="""
     WITH toks AS (
