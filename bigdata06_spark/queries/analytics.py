@@ -894,3 +894,56 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) >= 3.0)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+@register(
+    "nest_order_documents",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             l_linenumber || ':' || l_quantity || ':' ||
+               CAST(CAST(l_extendedprice AS DECIMAL(25,2)) AS VARCHAR) AS line_repr
+      FROM lineitem
+    ),
+    nested AS (
+      SELECT l_orderkey AS o_orderkey,
+             count(*) AS n_lines,
+             string_agg(line_repr, '|' ORDER BY line_repr) AS lines_repr
+      FROM lines GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_custkey, n.n_lines, n.lines_repr
+    FROM orders o JOIN nested n USING (o_orderkey)
+    WHERE o.o_orderkey % 50 = 0
+    """,
+)
+def nest_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational → nested-document assembly (the REVERSE of the
+    reference's flattening, Spotify_API3.py:381-390): each order
+    gathers its lines into an ordered serialized array — the
+    export-to-training-format shape (JSONL of nested records). The
+    nested payload is serialized to a canonical string (sorted,
+    '|'-joined, prices re-quantized to 2dp text) so the cross-engine
+    hash compares byte-for-byte where raw nested types would diverge
+    in repr.
+
+    Scale: collect_list after a map-side-light shuffle on orderkey
+    (group sizes are ≤7 lines — bounded, no skew), then one join with
+    orders on the same key; the modulus filter stands in for whatever
+    export partition predicate the real pipeline pushes down."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 50 == 0)
+    line_repr = F.concat_ws(
+        ":",
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_extendedprice").cast("decimal(25,2)").cast("string"),
+    )
+    nested = (
+        li.select(F.col("l_orderkey").alias("o_orderkey"), line_repr.alias("line_repr"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.array_join(F.array_sort(F.collect_list("line_repr")), "|").alias("lines_repr"),
+        )
+    )
+    return o.select("o_orderkey", "o_custkey").join(nested, "o_orderkey")
