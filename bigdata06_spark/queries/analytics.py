@@ -947,3 +947,35 @@ def nest_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o.select("o_orderkey", "o_custkey").join(nested, "o_orderkey")
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM nxt WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: for every event, the same user's
+    next event (lead over the per-user timeline), counted per
+    (from, to) pair — the Markov-chain input of product analytics.
+    One shuffle on user_id for the window; the groupBy on the tiny
+    (from, to) key space is map-side-combined to |types|² rows.
+    Deterministic ordering: ties within a timestamp break on
+    event_id."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

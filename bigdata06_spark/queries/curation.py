@@ -321,3 +321,46 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "corpus_mixture_report",
+    oracle="""
+    WITH pd AS (
+      SELECT source, lang,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS ntok
+      FROM documents
+    ),
+    agg AS (
+      SELECT source, lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM pd GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM agg)
+    SELECT source, lang, n_docs, n_tokens,
+           floor(CAST(n_tokens AS DOUBLE) / total_tokens * 1000000.0 + 0.5) / 1000000.0
+             AS token_share
+    FROM agg CROSS JOIN tot
+    """,
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: docs and BPE-ish tokens per
+    (source, lang) with each cell's share of total tokens — the mixing
+    table a training pipeline reweights against (upsample a source,
+    cap a language). One scan, one map-side-combined aggregation to
+    |sources×langs| rows; the total broadcasts back as a 1-row cross
+    join — never a second corpus pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    agg = (
+        docs.select("source", "lang", T.regex_token_count(F.col("text")).alias("ntok"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("n_tokens"))
+    )
+    tot = agg.agg(F.sum("n_tokens").alias("total_tokens"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        rnd(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias("token_share"),
+    )
