@@ -217,6 +217,63 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+@register(
+    "rag_context_assembly",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ),
+    ctx AS (
+      SELECT r.query_id,
+             r.rn || '#' || r.neighbor_id || ':' || substr(d.text, 1, 40) AS piece
+      FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+      WHERE r.rn <= 3
+    )
+    SELECT query_id,
+           string_agg(piece, ' || ' ORDER BY piece) AS context,
+           CAST(sum(length(piece)) AS BIGINT) AS n_ctx_chars
+    FROM ctx GROUP BY 1
+    """,
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-context assembly (the RAG serving shape): exact top-3
+    neighbors per probe vector, joined back to the document store
+    (vec_id ≡ doc_id in the fixtures) and packed into one ordered
+    context string per query. The neighbor join hits the doc store on
+    its key — at scale a broadcast of the (few) query×k hit ids into
+    the corpus scan, never the reverse; the pack is one tiny groupBy
+    on query_id. Rank prefix pinned into each piece keeps the
+    serialization deterministic."""
+    e = load_table(spark, "embeddings", sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+    hits = S.knn_bruteforce(e.filter(F.col("vec_id") < 5), e, k=3)
+    piece = F.concat_ws(
+        "",
+        F.col("rn").cast("string"),
+        F.lit("#"),
+        F.col("neighbor_id").cast("string"),
+        F.lit(":"),
+        F.substring(F.col("text"), 1, 40),
+    )
+    return (
+        hits.join(d, hits.neighbor_id == d.doc_id)
+        .select("query_id", piece.alias("piece"))
+        .groupBy("query_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("piece")), " || ").alias("context"),
+            F.sum(F.length("piece")).alias("n_ctx_chars"),
+        )
+    )
+
+
 @register("knn_lsh_ann", oracle=None)
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table hyperplane LSH (12 tables × 6 sign
