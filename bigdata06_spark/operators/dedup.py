@@ -228,7 +228,12 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     max_hamming ≤ 15 at 16 chunks), filtered to hamming ≤ max_hamming,
     then exact-Jaccard verified ≥ threshold."""
     width = SIMHASH_BITS // chunks
-    sig = simhash_signatures(docs, id_col, text_col, n=n)
+    # Both sides of the chunk self-join descend from this aggregate,
+    # but Catalyst plans the 64-sum signature job twice (no
+    # ReusedExchange across the differing downstream projections);
+    # localCheckpoint pins the tiny (id, 1 long) relation so it's
+    # computed once — same trick as connected_components' loop state.
+    sig = simhash_signatures(docs, id_col, text_col, n=n).localCheckpoint(eager=True)
     chunk_structs = F.array(
         *[
             F.struct(
