@@ -370,14 +370,16 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, ts, value,
            lag(value)  OVER w AS prev_value,
            lead(value) OVER w AS next_value,
-           first_value(value) OVER w AS first_value
+           first_value(value) OVER w AS first_value,
+           nth_value(value, 2) OVER w AS second_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window functions (lag/lead/first) per user ordered by
-    time. No arithmetic → values bit-exact."""
+    """Analytic window functions (lag/lead/first/nth) per user ordered
+    by time. No arithmetic → values bit-exact; nth_value uses the
+    default running frame on both engines (null until 2 rows seen)."""
     e = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     return e.select(
@@ -388,6 +390,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
         F.first("value").over(w).alias("first_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
     )
 
 
