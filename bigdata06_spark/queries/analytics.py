@@ -276,6 +276,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    oracle=None,  # t-digest/interpolation internals are engine-specific
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (single-pass mergeable quantile sketch,
+    accuracy 10000) — the scale path for percentiles next to the exact
+    `agg_percentiles`: constant memory per group vs a full sort. No
+    oracle (sketch internals are engine-specific); the error bound vs
+    the exact percentile is pinned in tests/test_operators_unit.py."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "agg_rollup",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,

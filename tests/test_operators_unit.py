@@ -182,3 +182,24 @@ def test_ann_recall_floors(spark, sf_dir):
     ivf = {(r.query_id, r.neighbor_id) for r in S.ivf_ann(q, emb, k=5, nprobe=3).collect()}
     assert len(lsh & exact) / len(exact) >= 0.40
     assert len(ivf & exact) / len(exact) >= 0.40
+
+
+def test_approx_aggregate_error_bounds(spark, sf_dir):
+    """Quality gates for the rows-only sketch aggregates: the HLL++
+    distinct estimate must sit within its configured 1% rsd (x5 slack
+    for small-N bias) of the exact count, and the approx median within
+    0.5% of the exact percentile — so 'approximate' stays measured,
+    never unchecked."""
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+    ).first()
+    assert abs(row.approx_d - row.exact_d) / row.exact_d <= 0.05
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 <= 0.005
