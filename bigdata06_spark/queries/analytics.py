@@ -1000,3 +1000,69 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "feature_quantile_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             ntile(10) OVER (ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                             l_linenumber ASC) AS bin
+      FROM lineitem
+    )
+    SELECT bin, count(*) AS n,
+           min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+    FROM binned GROUP BY 1
+    """,
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning (decile bucketing of a numeric
+    feature) + per-bin ranges — the classic ML feature-engineering
+    discretizer, exact. Deterministic: the ntile order is pinned with
+    the unique (price, orderkey, linenumber) key so boundary rows land
+    identically cross-engine.
+
+    Scale caveat, stated honestly: global ntile is a single-partition
+    sort — fine for fitting bin EDGES on a sample, wrong for scoring
+    100 TB. The scale path is percentile_approx edges + a broadcast
+    range lookup (see agg_approx_percentile); this operator is the
+    exact-fit reference for it."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.orderBy(F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "encode_categoricals",
+    oracle="""
+    WITH counts AS (
+      SELECT p_brand, count(*) AS n FROM part GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, p_brand ASC) - 1 AS BIGINT) AS brand_idx
+    FROM counts
+    """,
+)
+def encode_categoricals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical → dense-integer encoding by frequency rank
+    (StringIndexer semantics, relationally): most frequent value gets
+    index 0, ties alphabetical. The vocabulary relation is
+    |distinct values|-sized; at scale it broadcasts back onto the fact
+    for the actual encode join — the fit is one map-side-combined
+    aggregation plus a vocabulary-sized window, never a fact sort."""
+    p = load_table(spark, "part", sf_dir)
+    counts = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("p_brand"))
+    return counts.select(
+        "p_brand", "n", (F.row_number().over(w) - 1).cast("long").alias("brand_idx")
+    )
