@@ -49,6 +49,24 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimized parquet: range-repartition on the sort key, then
+    sort within each partition before writing. Every output file covers
+    a narrow, non-overlapping key range, so parquet column min/max
+    stats let readers skip whole row groups/files on key predicates —
+    the storage-side complement of partition pruning, for keys too
+    high-cardinality to partitionBy (timestamps, ids). At 100 TB this
+    is the difference between a time-range query touching one file and
+    touching all of them."""
+    out = df.repartitionByRange(*sort_cols) if n_files is None else df.repartitionByRange(
+        n_files, *sort_cols
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — columnar alternative when the consumer is
     Hive/Trino-side; same partitioning rules as write_parquet apply."""

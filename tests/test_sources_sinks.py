@@ -307,3 +307,28 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     plan = plan_of(j)
     assert "dynamicpruning" in plan.lower(), plan
     assert j.count() == 3
+
+
+def test_sorted_parquet_files_cover_disjoint_ranges(spark, tmp_path):
+    """write_sorted_parquet must produce files whose key ranges don't
+    overlap (range partitioning) and are internally sorted — the
+    property that lets parquet min/max stats skip whole files on key
+    predicates."""
+    import glob
+
+    from bigdata06_spark.sinks import write_sorted_parquet
+
+    df = spark.range(0, 10000).selectExpr("CAST(id * 7919 % 10000 AS BIGINT) AS k", "id AS v")
+    path = str(tmp_path / "pq_sorted")
+    write_sorted_parquet(df, path, ["k"], n_files=8)
+    ranges = []
+    for f in sorted(glob.glob(path + "/part-*.parquet")):
+        pdf = spark.read.parquet(f).toPandas()
+        if len(pdf) == 0:
+            continue
+        assert (pdf["k"].diff().dropna() >= 0).all(), f"{f} not internally sorted"
+        ranges.append((pdf["k"].min(), pdf["k"].max()))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({hi1} > {lo2})"
