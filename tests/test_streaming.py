@@ -70,3 +70,32 @@ def test_watermark_append_drops_open_windows(spark, sf_dir):
     # equal, and nonzero (the replay spans ~30 days)
     n = streamed.select("window_start").distinct().count()
     assert 0 < n <= batch_windows
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch sink: drain the event stream into parquet via the
+    per-microbatch callback — the escape hatch for sinks Structured
+    Streaming lacks natively (JDBC upserts, dual writes). Total rows
+    written across batches must equal the batch-mode count."""
+    import glob
+
+    from bigdata06_spark.streaming import ops as SO
+
+    out_dir = str(tmp_path / "fb_out")
+    ev = SO.stream_events(spark, sf_dir)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert glob.glob(out_dir + "/part-*"), "no files written"
+    from bigdata06_spark.catalog import load_table
+
+    n_batchmode = load_table(spark, "events", sf_dir).count()
+    assert spark.read.parquet(out_dir).count() == n_batchmode
