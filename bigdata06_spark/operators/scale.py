@@ -50,3 +50,31 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, n_salts: int = 8,
     b = big.select("*", salt)
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
+def salted_agg(df: DataFrame, key: str, aggs: dict[str, str], n_salts: int = 8) -> DataFrame:
+    """Skew-resilient two-phase aggregation: partial-aggregate on
+    (key, salt) — spreading one hot key over n_salts reducers — then
+    combine the partials per key.
+
+    When it matters: map-side partial aggregation already collapses
+    uniform keys, but a key owning a large share of ALL partitions
+    still funnels #tasks partial rows into one reducer whose combine
+    is single-threaded; at 10⁶ tasks that final combine is the
+    straggler. The salt phase caps any reducer's input at
+    #tasks/n_salts rows per hot key.
+
+    `aggs`: {column: 'sum'|'count'|'min'|'max'} — the re-combinable
+    aggregates (avg = sum+count composed by the caller). Result is
+    row-identical to the direct groupBy (test-pinned)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("_salt")
+    first = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+    second = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    partial = (
+        df.select("*", salt)
+        .groupBy(key, "_salt")
+        .agg(*[first[fn](c).alias(f"_p_{c}_{fn}") for c, fn in aggs.items()])
+    )
+    return partial.groupBy(key).agg(
+        *[second[fn](f"_p_{c}_{fn}").alias(f"{c}_{fn}") for c, fn in aggs.items()]
+    )

@@ -218,3 +218,24 @@ def test_simhash_no_distinct_exchange(spark, sf_dir):
     # pair dedup is the inline first-matching-chunk predicate, not a
     # .distinct(): exchanges = signature agg + chunk-key join sides only
     assert count_plan_nodes(plan, "Exchange") <= 3, plan
+
+
+def test_salted_agg_matches_direct_agg(spark, sf_dir):
+    """Two-phase salted aggregation must be row-identical to the direct
+    groupBy, and its first phase must key on (key, salt) — the skew
+    spread — with partial aggregation in both phases."""
+    from bigdata06_spark.operators.scale import salted_agg
+
+    li = load_table(spark, "lineitem", sf_dir)
+    got = salted_agg(
+        li, "l_returnflag", {"l_quantity": "sum", "l_orderkey": "count"}, n_salts=8
+    )
+    exp = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("l_quantity_sum"),
+        F.count(F.lit(1)).alias("l_orderkey_count"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in exp.collect()}
+    assert g == e
+    plan = plan_of(got)
+    assert "_salt" in plan
