@@ -332,3 +332,19 @@ def test_sorted_parquet_files_cover_disjoint_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges ({hi1} > {lo2})"
+
+
+def test_parquet_merge_schema_across_generations(spark, tmp_path):
+    """Schema evolution on read: two parquet generations (the second
+    adds a column) read as one relation with mergeSchema — old rows
+    surface the new column as null, the batch analogue of
+    unionByName(allowMissingColumns)."""
+    path = str(tmp_path / "pq_evolve")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS a").write.parquet(path + "/gen=1")
+    spark.range(10, 20).selectExpr("id", "id * 2 AS a", "'x' AS b").write.parquet(
+        path + "/gen=2"
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "a", "b", "gen"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("b").isNull()).count() == 10
