@@ -1066,3 +1066,32 @@ def encode_categoricals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "p_brand", "n", (F.row_number().over(w) - 1).cast("long").alias("brand_idx")
     )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS l_quantity_sum,
+           count(*) AS l_orderkey_count
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/scale.py:salted_agg)
+    over a 3-value group key — the worst-case skew shape: every key is
+    hot. The oracle is the DIRECT aggregation; identical output is the
+    operator's contract. l_quantity summed via the decimal path for
+    cross-engine exactness (the salt phase changes combine order,
+    which float sums would feel)."""
+    from bigdata06_spark.operators.scale import salted_agg
+
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "l_quantity", F.col("l_quantity").cast("decimal(25,6)")
+    )
+    out = salted_agg(li, "l_returnflag", {"l_quantity": "sum", "l_orderkey": "count"})
+    return out.select(
+        "l_returnflag",
+        F.col("l_quantity_sum").cast("double").alias("l_quantity_sum"),
+        "l_orderkey_count",
+    )
