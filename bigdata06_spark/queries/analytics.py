@@ -1095,3 +1095,42 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity_sum").cast("double").alias("l_quantity_sum"),
         "l_orderkey_count",
     )
+
+
+_SQL_INTERFACE_TEXT = """
+    WITH rev AS (
+      SELECT n.n_name, r.r_name,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS rev_dec
+      FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    ),
+    tot AS (SELECT r_name, sum(rev_dec) AS tot_dec FROM rev GROUP BY r_name)
+    SELECT rev.n_name, rev.r_name,
+           CAST(rev.rev_dec AS DOUBLE) AS revenue,
+           floor(CAST(rev.rev_dec AS DOUBLE) / CAST(t.tot_dec AS DOUBLE) * 1e6 + CAST(0.5 AS DOUBLE))
+             / 1e6 AS region_share
+    FROM rev JOIN tot t ON rev.r_name = t.r_name
+"""
+
+
+@register("sql_interface", oracle=_SQL_INTERFACE_TEXT)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path end-to-end: register the driver tables as
+    temp views and run ONE SQL text — the literal same string is the
+    DuckDB oracle, so this query also proves the engine's ANSI-SQL
+    dialect compatibility (CTEs, multi-join, decimal casts, window-free
+    share via a second aggregation level; decimals stay decimal until
+    the final projection so no float reassociates anywhere).
+
+    Shared-text gotcha: Spark SQL parses decimal-dot literals
+    (1000000.0) as DECIMAL where DuckDB and the DataFrame API use
+    DOUBLE — the rounding must use 1e6 (scientific notation is DOUBLE
+    in both dialects) or the result column comes back decimal-typed."""
+    from bigdata06_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_INTERFACE_TEXT)
