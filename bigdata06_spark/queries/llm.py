@@ -932,3 +932,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot, with exact-ratio values so the plumbing is oracle-checked."""
     docs = load_table(spark, "documents", sf_dir)
     return M.extract_features(M.decode_media(M.attach_binary_payload(docs)))
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), ct AS (
+      SELECT doc_id, term, tf,
+             sum(tf) OVER (PARTITION BY term) AS ctot,
+             sum(tf) OVER () AS grand
+      FROM tf
+    ), scored AS (
+      SELECT doc_id, tf,
+             CAST(floor(-ln(CAST(ctot AS DOUBLE) / grand) * 1e6 + 0.5) / 1e6
+                  AS DECIMAL(25,6)) AS lp6
+      FROM ct
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(tf * lp6) AS DOUBLE) / CAST(sum(tf) AS BIGINT) * 1e6 + 0.5) / 1e6
+             AS avg_neg_logprob
+    FROM scored GROUP BY 1
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet/KenLM-style quality
+    proxy, degree 1): train term probabilities on the corpus itself,
+    score each doc by its average negative log-probability — low =
+    stereotypical text, high = rare-token-heavy. Cross-engine exact:
+    each term's -ln(p) is floor-rounded to the 6dp grid and summed in
+    DECIMAL weighted by tf, so no float reassociation anywhere.
+
+    Plan (the tfidf trick): ONE corpus explode → tf relation; corpus
+    term counts and the grand total are windows over tf (vocab-sized
+    state), never a second scan; final agg on doc_id. 3 shuffles."""
+    from pyspark.sql import Window
+
+    from bigdata06_spark.queries.qutil import rnd
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ct = tf.withColumn("ctot", F.sum("tf").over(Window.partitionBy("term"))).withColumn(
+        "grand", F.sum("tf").over(Window.partitionBy())
+    )
+    lp6 = rnd(-F.log(F.col("ctot").cast("double") / F.col("grand")), 6).cast("decimal(25,6)")
+    return (
+        ct.select("doc_id", "tf", lp6.alias("lp6"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            rnd(
+                F.sum(F.col("tf") * F.col("lp6")).cast("double") / F.sum("tf").cast("double"), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
