@@ -1134,3 +1134,49 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_INTERFACE_TEXT)
+
+
+@register(
+    "events_retention_daily",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    ret AS (
+      SELECT a.d, count(*) AS active,
+             CAST(count(b.user_id) AS BIGINT) AS retained
+      FROM act a LEFT JOIN act b
+        ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+      GROUP BY a.d
+    )
+    SELECT CAST(d AS VARCHAR) AS activity_date, CAST(active AS BIGINT) AS active_users, retained,
+           floor(CAST(retained AS DOUBLE) / active * 1e6 + 0.5) / 1e6 AS retention_rate
+    FROM ret
+    """,
+)
+def events_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention (cohort analysis): of the users active on
+    day D, the share also active on D+1. The activity relation is the
+    DISTINCT (user, day) set — one dedup shuffle collapses the raw fact
+    to |users×days| rows, and the self-join joins that small relation
+    on user_id, so the event volume never enters the join. Integer
+    ratio → exact cross-engine with the shared 6dp rounding."""
+    e = load_table(spark, "events", sf_dir)
+    act = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    b = act.select(F.col("user_id"), F.date_sub(F.col("d"), 1).alias("d"))
+    ret = (
+        act.join(b.withColumnRenamed("user_id", "b_user"),
+                 (act.user_id == F.col("b_user")) & (act.d == b.d), "left")
+        .groupBy(act.d)
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count("b_user").alias("retained"),
+        )
+    )
+    return ret.select(
+        F.col("d").cast("string").alias("activity_date"),
+        "active_users",
+        "retained",
+        (F.floor(F.col("retained").cast("double") / F.col("active_users") * 1e6 + F.lit(0.5))
+         / 1e6).alias("retention_rate"),
+    )
