@@ -1180,3 +1180,41 @@ def events_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("retained").cast("double") / F.col("active_users") * 1e6 + F.lit(0.5))
          / 1e6).alias("retention_rate"),
     )
+
+
+@register(
+    "events_trending_decay",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS tmax FROM events),
+    scored AS (
+      SELECT e.event_type,
+             CAST(floor(exp(-0.01 * (epoch_us(mx.tmax) - epoch_us(e.ts)) / 3600000000.0)
+                        * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6)) AS w
+      FROM events e CROSS JOIN mx
+    )
+    SELECT event_type,
+           CAST(sum(w) AS DOUBLE) AS trend_score,
+           count(*) AS n_events
+    FROM scored GROUP BY 1
+    """,
+)
+def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trending score per event type: each event
+    contributes exp(-0.01 x age_hours) relative to the newest event —
+    recency-weighted popularity without a window cutoff. Per-event
+    weights are floor-rounded to the 6dp grid BEFORE the decimal sum
+    (exp differs in final ulps across libm builds; a float sum would
+    also reassociate), so the aggregate is bit-exact cross-engine.
+    One 1-row max-ts broadcast + one map-side-combined aggregation."""
+    from bigdata06_spark.queries.qutil import epoch_us, rnd
+
+    e = load_table(spark, "events", sf_dir)
+    mx = e.agg(F.max("ts").alias("tmax"))
+    age_h = (epoch_us(F.col("tmax")) - epoch_us(F.col("ts"))) / 3_600_000_000.0
+    w = rnd(F.exp(-0.01 * age_h), 6).cast("decimal(25,6)")
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select("event_type", w.alias("w"))
+        .groupBy("event_type")
+        .agg(F.sum("w").cast("double").alias("trend_score"), F.count(F.lit(1)).alias("n_events"))
+    )

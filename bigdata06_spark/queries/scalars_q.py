@@ -290,3 +290,31 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("l_shipdate").try_cast("date"), "yyyy-MM-dd").alias("ship_as_date"),
         F.try_element_at(arr, F.lit(1)).alias("head_flag"),
     )
+
+
+@register(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           json_extract_string(props, '$.missing') AS missing_path
+    FROM events
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse_json into a
+    VARIANT value, path-extract with variant_get (typed) and
+    try_variant_get (missing paths → null, not error). VARIANT keeps
+    the parsed tree in a binary form — repeated path extraction skips
+    re-parsing the JSON text, the at-scale advantage over
+    get_json_object on hot paths. Oracle via DuckDB's JSON extraction
+    on the same string column."""
+    e = load_table(spark, "events", sf_dir)
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_path"),
+    )
