@@ -991,3 +991,85 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+    tc AS (SELECT term, count(*) AS c FROM dt GROUP BY 1),
+    pc AS (
+      SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    ),
+    pmi AS (
+      SELECT p.term_a, p.term_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+             floor(ln(CAST(p.c_ab AS DOUBLE) * n.n_docs / (ta.c * CAST(tb.c AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6 AS pmi
+      FROM pc p
+        JOIN tc ta ON ta.term = p.term_a
+        JOIN tc tb ON tb.term = p.term_b
+        CROSS JOIN n
+      WHERE p.c_ab >= 5
+    )
+    SELECT term_a, term_b, c_ab, pmi FROM (
+      SELECT term_a, term_b, c_ab, pmi,
+             row_number() OVER (ORDER BY pmi DESC, term_a ASC, term_b ASC) AS rn
+      FROM pmi
+    ) WHERE rn <= 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery via document-level PMI: for term pairs
+    co-occurring in ≥5 docs, pmi = ln(P(a,b) / (P(a)P(b))) with
+    probabilities over the distinct (doc, term) relation; top-20 pairs.
+
+    Scale shape: the pair join is the inverted-index self-join on
+    doc_id, but its output is VOCABULARY-bounded (every pair of
+    distinct terms, not of documents) — with Heaps'-law vocab growth
+    the pair relation stays tiny relative to the corpus; term counts
+    broadcast back onto it. ln rounded 6dp (libm ulps), integer
+    counts exact."""
+    from pyspark.sql import Window
+
+    from bigdata06_spark.queries.qutil import rnd
+
+    d = load_table(spark, "documents", sf_dir)
+    dt = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("term")).distinct()
+    n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
+    tc = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    a = dt.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = dt.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    pc = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ta = tc.select(F.col("term").alias("term_a"), F.col("c").alias("ca"))
+    tb = tc.select(F.col("term").alias("term_b"), F.col("c").alias("cb"))
+    pmi = (
+        pc.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            rnd(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("ca") * F.col("cb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+    return pmi.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20).drop("rn")
