@@ -1218,3 +1218,53 @@ def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("w").cast("double").alias("trend_score"), F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "feature_bins_lookup",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice,
+             ntile(10) OVER (ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                             l_linenumber ASC) AS bin
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT bin, max(l_extendedprice) AS edge FROM ranked WHERE bin <= 9 GROUP BY 1
+    ),
+    scored AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             1 + (SELECT count(*) FROM edges e WHERE l.l_extendedprice > e.edge) AS bucket
+      FROM lineitem l
+    )
+    SELECT bucket, count(*) AS n
+    FROM scored GROUP BY 1
+    """,
+)
+def feature_bins_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path promised by feature_quantile_bins: decile EDGES
+    are fit once (here from the exact ntile reference; on 100 TB from
+    percentile_approx or a sample), then every row is scored by a
+    BROADCAST edge lookup — count of edges strictly below the value —
+    so the scoring pass is a scan-stage expression over 9 numbers and
+    never sorts the fact. Ties land in the lower bucket on both
+    engines (strict >)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.orderBy(F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    edges = (
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber",
+                  F.ntile(10).over(w).alias("bin"))
+        .filter(F.col("bin") <= 9)
+        .groupBy("bin")
+        .agg(F.max("l_extendedprice").alias("edge"))
+        .agg(F.sort_array(F.collect_list("edge")).alias("edges"))
+    )
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("edges"), lambda e: F.col("l_extendedprice") > e)
+    )
+    return (
+        li.crossJoin(F.broadcast(edges))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
