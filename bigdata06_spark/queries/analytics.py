@@ -1268,3 +1268,57 @@ def feature_bins_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (width 50): bucketing is a
+    scan-stage floor division, so the histogram is one
+    map-side-combined aggregation — the constant-memory profile
+    builder; decimal sums keep per-bucket totals exact."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.select(F.floor(F.col("value") / 50.0).cast("long").alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "events_activity_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with distinct users
+    per cell — the usage-pattern rollup. 168-cell output; the distinct
+    count is the only reason this shuffles raw (user, cell) pairs, and
+    at 100 TB swaps for approx_count_distinct per the aggregation
+    family budget. DuckDB dayofweek is 0-6 Sunday-first; Spark's
+    dayofweek is 1-7, so the expression subtracts 1 to match."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.select(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+            "user_id",
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+    )
