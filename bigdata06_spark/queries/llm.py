@@ -1073,3 +1073,60 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
     return pmi.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20).drop("rn")
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest([{'pos': i - 1,
+                      'h': CAST(CAST(('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))
+                                AS UBIGINT) AS BIGINT)}
+                     for i in range(1, len(ws) - 3)]) AS u
+      FROM w
+    ),
+    g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sh),
+    mn AS (
+      SELECT doc_id, pos, h,
+             min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+                                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+             count(*) OVER (PARTITION BY doc_id) AS n_sh
+      FROM g
+    )
+    SELECT DISTINCT doc_id, m.h AS fp_hash, CAST(-m.np AS BIGINT) AS fp_pos
+    FROM mn WHERE pos <= n_sh - 4
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every 5-gram shingle, slide a 4-hash window, keep each window's
+    minimum (rightmost on ties — the struct-min (h, -pos) encodes that
+    identically on both engines), distinct per doc. Guarantees every
+    shared run of ≥ 8 words between two docs shares a fingerprint —
+    the plagiarism/near-copy detection primitive with a bounded
+    fingerprint density (~2/(w+1) of positions).
+
+    Plan: one explode, one doc-partitioned window (two frames share
+    the sort), distinct on the selected (doc, hash, pos) rows — the
+    same shuffle family as any per-doc window; hashes are md5-prefix
+    ints so both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    sh5 = T.word_shingles(T.words(F.col("text")), 5)
+    t = d.select("doc_id", F.posexplode(sh5).alias("pos", "s"))
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    whole = Window.partitionBy("doc_id")
+    mn = (
+        t.withColumn("h", h)
+        .withColumn("m", F.min(F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("np"))).over(win))
+        .withColumn("n_sh", F.count(F.lit(1)).over(whole))
+    )
+    return (
+        mn.filter(F.col("pos") <= F.col("n_sh") - 4)
+        .select("doc_id", F.col("m.h").alias("fp_hash"), (-F.col("m.np")).cast("long").alias("fp_pos"))
+        .distinct()
+    )
