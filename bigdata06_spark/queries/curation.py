@@ -364,3 +364,64 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         rnd(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias("token_share"),
     )
+
+
+@register(
+    "corpus_source_kl",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    st AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY 1, 2),
+    x AS (
+      SELECT source, term, c_st,
+             sum(c_st) OVER (PARTITION BY source) AS t_s,
+             sum(c_st) OVER (PARTITION BY term) AS c_t,
+             sum(c_st) OVER () AS grand
+      FROM st
+    ),
+    contrib AS (
+      SELECT source,
+             CAST(floor(CAST(c_st AS DOUBLE) / t_s
+                        * ln(CAST(c_st AS DOUBLE) * grand / (CAST(t_s AS DOUBLE) * c_t))
+                        * 1e6 + 0.5) / 1e6 AS DECIMAL(25,6)) AS kl6
+      FROM x
+    )
+    SELECT source, CAST(sum(kl6) AS DOUBLE) AS kl_divergence
+    FROM contrib GROUP BY 1
+    """,
+)
+def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the mixture diagnostic: a high-KL source is lexically unlike the
+    rest (a candidate for separate treatment), near-zero means
+    redundant with the mix. Term-level contributions round onto the
+    6dp grid before the decimal sum (ln ulps + float reassociation),
+    and all distribution totals come from windows over the one
+    (source, term) count relation — single corpus explode, never a
+    second scan."""
+    from pyspark.sql import Window
+
+    from bigdata06_spark.queries.qutil import rnd
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("source", F.explode(T.words(F.col("text"))).alias("term"))
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    x = (
+        st.withColumn("t_s", F.sum("c_st").over(Window.partitionBy("source")))
+        .withColumn("c_t", F.sum("c_st").over(Window.partitionBy("term")))
+        .withColumn("grand", F.sum("c_st").over(Window.partitionBy()))
+    )
+    kl6 = rnd(
+        F.col("c_st").cast("double")
+        / F.col("t_s")
+        * F.log(
+            F.col("c_st").cast("double") * F.col("grand") / (F.col("t_s").cast("double") * F.col("c_t"))
+        ),
+        6,
+    ).cast("decimal(25,6)")
+    return (
+        x.select("source", kl6.alias("kl6"))
+        .groupBy("source")
+        .agg(F.sum("kl6").cast("double").alias("kl_divergence"))
+    )
