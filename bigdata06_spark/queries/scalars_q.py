@@ -318,3 +318,30 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
         F.try_variant_get(v, "$.missing", "string").alias("missing_path"),
     )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS all_and,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS any_or,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
+           CAST(min(l_linenumber & 3) AS BIGINT) AS min_masked,
+           CAST(max(l_linenumber << 2) AS BIGINT) AS max_shifted
+    FROM lineitem GROUP BY 1
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate + scalar surface: bit_and/bit_or/bit_xor
+    aggregates (xor-folds are how checksum-style integrity sweeps
+    aggregate at scale — order-insensitive, mergeable) plus masked/
+    shifted scalar forms. All integer-exact."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").cast("long").alias("all_and"),
+        F.bit_or("l_linenumber").cast("long").alias("any_or"),
+        F.bit_xor("l_orderkey").cast("long").alias("key_xor"),
+        F.min(F.col("l_linenumber").bitwiseAND(F.lit(3))).cast("long").alias("min_masked"),
+        F.max(F.shiftleft(F.col("l_linenumber"), 2)).cast("long").alias("max_shifted"),
+    )
