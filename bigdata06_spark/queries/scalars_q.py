@@ -345,3 +345,48 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_linenumber").bitwiseAND(F.lit(3))).cast("long").alias("min_masked"),
         F.max(F.shiftleft(F.col("l_linenumber"), 2)).cast("long").alias("max_shifted"),
     )
+
+
+@register(
+    "scalar_array_hof_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> length(w) > 7)) > 0 AS has_long,
+           len(list_filter(string_split(text, ' '), w -> NOT (length(w) > 0))) = 0
+             AS all_nonempty,
+           CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT)
+             AS total_chars,
+           CASE WHEN len(string_split(text, ' ')) >= 4
+                THEN array_to_string([string_split(text, ' ')[i] || '-' ||
+                                      string_split(text, ' ')[i+1] for i in range(1, 4)], '|')
+                ELSE '' END AS bigram_head,
+           CAST(len(flatten([string_split(text, ' '), string_split(text, ' ')])) AS BIGINT)
+             AS doubled_len
+    FROM documents
+    """,
+)
+def scalar_array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function coverage beyond transform/filter:
+    exists, forall, aggregate (left fold), zip_with (pairwise combine
+    of shifted slices), flatten — all Catalyst lambda expressions,
+    zero Python."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = F.split(F.col("text"), " ")
+    fold = F.aggregate(
+        F.transform(ws, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    zipped = F.when(
+        F.size(ws) >= 4,
+        F.array_join(
+            F.zip_with(F.slice(ws, 1, 3), F.slice(ws, 2, 3), lambda a, b: F.concat_ws("-", a, b)),
+            "|",
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id",
+        F.exists(ws, lambda w: F.length(w) > 7).alias("has_long"),
+        F.forall(ws, lambda w: F.length(w) > 0).alias("all_nonempty"),
+        fold.alias("total_chars"),
+        zipped.alias("bigram_head"),
+        F.size(F.flatten(F.array(ws, ws))).cast("long").alias("doubled_len"),
+    )
