@@ -1322,3 +1322,64 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hod")
         .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    )
+    SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_no, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 'view>click', CAST(2 AS BIGINT), count(*) FROM s2
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(3 AS BIGINT), count(*) FROM s3
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): a user counts
+    at step k only with a strictly-later event than their step-k-1
+    entry — the product-analytics funnel with ORDER enforced, not mere
+    set intersection. Each stage is a filtered min-aggregate joined to
+    the previous stage's (user, ts) relation: per-stage shuffles are
+    user-keyed and the stage relations shrink monotonically, so at
+    scale stage k joins broadcast against stage k-1's survivors."""
+    e = load_table(spark, "events", sf_dir)
+
+    def stage(df_events, etype, prev):
+        j = df_events.filter(F.col("event_type") == etype)
+        if prev is not None:
+            j = j.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
+        return j.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    s1 = stage(e, "view", None)
+    s2 = stage(e, "click", s1.select("user_id", "t_prev"))
+    s3 = stage(e, "purchase", s2.select("user_id", "t_prev"))
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view").alias("step"), F.lit(1).cast("long").alias("step_no"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click").alias("step"), F.lit(2).cast("long").alias("step_no"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click>purchase").alias("step"),
+            F.lit(3).cast("long").alias("step_no"),
+            "n_users",
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
