@@ -390,3 +390,47 @@ def scalar_array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         zipped.alias("bigram_head"),
         F.size(F.flatten(F.array(ws, ws))).cast("long").alias("doubled_len"),
     )
+
+
+@register(
+    "scalar_map_hof_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct(string_split(text, ' ')))[1:3] AS arr
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string([w || ':' || CAST(length(w) * 2 AS VARCHAR) for w in arr], '|')
+             AS doubled_entries,
+           coalesce(array_to_string([w || ':' || CAST(length(w) * 2 AS VARCHAR)
+                                     for w in arr if length(w) * 2 >= 8], '|'), '')
+             AS filtered_entries,
+           CAST(len([w for w in arr if length(w) * 2 >= 8]) AS BIGINT) AS n_kept
+    FROM t
+    """,
+)
+def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map lambda surface: map_from_arrays to build, transform_values
+    to rewrite, map_filter to prune — serialized as sorted 'k:v'
+    entries so the oracle (list-based; DuckDB maps aren't
+    Spark-identical) compares plain strings. The map lives only
+    mid-plan, all Catalyst lambda expressions."""
+    d = load_table(spark, "documents", sf_dir)
+    arr = F.slice(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), 1, 3)
+    m = F.map_from_arrays(arr, F.transform(arr, lambda w: F.length(w)))
+    mv = F.transform_values(m, lambda k, v: v * 2)
+    mf = F.map_filter(mv, lambda k, v: v >= 8)
+
+    def ser(mp):
+        ks = F.array_sort(F.map_keys(mp))
+        return F.array_join(
+            F.transform(ks, lambda k: F.concat_ws(":", k, F.element_at(mp, k))), "|"
+        )
+
+    return d.select(
+        "doc_id",
+        ser(mv).alias("doubled_entries"),
+        ser(mf).alias("filtered_entries"),
+        F.size(mf).cast("long").alias("n_kept"),
+    )
