@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata06_spark.catalog import load_table
+from bigdata06_spark.operators import textops as T
 from bigdata06_spark.queries import register
 
 
@@ -433,4 +434,32 @@ def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ser(mv).alias("doubled_entries"),
         ser(mf).alias("filtered_entries"),
         F.size(mf).cast("long").alias("n_kept"),
+    )
+
+
+@register(
+    "scalar_explode_outer",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, greatest(len(string_split(text, ' ')) - 59, 0) AS n60 FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n60 = 0 THEN 1 ELSE n60 END AS BIGINT) AS n_rows,
+           CAST(n60 AS BIGINT) AS n_grams
+    FROM w
+    """,
+)
+def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: expanding docs into 60-gram windows,
+    documents too short for any window keep ONE row with a null
+    element instead of vanishing — the null-preserving fan-out plain
+    explode silently drops (the corpus straddles the 60-token line, so
+    both branches are exercised). Verified by per-doc row vs non-null
+    counts against the closed-form oracle."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select(
+        "doc_id", F.explode_outer(T.word_shingles(T.words(F.col("text")), 60)).alias("g")
+    )
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.count("g").alias("n_grams")
     )
