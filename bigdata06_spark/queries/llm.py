@@ -1130,3 +1130,55 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("m.h").alias("fp_hash"), (-F.col("m.np")).cast("long").alias("fp_pos"))
         .distinct()
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    s AS (
+      SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) AS amax
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, x, amax,
+             [floor(v * (127.0 / amax) + 0.5) for v in x] AS qv
+      FROM s
+    ),
+    r AS (
+      SELECT vec_id, amax,
+             list_max([abs(x[i] - qv[i] * (amax / 127.0)) for i in range(1, len(x) + 1)])
+               AS max_err,
+             list_cosine_similarity(x, [v * (amax / 127.0) for v in qv]) AS fid
+      FROM q
+    )
+    SELECT vec_id,
+           floor(amax * 1e6 + 0.5) / 1e6 AS amax,
+           floor(max_err * 1e6 + 0.5) / 1e6 AS max_abs_err,
+           floor(fid * 1e6 + 0.5) / 1e6 AS cos_fidelity
+    FROM r
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the 4x
+    vector-storage compression every large ANN index uses): per-vector
+    scale 127/max|x|, round-half-up to int8 codes, report max absolute
+    reconstruction error and cosine fidelity vs the original. All
+    per-row higher-order expressions — zero shuffles; the same
+    fold-order cosine as the similarity operators keeps both engines
+    bit-aligned, 6dp-rounded outputs."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    e = load_table(spark, "embeddings", sf_dir)
+    x = S.as_double(F.col("embedding"))
+    amax = F.array_max(F.transform(x, F.abs))
+    qv = F.transform(x, lambda v: F.floor(v * (F.lit(127.0) / amax) + F.lit(0.5)))
+    recon = F.transform(qv, lambda v: v * (amax / F.lit(127.0)))
+    max_err = F.array_max(F.zip_with(x, recon, lambda a, b: F.abs(a - b)))
+    return e.select(
+        "vec_id",
+        rnd(amax, 6).alias("amax"),
+        rnd(max_err, 6).alias("max_abs_err"),
+        rnd(S.cosine(x, recon), 6).alias("cos_fidelity"),
+    )
