@@ -1383,3 +1383,42 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "events_lateness_profile",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+      FROM events
+    )
+    SELECT CAST((epoch_us(run_max) - epoch_us(ts)) // 600000000 AS BIGINT) AS late_bucket_10m,
+           count(*) AS n
+    FROM r GROUP BY 1
+    """,
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile: how far behind its user's running-max
+    event time each arriving event is (arrival order = event_id),
+    bucketed in 10-minute steps — THE empirical input for choosing a
+    watermark delay (the bucket covering ~P99 lateness is your bound;
+    everything beyond is data a that watermark would drop). One
+    user-keyed window (the same distribution keyed streaming state
+    uses) + a tiny bucket aggregation. On the driver fixture events
+    arrive in-order per user, so the profile collapses to bucket 0 —
+    which is itself the finding (a minimal watermark suffices)."""
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_max = F.max("ts").over(w)
+    lateness_us = epoch_us(run_max) - epoch_us(F.col("ts"))
+    return (
+        e.select((lateness_us / 600_000_000).cast("long").alias("late_bucket_10m"))
+        .groupBy("late_bucket_10m")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
