@@ -239,3 +239,25 @@ def test_salted_agg_matches_direct_agg(spark, sf_dir):
     assert g == e
     plan = plan_of(got)
     assert "_salt" in plan
+
+
+def test_quantize_zero_shuffle(spark, sf_dir):
+    plan = plan_of(SPECS["embedding_quantize_int8"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Exchange") == 0, plan
+
+
+def test_trending_decay_broadcast_single_agg(spark, sf_dir):
+    # 1-row max-ts broadcast onto the scan; exchanges = the 1-row
+    # partial-max gather + the final per-type aggregation — never a
+    # fact-wide join shuffle
+    plan = plan_of(SPECS["events_trending_decay"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert count_plan_nodes(plan, "Exchange") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bins_lookup_no_fact_sort(spark, sf_dir):
+    # the scoring pass must not globally sort the fact: the only sort
+    # belongs to the 9-row edge-fitting window
+    plan = plan_of(SPECS["feature_bins_lookup"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
