@@ -1422,3 +1422,61 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("late_bucket_10m")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    base AS (
+      SELECT o.o_custkey,
+             CAST(date_diff('day', max(o.o_orderdate), mx.dmax) AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+      FROM orders o CROSS JOIN mx
+      GROUP BY o.o_custkey, mx.dmax
+    )
+    SELECT o_custkey, recency_days, CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT) AS m_score
+    FROM base
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (vs the
+    corpus max date), order count, and decimal-exact lifetime spend,
+    each quintile-scored (ntile, customer-key tiebreaks). The base
+    aggregation is one customer-keyed shuffle; the three global ntile
+    windows run on the |customers| relation — at 100 TB swap them for
+    the feature_bins_lookup edge-broadcast pattern, which this query's
+    exact scores calibrate."""
+    o = load_table(spark, "orders", sf_dir)
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "dmax")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("dmax"), F.col("last_order")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
