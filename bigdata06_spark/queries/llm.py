@@ -1182,3 +1182,90 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(max_err, 6).alias("max_abs_err"),
         rnd(S.cosine(x, recon), 6).alias("cos_fidelity"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS u
+      FROM w WHERE len(ws) >= 2
+    ),
+    tf2 AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2, count(*) AS tf2 FROM bg GROUP BY 1, 2, 3
+    ),
+    x AS (
+      SELECT doc_id, w1, w2, tf2,
+             sum(tf2) OVER (PARTITION BY w1, w2) AS c12,
+             sum(tf2) OVER (PARTITION BY w1) AS c1,
+             sum(tf2) OVER (PARTITION BY w2) AS c2,
+             sum(tf2) OVER () AS grand
+      FROM tf2
+    ),
+    scored AS (
+      SELECT doc_id, tf2,
+             CAST(floor(-ln(0.7 * (CAST(c12 AS DOUBLE) / c1)
+                            + 0.3 * (CAST(c2 AS DOUBLE) / grand)) * 1e6 + 0.5) / 1e6
+                  AS DECIMAL(25,6)) AS lp6
+      FROM x
+    )
+    SELECT doc_id,
+           CAST(sum(tf2) AS BIGINT) AS n_bigrams,
+           floor(CAST(sum(tf2 * lp6) AS DOUBLE) / CAST(sum(tf2) AS BIGINT) * 1e6 + 0.5) / 1e6
+             AS avg_neg_logprob
+    FROM scored GROUP BY 1
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (degree-2 companion of
+    text_unigram_logprob): each doc's average -ln of
+    0.7·p(w2|w1) + 0.3·p(w2) under corpus-trained counts — the
+    Jelinek-Mercer-smoothed quality proxy that penalizes improbable
+    SEQUENCES, not just rare words. Same exactness discipline: all
+    probabilities are ratios of exact integer counts (windows over the
+    single per-doc bigram relation — w2's unigram count is the bigram
+    count summed over predecessors, so one explode feeds everything),
+    the interpolation is one fixed-shape double expression, and
+    per-position log-probs round onto the 6dp grid before the
+    tf-weighted decimal sum."""
+    from pyspark.sql import Window
+
+    from bigdata06_spark.queries.qutil import rnd
+
+    d = load_table(spark, "documents", sf_dir)
+    ws = T.words(F.col("text"))
+    bigrams = d.select("doc_id", F.explode(T.word_shingles(ws, 2)).alias("b"))
+    tf2 = (
+        bigrams.select(
+            "doc_id",
+            F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("b"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf2"))
+    )
+    x = (
+        tf2.withColumn("c12", F.sum("tf2").over(Window.partitionBy("w1", "w2")))
+        .withColumn("c1", F.sum("tf2").over(Window.partitionBy("w1")))
+        .withColumn("c2", F.sum("tf2").over(Window.partitionBy("w2")))
+        .withColumn("grand", F.sum("tf2").over(Window.partitionBy()))
+    )
+    lp6 = rnd(
+        -F.log(
+            0.7 * (F.col("c12").cast("double") / F.col("c1"))
+            + 0.3 * (F.col("c2").cast("double") / F.col("grand"))
+        ),
+        6,
+    ).cast("decimal(25,6)")
+    return (
+        x.select("doc_id", "tf2", lp6.alias("lp6"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf2").alias("n_bigrams"),
+            rnd(
+                F.sum(F.col("tf2") * F.col("lp6")).cast("double") / F.sum("tf2").cast("double"), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
