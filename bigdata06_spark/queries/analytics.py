@@ -1480,3 +1480,21 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(wf).cast("long").alias("f_score"),
         F.ntile(5).over(wm).cast("long").alias("m_score"),
     )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each customer key appears
+    min(#finished, #open) times — the multiplicity-preserving variant
+    completing the set-op surface next to intersect/exceptAll."""
+    o = load_table(spark, "orders", sf_dir)
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)
