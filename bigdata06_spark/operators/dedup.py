@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata06_spark.operators.scale import rebalance_for_amplification
 from bigdata06_spark.operators.textops import distinct_shingles, fingerprint_md5, words
 
 NUM_MINHASH = 64
@@ -44,7 +45,14 @@ def shingle_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
                   n: int = 3, max_df: int | None = None) -> DataFrame:
     """Inverted index: (id, shingle), distinct. `max_df` drops shingles
     appearing in more than max_df docs (stop-shingle skew control; None
-    keeps all → exact candidate recall)."""
+    keeps all → exact candidate recall).
+
+    Input is rebalanced on the doc id before the explode: shingling
+    amplifies each doc ~500×, so parallelism must come from the data,
+    not the (possibly single) input split — see
+    `rebalance_for_amplification`. Partitioning on the id also lets
+    every downstream per-doc aggregate reuse this exchange."""
+    docs = rebalance_for_amplification(docs, id_col)
     idx = docs.select(
         F.col(id_col), F.explode(distinct_shingles(words(F.col(text_col)), n)).alias("shingle")
     )
@@ -105,6 +113,25 @@ def _verify_candidates(cands: DataFrame, sets_: DataFrame, id_col: str,
     )
 
 
+def _minhash_aggs(num_hashes: int) -> list:
+    """The `num_hashes` min-aggregates as parsed SQL expressions — one
+    py4j call each instead of ~6 Column ops each (see
+    `minhash_signatures` on why construction cost matters)."""
+    return [F.expr(f"min(hash(shingle, {j})) as h{j}") for j in range(num_hashes)]
+
+
+def _band_structs(bands: int, r: int) -> F.Column:
+    """array(struct(band, hash(h_{b*r}..h_{b*r+r-1}))) as ONE parsed
+    expression: banding a 64-hash signature into 32 structs is ~200
+    Column ops built the naive way — a measurable driver-side cost per
+    query construction."""
+    parts = ", ".join(
+        f"struct({bi} as band, hash({', '.join(f'h{bi * r + j}' for j in range(r))}) as bh)"
+        for bi in range(bands)
+    )
+    return F.expr(f"array({parts})")
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3, num_hashes: int = NUM_MINHASH) -> DataFrame:
     """MinHash signatures: h_j(doc) = min over shingles of murmur3(shingle, j).
@@ -128,8 +155,13 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
       form even at 4M shingle rows (murmur3 on short strings is as
       cheap as the multiply-mod chain) — not worth the constants."""
     idx = shingle_index(docs, id_col, text_col, n)
-    mins = [F.min(F.hash(F.col("shingle"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
-    return idx.groupBy(id_col).agg(*mins)
+    # SQL-string aggregates, not a 64-element Column-algebra list: each
+    # python-side Column op is a py4j round-trip plus a re-analysis of
+    # the growing tree, and at 64 aggregates that DRIVER-side build cost
+    # (~2s) dwarfed the executor time (~0.5s) of the whole job. One
+    # parsed expression per aggregate keeps construction ~O(1) in
+    # num_hashes. Semantically identical (equality-tested).
+    return idx.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -157,19 +189,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     """
     r = num_hashes // bands
     idx = shingle_index(docs, id_col, text_col, n)
-    mins = [F.min(F.hash(F.col("shingle"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
-    sig = idx.groupBy(id_col).agg(*mins)
+    sig = idx.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
     sets_ = idx.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.hash(*[F.col(f"h{bi * r + j}") for j in range(r)]).alias("bh"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+    buckets = sig.select(F.col(id_col), F.explode(_band_structs(bands, r)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     left = buckets.select(F.col(id_col).alias("doc_a"), "band", "bh")
@@ -199,24 +221,28 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     every true J≥0.5 pair lands at hamming ≤ 11 while only 451 pairs
     corpus-wide pass ≤ 15 — candidates shrink ~46000x and the pipeline
     runs in seconds at identical (exact-verified) output."""
+    docs = rebalance_for_amplification(docs, id_col)
     feats = docs.select(
         F.col(id_col),
         F.explode(distinct_shingles(words(F.col(text_col)), n)).alias("feat"),
-    )
-    h = F.xxhash64(F.col("feat"))
+    ).select(F.col(id_col), F.xxhash64(F.col("feat")).alias("_h"))
+    # Both the 64 conditional sums and the 64-term bit assembly are
+    # parsed SQL, not python Column algebra: at 64 bits the naive build
+    # was ~8 py4j round-trips per bit plus a re-analysis per op — more
+    # driver time constructing the query (~2s) than executing it.
+    # Equality-tested against the Column-algebra form.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(f"sum(case when (_h >> {i}) & 1 = 1 then 1 else -1 end) as b{i}")
         for i in range(bits)
     ]
     agg = feats.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    # bits are disjoint → integer + assembles them; bit 63 is the sign
+    # bit, added as long MIN_VALUE (two's complement: -2^63 == 1<<63).
+    terms = " + ".join(
+        f"(case when b{i} > 0 then {-(1 << 63) if i == 63 else (1 << i)}L else 0L end)"
+        for i in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(terms).alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -233,38 +259,43 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     # ReusedExchange across the differing downstream projections);
     # localCheckpoint pins the tiny (id, 1 long) relation so it's
     # computed once — same trick as connected_components' loop state.
-    sig = simhash_signatures(docs, id_col, text_col, n=n).localCheckpoint(eager=True)
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(ci).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), ci * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("cv"),
-            )
+    # eager=False: both join sides share the one checkpointed RDD
+    # lineage, so a single downstream action still computes the
+    # signatures exactly once, while building/EXPLAINing this DataFrame
+    # stays free (eager=True ran the 64-sum job at construction time).
+    # Cluster caveat (as with any localCheckpoint): blocks are
+    # executor-local; on a real cluster with lost-executor risk prefer
+    # reliable checkpoint() or persist(MEMORY_AND_DISK_2).
+    sig = simhash_signatures(docs, id_col, text_col, n=n).localCheckpoint(eager=False)
+    mask = (1 << width) - 1
+    chunk_structs = F.expr(
+        "array(%s)"
+        % ", ".join(
+            f"struct({ci} as chunk, shiftrightunsigned(simhash, {ci * width}) & {mask} as cv)"
             for ci in range(chunks)
-        ]
+        )
     )
     buckets = sig.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("c")).select(
         id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv")
     )
     left = buckets.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "cv")
     right = buckets.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "cv")
-    xor_ = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-    hamming = F.bit_count(xor_)
     # A pair sharing k chunks would surface k times; instead of a
     # `.distinct()` (a full shuffle of every surviving joined row —
     # 21M rows at sf0.1, the narrow 2^width-value chunk space makes
     # this join inherently dense), keep a pair only in its FIRST
     # matching chunk, computed purely from the two signatures: the
     # lowest all-zero chunk of sig_a XOR sig_b. Pure codegen predicate,
-    # zero extra exchanges, exactly-once emission.
-    def _nib(j: int):
-        return F.shiftrightunsigned(xor_, j * width).bitwiseAND(F.lit((1 << width) - 1))
-
-    first_zero = F.lit(-1)
-    for j in reversed(range(chunks)):
-        first_zero = F.when(_nib(j) == 0, F.lit(j)).otherwise(first_zero)
+    # zero extra exchanges, exactly-once emission. (One parsed CASE, not
+    # a 16-deep python when-chain — construction cost, see signatures.)
+    first_zero = F.expr(
+        "case %s else -1 end"
+        % " ".join(
+            f"when shiftrightunsigned(sig_a ^ sig_b, {j * width}) & {mask} = 0 then {j}"
+            for j in range(chunks)
+        )
+    )
+    hamming = F.expr("bit_count(sig_a ^ sig_b)")
     cands = (
         left.join(right, ["chunk", "cv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -282,7 +313,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     # shrink a set; cross-pair intersection inflation ~|A||B|/2^64 per
     # pair, ~5e-10 across all sf0.1 candidates) — far below the LSH
     # band-miss odds the MinHash path already accepts.
-    sets_ = docs.select(
+    sets_ = rebalance_for_amplification(docs, id_col).select(
         F.col(id_col),
         F.transform(distinct_shingles(words(F.col(text_col)), n), lambda s: F.xxhash64(s)).alias(
             "sh_set"
@@ -321,20 +352,10 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str = "doc
 
     def _sig(docs: DataFrame, out_id: str) -> DataFrame:
         idx = shingle_index(docs, id_col, text_col, n)
-        mins = [F.min(F.hash(F.col("shingle"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
-        sig = idx.groupBy(id_col).agg(*mins)
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.hash(*[F.col(f"h{bi * r + j}") for j in range(r)]).alias("bh"),
-                )
-                for bi in range(bands)
-            ]
-        )
-        return sig.select(F.col(id_col).alias(out_id), F.explode(band_structs).alias("b")).select(
-            out_id, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-        )
+        sig = idx.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(_band_structs(bands, r)).alias("b")
+        ).select(out_id, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
     cands = (
         _sig(new_docs, "new_id")
@@ -342,10 +363,10 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str = "doc
         .select("new_id", "old_id")
         .distinct()
     )
-    sets_new = new_docs.select(
+    sets_new = rebalance_for_amplification(new_docs, id_col).select(
         F.col(id_col).alias("new_id"), distinct_shingles(words(F.col(text_col)), n).alias("set_a")
     )
-    sets_old = corpus.select(
+    sets_old = rebalance_for_amplification(corpus, id_col).select(
         F.col(id_col).alias("old_id"), distinct_shingles(words(F.col(text_col)), n).alias("set_b")
     )
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))

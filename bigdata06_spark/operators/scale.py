@@ -16,6 +16,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def rebalance_for_amplification(df: DataFrame, *keys: str) -> DataFrame:
+    """Give a compute-amplifying stage (explode ×100s, wide aggregates,
+    per-row HOF transforms) enough partitions to use every core.
+
+    Scan parallelism follows input SPLITS, but shingling/exploding a
+    document multiplies work ~500× past the scan — a corpus that fits
+    one parquet row group (small files, early pipeline stages) runs its
+    whole dedup signature job on ONE core unless we repartition first.
+    This helper hash-repartitions on `keys` to the cluster's default
+    parallelism, but only when the incoming plan has fewer partitions
+    than that — at 100 TB the scan already yields thousands of splits
+    and this is a no-op (no exchange added). Partitioning by the
+    downstream groupBy key also lets the post-explode aggregation reuse
+    the exchange instead of shuffling the amplified rows.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — un-plannable input; be safe, rebalance
+        current = 1
+    if current >= target:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def write_bucketed(df: DataFrame, name: str, path: str, key: str, n_buckets: int = 16) -> None:
     """Persist `df` bucketed (and sorted) by `key`: each bucket file
     holds one hash-slice of the key space. Two tables bucketed the same
@@ -45,8 +73,12 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, n_salts: int = 8,
     small side is modest but above the broadcast threshold; below the
     threshold, `F.broadcast` is strictly better (no shuffle at all).
     Result is identical to the unsalted join for any join type where
-    the salted side is preserved (inner/left with big on the left)."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).alias("_salt")
+    the salted side is preserved (inner/left with big on the left).
+
+    The salt comes from the row's POSITION (monotonically_increasing_id),
+    not its content: duplicate-heavy hot keys (exact-repeat rows) would
+    all hash to one salt under a content hash, leaving the skew unsplit."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
     b = big.select("*", salt)
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return b.join(s, [key, "_salt"], how).drop("_salt")
@@ -65,10 +97,16 @@ def salted_agg(df: DataFrame, key: str, aggs: dict[str, str], n_salts: int = 8) 
     #tasks/n_salts rows per hot key.
 
     `aggs`: {column: 'sum'|'count'|'min'|'max'} — the re-combinable
-    aggregates (avg = sum+count composed by the caller). Result is
-    row-identical to the direct groupBy (test-pinned)."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("_salt")
-    first = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+    aggregates (avg = sum+count composed by the caller). `count` is
+    COUNT(col) — non-null rows, matching the per-column `{c}_count`
+    alias; pass a non-nullable column for COUNT(*) semantics. Result is
+    row-identical to the direct groupBy (test-pinned).
+
+    Positional salt (not a content hash): exact-duplicate rows of a hot
+    key must spread across salts, and hashing the row's columns would
+    send them all to one reducer."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
+    first = {"sum": F.sum, "count": lambda c: F.count(F.col(c)), "min": F.min, "max": F.max}
     second = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     partial = (
         df.select("*", salt)

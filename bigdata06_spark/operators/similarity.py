@@ -96,30 +96,38 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6,
             n_tables: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 42) -> DataFrame:
-    """ANN via MULTI-TABLE hyperplane LSH: `n_tables` independent
-    signatures of `n_planes` sign bits each; a pair is a candidate if
-    ANY table's signatures match, then candidates re-rank exactly.
+            seed: int = 42, multiprobe: int = 1) -> DataFrame:
+    """ANN via MULTI-TABLE hyperplane LSH with query-side MULTIPROBE:
+    `n_tables` independent signatures of `n_planes` sign bits each; a
+    pair is a candidate if any table's signatures agree within
+    `multiprobe` flipped bits, then candidates re-rank exactly.
 
     Why multi-table: with one b-bit table, recall at angle θ is
-    (1-θ/π)^b — measured 0.03 at b=8 on the fixture embeddings (a
+    p^b, p = 1-θ/π — measured 0.03 at b=8 on the fixture embeddings (a
     cos≈0.5 neighbor agrees on all 8 bits 4% of the time). L tables
-    lift it to 1-(1-p^b)^L; b=6, L=12 measures ~0.48 across all three
-    fixture scales while probing ~L/2^b ≈ 19% of the corpus per query
-    — right on the formula's prediction for this fixture's true 5-NN
-    (near-random vectors, cos≈0.35 → p≈0.62 → 0.44). Recall follows
-    the (b, L) formula, not corpus-tuned thresholds; clusterable real
-    embeddings sit at higher p and recall correspondingly.
+    lift it to 1-(1-p^b)^L; b=6, L=12 measured ~0.48 on this fixture's
+    true 5-NN (near-random vectors, cos≈0.35 → p≈0.62 → predicted
+    0.50). Multiprobe (Lv et al., VLDB'07) additionally probes each
+    table at the buckets one bit-flip away — the per-table hit rate
+    becomes P(hamming ≤ 1) = p^b + b·p^(b-1)(1-p) ≈ 0.27, so L=12
+    predicts 1-(1-0.27)¹² ≈ 0.98; measured 0.96/0.94/0.98 at
+    sf0.001/0.01/0.1 (floor pinned ≥ 0.7 in
+    tests/test_operators_unit.py). The trade vs more tables: probe
+    fan-out is query-side only — (1+b)·L index rows per QUERY vs L per
+    corpus vector — so the CORPUS-side index (the 100 TB side) stays at
+    L rows/vector, where doubling L to reach the same recall would
+    double it.
 
     Each candidate pair is emitted exactly once — in its FIRST matching
-    table (array_position over the zipped signature arrays), the same
-    inline-dedup trick as the SimHash chunk join; no distinct shuffle.
-    Rows-only driver check (recall < 1 by construction); the recall
-    floor vs brute force is pinned in tests/test_operators_unit.py.
+    table (hamming ≤ multiprobe over the zipped signature arrays), the
+    same inline-dedup trick as the SimHash chunk join; no distinct
+    shuffle. Rows-only driver check (recall < 1 by construction).
 
-    Scale: explode is L rows per vector; the join shuffles on
-    (table, bucket) — uniform sign-bit keys; vectors ride the exchange
-    once, candidate re-rank is linear in candidates."""
+    Scale: the join shuffles on (table, bucket) — uniform sign-bit
+    keys; vectors ride the exchange once, candidate re-rank is linear
+    in candidates."""
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe supports 0 (off) or 1 (single-bit flips)")
     sample = corpus.select(vec_col).first()
     dim = len(sample[0])
     planes = _seeded_planes(dim, n_planes * n_tables, seed)
@@ -128,28 +136,34 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6
     def sigs(vec: Column) -> Column:
         return F.array(*[lsh_bucket(vec, tables[t]) for t in range(n_tables)])
 
-    def explode_tables(df: DataFrame, idc: str, vecc: str, sigc: str) -> DataFrame:
+    def explode_tables(df: DataFrame, idc: str, vecc: str, sigc: str,
+                       probe_flips: int = 0) -> DataFrame:
         t = df.withColumn(sigc, sigs(F.col(vecc)))
-        pairs = F.array(
-            *[
-                F.struct(F.lit(ti).alias("t"), F.col(sigc)[ti].alias("bucket"))
+        entries = [f"struct({ti} as t, {sigc}[{ti}] as bucket)" for ti in range(n_tables)]
+        if probe_flips >= 1:
+            entries += [
+                f"struct({ti} as t, {sigc}[{ti}] ^ {1 << pi} as bucket)"
                 for ti in range(n_tables)
+                for pi in range(n_planes)
             ]
-        )
+        pairs = F.expr("array(%s)" % ", ".join(entries))
         return t.select(
             idc, vecc, sigc, F.explode(pairs).alias("tb")
         ).select(idc, vecc, sigc, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
 
     q = explode_tables(
         queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")),
-        "query_id", "qv", "qsig",
+        "query_id", "qv", "qsig", probe_flips=multiprobe,
     )
     c = explode_tables(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")),
         "neighbor_id", "cv", "csig",
     )
     first_match = F.array_position(
-        F.zip_with(F.col("qsig"), F.col("csig"), lambda x, y: x == y), True
+        F.zip_with(
+            F.col("qsig"), F.col("csig"), lambda x, y: F.bit_count(x.bitwiseXOR(y)) <= multiprobe
+        ),
+        True,
     )
     scored = (
         q.join(c, ["t", "bucket"])

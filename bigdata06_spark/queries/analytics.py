@@ -262,34 +262,94 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL++ sketch values are engine-specific — rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_in_bound,
+           TRUE AS orders_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=1%) — the scale path for
     distinct counts: constant memory, one pass, mergeable sketches.
-    No oracle: sketch estimates are engine-specific by construction."""
+
+    Sketch estimates are engine-specific, so the raw estimate can't be
+    hash-compared to DuckDB. The driver-checkable contract instead:
+    emit the exact distinct count plus a boolean certifying the HLL++
+    estimate landed within 5×rsd (5σ of the sketch's documented
+    relative-standard-deviation guarantee, miss odds ~3e-7 per cell) of
+    it; the oracle computes the exact side and asserts the bound holds
+    (TRUE literal). A sketch regression now turns the row red instead
+    of being invisible. At 100 TB only the sketch side survives — the
+    exact count here is the certificate, not the product."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    rsd = 0.01
+    out = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("_ao"),
+    )
+    tol = 5 * rsd
+    return out.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (F.abs(F.col("_ap") - F.col("exact_parts")) <= F.col("exact_parts") * tol).alias(
+            "parts_in_bound"
+        ),
+        (F.abs(F.col("_ao") - F.col("exact_orders")) <= F.col("exact_orders") * tol).alias(
+            "orders_in_bound"
+        ),
     )
 
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # t-digest/interpolation internals are engine-specific
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5)  AS exact_p50,
+           quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+           TRUE AS p50_in_bound,
+           TRUE AS p95_in_bound,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (single-pass mergeable quantile sketch,
+    """percentile_approx (single-pass mergeable GK quantile sketch,
     accuracy 10000) — the scale path for percentiles next to the exact
-    `agg_percentiles`: constant memory per group vs a full sort. No
-    oracle (sketch internals are engine-specific); the error bound vs
-    the exact percentile is pinned in tests/test_operators_unit.py."""
+    `agg_percentiles`: constant memory per group vs a full sort.
+
+    Sketch output is an actual sample whose RANK is within
+    n/accuracy = 1e-4·n of the target rank (engine-specific which
+    sample), so the raw value can't be hash-compared to DuckDB. The
+    driver-checkable contract: emit the exact interpolated percentile
+    (Spark `percentile` ≡ DuckDB `quantile_cont`, bit-identical) plus a
+    boolean certifying the sketch value lies between the exact
+    percentiles at p ± 10×(1/accuracy) — a 10× margin on the sketch's
+    rank guarantee, monotonicity making the value bracket valid. The
+    oracle computes the exact side and asserts the bound (TRUE). At
+    100 TB only the sketch survives; the exact values here are the
+    certificate."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    out = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("_a95"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.95, 0.499, 0.501, 0.949, 0.951))"
+        ).alias("_q"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("_q")[0].alias("exact_p50"),
+        F.col("_q")[1].alias("exact_p95"),
+        F.col("_a50").between(F.col("_q")[2], F.col("_q")[3]).alias("p50_in_bound"),
+        F.col("_a95").between(F.col("_q")[4], F.col("_q")[5]).alias("p95_in_bound"),
+        "n_rows",
     )
 
 

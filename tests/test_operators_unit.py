@@ -166,10 +166,10 @@ def test_kmeans_hand_clusters(spark):
 
 def test_ann_recall_floors(spark, sf_dir):
     """Quality gate for the rows-only ANN paths: recall vs the exact
-    brute-force top-5 on the fixture embeddings. Floors sit just under
-    the measured values (lsh 0.49, ivf 0.49 at sf0.001) — a regression
-    guard, not a guarantee; both operators' docstrings give the
-    formula-level expectations."""
+    brute-force top-5 on the fixture embeddings. Floors sit under the
+    measured values (multiprobe lsh 0.96/0.94/0.98 across SFs, ivf 0.49
+    at sf0.001) — a regression guard, not a guarantee; both operators'
+    docstrings give the formula-level expectations."""
     from pyspark.sql import functions as F
 
     from bigdata06_spark.catalog import load_table
@@ -180,7 +180,7 @@ def test_ann_recall_floors(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce(q, emb, k=5).collect()}
     lsh = {(r.query_id, r.neighbor_id) for r in S.lsh_ann(q, emb, k=5).collect()}
     ivf = {(r.query_id, r.neighbor_id) for r in S.ivf_ann(q, emb, k=5, nprobe=3).collect()}
-    assert len(lsh & exact) / len(exact) >= 0.40
+    assert len(lsh & exact) / len(exact) >= 0.70
     assert len(ivf & exact) / len(exact) >= 0.40
 
 
