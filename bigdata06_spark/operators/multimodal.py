@@ -52,10 +52,32 @@ def attach_binary_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str
     )
 
 
+def _image_codec():
+    """The optional image codec: PIL's Image module when importable,
+    else None. Resolved at call time (inside the executor process for
+    mapInPandas stages) so workers and driver each probe their own
+    environment."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency probe
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decode hook — requires an image codec, not present in this
-    container. Wire PIL/libvips here on a real cluster."""
-    raise NotImplementedError("image codec not available in this environment")
+    """Real image decode: auto-activates when PIL is importable
+    (header-only open — PIL reads dimensions without rasterizing),
+    raises NotImplementedError otherwise so callers can fall back to
+    the deterministic stand-in. Wire libvips/ffmpeg the same way for
+    other media on a real cluster."""
+    codec = _image_codec()
+    if codec is None:
+        raise NotImplementedError("image codec not available in this environment")
+    import io
+
+    with codec.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
 
 
 def _fake_decode_dims(payload: bytes, media_type: str) -> tuple[int, int, int]:
@@ -69,32 +91,55 @@ def _fake_decode_dims(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return 1 + n % 1920, 1 + n % 1080, 1 + n % 240
 
 
-def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _decode_dims(payload: bytes, media_type: str, try_codec: bool) -> tuple[int, int, int]:
+    """One asset's decode: the real codec when requested AND importable
+    AND the payload actually parses; the deterministic stand-in
+    otherwise. Falling back per-asset (not per-batch) keeps a corrupt
+    file from failing the stage — the production behavior a curation
+    pipeline wants (undecodable media gets sentinel dims, filtered
+    downstream)."""
+    if try_codec and media_type.startswith("image/"):
+        try:
+            w, h = decode_image_real(payload)
+            return w, h, 1
+        except Exception:  # noqa: BLE001 — absent codec or corrupt payload
+            pass
+    return _fake_decode_dims(payload, media_type)
+
+
+def decode_batch_fn(try_codec: bool = False):
     """mapInPandas stage: Arrow batch in → decoded metadata out."""
-    for pdf in batches:
-        metas = pdf["meta"]
-        payloads = pdf["payload"]
-        out = {
-            "doc_id": pdf["doc_id"],
-            "media_type": [m["media_type"] for m in metas],
-            "byte_len": [m["byte_len"] for m in metas],
-        }
-        dims = [
-            _fake_decode_dims(p, m["media_type"]) for p, m in zip(payloads, metas)
-        ]
-        out["width"] = [d[0] for d in dims]
-        out["height"] = [d[1] for d in dims]
-        out["n_frames"] = [d[2] for d in dims]
-        yield pd.DataFrame(out)
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["meta"]
+            payloads = pdf["payload"]
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": [m["media_type"] for m in metas],
+                "byte_len": [m["byte_len"] for m in metas],
+            }
+            dims = [
+                _decode_dims(p, m["media_type"], try_codec) for p, m in zip(payloads, metas)
+            ]
+            out["width"] = [d[0] for d in dims]
+            out["height"] = [d[1] for d in dims]
+            out["n_frames"] = [d[2] for d in dims]
+            yield pd.DataFrame(out)
+
+    return decode_batch
 
 
-def decode_media(with_payloads: DataFrame) -> DataFrame:
-    """Run the (stubbed) decode over every asset: Arrow-batched, no
-    shuffle, schema declared up front."""
+def decode_media(with_payloads: DataFrame, try_codec: bool = False) -> DataFrame:
+    """Run decode over every asset: Arrow-batched, no shuffle, schema
+    declared up front. `try_codec=True` activates the real image codec
+    on workers that can import PIL, per-asset fallback to the
+    deterministic stand-in; the default keeps the output
+    SQL-reproducible (the oracle-checked path)."""
     from bigdata06_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(with_payloads.sparkSession)
-    return with_payloads.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+    return with_payloads.mapInPandas(decode_batch_fn(try_codec), schema=DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = (
@@ -215,6 +260,13 @@ def checksum_batches(batches):
         payloads = batch.column("payload")
         lens, sums = [], []
         for p in payloads:
+            # null payloads (a nullable binary column is a legal input
+            # to a general byte-integrity pass) surface as null outputs
+            # rather than crashing the Arrow stage on as_buffer()
+            if not p.is_valid:
+                lens.append(None)
+                sums.append(None)
+                continue
             buf = p.as_buffer()
             arr = np.frombuffer(buf, dtype=np.uint8)
             lens.append(len(arr))

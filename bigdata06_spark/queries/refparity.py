@@ -275,3 +275,98 @@ def ref_array_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(words, 1).alias("first_word"),
         F.size(words).cast("long").alias("n_words"),
     )
+
+
+@register(
+    "ref_playlist_flatten",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS id,
+           c_name AS name,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE 'playlist by ' || c_name END AS description,
+           CAST(c_nationkey AS VARCHAR) AS owner_id,
+           c_mktsegment AS owner_name,
+           CASE WHEN c_custkey % 3 = 0 THEN 0 ELSE c_custkey * 10 END AS followers,
+           c_custkey % 100 AS tracks_total,
+           CASE WHEN c_custkey % 4 = 0 THEN ''
+                ELSE 'http://img/' || CAST(c_custkey AS VARCHAR) END AS image_url,
+           CASE WHEN c_custkey % 5 = 0 THEN ''
+                ELSE 'http://open/' || CAST(c_custkey AS VARCHAR) END AS spotify_url,
+           CAST(CASE WHEN c_custkey % 2 = 0 THEN NULL
+                     ELSE c_custkey % 4 = 1 END AS VARCHAR) AS public,
+           CASE WHEN c_custkey % 6 = 0 THEN FALSE ELSE c_custkey % 6 = 1 END AS collaborative
+    FROM customer
+    """,
+)
+def ref_playlist_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-playlist payload flatten (Spotify_API4.py:259-271): nested
+    owner lifted, followers.total defaulted 0 when the struct is
+    absent, first-image '' guard, safe external-url get, nullable
+    `public`, collaborative defaulted False. The driver tables carry no
+    nested payloads, so the query manufactures the playlist STRUCT
+    deterministically from `customer` (absent substructures keyed on
+    c_custkey mod classes), then applies the exact connector projection
+    (`sources/spotify.py:playlist_flatten_columns` — shared code, not a
+    copy). All codegen; no shuffle."""
+    from bigdata06_spark.sources.spotify import playlist_flatten_columns
+
+    c = load_table(spark, "customer", sf_dir)
+    key = F.col("c_custkey")
+    payload = c.select(
+        key.cast("string").alias("id"),
+        F.col("c_name").alias("name"),
+        F.when(key % 7 != 0, F.concat(F.lit("playlist by "), F.col("c_name"))).alias(
+            "description"
+        ),
+        F.struct(
+            F.col("c_nationkey").cast("string").alias("id"),
+            F.col("c_mktsegment").alias("display_name"),
+        ).alias("owner"),
+        F.when(key % 3 != 0, F.struct((key * 10).alias("total"))).alias("followers"),
+        F.struct((key % 100).alias("total")).alias("tracks"),
+        F.when(key % 4 == 0, F.array().cast("array<struct<url:string>>"))
+        .otherwise(F.array(F.struct(F.concat(F.lit("http://img/"), key).alias("url"))))
+        .alias("images"),
+        F.when(
+            key % 5 != 0, F.struct(F.concat(F.lit("http://open/"), key).alias("spotify"))
+        ).alias("external_urls"),
+        F.when(key % 2 != 0, key % 4 == 1).alias("public"),
+        F.when(key % 6 != 0, key % 6 == 1).otherwise(F.lit(None).cast("boolean")).alias(
+            "collaborative"
+        ),
+    )
+    flat = payload.select(*playlist_flatten_columns())
+    # nullable-boolean stringified at the compare edge only: pandas
+    # renders a null bool as None (Spark) vs NaN (DuckDB) and the
+    # canonicalizer stringifies them differently; the connector's
+    # flatten keeps the real boolean.
+    return flat.withColumn("public", F.col("public").cast("string"))
+
+
+@register(
+    "ref_category_flatten",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS id,
+           n_name AS name,
+           CASE WHEN n_nationkey % 3 = 0 THEN ''
+                ELSE 'http://icon/' || CAST(n_nationkey AS VARCHAR) END AS icon_url
+    FROM nation
+    """,
+)
+def ref_category_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-category payload flatten (Spotify_API3.py:290-303): category
+    items → (id, name, first-icon URL with '' default). Struct
+    manufactured from `nation`, projection shared with the connector
+    (`sources/spotify.py:category_flatten_columns`)."""
+    from bigdata06_spark.sources.spotify import category_flatten_columns
+
+    n = load_table(spark, "nation", sf_dir)
+    key = F.col("n_nationkey")
+    payload = n.select(
+        key.cast("string").alias("id"),
+        F.col("n_name").alias("name"),
+        F.when(key % 3 == 0, F.array().cast("array<struct<url:string>>"))
+        .otherwise(F.array(F.struct(F.concat(F.lit("http://icon/"), key).alias("url"))))
+        .alias("icons"),
+    )
+    return payload.select(*category_flatten_columns())

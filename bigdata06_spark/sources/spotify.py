@@ -21,8 +21,11 @@ Spark typed DataFrames immediately:
 - dedup/union/sort/top-k on the results are the engine operators
   (operators/relational.py).
 
-No network code lives here: `fetcher(endpoint, params) -> dict` is the
-boundary. That keeps the connector testable and the engine pure.
+`fetcher(endpoint, params) -> dict` is the engine boundary; the network
+lives behind the `transport` seam of `SpotifyFetcher`, with
+`http_transport` as the live requests/urllib implementation (tested
+against an in-process stub HTTP server) and fixture transports for
+offline runs. That keeps the connector testable and the engine pure.
 """
 
 from __future__ import annotations
@@ -76,6 +79,81 @@ TRACK_PAYLOAD_SCHEMA = T.StructType(
         ),
     ]
 )
+
+
+PLAYLIST_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField(
+            "owner",
+            T.StructType(
+                [T.StructField("id", T.StringType()), T.StructField("display_name", T.StringType())]
+            ),
+        ),
+        T.StructField("followers", T.StructType([T.StructField("total", T.LongType())])),
+        T.StructField("tracks", T.StructType([T.StructField("total", T.LongType())])),
+        T.StructField("images", T.ArrayType(T.StructType([T.StructField("url", T.StringType())]))),
+        T.StructField("external_urls", T.StructType([T.StructField("spotify", T.StringType())])),
+        T.StructField("public", T.BooleanType()),
+        T.StructField("collaborative", T.BooleanType()),
+    ]
+)
+
+CATEGORY_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("icons", T.ArrayType(T.StructType([T.StructField("url", T.StringType())]))),
+    ]
+)
+
+
+def playlist_flatten_columns() -> list:
+    """The playlist payload → row-shape projection of the reference
+    (Spotify_API4.py:259-271), as reusable Column expressions over a
+    relation with `PLAYLIST_PAYLOAD_SCHEMA` fields: nested owner fields
+    lifted, `followers.total` defaulted to 0 when the followers struct
+    is absent, first-image URL with '' default, safe external-url get,
+    nullable `public` passed through, `collaborative` defaulted False."""
+    return [
+        F.col("id"),
+        F.col("name"),
+        F.col("description"),
+        F.col("owner.id").alias("owner_id"),
+        F.col("owner.display_name").alias("owner_name"),
+        F.coalesce(F.col("followers.total"), F.lit(0)).alias("followers"),
+        F.col("tracks.total").alias("tracks_total"),
+        array_head_or(F.col("images")["url"]).alias("image_url"),
+        F.coalesce(F.col("external_urls.spotify"), F.lit("")).alias("spotify_url"),
+        F.col("public"),
+        F.coalesce(F.col("collaborative"), F.lit(False)).alias("collaborative"),
+    ]
+
+
+def category_flatten_columns() -> list:
+    """Category payload → row shape (Spotify_API3.py:299-303): id, name,
+    first-icon URL with '' default."""
+    return [
+        F.col("id"),
+        F.col("name"),
+        array_head_or(F.col("icons")["url"]).alias("icon_url"),
+    ]
+
+
+def flatten_playlists(spark: SparkSession, payloads: list[dict]) -> DataFrame:
+    """P1/P3/P6 flatten of playlist payloads into the reference's
+    playlist shape (Spotify_API4.py:259-271)."""
+    raw = spark.createDataFrame(payloads, schema=PLAYLIST_PAYLOAD_SCHEMA)
+    return raw.select(*playlist_flatten_columns())
+
+
+def flatten_categories(spark: SparkSession, payloads: list[dict]) -> DataFrame:
+    """Category flatten (Spotify_API3.py:290-303): the categories page
+    payload's items → (id, name, icon_url)."""
+    raw = spark.createDataFrame(payloads, schema=CATEGORY_PAYLOAD_SCHEMA)
+    return raw.select(*category_flatten_columns())
 
 
 def search_artists(spark: SparkSession, fetcher: Fetcher, genres: list[str] = None,
@@ -200,7 +278,8 @@ class SpotifyFetcher:
 
     def __init__(self, client_id: str, client_secret: str, transport,
                  min_interval: float = 0.5, market: str = "US",
-                 sleep=None, clock=None):
+                 sleep=None, clock=None,
+                 token_url: str | None = None, api_base: str | None = None):
         import time
 
         self._auth = (client_id, client_secret)
@@ -211,6 +290,12 @@ class SpotifyFetcher:
         self._clock = clock or time.monotonic
         self._token: str | None = None
         self._last_call: float | None = None
+        # instance overrides so a live fetcher can point at a stub
+        # server (tests) or a proxy without subclassing
+        if token_url is not None:
+            self.TOKEN_URL = token_url
+        if api_base is not None:
+            self.API_BASE = api_base
 
     def _basic_auth_header(self) -> dict:
         import base64
@@ -247,6 +332,71 @@ class SpotifyFetcher:
                 f"{self.API_BASE}/{endpoint}", params, {"Authorization": f"Bearer {self._token}"}
             )
         return payload if status == 200 else None
+
+
+def http_transport(timeout: float = 10.0, session=None):
+    """Live HTTP transport for `SpotifyFetcher`: `(url, params, headers)
+    -> (status, payload_dict)` — completes S1-S3 as runnable code (the
+    reference's `requests.get`/`post` calls, Spotify_API3.py:48-83,
+    Spotify_API.py:16-40) while keeping the transport seam injectable.
+
+    Wire semantics: the OAuth2 token endpoint takes a form-encoded POST
+    (client-credentials grant); every API endpoint is a query-string
+    GET. Non-JSON bodies decode to {}; transport-level failures return
+    (0, {}) so the fetcher's status checks handle them like any non-200
+    (reference behavior: ConnectionError → None sentinel,
+    Spotify_API3.py:74-83).
+
+    Uses `requests` (connection-pooled Session) when importable, else
+    stdlib urllib — no hard dependency, so offline environments can
+    still import this module and tests can exercise both paths."""
+    try:
+        import requests
+    except ImportError:
+        requests = None
+
+    if requests is not None:
+        sess = session or requests.Session()
+
+        def transport(url: str, params: dict, headers: dict):
+            try:
+                if url.rstrip("/").endswith("/token"):
+                    resp = sess.post(url, data=params or {}, headers=headers, timeout=timeout)
+                else:
+                    resp = sess.get(url, params=params or {}, headers=headers, timeout=timeout)
+            except requests.RequestException:
+                return 0, {}
+            try:
+                return resp.status_code, resp.json()
+            except ValueError:
+                return resp.status_code, {}
+
+        return transport
+
+    import json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    def transport(url: str, params: dict, headers: dict):
+        data = urllib.parse.urlencode(params or {})
+        if url.rstrip("/").endswith("/token"):
+            req = urllib.request.Request(url, data=data.encode(), headers=headers, method="POST")
+        else:
+            req = urllib.request.Request(url + ("?" + data if data else ""), headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                status, body = resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            status, body = e.code, e.read()
+        except (urllib.error.URLError, OSError):
+            return 0, {}
+        try:
+            return status, json.loads(body.decode() or "{}")
+        except ValueError:
+            return status, {}
+
+    return transport
 
 
 def first_nonempty(*thunks) -> DataFrame | None:

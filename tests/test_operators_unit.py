@@ -203,3 +203,75 @@ def test_approx_aggregate_error_bounds(spark, sf_dir):
     ).first()
     assert abs(row.approx_d - row.exact_d) / row.exact_d <= 0.05
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 <= 0.005
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_decode_image_codec_activation(monkeypatch):
+    """decode_image_real auto-activates when PIL imports: a stub PIL
+    module makes it return real dims; without PIL it raises
+    NotImplementedError; _decode_dims falls back to the deterministic
+    stand-in either way (absent codec OR corrupt payload)."""
+    import io
+    import sys
+    import types
+
+    import pytest
+
+    from bigdata06_spark.operators import multimodal as M
+
+    # absent codec → NotImplementedError → fallback dims
+    monkeypatch.setitem(sys.modules, "PIL", None)
+    monkeypatch.setitem(sys.modules, "PIL.Image", None)
+    with pytest.raises(NotImplementedError):
+        M.decode_image_real(b"xx")
+    assert M._decode_dims(b"xx", "image/png", try_codec=True) == M._fake_decode_dims(
+        b"xx", "image/png"
+    )
+
+    # stub codec: "decodes" payloads of the form b"WxH"
+    class _Im:
+        def __init__(self, payload):
+            w, h = payload.decode().split("x")
+            self.width, self.height = int(w), int(h)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    image_mod = types.SimpleNamespace(open=lambda fobj: _Im(fobj.read()))
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    assert M.decode_image_real(b"640x480") == (640, 480)
+    assert M._decode_dims(b"640x480", "image/png", try_codec=True) == (640, 480, 1)
+    # corrupt payload under an active codec → per-asset fallback
+    assert M._decode_dims(b"notanimage", "image/png", try_codec=True) == M._fake_decode_dims(
+        b"notanimage", "image/png"
+    )
+    # non-image media never consults the image codec
+    assert M._decode_dims(b"640x480", "video/mp4", try_codec=True) == M._fake_decode_dims(
+        b"640x480", "video/mp4"
+    )
+    io  # keep import used
+
+
+def test_checksum_batches_null_payload():
+    """A nullable binary column must not crash the mapInArrow stage:
+    null payloads yield null byte_len/byte_sum."""
+    import pyarrow as pa
+
+    from bigdata06_spark.operators.multimodal import checksum_batches
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2, 3], type=pa.int64()),
+         pa.array([b"\x01\x02", None, b"\x05"], type=pa.binary())],
+        names=["doc_id", "payload"],
+    )
+    [out] = list(checksum_batches(iter([batch])))
+    assert out.column("byte_len").to_pylist() == [2, None, 1]
+    assert out.column("byte_sum").to_pylist() == [3, None, 5]

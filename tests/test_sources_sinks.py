@@ -348,3 +348,212 @@ def test_parquet_merge_schema_across_generations(spark, tmp_path):
     assert set(merged.columns) == {"id", "a", "b", "gen"}
     assert merged.count() == 20
     assert merged.filter(F.col("b").isNull()).count() == 10
+
+
+# ----------------------------------------------------- live HTTP transport
+
+
+class _StubSpotifyServer:
+    """In-process HTTP stub of the Spotify surface the fetcher touches:
+    POST /api/token (client-credentials), GET /v1/search (market +
+    auth-checked), GET /v1/albums (offset/limit pagination over 120
+    items). Tokens expire after `expire_after` API calls to force the
+    401 → refresh → retry path over a real socket."""
+
+    def __init__(self, expire_after=None):
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        state = {"token_gen": 0, "api_calls": 0, "log": []}
+        self.state = state
+        outer_expire = expire_after
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def _json(self, status, payload):
+                import json as _json
+
+                body = _json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                form = parse_qs(self.rfile.read(n).decode())
+                state["log"].append(("POST", self.path, form, dict(self.headers)))
+                if self.path == "/api/token":
+                    if form.get("grant_type") != ["client_credentials"]:
+                        return self._json(400, {"error": "unsupported_grant_type"})
+                    if not self.headers.get("Authorization", "").startswith("Basic "):
+                        return self._json(401, {"error": "invalid_client"})
+                    state["token_gen"] += 1
+                    return self._json(200, {"access_token": f"tok{state['token_gen']}"})
+                return self._json(404, {})
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                state["log"].append(("GET", u.path, q, dict(self.headers)))
+                state["api_calls"] += 1
+                auth = self.headers.get("Authorization", "")
+                stale = (
+                    outer_expire is not None
+                    and state["api_calls"] > outer_expire
+                    and auth == "Bearer tok1"
+                )
+                if not auth.startswith("Bearer tok") or stale:
+                    return self._json(401, {"error": {"status": 401}})
+                if u.path == "/v1/search":
+                    return self._json(
+                        200,
+                        {"artists": {"items": [{"id": "a1", "name": "N",
+                                                "market": q.get("market")}]}},
+                    )
+                if u.path == "/v1/albums":
+                    off, lim = int(q.get("offset", 0)), int(q.get("limit", 50))
+                    items = [{"id": f"alb{i}"} for i in range(off, min(off + lim, 120))]
+                    return self._json(200, {"items": items})
+                return self._json(404, {})
+
+        self._srv = HTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._srv.server_address[1]
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+
+    def urls(self):
+        base = f"http://127.0.0.1:{self.port}"
+        return f"{base}/api/token", f"{base}/v1"
+
+    def close(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def _live_fetcher(server, transport):
+    from bigdata06_spark.sources.spotify import SpotifyFetcher
+
+    token_url, api_base = server.urls()
+    return SpotifyFetcher("cid", "secret", transport, min_interval=0.0,
+                          sleep=lambda s: None, token_url=token_url, api_base=api_base)
+
+
+def test_http_transport_live_lifecycle():
+    """S1-S3 over a real socket: token POST (Basic auth, form-encoded
+    grant), authorized GET with market defaulting, and on expiry a
+    401 → one refresh → retried call with the new token."""
+    from bigdata06_spark.sources.spotify import http_transport
+
+    srv = _StubSpotifyServer(expire_after=1)
+    try:
+        f = _live_fetcher(srv, http_transport())
+        out = f("search", {"q": 'genre:"pop"'})
+        assert out["artists"]["items"][0] == {"id": "a1", "name": "N", "market": "US"}
+        out2 = f("search", {"q": "x"})  # stale tok1 → 401 → refresh → tok2
+        assert out2 is not None
+        assert srv.state["token_gen"] == 2
+        last_get = [e for e in srv.state["log"] if e[0] == "GET"][-1]
+        assert last_get[3]["Authorization"] == "Bearer tok2"
+        token_posts = [e for e in srv.state["log"] if e[0] == "POST"]
+        assert all(p[2]["grant_type"] == ["client_credentials"] for p in token_posts)
+    finally:
+        srv.close()
+
+
+def test_http_transport_pagination_live():
+    """S5 against the stub server: offset/limit pages of 50 over a
+    120-item collection → 3 GETs, 120 items, loop stops on short page."""
+    from bigdata06_spark.sources.spotify import http_transport, paginate
+
+    srv = _StubSpotifyServer()
+    try:
+        f = _live_fetcher(srv, http_transport())
+        items = paginate(f, "albums", {}, page_size=50)
+        assert [i["id"] for i in items] == [f"alb{i}" for i in range(120)]
+        gets = [e for e in srv.state["log"] if e[0] == "GET"]
+        assert [int(g[2]["offset"]) for g in gets] == [0, 50, 100]
+    finally:
+        srv.close()
+
+
+def test_http_transport_urllib_fallback(monkeypatch):
+    """The stdlib-urllib path (requests unimportable) speaks the same
+    wire protocol: token POST + authorized GET round-trip."""
+    import sys
+
+    from bigdata06_spark.sources import spotify as sp
+
+    monkeypatch.setitem(sys.modules, "requests", None)  # import → ImportError
+    srv = _StubSpotifyServer()
+    try:
+        f = _live_fetcher(srv, sp.http_transport())
+        out = f("search", {"q": "x"})
+        assert out["artists"]["items"][0]["id"] == "a1"
+        assert srv.state["token_gen"] == 1
+    finally:
+        srv.close()
+
+
+def test_http_transport_connection_error_is_sentinel():
+    """Transport-level failure (nothing listening) surfaces as a non-200
+    → the fetcher returns the None sentinel, matching the reference's
+    ConnectionError handling."""
+    from bigdata06_spark.sources.spotify import SpotifyFetcher, http_transport
+
+    f = SpotifyFetcher("cid", "secret", http_transport(timeout=0.5), min_interval=0.0,
+                       sleep=lambda s: None,
+                       token_url="http://127.0.0.1:9/api/token",
+                       api_base="http://127.0.0.1:9/v1")
+    assert f("search", {"q": "x"}) is None
+
+
+def test_flatten_playlists_payload_shapes(spark):
+    """Playlist payload flatten (Spotify_API4.py:259-271): nested owner
+    lifted, absent followers → 0, empty images → '', missing
+    external_urls → '', public stays nullable, collaborative defaults
+    False."""
+    from bigdata06_spark.sources.spotify import flatten_playlists
+
+    payloads = [
+        {
+            "id": "p1", "name": "Hits", "description": "d",
+            "owner": {"id": "u1", "display_name": "User One"},
+            "followers": {"total": 42}, "tracks": {"total": 7},
+            "images": [{"url": "http://img/1"}, {"url": "http://img/2"}],
+            "external_urls": {"spotify": "http://open/p1"},
+            "public": True, "collaborative": None,
+        },
+        {
+            "id": "p2", "name": "Bare", "description": None,
+            "owner": {"id": "u2", "display_name": None},
+            "followers": None, "tracks": {"total": 0},
+            "images": [], "external_urls": None,
+            "public": None, "collaborative": True,
+        },
+    ]
+    rows = {r.id: r for r in flatten_playlists(spark, payloads).collect()}
+    p1, p2 = rows["p1"], rows["p2"]
+    assert (p1.owner_id, p1.owner_name, p1.followers) == ("u1", "User One", 42)
+    assert (p1.image_url, p1.spotify_url) == ("http://img/1", "http://open/p1")
+    assert (p1.public, p1.collaborative) == (True, False)  # None → False default
+    assert (p2.followers, p2.image_url, p2.spotify_url) == (0, "", "")
+    assert p2.public is None and p2.collaborative is True
+
+
+def test_flatten_categories_payload_shapes(spark):
+    """Category flatten (Spotify_API3.py:290-303): first-icon URL with
+    '' default when icons is empty."""
+    from bigdata06_spark.sources.spotify import flatten_categories
+
+    payloads = [
+        {"id": "c1", "name": "Pop", "icons": [{"url": "http://icon/1"}]},
+        {"id": "c2", "name": "Rock", "icons": []},
+    ]
+    rows = {r.id: r for r in flatten_categories(spark, payloads).collect()}
+    assert rows["c1"].icon_url == "http://icon/1"
+    assert rows["c2"].icon_url == ""
