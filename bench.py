@@ -39,9 +39,12 @@ HEADLINE = [
     # LLM-pipeline: dedup + similarity + text + curation
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_incremental",
     "knn_bruteforce",
     "text_quality_score",
     "text_repetition_stats",
+    "text_pmi_collocations",
+    "text_winnowing_fingerprints",
     "tfidf_top_terms",
     "corpus_split_assign",
     # streaming

@@ -1045,14 +1045,25 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct terms, not of documents) — with Heaps'-law vocab growth
     the pair relation stays tiny relative to the corpus; term counts
     broadcast back onto it. ln rounded 6dp (libm ulps), integer
-    counts exact."""
+    counts exact.
+
+    Shuffle budget (was 9 exchanges): the global `.distinct()` on
+    (doc_id, term) is replaced by a per-row `array_distinct` BEFORE the
+    explode — same relation, zero shuffle; n_docs comes straight off
+    the docs table (no exploded pass); and both self-join sides descend
+    from one doc_id-partitioned subtree (`rebalance_for_amplification`),
+    so the join reuses a single exchange of compact doc rows. Remaining
+    exchanges: rebalance, term counts, pair counts, final top-20."""
     from pyspark.sql import Window
 
+    from bigdata06_spark.operators.scale import rebalance_for_amplification
     from bigdata06_spark.queries.qutil import rnd
 
     d = load_table(spark, "documents", sf_dir)
-    dt = d.select("doc_id", F.explode(T.words(F.col("text"))).alias("term")).distinct()
-    n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
+    dt = rebalance_for_amplification(d, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("term")
+    )
+    n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
     tc = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     a = dt.select(F.col("doc_id"), F.col("term").alias("term_a"))
     b = dt.select(F.col("doc_id"), F.col("term").alias("term_b"))
@@ -1123,12 +1134,20 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one explode, one doc-partitioned window (two frames share
     the sort), distinct on the selected (doc, hash, pos) rows — the
     same shuffle family as any per-doc window; hashes are md5-prefix
-    ints so both engines agree bit-for-bit."""
+    ints so both engines agree bit-for-bit. Docs are rebalanced on
+    doc_id BEFORE the explode (the ~500× shingle+md5 amplification must
+    not run on one input split), and that same hash partitioning is
+    exactly what the per-doc window needs — the window sorts within the
+    rebalanced partitions instead of adding its own exchange."""
     from pyspark.sql import Window
+
+    from bigdata06_spark.operators.scale import rebalance_for_amplification
 
     d = load_table(spark, "documents", sf_dir)
     sh5 = T.word_shingles(T.words(F.col("text")), 5)
-    t = d.select("doc_id", F.posexplode(sh5).alias("pos", "s"))
+    t = rebalance_for_amplification(d, "doc_id").select(
+        "doc_id", F.posexplode(sh5).alias("pos", "s")
+    )
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     whole = Window.partitionBy("doc_id")
