@@ -425,3 +425,142 @@ def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("kl6").cast("double").alias("kl_divergence"))
     )
+
+
+@register(
+    "corpus_temperature_sample",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT min(n) AS n_min FROM c),
+    r AS (SELECT source, n, sqrt(CAST(n_min AS DOUBLE) / n) AS rate FROM c CROSS JOIN m),
+    b AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % 1000000 AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT b.doc_id, b.source,
+           floor(r.rate * 1000000.0 + 0.5) / 1000000.0 AS sample_rate,
+           b.bucket < CAST(floor(r.rate * 1000000.0) AS BIGINT) AS kept
+    FROM b JOIN r USING (source)
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 per-source resampling — the standard rebalancing
+    step for multi-source training mixes (downsample dominant sources
+    toward balance without flattening them): keep rate
+    r_s = sqrt(n_min / n_s), so the effective mixture share goes from
+    p_s to ∝ p_s^0.5. Membership is a pure function of the stable doc
+    id (md5 bucket < r_s·10⁶) — re-runs and backfills agree with no
+    coordination, same property as `corpus_split_assign`.
+
+    Cross-engine exactness, by construction rather than tolerance:
+    n_min/n_s is one IEEE division and sqrt is correctly rounded, so
+    both engines compute the SAME double (no cross-source float sums —
+    that's why the rate is anchored to min(n), not a normalized
+    Σ p_s^T, which would inherit sum-order divergence); the acceptance
+    compare is integer-vs-integer after one floor of that shared
+    double.
+
+    Scale: one tiny per-source count aggregate broadcast back onto the
+    scan; the per-doc accept is a scan-stage expression — the whole
+    resample adds zero fact-table shuffles. Upsampling (rate > 1)
+    would replicate via explode(sequence(1, ceil(rate))) + a fractional
+    last copy, same determinism trick; this query covers the
+    downsample direction the synthetic corpus exercises."""
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("n_min"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "source", F.sqrt(F.col("n_min").cast("double") / F.col("n")).alias("rate")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000000
+    )
+    b = d.select("doc_id", "source", bucket.alias("bucket"))
+    return b.join(F.broadcast(r), "source").select(
+        "doc_id",
+        "source",
+        rnd(F.col("rate"), 6).alias("sample_rate"),
+        (F.col("bucket") < F.floor(F.col("rate") * 1000000.0).cast("long")).alias("kept"),
+    )
+
+
+@register(
+    "corpus_epoch_upsample",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT max(n) AS n_max FROM c),
+    e AS (
+      SELECT source, CAST(n_max AS DOUBLE) / n AS epochs,
+             CAST(floor(CAST(n_max AS DOUBLE) / n) AS BIGINT) AS whole,
+             CAST(floor((CAST(n_max AS DOUBLE) / n - floor(CAST(n_max AS DOUBLE) / n))
+                        * 1000000.0) AS BIGINT) AS frac_thresh
+      FROM c CROSS JOIN m
+    ),
+    b AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                    % 1000000 AS BIGINT) AS bucket
+      FROM documents
+    ),
+    n_cp AS (
+      SELECT b.doc_id, b.source,
+             e.whole + CASE WHEN b.bucket < e.frac_thresh THEN 1 ELSE 0 END AS n_copies,
+             floor(e.epochs * 1000000.0 + 0.5) / 1000000.0 AS epochs
+      FROM b JOIN e USING (source)
+    )
+    SELECT doc_id, source, epochs, CAST(u.copy_idx AS BIGINT) AS copy_idx
+    FROM n_cp, unnest(CASE WHEN n_copies > 0
+                           THEN [i for i in range(1, CAST(n_copies AS INT) + 1)]
+                           ELSE [] END) AS u(copy_idx)
+    """,
+)
+def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based upsampling toward source balance — the replication
+    counterpart of `corpus_temperature_sample`: every source is
+    repeated to match the largest one (epochs e_s = n_max / n_s), with
+    whole copies for every doc and the fractional remainder assigned by
+    the stable md5 bucket (bucket < frac(e_s)·10⁶ docs get one extra
+    copy), so the expected replicated size is n_max per source and
+    membership of the extra copy is re-run-stable. This is how
+    multi-epoch mixes are materialized for sequence packing — the
+    downstream packer sees an explicit (doc, copy_idx) stream, not a
+    runtime sampling knob.
+
+    Cross-engine exactness: e_s is one IEEE division (shared double),
+    whole/fractional parts via floor on that same double; the
+    per-doc accept is integer-vs-integer. Scale: per-source counts are
+    a tiny broadcast; replication is explode(sequence(1, n_copies)) —
+    row amplification is the OUTPUT size (deliberate), not an
+    intermediate blowup, and no fact shuffle is added."""
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.max("n").alias("n_max"))
+    epochs = F.col("n_max").cast("double") / F.col("n")
+    e = c.crossJoin(F.broadcast(m)).select(
+        "source",
+        epochs.alias("epochs"),
+        F.floor(epochs).cast("long").alias("whole"),
+        F.floor((epochs - F.floor(epochs)) * 1000000.0).cast("long").alias("frac_thresh"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000000
+    )
+    b = d.select("doc_id", "source", bucket.alias("bucket"))
+    n_cp = b.join(F.broadcast(e), "source").select(
+        "doc_id",
+        "source",
+        rnd(F.col("epochs"), 6).alias("epochs"),
+        (F.col("whole") + F.when(F.col("bucket") < F.col("frac_thresh"), 1).otherwise(0)).alias(
+            "n_copies"
+        ),
+    )
+    return n_cp.select(
+        "doc_id",
+        "source",
+        "epochs",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("copy_idx"),
+    )

@@ -1303,3 +1303,83 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 's': array_to_string(ws[i:i+7], ' ')}
+                     for i in range(1, len(ws) - 6)]) AS u
+      FROM w
+    ),
+    g AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM sh),
+    dup AS (SELECT s FROM g GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (s)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                  OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          + 1
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    numbered AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+    FROM numbered GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans — the n-gram-span formulation of
+    substring-level dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better": remove repeated SPANS, not whole
+    near-dup documents): every maximal token range whose 8-grams all
+    occur in at least one other document, reported per doc as
+    (span_start, span_end) in 1-based token positions. Downstream
+    curation cuts or masks these ranges instead of dropping documents.
+
+    Relational plan instead of the paper's suffix array (single-node):
+    (1) posexplode 8-grams; (2) shingles with document frequency > 1
+    (count-distinct groupBy on the shingle — the exact-match index);
+    (3) hit positions back-joined, then maximal-interval merge per doc
+    via a running-max window (an island forms wherever a hit starts
+    beyond the previous covered end + 1). Merge math and positions are
+    integers → bit-exact oracle.
+
+    Scale: the shingle aggregate is the only corpus-sized shuffle
+    (uniform text keys; `max_df`-style capping applies if a stop-gram
+    ever dominates); hits are duplication-density-sized; the island
+    window runs on hits partitioned by doc. Suffix automata do this
+    with better constants on one machine — this shape is the one that
+    distributes."""
+    from pyspark.sql import Window
+
+    from bigdata06_spark.operators.scale import rebalance_for_amplification
+
+    d = load_table(spark, "documents", sf_dir)
+    g = rebalance_for_amplification(d, "doc_id").select(
+        "doc_id", F.posexplode(T.word_shingles(T.words(F.col("text")), 8)).alias("pos0", "s")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    dup = g.groupBy("s").agg(F.count_distinct("doc_id").alias("nd")).filter(F.col("nd") > 1)
+    hits = g.join(dup.select("s"), "s").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + 7).over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0)
+    numbered = hits.withColumn("island", F.sum(new_island).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+    return numbered.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + 7).alias("span_end"),
+        (F.max("pos") + 7 - F.min("pos") + 1).alias("span_tokens"),
+    ).drop("island")

@@ -275,3 +275,33 @@ def test_checksum_batches_null_payload():
     [out] = list(checksum_batches(iter([batch])))
     assert out.column("byte_len").to_pylist() == [2, None, 1]
     assert out.column("byte_sum").to_pylist() == [3, None, 5]
+
+
+def test_substring_spans_hand_example(spark, monkeypatch):
+    """Island-merge semantics on a hand corpus: a shared 10-word run
+    yields ONE maximal span (its two overlapping 8-gram hits merge); a
+    doc sharing two separate runs reports two spans; a doc with no
+    8-gram shared with any OTHER doc reports none."""
+    import bigdata06_spark.queries.llm as L
+    from bigdata06_spark.queries import load_all_queries
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"  # 10 words
+    run2 = "one two three four five six seven eight"  # 8 words
+    docs = [
+        (1, f"{shared} xx yy zz"),
+        (2, f"aa bb {shared}"),
+        (3, f"{run2} filler filler2 filler3 filler4 filler5 filler6 filler7 {shared}"),
+        (4, f"pp qq rr ss tt uu vv ww {run2}"),
+        (5, "lone words that no other document repeats in any eight gram run here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    monkeypatch.setattr(L, "load_table", lambda _s, _t, _d: df)
+    out = load_all_queries()["dedup_substring_spans"].fn(spark, "ignored")
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out.collect()}
+    assert got == {
+        (1, 1, 10, 10),           # 10-word shared run: 8-gram hits at pos 1..3 merge
+        (2, 3, 12, 10),
+        (3, 1, 8, 8),             # run2 at front
+        (3, 16, 25, 10),          # shared at tail (pos 16: after 8+7 lead words)
+        (4, 9, 16, 8),
+    }
