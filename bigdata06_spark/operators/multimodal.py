@@ -4,9 +4,11 @@ The engine's multimodal model (SURVEY.md §2.B; reference precedent is
 URL-typed media columns — `image_url` Spotify_API.py:84, `preview_url`
 Spotify_API4.py:386):
 
-- media payloads are `BinaryType` columns (`spark.read.format
-  ("binaryFile")` for real assets; here payloads are derived from the
-  documents table since the container ships no image/audio data);
+- media payloads are `BinaryType` columns — real assets enter through
+  `sources/readers.py:read_binary_files` + `payloads_from_files`
+  (binaryFile scan, magic-byte media sniffing; end-to-end tested on
+  disk files), and the oracle-checked queries derive payloads from the
+  documents table since the container ships no image/audio data;
 - per-asset metadata travels in a typed struct column next to the
   payload (media_type, byte_len, content hash);
 - decode / feature-extract runs as Arrow-batched `mapInPandas` — the
@@ -284,4 +286,31 @@ def checksum_media(with_payloads: DataFrame) -> DataFrame:
     ensure_workers_can_import(with_payloads.sparkSession)
     return with_payloads.select("doc_id", "payload").mapInArrow(
         checksum_batches, schema=CHECKSUM_SCHEMA
+    )
+
+
+def payloads_from_files(files: DataFrame) -> DataFrame:
+    """Adapt a `binaryFile` scan (sources/readers.py:read_binary_files)
+    to the engine's (doc_id, payload, meta) multimodal contract: stable
+    id from the path hash, media_type sniffed from magic bytes (PNG /
+    RIFF-WAV / MP4 ftyp) with an extension fallback, and the same
+    metadata struct `attach_binary_payload` declares — so every
+    downstream stage (decode, resize, frames, features, checksum) runs
+    unchanged on REAL files."""
+    magic = F.substring(F.col("content"), 1, 12)
+    media_type = (
+        F.when(F.substring(magic, 1, 4) == F.lit(b"\x89PNG"), "image/png")
+        .when(F.substring(magic, 1, 4) == F.lit(b"RIFF"), "audio/wav")
+        .when(F.substring(magic, 5, 4) == F.lit(b"ftyp"), "video/mp4")
+        .when(F.lower(F.col("path")).endswith(".png"), "image/png")
+        .otherwise("application/octet-stream")
+    )
+    return files.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            media_type.alias("media_type"),
+            F.col("length").cast("long").alias("byte_len"),
+            F.md5(F.col("content")).alias("content_md5"),
+        ).alias("meta"),
     )

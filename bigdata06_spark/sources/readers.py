@@ -49,3 +49,28 @@ def read_jsonl_text(spark: SparkSession, path: str, schema: T.StructType) -> Dat
     return raw.select(
         F.col("value").alias("raw"), F.from_json("value", schema).alias("rec")
     )
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Real-asset ingestion for multimodal columns: the built-in
+    `binaryFile` source yields one row per file — (path,
+    modificationTime, length, content BINARY) — which
+    `operators/multimodal.py:payloads_from_files` adapts into the
+    engine's (id, payload, meta) contract. `glob` maps to
+    pathGlobFilter (e.g. '*.png') so the listing prunes before any
+    bytes are read; at scale, partition discovery parallelizes the
+    listing and `spark.sql.files.maxPartitionBytes` bins small files
+    per task. (Avro would slot in here the same way, but it ships as an
+    external Spark module and this environment has no package access —
+    documented, not stubbed.)"""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-lines scan (`text` source): one row per line in a
+    `value` string column — the ingestion shape for line-delimited
+    corpora before any schema is imposed."""
+    return spark.read.format("text").load(path)

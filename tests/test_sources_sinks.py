@@ -557,3 +557,41 @@ def test_flatten_categories_payload_shapes(spark):
     rows = {r.id: r for r in flatten_categories(spark, payloads).collect()}
     assert rows["c1"].icon_url == "http://icon/1"
     assert rows["c2"].icon_url == ""
+
+
+def test_binary_file_ingestion_end_to_end(spark, tmp_path):
+    """Real-asset multimodal ingestion: files on disk → binaryFile scan
+    → (doc_id, payload, meta) adaptation with magic-byte sniffing →
+    the SAME decode and checksum stages the synthetic path uses."""
+    from bigdata06_spark.operators.multimodal import (
+        checksum_media,
+        decode_media,
+        payloads_from_files,
+    )
+    from bigdata06_spark.sources.readers import read_binary_files
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    wav = b"RIFF" + b"\x00\x01" * 8
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x07" * 9
+    (d / "a.png").write_bytes(png)
+    (d / "b.wav").write_bytes(wav)
+    (d / "c.mp4").write_bytes(mp4)
+    (d / "notes.txt").write_bytes(b"hello")
+
+    files = read_binary_files(spark, str(d))
+    assert files.count() == 4
+    only_png = read_binary_files(spark, str(d), glob="*.png")
+    assert only_png.count() == 1
+
+    assets = payloads_from_files(files)
+    rows = {r.meta.media_type for r in assets.collect()}
+    assert rows == {"image/png", "audio/wav", "video/mp4", "application/octet-stream"}
+
+    decoded = {r.media_type: r for r in decode_media(assets).collect()}
+    assert decoded["image/png"].byte_len == len(png)
+    assert decoded["audio/wav"].n_frames == 1 + len(wav) % 1000
+
+    sums = {r.byte_len: r.byte_sum for r in checksum_media(assets).collect()}
+    assert sums[len(wav)] == sum(wav)
