@@ -99,3 +99,34 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
 
     n_batchmode = load_table(spark, "events", sf_dir).count()
     assert spark.read.parquet(out_dir).count() == n_batchmode
+
+
+def test_foreach_batch_idempotent_replay(spark, sf_dir, tmp_path):
+    """The production sink contract (streaming/sinks.py): batches land
+    in batch_id partitions with dynamic partition overwrite, so a
+    replayed epoch (same batch_id — the crash-recovery redelivery case)
+    overwrites its own partition instead of appending duplicates."""
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark.streaming import ops as SO
+    from bigdata06_spark.streaming.sinks import foreach_batch_parquet
+
+    out = str(tmp_path / "fb2_out")
+    agg = SO.tumbling_counts(
+        SO.as_event_time(SO.stream_events(spark, sf_dir)).withWatermark("ts", "1 hour")
+    )
+    foreach_batch_parquet(
+        agg.select(F.col("window_start").cast("string").alias("ws"), "event_type", "n"),
+        out,
+        str(tmp_path / "fb2_ckpt"),
+    )
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    batch_ids = [r.batch_id for r in first.select("batch_id").distinct().collect()]
+    assert n1 > 0 and len(batch_ids) >= 1
+
+    # simulate the redelivery: rewrite one epoch's rows under its
+    # existing batch_id — dynamic overwrite must replace, not append
+    replay = first.filter(F.col("batch_id") == batch_ids[0])
+    replay.write.mode("overwrite").partitionBy("batch_id").parquet(out)
+    assert spark.read.parquet(out).count() == n1
