@@ -370,3 +370,34 @@ def ref_category_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("icons"),
     )
     return payload.select(*category_flatten_columns())
+
+
+@register(
+    "source_spotify_datasource",
+    oracle="""
+    WITH g AS (SELECT unnest(['pop', 'rock', 'hip hop', 'k-pop', 'edm']) AS genre),
+    i AS (SELECT * FROM range(5) t(i))
+    SELECT g.genre,
+           g.genre || '-' || i.i AS id,
+           g.genre || ' artist ' || i.i AS name,
+           CAST((i.i * 17 + length(g.genre)) % 101 AS INT) AS popularity,
+           CAST(i.i * 1000 + length(g.genre) AS BIGINT) AS followers,
+           CASE WHEN i.i = 3 THEN ''
+                ELSE 'http://img/' || g.genre || '/' || i.i END AS image_url
+    FROM g CROSS JOIN i
+    """,
+)
+def source_spotify_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S6 through the Spark 4 Python Data Source API:
+    `spark.read.format("spotify")` fans the genre list out as
+    InputPartitions (one REST task per genre on the EXECUTORS — no
+    driver fetch loop), with genre predicates pruning partitions via
+    pushFilters. This query reads the deterministic fixture transport;
+    the oracle replays the same pure-function payloads in SQL, giving
+    the custom-source path a full value-hash correctness row. The live
+    transport variant is socket-tested in tests/test_sources_sinks.py.
+    See sources/spotify_datasource.py."""
+    from bigdata06_spark.sources import spotify_datasource as DS
+
+    DS.register(spark)
+    return spark.read.format("spotify").load()

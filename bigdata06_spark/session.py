@@ -70,6 +70,9 @@ def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None) -> Sp
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # custom Python data sources (sources/spotify_datasource.py)
+        # implement pushFilters; the capability ships disabled
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in catalog.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -595,3 +595,51 @@ def test_binary_file_ingestion_end_to_end(spark, tmp_path):
 
     sums = {r.byte_len: r.byte_sum for r in checksum_media(assets).collect()}
     assert sums[len(wav)] == sum(wav)
+
+
+def test_datasource_partition_pruning():
+    """pushFilters prunes the genre partition list (one REST call per
+    surviving genre) and returns non-genre filters as unsupported."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from bigdata06_spark.sources.spotify_datasource import SpotifyArtistsReader
+
+    r = SpotifyArtistsReader({"transport": "fixture"})
+    leftover = list(r.pushFilters([EqualTo(("genre",), "pop"), GreaterThan(("popularity",), 10)]))
+    assert [p.genre for p in r.partitions()] == ["pop"]
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+
+    r2 = SpotifyArtistsReader({"transport": "fixture"})
+    assert list(r2.pushFilters([In(("genre",), ("rock", "edm"))])) == []
+    assert [p.genre for p in r2.partitions()] == ["rock", "edm"]
+
+
+def test_datasource_live_http_from_executors(spark):
+    """The custom source with transport=http: every genre partition does
+    the full token/GET lifecycle against the stub server FROM AN
+    EXECUTOR PROCESS — the distributed-ingestion contract (no driver
+    fetch loop)."""
+    from bigdata06_spark.sources import spotify_datasource as DS
+
+    srv = _StubSpotifyServer()
+    try:
+        token_url, api_base = srv.urls()
+        DS.register(spark)
+        df = (
+            spark.read.format("spotify")
+            .option("transport", "http")
+            .option("genres", "pop,rock")
+            .option("client_id", "cid")
+            .option("client_secret", "secret")
+            .option("token_url", token_url)
+            .option("api_base", api_base)
+            .load()
+        )
+        rows = df.collect()
+        # stub /v1/search returns one artist per call
+        assert {(r.genre, r.id) for r in rows} == {("pop", "a1"), ("rock", "a1")}
+        gets = [e for e in srv.state["log"] if e[0] == "GET"]
+        assert len(gets) == 2 and all(g[3]["Authorization"].startswith("Bearer tok") for g in gets)
+        assert srv.state["token_gen"] >= 1  # token POST happened over the wire
+    finally:
+        srv.close()
