@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 DEFAULT_GENRES = ["pop", "rock", "hip hop", "k-pop", "edm"]  # Spotify_API3.py:88
@@ -162,3 +163,77 @@ def register(spark) -> None:
     ensure_workers_can_import(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SpotifyDataSource)
+
+
+# ------------------------------------------------- streaming (incremental sync)
+
+STREAM_SCHEMA = "offset long, id string, name string, popularity int"
+FIXTURE_TOTAL_ITEMS = 120  # mirrors the stub server's /v1/albums collection
+
+
+def fixture_page(offset: int, limit: int, total: int = FIXTURE_TOTAL_ITEMS) -> list[dict]:
+    """Deterministic page of an ordered collection — the pure function
+    both the stream reader and its batch-equivalence test replay."""
+    return [
+        {"id": f"alb{i}", "name": f"album {i}", "popularity": (i * 13) % 101}
+        for i in range(offset, min(offset + limit, total))
+    ]
+
+
+class SpotifyPageStreamReader(SimpleDataSourceStreamReader):
+    """S5 pagination as STREAMING OFFSETS: each micro-batch reads the
+    next page(s) of an ordered collection; the page cursor is the
+    checkpointed offset. This is the incremental-API-sync shape — a
+    restarted query resumes from the committed cursor instead of
+    re-listing, and a replayed batch (`readBetweenOffsets`) re-fetches
+    exactly its offset window, which makes the sink-side effects
+    idempotent-able (streaming/sinks.py). The reference's pagination
+    loop (Spotify_API4.py:327-356) forgets its position on every run;
+    this one is the always-on version."""
+
+    def __init__(self, options):
+        self.options = options
+        self.page_size = int(options.get("page_size", "50"))
+        self.total = int(options.get("total", str(FIXTURE_TOTAL_ITEMS)))
+
+    def initialOffset(self) -> dict:
+        return {"pos": int(self.options.get("start_offset", "0"))}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        # a LIST, not a generator: Spark's prefetch cache copies the
+        # returned iterator when planning partitions (generators can't
+        # be copied/pickled)
+        return [
+            (int(item["id"][3:]), item["id"], item["name"], item["popularity"])
+            for item in fixture_page(start, end - start, self.total)
+        ]
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.page_size, self.total)
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+
+class SpotifyStreamDataSource(DataSource):
+    """`spark.readStream.format("spotify_pages")` — paginated REST
+    collection as an unbounded stream with checkpointed page cursors."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "spotify_pages"
+
+    def schema(self) -> str:
+        return STREAM_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SpotifyPageStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    spark.dataSource.register(SpotifyStreamDataSource)

@@ -130,3 +130,37 @@ def test_foreach_batch_idempotent_replay(spark, sf_dir, tmp_path):
     replay = first.filter(F.col("batch_id") == batch_ids[0])
     replay.write.mode("overwrite").partitionBy("batch_id").parquet(out)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_page_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """The custom streaming data source (S5 pagination as streaming
+    offsets): each availableNow run drains one page; re-running with
+    the SAME checkpoint resumes from the committed cursor — the
+    incremental-API-sync contract. Three runs cover the 120-item
+    collection exactly once; a fourth adds nothing."""
+    from bigdata06_spark.sources import spotify_datasource as DS
+
+    DS.register_stream(spark)
+    out, ckpt = str(tmp_path / "pages_out"), str(tmp_path / "pages_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("spotify_pages")
+            .option("page_size", "50")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    counts = []
+    for _ in range(4):
+        run_once()
+        counts.append(spark.read.parquet(out).count())
+    assert counts == [50, 100, 120, 120]
+    final = spark.read.parquet(out)
+    assert final.select("offset").distinct().count() == 120  # no re-fetch overlap
+    assert final.filter("popularity <> (offset * 13) % 101").count() == 0
