@@ -1558,3 +1558,90 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.intersectAll(op)
+
+
+def _recursive_spine_sql(str_type: str, level_clause: str = "") -> str:
+    """Shared recursive-CTE text; the dialect splits are the
+    unparameterized string type name (Spark: STRING, DuckDB: VARCHAR)
+    and Spark's MAX RECURSION LEVEL clause (the data spans ~116 months,
+    past Spark's default 100-step guard; DuckDB has no such clause)."""
+    return f"""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS mx FROM orders
+    ),
+    months(m){level_clause} AS (
+      SELECT CAST('1992-01-01' AS DATE)
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months CROSS JOIN bounds WHERE m < bounds.mx
+    )
+    SELECT CAST(months.m AS {str_type}) AS month_start,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM months
+      LEFT JOIN orders o
+        ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = months.m
+    GROUP BY months.m
+"""
+
+
+@register("sql_recursive_cte", oracle=_recursive_spine_sql("VARCHAR"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): a month spine generated by the
+    recursive anchor/step pattern, left-joined to per-month order
+    counts — empty months survive as zero rows, the gap-fill shape
+    `events_gapfill_locf` builds with `sequence()` expressed in pure
+    recursive SQL instead. The SAME statement text runs on DuckDB as
+    the oracle up to one type-name spelling (STRING vs VARCHAR), so
+    this also pins cross-dialect recursive-CTE compatibility (DATE
+    anchor, INTERVAL step, scalar-subquery recursion bound). Recursion
+    depth = #months (bounded by the data's date span); each step is one
+    tiny union branch — the spine never shuffles more than its own
+    rows."""
+    from bigdata06_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_recursive_spine_sql("STRING", " MAX RECURSION LEVEL 500"))
+
+
+@register(
+    "sql_scripting_block",
+    oracle="""
+    WITH params AS (
+      SELECT floor(avg(o_totalprice) * 100 + 0.5) / 100 AS threshold FROM orders
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above,
+           floor(min(o.o_totalprice) * 100 + 0.5) / 100 AS min_above
+    FROM orders o CROSS JOIN params p
+    WHERE o.o_totalprice > p.threshold
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (new in Spark 4): a BEGIN…END compound with a
+    DECLAREd session variable assigned from a scalar subquery, consumed
+    by the block's final SELECT — the procedural-parameter pattern
+    (thresholds, as-of dates) without driver round-trips: the variable
+    binds inside the engine, so at cluster scale the scalar never
+    leaves the JVM between statements. DuckDB has no scripting surface;
+    the oracle expresses the same parameterization relationally (the
+    threshold as a 1-row CTE cross-joined in), which also documents the
+    de-sugaring."""
+    from bigdata06_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold DOUBLE;
+          SET threshold = (
+            SELECT floor(avg(o_totalprice) * 100 + 0.5) / 100 FROM orders
+          );
+          SELECT o_orderpriority,
+                 count(*) AS n_above,
+                 floor(min(o_totalprice) * 100 + 0.5) / 100 AS min_above
+          FROM orders
+          WHERE o_totalprice > threshold
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
