@@ -401,3 +401,45 @@ def source_spotify_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DS.register(spark)
     return spark.read.format("spotify").load()
+
+
+@register(
+    "ref_pandas_api_on_spark",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           max(o_totalprice) AS max_price,
+           CAST(min(o_orderkey) AS BIGINT) AS first_order
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY n_orders DESC, o_custkey ASC
+    LIMIT 10
+    """,
+)
+def ref_pandas_api_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pandas idioms runnable VERBATIM, distributed:
+    `pyspark.pandas` (pandas API on Spark) expressing the reference's
+    groupby→sort_values→head pipeline shape (Spotify_API3.py:401-404's
+    sort/head, its groupby summaries) — the drop-in migration path for
+    the reference codebase before any rewrite to Column algebra. Every
+    pandas call lowers to the same Catalyst plans the native queries
+    use (lazy, whole-stage codegen; no driver materialization until
+    to_spark()).
+
+    Determinism discipline: only order-independent aggregates
+    (count/max/min — no float accumulation across an undefined row
+    order) and a full sort-key tiebreak (n desc, custkey asc), so the
+    distributed result is row-identical to the SQL oracle."""
+    import pyspark.pandas as ps
+
+    from bigdata06_spark.catalog import table_path
+
+    ps.set_option("compute.default_index_type", "distributed")
+    pdf = ps.read_parquet(table_path(sf_dir, "orders"))
+    agg = pdf.groupby("o_custkey", as_index=False).agg(
+        n_orders=("o_orderkey", "count"),
+        max_price=("o_totalprice", "max"),
+        first_order=("o_orderkey", "min"),
+    )
+    top = agg.sort_values(["n_orders", "o_custkey"], ascending=[False, True]).head(10)
+    return top.to_spark()

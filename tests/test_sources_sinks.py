@@ -643,3 +643,35 @@ def test_datasource_live_http_from_executors(spark):
         assert srv.state["token_gen"] >= 1  # token POST happened over the wire
     finally:
         srv.close()
+
+
+def test_jsonl_manifest_writer(spark, tmp_path):
+    """The Python DataSource WRITE path (two-phase commit): executor
+    tasks write temp shards + commit messages; the driver-side commit
+    promotes shards and writes _MANIFEST.json last. The manifest must
+    account for every row exactly, and checksums must match the shard
+    bytes on disk."""
+    import hashlib
+    import json as _json
+
+    from bigdata06_spark import sinks_datasource as SD
+
+    SD.register(spark)
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v").repartition(4)
+    out = str(tmp_path / "export")
+    df.write.format("jsonl_manifest").option("path", out).mode("append").save()
+
+    manifest = _json.loads((tmp_path / "export" / "_MANIFEST.json").read_text())
+    assert manifest["total_rows"] == 1000
+    assert len(manifest["shards"]) == 4
+    seen = 0
+    for shard in manifest["shards"]:
+        data = (tmp_path / "export" / shard["file"]).read_bytes()
+        assert hashlib.sha256(data).hexdigest() == shard["sha256"]
+        rows = [_json.loads(line) for line in data.decode().splitlines()]
+        assert len(rows) == shard["rows"]
+        assert all(r["v"] == r["id"] * 2 for r in rows)
+        seen += len(rows)
+    assert seen == 1000
+    # no temp files survive the commit
+    assert not [p for p in (tmp_path / "export").iterdir() if p.name.startswith("_temp-")]
