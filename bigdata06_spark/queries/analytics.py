@@ -1645,3 +1645,50 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "agg_freq_items_sketch",
+    oracle="""
+    WITH t AS (SELECT count(*) AS total FROM lineitem),
+    c AS (
+      SELECT l_linenumber, count(*) AS cnt FROM lineitem GROUP BY l_linenumber
+    )
+    SELECT c.l_linenumber, CAST(c.cnt AS BIGINT) AS cnt, TRUE AS covered
+    FROM c CROSS JOIN t
+    WHERE c.cnt > 0.1 * t.total
+    """,
+)
+def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the frequent-items sketch (`df.stat.freqItems`,
+    Karp/Shenker/Papadimitriou lossy counting): single pass, memory
+    O(1/support), mergeable — the scale path for "which keys dominate"
+    where an exact groupBy's key cardinality is itself the hazard.
+
+    The sketch's contract is one-sided: it returns a SUPERSET of every
+    item with frequency > support·n (false positives possible, false
+    negatives not). Like the approx-distinct/percentile queries, the
+    driver-checkable form is self-certifying: compute the exact heavy
+    hitters (groupBy + total), flag each as `covered` iff it appears in
+    the sketch's item set (relational join against the exploded sketch
+    output — no driver collect), and let the oracle pin the exact side
+    plus the TRUE certificate. A sketch regression (lost true heavy
+    hitter) turns the row red."""
+    li = load_table(spark, "lineitem", sf_dir)
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    exact = (
+        li.groupBy("l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > 0.1 * F.col("total"))
+    )
+    sketch = (
+        li.stat.freqItems(["l_linenumber"], 0.1)
+        .select(F.explode("l_linenumber_freqItems").alias("l_linenumber"))
+        .withColumn("_hit", F.lit(True))
+    )
+    return exact.join(F.broadcast(sketch), "l_linenumber", "left").select(
+        "l_linenumber",
+        "cnt",
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("covered"),
+    )

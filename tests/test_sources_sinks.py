@@ -675,3 +675,42 @@ def test_jsonl_manifest_writer(spark, tmp_path):
     assert seen == 1000
     # no temp files survive the commit
     assert not [p for p in (tmp_path / "export").iterdir() if p.name.startswith("_temp-")]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs single-key sort: for a box predicate on (x, y), file
+    min/max stats must prune files on BOTH dimensions under Z-order,
+    while an x-sorted layout leaves every file overlapping any y range.
+    Overlap counting is done directly on per-file min/max — the same
+    stats parquet readers prune with."""
+    import glob
+
+    from bigdata06_spark.sinks import write_sorted_parquet, write_zorder_parquet
+
+    df = spark.range(0, 40000).selectExpr(
+        "CAST(id * 48271 % 40000 AS BIGINT) AS x",
+        "CAST(id * 16807 % 40000 AS BIGINT) AS y",
+    )
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    write_zorder_parquet(df, zpath, ["x", "y"], n_files=16)
+    write_sorted_parquet(df, spath, ["x"], n_files=16)
+
+    def overlapping_files(path, lo, hi, col):
+        n = 0
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            stats = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            if stats.lo is not None and not (stats.hi < lo or stats.lo > hi):
+                n += 1
+        return n
+
+    # a 10%-wide band on y: x-sorted files all span the full y range;
+    # z-ordered files cover y-rectangles, so most files drop out
+    assert overlapping_files(spath, 0, 4000, "y") == 16
+    z_overlap = overlapping_files(zpath, 0, 4000, "y")
+    assert z_overlap <= 8, f"zorder should prune y-band to few files, got {z_overlap}"
+    # and x still prunes too (both dimensions clustered)
+    assert overlapping_files(zpath, 0, 4000, "x") <= 8
+    # correctness: layout changes nothing about the data
+    assert spark.read.parquet(zpath).count() == 40000
