@@ -42,3 +42,65 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------- transformWithStateInPandas
+
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, max_value double"
+
+
+def _user_peak_processor():
+    """StatefulProcessor (Spark 4 `transformWithStateInPandas` — the
+    successor API to applyInPandasWithState): typed per-key state
+    handles (ValueState here; ListState/MapState/timers available),
+    explicit lifecycle (init/handleInputRows/close), RocksDB-backed.
+    Built lazily: the class references the active session's serializers
+    at definition time."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class UserPeak(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [StructField("n", LongType()), StructField("mx", DoubleType())]
+            )
+            self._state = handle.getValueState("peak", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (0, float("-inf"))
+            if self._state.exists():
+                n, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserPeak()
+
+
+def user_peak_totals(events: DataFrame) -> DataFrame:
+    """Per-user event count + running max via transformWithStateInPandas.
+    Requires the RocksDB state store provider AND `protobuf` on the
+    workers (the API's state round-trip wire format) — protobuf is not
+    installed in this container, so the operator is covered by an
+    import-gated test (tests/test_streaming.py) that activates wherever
+    the dependency exists, like the PIL decode path. Output mode
+    Update — one row per seen user per batch with the cumulative
+    values; `running_user_totals` (applyInPandasWithState) is the
+    runnable-here equivalent."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_user_peak_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -164,3 +164,76 @@ def test_page_stream_source_resumes_from_checkpoint(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.select("offset").distinct().count() == 120  # no re-fetch overlap
     assert final.filter("popularity <> (offset * 13) % 101").count() == 0
+
+
+def test_transform_with_state_user_peaks(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 stateful API): per-user
+    count + running max with a typed ValueState handle on RocksDB.
+    Requires protobuf (the API's state wire format), absent in this
+    container — the test activates wherever it exists; the construction
+    path (plan building, schema validation) runs unconditionally."""
+    import pytest
+
+    from bigdata06_spark.streaming import ops as SO
+    from bigdata06_spark.streaming.stateful import user_peak_totals
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # plan construction + analysis must succeed regardless of protobuf
+    plan = user_peak_totals(SO.stream_events(spark, sf_dir))
+    assert plan.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,max_value:double>"
+    )
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not available: transformWithState cannot execute here")
+
+    out = SO.run_to_table(plan, "update")
+    final = {r.user_id: (r.n_events, r.max_value) for r in out.collect()}
+    e = load_table(spark, "events", sf_dir)
+    batch = {
+        r.user_id: (r.n, r.mx)
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert final == batch
+
+
+def test_state_store_reader_inspects_checkpoint(spark, sf_dir, tmp_path):
+    """The state data source (Spark 4 ops surface): a finished query's
+    checkpoint opened RELATIONALLY — `state-metadata` lists the
+    stateful operators, `statestore` exposes key/value state rows.
+    The inspected state must equal the batch-mode per-user counts:
+    state debugging without replaying the stream."""
+    from bigdata06_spark.streaming import ops as SO
+
+    ev = SO.as_event_time(SO.stream_events(spark, sf_dir)).withWatermark("ts", "1 hour")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = str(tmp_path / "ss_ckpt")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ss_inspect")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = spark.read.format("state-metadata").load(ckpt)
+    assert "stateStoreAggregate" in {r.operatorName for r in meta.collect()} or meta.count() >= 1
+
+    state = spark.read.format("statestore").load(ckpt)
+    got = {r.key.user_id: r.value[0] for r in state.collect()}
+    batch = {
+        r.user_id: r.n
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
