@@ -53,12 +53,16 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
         pass
 
 
-def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None) -> SparkSession:
+def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     Local mode is a single JVM; on a cluster the same configs apply with
     `master` supplied by the environment (spark-submit / k8s). Nothing in
-    the engine assumes local mode.
+    the engine assumes local mode. `extra_conf` lets tooling override
+    session-build configs (e.g. tools/shuffle_audit.py re-enables the
+    UI its REST metrics come from) — only effective for the FIRST
+    builder in the JVM, like every static conf.
     """
     n = cores or default_parallelism()
     builder = (
@@ -81,6 +85,8 @@ def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{n}]")
     spark = builder.getOrCreate()
