@@ -1692,3 +1692,187 @@ def agg_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.coalesce(F.col("_hit"), F.lit(False)).alias("covered"),
     )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linenumber, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linenumber
+    ),
+    m AS (SELECT l_returnflag, max(cnt) AS mx FROM c GROUP BY l_returnflag),
+    md AS (
+      SELECT c.l_returnflag, min(c.l_linenumber) AS mode_ln,
+             CAST(max(c.cnt) AS BIGINT) AS mode_cnt
+      FROM c JOIN m ON c.l_returnflag = m.l_returnflag AND c.cnt = m.mx
+      GROUP BY c.l_returnflag
+    ),
+    med AS (
+      SELECT l_returnflag, median(l_quantity) AS med_qty,
+             median(l_extendedprice) AS med_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT md.l_returnflag, md.mode_ln, md.mode_cnt,
+           TRUE AS builtin_mode_is_argmax, med.med_qty, med.med_price
+    FROM md JOIN med ON md.l_returnflag = med.l_returnflag
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIAN and MODE per group — the order-statistics aggregates
+    the rest of the agg surface doesn't cover.
+
+    Median uses the built-in `median` (exact interpolated 0.5-percentile
+    — identical interpolation to DuckDB's `median`, and the inputs are
+    exact-decimal doubles, so the midpoint average is bit-exact).
+
+    Mode is NOT hash-comparable as a built-in: both engines return an
+    arbitrary member of the argmax set under ties. The deterministic
+    form here is min-of-argmax (smallest value among the most frequent),
+    computed relationally — count per (group, value), max count per
+    group, min value at that count. The built-in `F.mode` still runs,
+    but what's emitted is a CERTIFICATE (its value's count equals the
+    max count — TRUE on both sides), the same self-certifying pattern
+    as the sketch queries. Scale: two map-side-combined aggregates on
+    uniform keys plus tiny argmax joins."""
+    li = load_table(spark, "lineitem", sf_dir)
+    c = li.groupBy("l_returnflag", "l_linenumber").agg(F.count(F.lit(1)).alias("cnt"))
+    md = c.groupBy("l_returnflag").agg(
+        F.min_by("l_linenumber", F.struct(-F.col("cnt"), F.col("l_linenumber"))).alias("mode_ln"),
+        F.max("cnt").alias("mode_cnt"),
+    )
+    builtin = li.groupBy("l_returnflag").agg(F.mode("l_linenumber").alias("_bm"))
+    bm_cnt = builtin.join(
+        c.select(F.col("l_returnflag"), F.col("l_linenumber").alias("_bm"), F.col("cnt").alias("_bmc")),
+        ["l_returnflag", "_bm"],
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.median("l_extendedprice").alias("med_price"),
+    )
+    return (
+        md.join(bm_cnt, "l_returnflag")
+        .join(med, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "mode_ln",
+            "mode_cnt",
+            (F.col("_bmc") == F.col("mode_cnt")).alias("builtin_mode_is_argmax"),
+            "med_qty",
+            "med_price",
+        )
+    )
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS union_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: HLL sketches built per FINE group
+    (`hll_sketch_agg` on (returnflag, linestatus)), then UNIONED to the
+    coarse group (`hll_union_agg` per returnflag) and estimated — the
+    re-aggregation property that makes sketches the 100 TB path:
+    pre-aggregated daily/partition sketches roll up to any coarser
+    grain without touching raw data, which exact distinct counts
+    fundamentally cannot do (distincts don't sum).
+
+    Like `agg_approx_distinct`, the estimate itself is engine-specific,
+    so the driver-checkable contract is the exact distinct count plus a
+    certificate that the unioned estimate lands within 5σ of it
+    (lgConfigK=12 → rsd = 1.04/√4096 ≈ 1.6%, 5σ ≈ 8%). A regression in
+    the sketch/merge path turns the row red."""
+    li = load_table(spark, "lineitem", sf_dir)
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sk")
+    )
+    coarse = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("_est")
+    )
+    exact = li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    tol = 0.08
+    return exact.join(coarse, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (F.abs(F.col("_est") - F.col("exact_parts")) <= F.col("exact_parts") * tol).alias(
+            "union_in_bound"
+        ),
+    )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM seq
+    ),
+    hist AS (
+      SELECT user_id, run, event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM runs GROUP BY user_id, run, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current
+    FROM hist
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history: collapse each user's event_type
+    timeline into validity intervals — one row per consecutive RUN of
+    the same attribute value, with [valid_from, valid_to) bounds,
+    open-ended (NULL / is_current) on the latest run. The companion to
+    `cdc_scd1_merge`: type 1 keeps only the latest value, type 2 keeps
+    the full history as intervals — the warehouse pattern for
+    slowly-changing dimensions built from a changelog.
+
+    Classic gaps-and-islands: a window lag marks value changes, a
+    running sum turns change-marks into run ids, a groupBy collapses
+    runs, a lead closes each interval with the next run's start. Order
+    is pinned by (ts, event_id) so runs are deterministic under equal
+    timestamps.
+
+    Scale: every window/groupBy here partitions by user_id — ONE
+    shuffle on the natural key, then all four steps ride the same
+    exchange (no per-step re-partitioning). State per key is a scalar,
+    never the row history."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    seq = ev.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    )
+    runs = seq.withColumn(
+        "run",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    hist = runs.groupBy("user_id", "run", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run")
+    valid_to = F.lead("valid_from").over(w_run)
+    return hist.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
