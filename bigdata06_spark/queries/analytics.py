@@ -1876,3 +1876,88 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         valid_to.isNull().alias("is_current"),
     )
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12, d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled integer-PageRank replay (see `graph_pagerank`)."""
+    teleport = scale * (d_den - d_num) // d_den
+    parts = [
+        f"""
+    WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    edges AS (SELECT src, dst, count(*) AS w FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, edges.w, outw.ow FROM edges JOIN outw ON edges.src = outw.src),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    s{i} AS (SELECT e.dst AS node, CAST(sum((r{i-1}.r * e.w) // e.ow) AS BIGINT) AS sc
+             FROM e JOIN r{i-1} ON e.src = r{i-1}.node GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    CAST({teleport} // nn.n + (coalesce(s{i}.sc, 0) * {d_num}) // {d_den} AS BIGINT) AS r
+             FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON s{i}.node = nodes.node)"""
+        )
+    parts.append(f"\n    SELECT node, r AS rank_scaled FROM r{iters}")
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph — the
+    iterative-propagation companion to `dedup_components` (min-label)
+    and `events_transition_matrix` (the one-step matrix): rank flows
+    along observed transition edges, damped, for a fixed 3 iterations.
+
+    Exactness across engines: all arithmetic is INTEGER on ranks scaled
+    by 1e12 — floor-div edge contributions r·w/out_w, 85/100 damping,
+    floor-div teleport — so the DuckDB replay (unrolled CTEs) is
+    bit-identical; no float reassociation anywhere (same trick as
+    `embedding_kmeans`). Dangling-node mass is dropped (not
+    redistributed) on both sides, documented semantics.
+
+    Scale shape: per iteration one join of ranks to edges on src plus
+    one groupBy on dst — the textbook distributed PageRank step. Edges
+    partition by src once and every iteration reuses that exchange;
+    rank state is (node, long), never the adjacency. The driver loop is
+    control flow only (fixed depth, no convergence collect). Node count
+    here is tiny, but nothing in the plan is node-count-bounded."""
+    S, D_NUM, D_DEN, ITERS = 10**12, 85, 100, 3
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("dst", F.lead("event_type").over(w)).filter(F.col("dst").isNotNull())
+    edges = pairs.groupBy(F.col("event_type").alias("src"), "dst").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(outw, "src")
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    cnt = nodes.agg(F.count(F.lit(1)).alias("n"))
+    teleport = S * (D_DEN - D_NUM) // D_DEN
+    ranks = nodes.crossJoin(F.broadcast(cnt)).select(
+        "node", F.expr(f"CAST({S} AS BIGINT) DIV n").alias("r")
+    )
+    for _ in range(ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("(r * w) DIV ow").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("sc"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(cnt))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({teleport} AS BIGINT) DIV n + (coalesce(sc, CAST(0 AS BIGINT)) * {D_NUM}) DIV {D_DEN}"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -303,3 +303,52 @@ def test_rebalance_for_amplification_semantics(spark, sf_dir):
     assert out.rdd.getNumPartitions() == target
     wide = docs.repartition(target * 2)
     assert rebalance_for_amplification(wide, "doc_id") is wide
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """cdc_scd2_history: lag-window, run-sum window, run groupBy, and
+    the closing lead-window all cluster on user_id — HashPartitioning
+    on user_id satisfies every later (coarser) clustering requirement,
+    so the whole gaps-and-islands pipeline rides ONE exchange."""
+    plan = plan_of(SPECS["cdc_scd2_history"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Exchange") == 1, plan
+
+
+def test_runtime_bloom_filter_injectable(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction: for a shuffle join
+    whose build side carries a selective filter, the optimizer injects
+    a bloom filter built from the small side's join keys and applies
+    `might_contain` on the big side BEFORE its shuffle — rows that
+    can't match never enter the exchange. At 100 TB this is the cheap
+    version of a semi-join pre-reduction; thresholds are lowered here
+    because the mechanism (not the default sizing) is what must hold.
+    Confs are runtime-settable optimizer flags, restored after."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") == "1-URGENT")
+        li = load_table(spark, "lineitem", sf_dir)
+        df = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
