@@ -445,3 +445,34 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_
             break
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def containment_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, threshold: float = 0.9) -> DataFrame:
+    """Containment similarity C(A→B) = |A∩B| / |A| over n-gram shingle
+    sets — the ASYMMETRIC companion to `jaccard_pairs`, catching
+    sub-document duplication Jaccard misses: a short doc pasted inside
+    a much longer one scores C≈1 while J≈|A|/|B| stays tiny (Broder's
+    resemblance-vs-containment distinction). Ordered pairs (doc_a
+    contained in doc_b), C ≥ threshold.
+
+    Same inverted-index plan as Jaccard (no N² cross join); the only
+    differences are the `!=` pair predicate (both directions matter)
+    and the one-sided denominator. Shuffle budget identical."""
+    idx = shingle_index(docs, id_col, text_col, n)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = idx.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sa, "doc_a")
+        .withColumn("containment", F.col("inter") / F.col("sz_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

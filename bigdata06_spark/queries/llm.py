@@ -72,6 +72,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE.replace("a.doc_id < b.doc_id", "a.doc_id <> b.doc_id")}
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS DOUBLE) / sa.n AS containment
+    FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+    WHERE CAST(i.i AS DOUBLE) / sa.n >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A->B) = |A∩B|/|A| ≥ 0.9 over 3-gram
+    shingles — catches sub-document duplication (short doc pasted into
+    a long one) that symmetric Jaccard misses. Same inverted-index
+    plan; exact integer-ratio output (bit-identical cross-engine)."""
+    return D.containment_pairs(load_table(spark, "documents", sf_dir), threshold=0.9)
+
+
 @register("dedup_minhash_lsh", oracle=_JACCARD_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH banding (32 bands × r=2) with exact-Jaccard

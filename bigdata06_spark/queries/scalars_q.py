@@ -463,3 +463,44 @@ def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_rows"), F.count("g").alias("n_grams")
     )
+
+
+@register(
+    "scalar_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             printf('https://api.example.com:8443/v1/%s/docs/%d?lang=%s&q=big%%20data',
+                    source, doc_id, lang) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1)            AS proto,
+           regexp_extract(url, '^https://([^:/]+)', 1)       AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1)  AS path,
+           regexp_extract(url, 'lang=([^&]*)', 1)            AS lang_param,
+           replace(regexp_extract(url, 'q=([^&]*)', 1), '%20', ' ') AS q_decoded
+    FROM u
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function surface: `parse_url` component extraction
+    (PROTOCOL/HOST/PATH, per-key QUERY param) and `url_decode` —
+    the log/clickstream-parsing scalars. URLs are constructed from the
+    documents table so the oracle (which has no parse_url) can verify
+    the exact same components with anchored regexes. All JVM-side
+    codegen scalars; zero shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    url = F.format_string(
+        "https://api.example.com:8443/v1/%s/docs/%d?lang=%s&q=big%%20data",
+        F.col("source"), F.col("doc_id"), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.url_decode(F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q"))).alias("q_decoded"),
+    )

@@ -714,3 +714,35 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert overlapping_files(zpath, 0, 4000, "x") <= 8
     # correctness: layout changes nothing about the data
     assert spark.read.parquet(zpath).count() == 40000
+
+
+def test_ivf_partition_pruning(spark, sf_dir, tmp_path):
+    """IVF layout contract: cell-partitioned parquet + literal cell
+    filter = static partition pruning — the scan lists only the probed
+    cell directories, and the probe's top-k equals brute force over
+    exactly those cells."""
+    import numpy as np
+
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators import similarity as S
+
+    corpus = load_table(spark, "embeddings", sf_dir)
+    dim = len(corpus.select("embedding").first()[0])
+    rng = np.random.RandomState(7)
+    centroids = [list(v / np.sqrt(dim)) for v in rng.randn(8, dim)]
+    path = str(tmp_path / "ivf")
+    S.write_ivf_partitioned(corpus, path, centroids)
+
+    qvec = [float(x) for x in corpus.select("embedding").first()[0]]
+    df = S.ivf_probe_partitioned(spark, path, qvec, centroids, k=5, nprobe=2)
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    rows = df.collect()
+    assert len(rows) == 5
+    # exact re-rank within probed cells: monotone descending sims
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
