@@ -1961,3 +1961,70 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS disc_revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the linear
+    FROM → WHERE → AGGREGATE dataflow form of the q1-style pricing
+    summary. Same Catalyst plan as the nested form — the surface is
+    sugar, so the oracle is the equivalent ANSI text; decimal-backed
+    sums keep the hash exact."""
+    from bigdata06_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |> AGGREGATE CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+                     CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                       AS disc_revenue,
+                     count(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, disc_revenue, n
+    """)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named markers and an IDENTIFIER() table
+    reference — the injection-safe form of templated queries (values
+    bind as literals AFTER parsing; identifiers resolve through the
+    catalog, not string splicing). The oracle inlines the same
+    bindings."""
+    from bigdata06_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :minp
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "minp": 150000.0},
+    )
