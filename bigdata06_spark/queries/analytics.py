@@ -2028,3 +2028,102 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "minp": 150000.0},
     )
+
+
+# Shared final-projection text for agg_corr_moments: identical
+# expression TREES on identical decimal-sourced inputs give identical
+# IEEE doubles in both engines; the 6dp rounding absorbs nothing in
+# practice but documents the guarantee boundary.
+_MOMENTS_FINAL = """
+    SELECT l_returnflag, n,
+           floor((sxy - sx * sy / n) / n * 1e6 + 0.5) / 1e6 AS cov_pop,
+           floor((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6 AS corr,
+           floor(sqrt((sxx - sx * sx / n) / (n - 1)) * 1e6 + 0.5) / 1e6 AS stddev_x,
+           floor((sxxx / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n))
+                 / pow((sxx - sx * sx / n) / n, 1.5) * 1e6 + 0.5) / 1e6 AS skew_x
+    FROM moments
+"""
+
+
+@register(
+    "agg_corr_moments",
+    oracle=f"""
+    WITH moments AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice * l_extendedprice
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sxxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    {_MOMENTS_FINAL}
+    """,
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation, covariance, stddev, and skewness per group — the
+    statistical-moment aggregates (`corr`/`covar_pop`/`stddev`/
+    `skewness` built-ins), computed EXACTLY across engines.
+
+    The built-ins are float-reassociation-sensitive (each engine's
+    partial-aggregate tree sums in a different order), so they can
+    never hash-match. Instead: aggregate the raw POWER SUMS in
+    DECIMAL(38,6) — the inputs are exact 2-decimal values, so x², xy,
+    x³ are exact ≤6-decimal values and decimal addition is associative
+    — then derive every statistic in ONE shared final-projection SQL
+    text run verbatim by both engines on those bit-identical sums.
+    Same two-phase shape Spark's own Welford-style moment aggregates
+    use (partial + combine), so the shuffle carries one 8-number row
+    per group either way; this is how to get deterministic moments at
+    100 TB, not a test trick."""
+    li = load_table(spark, "lineitem", sf_dir)
+    d38 = "decimal(38,6)"
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("l_extendedprice").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("l_quantity").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(d38))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(d38)).cast("double").alias("syy"),
+        F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(d38))
+        .cast("double").alias("sxy"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice") * F.col("l_extendedprice")).cast(d38)
+        ).cast("double").alias("sxxx"),
+    )
+    moments.createOrReplaceTempView("moments")
+    return spark.sql(_MOMENTS_FINAL)
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS p25_disc,
+           quantile_disc(l_extendedprice, 0.5)  AS p50_disc,
+           quantile_disc(l_extendedprice, 0.9)  AS p90_disc,
+           min(l_extendedprice) AS p_min,
+           max(l_extendedprice) AS p_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (an actual data value, no interpolation) —
+    `percentile_disc` semantics match DuckDB's `quantile_disc`
+    (smallest value whose cumulative rank ≥ p), so stored doubles pass
+    through bit-exact with no rounding discipline needed, unlike the
+    continuous variant. Exact percentiles buffer values per group; the
+    scale path is the mergeable sketch (`agg_approx_percentile`) —
+    this is its exact reference."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25_disc"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p90_disc"),
+        F.min("l_extendedprice").alias("p_min"),
+        F.max("l_extendedprice").alias("p_max"),
+    )

@@ -134,3 +134,40 @@ def write_zorder_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(spark, path: str, out_path: str,
+                        target_file_bytes: int = 128 << 20) -> int:
+    """Small-files compaction: rewrite a directory of many undersized
+    parquet files into ~target-size files (the lakehouse OPTIMIZE /
+    bin-packing pass). The small-file problem is an operational
+    100 TB killer — a streaming sink or over-parallel write leaves
+    thousands of KB-scale files, and every later scan pays a task +
+    footer-read + open per file.
+
+    File inventory comes from the `_metadata` hidden column (file-source
+    metadata exposed by Spark per row — no driver-side FileSystem
+    walk), aggregated to (file count, total bytes) in one job; the
+    rewrite is a round-robin `repartition(ceil(total/target))` so
+    output files are uniformly sized regardless of input skew. Returns
+    the output file count. Clustering-preserving variants belong to
+    `write_sorted_parquet`/`write_zorder_parquet` — compaction here
+    trades layout for file-count hygiene."""
+    import math
+
+    from pyspark.sql import functions as F  # local import mirrors module style
+
+    df = spark.read.parquet(path)
+    inv = (
+        df.select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .groupBy("fp")
+        .agg(F.first("sz").alias("sz"))
+        .agg(F.count(F.lit(1)).alias("n_files"), F.sum("sz").alias("total"))
+        .first()
+    )
+    n_out = max(1, math.ceil((inv.total or 0) / target_file_bytes))
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    return n_out

@@ -746,3 +746,48 @@ def test_ivf_partition_pruning(spark, sf_dir, tmp_path):
     # exact re-rank within probed cells: monotone descending sims
     sims = [r.sim for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Compaction contract: N tiny files in, ceil(total/target) files
+    out, content identical."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sinks import compact_small_files
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(64).write.parquet(frag)  # the pathological layout
+    import glob
+
+    assert len(glob.glob(frag + "/part-*.parquet")) == 64
+
+    compacted = str(tmp_path / "compacted")
+    total = sum(__import__("os").path.getsize(p) for p in glob.glob(frag + "/part-*.parquet"))
+    target = max(1, total // 4)  # aim for ~4-5 output files
+    n_out = compact_small_files(spark, frag, compacted, target_file_bytes=target)
+    out_files = glob.glob(compacted + "/part-*.parquet")
+    assert len(out_files) == n_out <= 8
+    a = {(r.doc_id, r.text) for r in spark.read.parquet(compacted).collect()}
+    b = {(r.doc_id, r.text) for r in docs.collect()}
+    assert a == b
+
+
+def test_observe_single_pass_metrics(spark, sf_dir):
+    """`observe()` pipeline metrics: row counts / sums recorded AT a
+    plan point during the one real action — no second scan. The 100 TB
+    use: data-quality counters (rows in, rows surviving each filter)
+    for free on every production run."""
+    from pyspark.sql import Observation
+
+    from bigdata06_spark.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    obs = Observation("ingest")
+    observed = li.observe(
+        obs, F.count(F.lit(1)).alias("rows_in"), F.sum("l_quantity").alias("qty_in")
+    )
+    out = observed.filter(F.col("l_quantity") > 25).groupBy("l_returnflag").count()
+    out.collect()
+    got = obs.get
+    assert got["rows_in"] == li.count()
+    assert abs(got["qty_in"] - li.agg(F.sum("l_quantity")).first()[0]) < 1e-6
