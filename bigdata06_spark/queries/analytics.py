@@ -2127,3 +2127,77 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("p_min"),
         F.max("l_extendedprice").alias("p_max"),
     )
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_rolled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps — the third point
+    on the distinct-count spectrum: `count(DISTINCT)` (exact, expand +
+    two-phase shuffle of the raw keys), HLL sketches (approximate,
+    mergeable, constant size), and THIS (exact AND mergeable: a
+    roaring-style bucketed bitmap per group; re-aggregation unions
+    bitmaps with `bitmap_or_agg`, never re-reading raw data).
+
+    Keys are bucketed by `bitmap_bucket_number` (32768 bits per
+    bucket), each (group, bucket) aggregates bit positions into one
+    binary bitmap, `bitmap_count` + a sum gives the exact count, and
+    the same bitmaps rolled up from the FINE grain
+    ((returnflag, linestatus) → returnflag, bitmap_or_agg) prove the
+    merge path equals the direct count — the property the oracle pins
+    with two identical exact columns. Shuffle carries bitmaps
+    (≤4 KB/bucket), not keys: at 100 TB per-partition/day bitmaps are
+    precomputed state and any coarser distinct is a cheap OR."""
+    li = load_table(spark, "lineitem", sf_dir)
+    direct = (
+        li.select("l_returnflag", F.col("l_partkey").alias("k"))
+        .groupBy("l_returnflag", F.bitmap_bucket_number(F.col("k")).alias("b"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("k"))).alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_parts"))
+    )
+    fine = (
+        li.select("l_returnflag", "l_linestatus", F.col("l_partkey").alias("k"))
+        .groupBy("l_returnflag", "l_linestatus", F.bitmap_bucket_number(F.col("k")).alias("b"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("k"))).alias("bm"))
+    )
+    rolled = (
+        fine.groupBy("l_returnflag", "b")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_parts_rolled"))
+    )
+    return direct.join(rolled, "l_returnflag").select(
+        "l_returnflag", "n_parts", "n_parts_rolled"
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (`listagg` ... WITHIN GROUP, Spark 4)
+    — deterministic because the ORDER BY pins concatenation order on
+    both engines (an unordered listagg is partition-order-dependent and
+    could never hash-match). DISTINCT keeps the payload bounded by the
+    status domain, not the row count."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -504,3 +504,31 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.url_decode(F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("q"))).alias("q_decoded"),
     )
+
+
+@register(
+    "scalar_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                                    AS text_md5,
+           sha256(text)                                 AS text_sha256,
+           CAST(length(md5(text)) AS BIGINT)            AS md5_len,
+           substr(sha256(text), 1, 8)                   AS sha_head
+    FROM documents
+    """,
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash scalar surface: md5 and sha2-256 — the
+    fingerprint primitives behind exact dedup, split assignment, and
+    content-addressed storage keys. Standardized digests are
+    bit-identical across engines by definition, so the oracle is
+    direct. (xxhash64/crc32 exist too but are engine-seeded —
+    internal-only, as in the SimHash/bucketing operators.)"""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.length(F.md5("text")).cast("long").alias("md5_len"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 8).alias("sha_head"),
+    )

@@ -352,3 +352,52 @@ def test_runtime_bloom_filter_injectable(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE skew handling observed at RUNTIME, not just configured: a
+    join with one hot key (>100x the median partition) runs under
+    lowered skew thresholds and the FINAL adaptive plan marks the
+    sort-merge join skew=true — the hot partition was split across
+    tasks instead of becoming the straggler. This is skew policy #2
+    from SCALE.md doing its job without any query rewrite."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+
+        hot = spark.range(1_000_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+        tail = spark.range(2, 2_000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        big = hot.unionAll(tail)
+        dim = spark.range(1, 2_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        # the aggregate must NOT cluster on the join key: skew-split
+        # breaks the join's hash-partitioning guarantee, so AQE skips
+        # it when a downstream stage requires that distribution (a
+        # groupBy("k") here silently disables the optimization)
+        out = big.join(dim, "k").agg(
+            F.sum(F.col("w") + F.col("v")).alias("tw"), F.count(F.lit(1)).alias("n")
+        )
+        rows = out.collect()
+        assert rows[0].n == 1_001_998
+        final = plan_of(out)
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
