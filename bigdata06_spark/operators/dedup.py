@@ -418,6 +418,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_
     labels = (
         nodes.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -442,8 +443,19 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Returning here would silently mis-label every node farther
+        # than max_iter hops from its component minimum (a 61-node
+        # chain at the 25-round default). Fail loud; graphs with
+        # diameter > max_iter belong to `connected_components_star`
+        # (O(log n) rounds).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds max_iter); use connected_components_star"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 
 
@@ -475,4 +487,81 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .withColumn("containment", F.col("inter") / F.col("sz_a"))
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
+    )
+
+
+def connected_components_star(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
+                              max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round algorithm `connected_components`'
+    docstring names as the escape hatch for graphs where min-label
+    propagation's O(diameter) rounds are the bottleneck (long chains,
+    giant components). Same output contract: every node labeled with
+    the min reachable id (equivalence test-pinned against the
+    propagation implementation).
+
+    Per round, both operations are one groupBy-min plus one join —
+    shuffles on node ids, state is only the edge list, which the
+    star transforms strictly shrink toward star form:
+    - large-star: for each node u, every LARGER neighbor v re-points
+      to m = min(Γ(u) ∪ {u});
+    - small-star: orient edges max→min; every neighbor (and u itself)
+      re-points to the minimum.
+    Convergence = edge-set fingerprint (count + hash-sum) unchanged;
+    the driver loop is control flow only, `localCheckpoint` truncates
+    lineage per round as in the propagation variant."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint(eager=True)
+
+    def _fingerprint(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        d = edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        ).distinct()
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        via_nbrs = (
+            d.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        )
+        via_u = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+        return via_nbrs.unionByName(via_u).distinct()
+
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nfp = _fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    roots = e.groupBy("src").agg(F.min("dst").alias("label"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .distinct()
+        .join(roots.select(F.col("src").alias("node"), "label"), "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.least(F.col("node"), F.coalesce(F.col("label"), F.col("node"))).alias("component"),
+        )
     )

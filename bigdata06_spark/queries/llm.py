@@ -873,9 +873,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
+_COMPONENTS_SQL = f"""
     WITH RECURSIVE
     {_SHINGLES_CTE},
     pairs AS (
@@ -893,8 +891,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.dst, c.label FROM comp c JOIN e ON e.src = c.node
     )
     SELECT node AS doc_id, min(label) AS component FROM comp GROUP BY node
-    """,
-)
+    """
+
+
+@register("dedup_components", oracle=_COMPONENTS_SQL)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the exact
     near-dup pair graph (3-gram Jaccard ≥ 0.5) — every doc labeled with
@@ -905,6 +905,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure of the same pair graph."""
     docs = load_table(spark, "documents", sf_dir)
     return D.connected_components(D.jaccard_pairs(docs, threshold=0.5), docs)
+
+
+@register("dedup_components_star", oracle=_COMPONENTS_SQL)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component labeling as `dedup_components`, computed with the
+    alternating large-star/small-star algorithm (O(log n) rounds vs
+    O(diameter)) — the variant for graphs with long chains or giant
+    components; output identical (same oracle, plus a direct
+    equivalence unit test). See
+    operators/dedup.py:connected_components_star."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.connected_components_star(D.jaccard_pairs(docs, threshold=0.5), docs)
 
 
 _DECODED_SQL = """

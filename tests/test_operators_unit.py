@@ -305,3 +305,40 @@ def test_substring_spans_hand_example(spark, monkeypatch):
         (3, 16, 25, 10),          # shared at tail (pos 16: after 8+7 lead words)
         (4, 9, 16, 8),
     }
+
+
+def test_star_components_equal_label_propagation(spark):
+    """large-star/small-star and min-label propagation must produce the
+    identical component labeling on an arbitrary graph — including a
+    long chain (the propagation algorithm's worst case) and isolated
+    nodes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark.operators.dedup import connected_components, connected_components_star
+
+    rng = random.Random(42)
+    n = 300
+    chain_len = 40
+    edges = [(i, i + 1) for i in range(0, chain_len)]  # one 41-node chain
+    edges += [(rng.randrange(100, n), rng.randrange(100, n)) for _ in range(150)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["doc_a", "doc_b"]
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    prop = {
+        (r.doc_id, r.component)
+        for r in connected_components(pairs, nodes, max_iter=chain_len + 2).collect()
+    }
+    star = {(r.doc_id, r.component) for r in connected_components_star(pairs, nodes).collect()}
+    assert prop == star
+    # every chain node reaches min 0
+    assert all(c == 0 for d, c in star if d <= chain_len)
+
+    # propagation must FAIL LOUD, not silently mis-label, when the
+    # diameter exceeds its round budget
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iter=5)

@@ -401,3 +401,30 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_spill_thresholds_do_not_change_results(spark, sf_dir):
+    """Spill-safety: with window/join/agg buffer-spill thresholds forced
+    to a few rows, every buffered operator runs through its spill path
+    — results must be identical. At 100 TB spilling is routine, not
+    exceptional; an operator that only works in-memory is wrong."""
+    names = ["topk_per_group", "window_running_sum", "sessionize_events", "q18_large_volume_customers"]
+    expected = {n: sorted(map(tuple, SPECS[n].fn(spark, sf_dir).collect())) for n in names}
+    keys = (
+        "spark.sql.windowExecBufferSpillThreshold",
+        "spark.sql.sortMergeJoinExecBufferSpillThreshold",
+        "spark.sql.cartesianProductExecBufferSpillThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "4")
+        for n in names:
+            got = sorted(map(tuple, SPECS[n].fn(spark, sf_dir).collect()))
+            assert got == expected[n], n
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -237,3 +237,60 @@ def test_state_store_reader_inspects_checkpoint(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_agg_state_recovers_across_restart(spark, sf_dir, tmp_path):
+    """Exactly-once across a STOP/RESTART: half the events land, the
+    query runs to completion and stops; the rest land, and a brand-new
+    query with the SAME checkpoint continues — the final aggregate
+    equals the batch answer over all rows (state restored, first half
+    neither lost nor double-counted). This is the recovery contract a
+    24/7 production stream runs on."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "event_type", "value")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    first.write.parquet(src)
+
+    def run(name):
+        q = (
+            spark.readStream.schema(ev.schema).parquet(src)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r.event_type: (r.n, r.total) for r in spark.table(name).collect()}
+
+    got1 = run("ckpt_restart_run1")
+    exp1 = {
+        r.event_type: (r.n, r.total)
+        for r in first.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert got1 == exp1
+
+    second.write.mode("append").parquet(src)
+    got2 = run("ckpt_restart_run2")
+    exp2 = {
+        r.event_type: (r.n, r.total)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert got2 == exp2
