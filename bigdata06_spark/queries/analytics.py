@@ -2201,3 +2201,116 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_v,
+           min(value) AS mn,
+           max(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a stored aggregate
+    over HISTORY merged with a partial aggregate over the DELTA batch
+    — produce the refreshed aggregate WITHOUT re-reading history. The
+    oracle is the full recompute over all rows: merge ≡ recompute is
+    the whole contract, and it's what makes daily 100 TB rollups
+    affordable (cost per refresh is O(delta + groups), not O(corpus)).
+
+    Mechanics: keep only RE-COMBINABLE partials in the view state —
+    count, decimal sum, min, max (avg is DERIVED at read time from
+    sum/count; a stored avg can't merge). Decimal sums make the merge
+    order-insensitive and bit-exact, so even the float-sensitive avg
+    matches the recompute exactly. Same principle as the HLL/bitmap
+    rollups, applied to plain aggregates."""
+    ev = load_table(spark, "events", sf_dir)
+    history = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("total_dec"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    merged = (
+        partials(history)
+        .unionByName(partials(delta))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_dec").alias("total_dec"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("total_dec").cast("double").alias("total"),
+        (F.col("total_dec").cast("double") / F.col("n")).alias("avg_v"),
+        "mn",
+        "mx",
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           any_value(d.med) AS med,
+           any_value(mad.mad) AS mad,
+           CAST(count(*) FILTER (WHERE d.adev > 4.4478 * mad.mad) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
+    companion to `events_zscore_outliers` that a few extreme values
+    can't poison (mean/stddev break down at 1 contaminated point;
+    median/MAD tolerate 50%). Flags |x - med| > 3σ-equivalent
+    (4.4478 = 3 × 1.4826, the normal-consistency constant, as ONE
+    literal so both engines compare identical doubles).
+
+    Two exact interpolated medians (value, then absolute deviation)
+    with the per-group median broadcast back — two group shuffles plus
+    a broadcast join. At 100 TB swap the exact medians for
+    `percentile_approx` (same shape, bounded memory)."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

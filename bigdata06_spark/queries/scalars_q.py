@@ -532,3 +532,39 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.md5("text")).cast("long").alias("md5_len"),
         F.substring(F.sha2(F.col("text"), 256), 1, 8).alias("sha_head"),
     )
+
+
+@register(
+    "scalar_xml_funcs",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id,
+             printf('<doc id="%d"><lang>%s</lang><src>%s</src></doc>',
+                    doc_id, lang, source) AS xml
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(regexp_extract(xml, 'id="(\\d+)"', 1) AS BIGINT) AS id_attr,
+           regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS lang_el,
+           regexp_extract(xml, '<src>([^<]*)</src>', 1) AS src_el
+    FROM x
+    """,
+)
+def scalar_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar surface (native in Spark 4): XPath extraction of an
+    attribute and child elements from an XML-typed string column — the
+    feed/config-parsing path. XML is constructed from the documents
+    table so the oracle (no XPath in DuckDB) verifies the identical
+    components with regexes. All JVM-side scalars, zero shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    xml = F.format_string(
+        '<doc id="%d"><lang>%s</lang><src>%s</src></doc>',
+        F.col("doc_id"), F.col("lang"), F.col("source"),
+    )
+    x = d.select("doc_id", xml.alias("xml"))
+    return x.select(
+        "doc_id",
+        F.expr("xpath_long(xml, '/doc/@id')").alias("id_attr"),
+        F.expr("xpath_string(xml, '/doc/lang')").alias("lang_el"),
+        F.expr("xpath_string(xml, '/doc/src')").alias("src_el"),
+    )
