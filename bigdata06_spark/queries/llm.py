@@ -232,9 +232,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus sit well above the threshold, where the miss odds vanish
     (J=0.6 → 3e-7, J=0.8 → 4e-15)."""
     docs = load_table(spark, "documents", sf_dir)
-    new_b = docs.filter(F.col("doc_id") % 10 == 7)
-    old_b = docs.filter(F.col("doc_id") % 10 != 7)
-    return D.incremental_dedup(new_b, old_b, threshold=0.5)
+    return D.incremental_dedup_flagged(docs, F.col("doc_id") % 10 == 7, threshold=0.5)
 
 
 # ------------------------------------------------------------- similarity
