@@ -1430,3 +1430,174 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + 7).alias("span_end"),
         (F.max("pos") + 7 - F.min("pos") + 1).alias("span_tokens"),
     ).drop("island")
+
+
+_BM25_TERMS = ("merge", "stream", "hash")
+
+# One scoring text evaluated verbatim by BOTH engines over the
+# bm25_parts relation (doc_id, term, tf, dl, df, n_docs, avgdl):
+# per-term contributions pivot into FIXED-ORDER addition (a 3-term
+# float sum is reassociation-sensitive; a+b+c in one expression tree
+# is not), ln() is the only transcendental (last-ulp divergence
+# absorbed by the 4dp rounding), ranking tiebreaks on doc_id.
+_BM25_FINAL = f"""
+    SELECT doc_id,
+           floor((
+             coalesce(max(CASE WHEN term = 'merge' THEN
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) END), 0.0)
+           + coalesce(max(CASE WHEN term = 'stream' THEN
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) END), 0.0)
+           + coalesce(max(CASE WHEN term = 'hash' THEN
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) END), 0.0)
+           ) * 1e4 + 0.5) / 1e4 AS bm25
+    FROM bm25_parts
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+"""
+
+_BM25_PARTS_SQL = f"""
+    bm25_parts AS (
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      ),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('merge', 'stream', 'hash') GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term IN ('merge', 'stream', 'hash') GROUP BY term),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       CAST(sum(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avgdl
+                FROM dl)
+      SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) AS tf,
+             CAST(dl.dl AS DOUBLE) AS dl, CAST(dfreq.df AS DOUBLE) AS df,
+             stats.n_docs, stats.avgdl
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON tf.term = dfreq.term
+        CROSS JOIN stats
+    )
+"""
+
+
+@register("text_bm25_topk", oracle=f"WITH {_BM25_PARTS_SQL} {_BM25_FINAL}")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query
+    over the documents table — lexical top-k, the counterpart to the
+    embedding kNN queries (together they feed `rag_hybrid_rrf`). The
+    relational form of a search engine's scorer: token explode → tf
+    per (doc, term), df per term, doc length + corpus stats, score,
+    rank.
+
+    Determinism: tf/df/dl are integers; avgdl is a decimal-sum
+    quotient; the one scoring expression (`_BM25_FINAL`) runs verbatim
+    on both engines with per-term contributions added in fixed order.
+
+    Scale: tf shuffles on (doc, term) with map-side combine; df and
+    corpus stats are term-vocabulary / single-row relations
+    (broadcast); no shuffle carries raw text. At 100 TB the df/stats
+    side is incrementally-maintained index state, exactly like the
+    dedup signatures."""
+    from bigdata06_spark.operators.scale import rebalance_for_amplification
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = rebalance_for_amplification(docs, "doc_id").select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qt = list(_BM25_TERMS)
+    tf = toks.filter(F.col("term").isin(qt)).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = toks.filter(F.col("term").isin(qt)).groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    parts = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("double").alias("tf"),
+            F.col("dl").cast("double").alias("dl"),
+            F.col("df").cast("double").alias("df"),
+            "n_docs",
+            "avgdl",
+        )
+    )
+    parts.createOrReplaceTempView("bm25_parts")
+    return spark.sql(_BM25_FINAL)
+
+
+@register(
+    "rag_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_PARTS_SQL},
+    lex AS ({_BM25_FINAL}),
+    lexr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex FROM lex
+    ),
+    scored AS (
+      SELECT c.vec_id AS doc_id,
+             floor(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id = 0
+    ),
+    vecr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r_vec
+      FROM scored ORDER BY sim DESC, doc_id ASC LIMIT 10
+    )
+    SELECT coalesce(lexr.doc_id, vecr.doc_id) AS doc_id,
+           floor((coalesce(1.0 / (60.0 + r_lex), 0.0)
+                + coalesce(1.0 / (60.0 + r_vec), 0.0)) * 1e6 + 0.5) / 1e6 AS rrf
+    FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.doc_id
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via RECIPROCAL RANK FUSION: the BM25 lexical
+    top-10 and the cosine-kNN vector top-10 (query = vec 0) fused by
+    rrf = Σ 1/(60 + rank) — the standard way production RAG stacks
+    combine keyword and embedding search without score calibration
+    (ranks are scale-free; 60 is the canonical damping constant).
+
+    Determinism is structural: both input rankings are already
+    tiebreak-pinned, RRF is pure rational arithmetic in a fixed-order
+    two-term sum, so the fusion is bit-exact cross-engine. Scale: the
+    two retrievers run independently (each already scale-shaped); the
+    fusion joins two k-row relations — free."""
+    from pyspark.sql import Window
+
+    lex = text_bm25_topk(spark, sf_dir)
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(w_lex).alias("r_lex"))
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vec = S.knn_bruteforce(emb.filter(F.col("vec_id") == 0), emb, k=10)
+    vecr = vec.select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("r_vec"))
+
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_vec")), F.lit(0.0))
+        ).alias("_rrf"),
+    )
+    from bigdata06_spark.queries.qutil import rnd
+
+    return (
+        fused.select("doc_id", rnd(F.col("_rrf"), 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
