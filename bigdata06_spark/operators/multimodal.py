@@ -314,3 +314,36 @@ def payloads_from_files(files: DataFrame) -> DataFrame:
             F.md5(F.col("content")).alias("content_md5"),
         ).alias("meta"),
     )
+
+
+AUDIO_WINDOW_SCHEMA = "doc_id long, win_idx long, start_sample long, end_sample long"
+
+
+def audio_window_batch(frame: int, hop: int):
+    """mapInPandas stage: audio rows fan OUT to one row per analysis
+    window (frame samples long, hop apart) — the STFT/feature-window
+    layout every speech pipeline starts from. Same row-expanding Arrow
+    shape as the video frame sampler."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "win_idx": [], "start_sample": [], "end_sample": []}
+            for doc_id, n_samples in zip(pdf["doc_id"], pdf["n_frames"]):
+                n_wins = 0 if n_samples < frame else (int(n_samples) - frame) // hop + 1
+                for w in range(n_wins):
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w)
+                    out["start_sample"].append(w * hop)
+                    out["end_sample"].append(w * hop + frame)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def audio_windows(decoded: DataFrame, frame: int = 400, hop: int = 160) -> DataFrame:
+    """Analysis windows over audio assets (the fake decode reports
+    n_frames = sample count for audio/wav). Filter prunes non-audio
+    rows BEFORE the Python stage, as with `sample_frames`."""
+    audio = decoded.filter(F.col("media_type") == "audio/wav").select("doc_id", "n_frames")
+    return audio.mapInPandas(audio_window_batch(frame, hop), schema=AUDIO_WINDOW_SCHEMA)

@@ -2314,3 +2314,44 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "agg_transpose_crosstab",
+    oracle="""
+    WITH ct AS (
+      SELECT l_returnflag,
+             CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F,
+             CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'F' AS l_linestatus,
+           CAST(max(CASE WHEN l_returnflag = 'A' THEN F END) AS BIGINT) AS A,
+           CAST(max(CASE WHEN l_returnflag = 'N' THEN F END) AS BIGINT) AS N,
+           CAST(max(CASE WHEN l_returnflag = 'R' THEN F END) AS BIGINT) AS R
+    FROM ct
+    UNION ALL
+    SELECT 'O',
+           CAST(max(CASE WHEN l_returnflag = 'A' THEN O END) AS BIGINT),
+           CAST(max(CASE WHEN l_returnflag = 'N' THEN O END) AS BIGINT),
+           CAST(max(CASE WHEN l_returnflag = 'R' THEN O END) AS BIGINT)
+    FROM ct
+    """,
+)
+def agg_transpose_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.stat.crosstab` (contingency table) composed with Spark 4's
+    `DataFrame.transpose` — the matrix flip that turns the
+    (returnflag × linestatus) count table into (linestatus ×
+    returnflag) without a hand-written pivot. Transposed cells take the
+    least-common type of the value columns (all-long counts stay
+    LONG); both ops are driver-light sugar
+    over pivot/unpivot plans. Bounded-cardinality only — a transpose's
+    output width is the input's ROW count."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ct = (
+        li.stat.crosstab("l_returnflag", "l_linestatus")
+        .withColumnRenamed("l_returnflag_l_linestatus", "l_returnflag")
+        .orderBy("l_returnflag")
+    )
+    out = ct.transpose(F.col("l_returnflag"))
+    return out.withColumnRenamed("key", "l_linestatus")

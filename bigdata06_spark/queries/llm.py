@@ -1601,3 +1601,38 @@ def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"""
+    WITH b AS ({_DECODED_SQL}),
+    a AS (
+      SELECT doc_id, 1 + byte_len % 1000 AS n_samples
+      FROM b WHERE media_type = 'audio/wav'
+    ),
+    w AS (
+      SELECT doc_id, n_samples,
+             CASE WHEN n_samples < 400 THEN 0
+                  ELSE (n_samples - 400) // 160 + 1 END AS n_wins
+      FROM a
+    )
+    SELECT doc_id,
+           CAST(unnest([i for i in range(0, n_wins)]) AS BIGINT) AS win_idx,
+           CAST(unnest([i * 160 for i in range(0, n_wins)]) AS BIGINT) AS start_sample,
+           CAST(unnest([i * 160 + 400 for i in range(0, n_wins)]) AS BIGINT) AS end_sample
+    FROM w WHERE n_wins > 0
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis windows: each audio asset fans out to overlapping
+    400-sample frames at 160-sample hop (the STFT layout) via a
+    row-expanding `mapInPandas` stage — the audio counterpart to
+    `multimodal_frame_sample` (video) and the missing third modality
+    in the decode family. The deterministic fake decode keeps the
+    window geometry SQL-expressible, so the Arrow plumbing (schema,
+    fan-out shape, audio-only pruning before Python) is exactly
+    oracle-checked; a real build swaps the decoder, not the plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    decoded = M.decode_media(M.attach_binary_payload(docs))
+    return M.audio_windows(decoded, frame=400, hop=160)

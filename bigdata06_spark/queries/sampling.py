@@ -94,3 +94,33 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("priority"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@register(
+    "sample_bernoulli_certified",
+    oracle="""
+    SELECT count(*) AS n_total, TRUE AS sample_in_bound
+    FROM documents
+    """,
+)
+def sample_bernoulli_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (`df.sample(fraction, seed)`) — the
+    engine-native random subset. Which rows land in the sample is
+    engine-specific (XORShift per partition), so rows can't
+    hash-match an oracle; the driver-checkable contract is the
+    self-certifying pattern used for sketches: emit the exact
+    population count plus a boolean that the sample size landed within
+    5σ of n·f (binomial σ = √(n·f·(1-f)), miss odds ~3e-7 for a
+    correct sampler). A broken sampler (wrong fraction, seed drift,
+    double-sampling) turns the row red."""
+    d = load_table(spark, "documents", sf_dir)
+    f_ = 0.2
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    samp = d.sample(fraction=f_, seed=42).agg(F.count(F.lit(1)).alias("n_samp"))
+    return total.crossJoin(samp).select(
+        "n_total",
+        (
+            F.abs(F.col("n_samp") - F.col("n_total") * f_)
+            <= 5.0 * F.sqrt(F.col("n_total") * f_ * (1.0 - f_))
+        ).alias("sample_in_bound"),
+    )

@@ -134,3 +134,77 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.term, t.n FROM _udtf_docs d, LATERAL term_counts(d.text) t"
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           upper(substr(lang, 1, 2)) AS lang_uc
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED regular Python UDF (`useArrow=True`, Spark 4):
+    row-function ergonomics (plain str -> value, no pandas Series
+    handling) with Arrow-batched transfer underneath — the migration
+    path for legacy row UDFs that can't be rewritten as vectorized
+    pandas_udfs. Still Python-per-row compute, so the engine reserves
+    it for non-hot-path logic; the oracle is the relational rewrite."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def n_chars(s: str) -> int:
+        return len(s)
+
+    @udf("string", useArrow=True)
+    def lang_uc(s: str) -> str:
+        return s[:2].upper()
+
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", n_chars("text").alias("n_chars"), lang_uc("lang").alias("lang_uc"))
+
+
+@register(
+    "udf_grouped_arrow",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) - min(n_chars) AS BIGINT) AS char_range
+    FROM documents GROUP BY source
+    """,
+)
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map `applyInArrow` (Spark 4): each group arrives as ONE
+    pyarrow.Table — zero-copy columnar, no pandas materialization —
+    the lowest-overhead custom-group-logic path (completing the Arrow
+    UDF matrix beside pandas_udf / applyInPandas / mapInPandas /
+    mapInArrow). Integer-only outputs keep the oracle hash-safe; the
+    per-group-fits-in-memory caveat applies as with any grouped map."""
+    import pyarrow as pa
+
+    def stats(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = table.num_rows
+        chars = table.column("n_chars")
+        total = pc.sum(chars).as_py() or 0
+        rng = (pc.max(chars).as_py() or 0) - (pc.min(chars).as_py() or 0)
+        return pa.Table.from_pydict(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": [n],
+                "total_chars": [total],
+                "char_range": [rng],
+            }
+        )
+
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    d = load_table(spark, "documents", sf_dir).select("source", "n_chars")
+    return d.groupBy("source").applyInArrow(
+        stats, schema="source string, n_docs long, total_chars long, char_range long"
+    )

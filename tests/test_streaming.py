@@ -294,3 +294,35 @@ def test_agg_state_recovers_across_restart(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got2 == exp2
+
+
+def test_rocksdb_state_store_equals_batch(spark, sf_dir):
+    """The RocksDB state-store provider (the LARGE-state path: state
+    spills to local disk instead of living on the JVM heap — how a
+    100 TB stream keeps millions of windows without OOM) must produce
+    byte-identical aggregates to the default HDFS-backed provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        streamed = SO.run_to_table(
+            SO.tumbling_counts(SO.stream_events(spark, sf_dir)), "complete"
+        )
+        batch = (
+            load_table(spark, "events", sf_dir)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        )
+        assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
