@@ -1636,3 +1636,72 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     decoded = M.decode_media(M.attach_binary_payload(docs))
     return M.audio_windows(decoded, frame=400, hop=160)
+
+
+# BPE merge table (rank-ordered). Applying rank k = one GLOBAL replace
+# of "x y" -> "xy" over the space-separated symbol sequence — the
+# deterministic merge-table half of BPE inference, shared verbatim
+# (modulo regex-flag dialect) by both engines.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("a", "n"),
+    ("o", "r"), ("s", "c"), ("sc", "an"), ("r", "t"), ("o", "w"),
+    ("in", "d"), ("g", "g"), ("u", "e"), ("r", "y"),
+]
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    spaced AS (
+      SELECT doc_id, word,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+      FROM w
+    ),
+    merged AS (
+      SELECT doc_id, word,
+             {" ".join("replace(" for _ in _BPE_MERGES)}sym{"".join(f", '{a} {b}', '{a}{b}')" for a, b in _BPE_MERGES)} AS sym
+      FROM spaced
+    )
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_pieces,
+           CAST(sum(len(word)) AS BIGINT) AS n_chars
+    FROM merged GROUP BY doc_id
+    """,
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style subword tokenization WITHOUT leaving the JVM: inference
+    against a fixed rank-ordered merge table, where applying rank k is
+    one global replace of "x y"→"xy" over the space-separated symbol
+    sequence — so the whole tokenizer is a chain of `replace` calls
+    inside whole-stage codegen, not a Python UDF, and the DuckDB
+    oracle runs the same chain (token counts per doc are hash-exact).
+    This is the merge-loop half of real BPE (a production table has
+    ~50k ranks; same plan, longer chain — constant per row, linear in
+    corpus); it also yields the tokens-per-doc accounting the packing/
+    mixture queries price in `regex_token_count` units today.
+
+    Scale: explode → per-word scalar chain → groupBy doc_id; the
+    symbol chain never shuffles (the exchange carries one (doc, counts)
+    row per doc)."""
+    from bigdata06_spark.operators.scale import rebalance_for_amplification
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = rebalance_for_amplification(docs, "doc_id").select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("word")
+    )
+    sym = F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 "))
+    for a, b in _BPE_MERGES:
+        sym = F.replace(sym, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    return (
+        w.withColumn("sym", sym)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size(F.split(F.col("sym"), " "))).cast("long").alias("n_pieces"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
