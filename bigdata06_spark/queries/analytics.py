@@ -2355,3 +2355,44 @@ def agg_transpose_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ct.transpose(F.col("l_returnflag"))
     return out.withColumnRenamed("key", "l_linestatus")
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id,
+           v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS backfill
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window variants: last-non-null over the preceding
+    frame (LOCF — per-row, the window-function form of the bucketed
+    `events_gapfill_locf`) and first-non-null over the following frame
+    (backfill) — the sparse-sensor imputation pair. Error events' null
+    values carry forward/backward within each user's timeline; order
+    pinned by (ts, event_id); stored doubles pass through bit-exact.
+    One shuffle on user_id serves both frames."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    base = ev.select("user_id", "ts", "event_id", v.alias("v"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    locf = F.last("v", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    backfill = F.first("v", ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return base.select(
+        "event_id", "v", locf.alias("locf"), backfill.alias("backfill")
+    )

@@ -564,3 +564,87 @@ def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epochs",
         F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("copy_idx"),
     )
+
+
+@register(
+    "corpus_training_manifest",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, lang, text,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    keep AS (
+      SELECT * FROM (
+        SELECT fp.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp
+      ) WHERE rn = 1
+    ),
+    enriched AS (
+      SELECT source, lang,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                      % 1000 < 800 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                      % 1000 < 900 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS ntok
+      FROM keep
+    ),
+    grp AS (
+      SELECT split, source, lang,
+             count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM enriched GROUP BY split, source, lang
+    ),
+    tot AS (SELECT split, sum(n_tokens) AS split_tokens FROM grp GROUP BY split)
+    SELECT g.split, g.source, g.lang, g.n_docs, g.n_tokens,
+           floor(CAST(g.n_tokens AS DOUBLE) / t.split_tokens * 1e6 + 0.5) / 1e6
+             AS token_share
+    FROM grp g JOIN tot t ON g.split = t.split
+    """,
+)
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data MANIFEST: the one table a pretraining run is
+    configured from — per (split, source, lang): surviving doc count,
+    token budget, and within-split token share. Composes the corpus
+    pipeline end-to-end in a single plan: exact dedup (keep min-id per
+    normalized fingerprint) → deterministic md5-bucket split →
+    BPE-ish token pricing → two-level mixture accounting — proving the
+    pieces compose, not just pass alone.
+
+    Scale: one fingerprint window (same key as `dedup_exact`'s
+    groupBy), then scan-stage split/token expressions, then one
+    (split, source, lang) aggregate; the share denominator reuses the
+    tiny group relation. No step touches raw text after the first
+    aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keep = (
+        docs.select("doc_id", "source", "lang", "text", T.fingerprint_md5("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000
+    )
+    enriched = keep.select(
+        "source",
+        "lang",
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test").alias("split"),
+        T.regex_token_count(F.col("text")).alias("ntok"),
+    )
+    grp = enriched.groupBy("split", "source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("n_tokens")
+    )
+    tot = grp.groupBy("split").agg(F.sum("n_tokens").alias("split_tokens"))
+    from bigdata06_spark.queries.qutil import rnd
+
+    return grp.join(tot, "split").select(
+        "split",
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        rnd(F.col("n_tokens").cast("double") / F.col("split_tokens"), 6).alias("token_share"),
+    )
