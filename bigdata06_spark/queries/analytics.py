@@ -2396,3 +2396,188 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "event_id", "v", locf.alias("locf"), backfill.alias("backfill")
     )
+
+
+@register(
+    "events_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT CAST(d AS VARCHAR) AS activity_date,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def events_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric. The
+    naive form (count(DISTINCT user) over an expanding window) re-scans
+    every prefix: O(days × users). The scale form used here is the
+    FIRST-SEEN rewrite: distinct count of an expanding window ≡ running
+    sum of first-appearance counts — one groupBy per user, one tiny
+    daily rollup, one integer cumsum over |days| rows. Same rewrite
+    powers incremental 'new vs returning' dashboards at any scale."""
+    ev = load_table(spark, "events", sf_dir)
+    first_seen = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").cast("string").alias("activity_date"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@register(
+    "events_concurrency_profile",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts FROM events
+    ),
+    deltas AS (
+      SELECT start_ts AS t, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT end_ts AS t, -1 AS delta FROM sessions
+    ),
+    merged AS (SELECT t, sum(delta) AS net FROM deltas GROUP BY t),
+    running AS (
+      SELECT t, CAST(sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS concurrent
+      FROM merged
+    )
+    SELECT CAST(max(concurrent) AS BIGINT) AS peak_concurrency,
+           count(*) AS n_change_points
+    FROM running
+    """,
+)
+def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency over interval data (each event opens a 30-min
+    presence window): the +1/-1 DELTA-SWEEP rewrite — emit a +1 at
+    every start and a -1 at every end, collapse equal timestamps, and
+    a running integer sum IS the concurrency curve; its max is the
+    peak. The naive interval self-join is O(N²); this is two scans and
+    one sorted cumsum, the standard trick for 'how many sessions were
+    open at once' at any scale (capacity planning, license counting).
+    Integer arithmetic end-to-end → exact."""
+    ev = load_table(spark, "events", sf_dir)
+    sess = ev.select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    deltas = sess.select(F.col("start_ts").alias("t"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    )
+    merged = deltas.groupBy("t").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = merged.select(F.sum("net").over(w).alias("concurrent"))
+    return running.agg(
+        F.max("concurrent").alias("peak_concurrency"),
+        F.count(F.lit(1)).alias("n_change_points"),
+    )
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(rev) OVER () AS tot_rev
+      FROM rev
+    ),
+    classed AS (
+      SELECT o_custkey,
+             CASE WHEN cum_rev <= tot_rev * 0.5 THEN 'A'
+                  WHEN cum_rev <= tot_rev * 0.8 THEN 'B'
+                  ELSE 'C' END AS cls,
+             rev
+      FROM ranked
+    )
+    SELECT cls, count(*) AS n_customers,
+           CAST(sum(rev) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY cls
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers sorted by revenue, class A
+    = the head covering 50% of cumulative revenue, B to 80%, C the
+    tail — the 80/20 segmentation behind inventory and account
+    prioritization. The cumulative sum runs in DECIMAL (window sums of
+    doubles reassociate differently per engine — DuckDB folds a
+    segment tree), so class boundaries are exact and the oracle
+    hash-matches. One groupBy plus one global-order window over the
+    |customers| relation (ranked, not raw orders)."""
+    o = load_table(spark, "orders", sf_dir)
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev")
+    )
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = rev.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("tot_rev"),
+    )
+    cls = (
+        F.when(F.col("cum_rev") <= F.col("tot_rev") * 0.5, "A")
+        .when(F.col("cum_rev") <= F.col("tot_rev") * 0.8, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("cls"), "rev")
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+        )
+    )
+
+
+@register(
+    "agg_boolean_argmax",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS r_min,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS r_max
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0)       AS all_positive,
+           bool_or(o_totalprice > 400000)   AS any_huge,
+           min(CASE WHEN r_min = 1 THEN o_orderkey END) AS cheapest_order,
+           min(CASE WHEN r_max = 1 THEN o_orderkey END) AS priciest_order
+    FROM ranked GROUP BY o_orderstatus
+    """,
+)
+def agg_boolean_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and arg-extremum aggregates: count_if, every/bool_and,
+    some/bool_or, min_by/max_by — the predicate-summary surface.
+    min_by/max_by pin ties with a (value, key) struct (price
+    duplicates within a group would otherwise make the returned key
+    engine-arbitrary); the oracle expresses the same argmin/argmax as
+    tiebroken window ranks."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.min_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("cheapest_order"),
+        F.min_by(
+            "o_orderkey", F.struct(-F.col("o_totalprice"), F.col("o_orderkey"))
+        ).alias("priciest_order"),
+    )

@@ -648,3 +648,71 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         rnd(F.col("n_tokens").cast("double") / F.col("split_tokens"), 6).alias("token_share"),
     )
+
+
+@register(
+    "corpus_diversity_metrics",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+                  AS BIGINT) AS t
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(t) AS DOUBLE) AS T, count(*) AS n,
+                   CAST(sum(t) AS BIGINT) AS tot_i FROM tok),
+    arr AS (SELECT list(t ORDER BY t) AS ts FROM tok),
+    pair AS (SELECT CAST(sum(abs(a.t - b.t)) AS BIGINT) AS sad
+             FROM tok a CROSS JOIN tok b)
+    SELECT tot.n AS n_sources, tot.tot_i AS total_tokens,
+           floor(-(list_reduce(list_transform(arr.ts,
+               x -> (CAST(x AS DOUBLE) / tot.T) * ln(CAST(x AS DOUBLE) / tot.T)),
+               (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS entropy,
+           floor(list_reduce(list_transform(arr.ts,
+               x -> (CAST(x AS DOUBLE) / tot.T) * (CAST(x AS DOUBLE) / tot.T)),
+               (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS simpson,
+           floor(CAST(pair.sad AS DOUBLE) / (2 * tot.n * tot.T) * 1e6 + 0.5) / 1e6 AS gini
+    FROM tot, arr, pair
+    """,
+)
+def corpus_diversity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-diversity report: Shannon entropy, Simpson index, and
+    Gini coefficient of the per-source token distribution — the
+    numbers a data-mixture review reads before training (is the corpus
+    one source in a trenchcoat?).
+
+    Float determinism for Σ p·ln p (irrational terms — decimal sums
+    can't help): fold the contributions over a SORTED ARRAY. Both
+    engines evaluate the same left-to-right sequential reduction over
+    the same ordered list (`aggregate(transform(...))` / DuckDB
+    `list_reduce(list_transform(...))`), so there is no reassociation
+    to diverge — a third determinism technique beside decimal sums and
+    shared-expression trees. Gini stays in integers (pairwise
+    |t_i−t_j| over the tiny source relation) until one final division.
+    Scale: everything after the per-source token aggregate operates on
+    a |sources|-row relation."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = (
+        docs.select("source", T.regex_token_count(F.col("text")).alias("_nt"))
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("t"))
+    )
+    tot = tok.agg(
+        F.sum("t").cast("double").alias("T"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").cast("long").alias("tot_i"),
+    )
+    arr = tok.agg(F.sort_array(F.collect_list("t")).alias("ts"))
+    pair = (
+        tok.select(F.col("t").alias("ta"))
+        .crossJoin(tok.select(F.col("t").alias("tb")))
+        .agg(F.sum(F.abs(F.col("ta") - F.col("tb"))).cast("long").alias("sad"))
+    )
+    combined = tot.crossJoin(arr).crossJoin(pair)
+    return combined.selectExpr(
+        "n AS n_sources",
+        "tot_i AS total_tokens",
+        "floor(-(aggregate(transform(ts, x -> (CAST(x AS DOUBLE) / T) * ln(CAST(x AS DOUBLE) / T)), CAST(0 AS DOUBLE), (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS entropy",
+        "floor(aggregate(transform(ts, x -> (CAST(x AS DOUBLE) / T) * (CAST(x AS DOUBLE) / T)), CAST(0 AS DOUBLE), (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS simpson",
+        "floor(CAST(sad AS DOUBLE) / (2 * n * T) * 1e6 + 0.5) / 1e6 AS gini",
+    )

@@ -568,3 +568,35 @@ def scalar_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("xpath_string(xml, '/doc/lang')").alias("lang_el"),
         F.expr("xpath_string(xml, '/doc/src')").alias("src_el"),
     )
+
+
+@register(
+    "scalar_collation_funcs",
+    oracle="""
+    SELECT doc_id,
+           upper(source) AS shouty,
+           (lower(upper(source)) = source) AS ci_equal,
+           (lower(upper(lang)) = lower(lang)) AS lang_ci_equal,
+           CAST(length(upper(source)) AS BIGINT) AS n
+    FROM documents
+    """,
+)
+def scalar_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 COLLATE): equality under
+    UTF8_LCASE matches case-insensitively at the COMPARISON level —
+    the engine feature that replaces scattering lower() through every
+    predicate. The oracle expresses the same truths with explicit
+    lower() (DuckDB has no per-expression collation), which is exactly
+    the rewrite collations obsolete."""
+    d = load_table(spark, "documents", sf_dir)
+    shouty = F.upper(F.col("source"))
+    return d.select(
+        "doc_id",
+        shouty.alias("shouty"),
+        (F.collate(shouty, "UTF8_LCASE") == F.collate(F.col("source"), "UTF8_LCASE")).alias(
+            "ci_equal"
+        ),
+        (F.collate(F.upper(F.col("lang")), "UTF8_LCASE")
+         == F.collate(F.col("lang"), "UTF8_LCASE")).alias("lang_ci_equal"),
+        F.length(shouty).cast("long").alias("n"),
+    )
