@@ -2581,3 +2581,90 @@ def agg_boolean_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.struct(-F.col("o_totalprice"), F.col("o_orderkey"))
         ).alias("priciest_order"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN event_id END AS err_id,
+             CASE WHEN event_type = 'error' THEN epoch_us(ts) END AS err_us,
+             (event_type = 'purchase') AS is_left
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    walked AS (
+      SELECT user_id, ts, event_id, is_left,
+             last_value(err_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_err,
+             last_value(err_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+             first_value(err_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_err,
+             first_value(err_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+      FROM tagged
+    )
+    SELECT user_id, event_id,
+           CASE
+             WHEN prev_err IS NULL THEN next_err
+             WHEN next_err IS NULL THEN prev_err
+             WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts) THEN prev_err
+             ELSE next_err
+           END AS nearest_error_id
+    FROM walked WHERE is_left
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of join: each purchase matched to the closest
+    error event of the same user in EITHER direction (backward-only is
+    `join_asof`; nearest is what sensor-alignment and incident
+    attribution actually want). Ties (equidistant) take the earlier
+    side.
+
+    Same union-marker plan as the backward variant, extended with both
+    frames: one sort per user over the merged stream, last-non-null
+    (backward candidate) + first-non-null (forward candidate), pick by
+    time distance — O(n log n) per user partition, never the O(n·m)
+    per-row range scan, and still ONE shuffle on user_id."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    is_err = F.col("event_type") == "error"
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(is_err, F.col("event_id")).alias("err_id"),
+        F.when(is_err, epoch_us(F.col("ts"))).alias("err_us"),
+        (F.col("event_type") == "purchase").alias("is_left"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    walked = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_left",
+        F.last("err_id", ignorenulls=True).over(back).alias("prev_err"),
+        F.last("err_us", ignorenulls=True).over(back).alias("prev_us"),
+        F.first("err_id", ignorenulls=True).over(fwd).alias("next_err"),
+        F.first("err_us", ignorenulls=True).over(fwd).alias("next_us"),
+    )
+    nearest = (
+        F.when(F.col("prev_err").isNull(), F.col("next_err"))
+        .when(F.col("next_err").isNull(), F.col("prev_err"))
+        .when(
+            epoch_us(F.col("ts")) - F.col("prev_us") <= F.col("next_us") - epoch_us(F.col("ts")),
+            F.col("prev_err"),
+        )
+        .otherwise(F.col("next_err"))
+    )
+    return walked.filter(F.col("is_left")).select(
+        "user_id", "event_id", nearest.alias("nearest_error_id")
+    )

@@ -791,3 +791,47 @@ def test_observe_single_pass_metrics(spark, sf_dir):
     got = obs.get
     assert got["rows_in"] == li.count()
     assert abs(got["qty_in"] - li.agg(F.sum("l_quantity")).first()[0]) < 1e-6
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """INSERT OVERWRITE with dynamic partition mode must replace ONLY
+    the partitions present in the incoming batch — the daily-reload
+    contract (static mode would wipe the whole table; a full rewrite
+    at 100 TB is the thing partitioned layouts exist to avoid)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, None)
+    path = str(tmp_path / "dpo")
+    try:
+        spark.conf.set(key, "dynamic")
+        from bigdata06_spark.catalog import load_table
+
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+        before = {
+            r.event_type: r.n
+            for r in spark.read.parquet(path).groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+
+        # reload ONLY the 'error' partition with halved rows
+        patch = ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 2 == 0))
+        patch.write.partitionBy("event_type").mode("overwrite").parquet(path)
+
+        after = {
+            r.event_type: r.n
+            for r in spark.read.parquet(path).groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert after["error"] == patch.count()
+        for k in before:
+            if k != "error":
+                assert after[k] == before[k], k  # untouched partitions intact
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
