@@ -1705,3 +1705,87 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("word")).cast("long").alias("n_chars"),
         )
     )
+
+
+def _power_iteration_oracle(iters: int = 3) -> str:
+    """Unrolled integer power-iteration replay (see
+    `embedding_power_iteration`)."""
+    parts = [
+        """
+    WITH xq AS (
+      SELECT vec_id,
+             [CAST(floor(x * 1000000.0) AS BIGINT) for x in embedding::DOUBLE[]] AS q
+      FROM embeddings
+    ),
+    xe AS (
+      SELECT vec_id, unnest([{'pos': i, 'val': q[i]} for i in range(1, len(q) + 1)], recursive := true)
+      FROM xq
+    ),
+    dim AS (SELECT max(pos) AS d FROM xe),
+    v0 AS (SELECT pos, CAST(1000000 AS BIGINT) AS vq FROM (SELECT unnest([i for i in range(1, (SELECT d FROM dim) + 1)]) AS pos))"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    dot{k} AS (
+      SELECT xe.vec_id, CAST(sum(xe.val * v{k-1}.vq) AS BIGINT) // 1000000000 AS dt
+      FROM xe JOIN v{k-1} ON xe.pos = v{k-1}.pos GROUP BY xe.vec_id
+    ),
+    w{k} AS (
+      SELECT xe.pos, CAST(sum(xe.val * dot{k}.dt) AS BIGINT) AS w
+      FROM xe JOIN dot{k} ON xe.vec_id = dot{k}.vec_id GROUP BY xe.pos
+    ),
+    m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
+    v{k} AS (
+      SELECT pos, CAST((w * 1000000) // m{k}.m AS BIGINT) AS vq FROM w{k}, m{k}
+    )""")
+    parts.append(f"""
+    SELECT pos AS dim, vq AS component FROM v{iters}""")
+    return "".join(parts)
+
+
+@register("embedding_power_iteration", oracle=_power_iteration_oracle())
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by POWER
+    ITERATION — with k-means (centroid updates), PageRank (damped
+    propagation) and connected components (label convergence), the
+    fourth iterative-algorithm family: distributed linear algebra,
+    v ← (XᵀX)v per round, expressed as two joins + two aggregates.
+
+    Exactness across engines (and across task retries): the same
+    quantized-integer discipline as k-means — vectors floor-quantized
+    to 1e-6, dot products floor-divided back into range, the new
+    iterate renormalized to max-abs = 1e6 with integer division. Every
+    round is integer in, integer out; the DuckDB replay (unrolled
+    CTEs) is bit-identical, no float reassociation anywhere.
+
+    Scale: per round, Xv shuffles (vec_id, long) and XᵀXv shuffles
+    (dim, long) — never the matrix; v itself is a |dim|-row relation
+    (broadcast-sized). The driver loop is fixed-depth control flow.
+    Overflow headroom: |xq|≤~8e6, dot/1e9 ≤ ~4e5, per-dim sums stay
+    under 2^63 up to ~10⁹ rows; beyond that, widen the divisor."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    xq = emb.select("vec_id", S.quantize(F.col("embedding")).alias("q"))
+    xe = xq.select("vec_id", F.posexplode("q").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    dim_df = xe.agg(F.max("pos").alias("d"))
+    v = dim_df.select(
+        F.explode(F.sequence(F.lit(1), F.col("d"))).alias("pos"),
+        F.lit(1_000_000).cast("long").alias("vq"),
+    )
+    for _ in range(3):
+        dot = (
+            xe.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.expr("CAST(sum(val * vq) AS BIGINT) DIV 1000000000").alias("dt"))
+        )
+        w = (
+            xe.join(dot, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("val") * F.col("dt")).cast("long").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "pos", F.expr("CAST((w * 1000000) DIV m AS BIGINT)").alias("vq")
+        )
+    return v.select(F.col("pos").alias("dim"), F.col("vq").alias("component"))
