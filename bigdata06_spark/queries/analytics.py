@@ -2668,3 +2668,174 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walked.filter(F.col("is_left")).select(
         "user_id", "event_id", nearest.alias("nearest_error_id")
     )
+
+
+@register(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) AS us,
+             epoch_us(ts) + CASE WHEN event_type = 'error'
+                                 THEN 300000000 ELSE 1800000000 END AS end_prop
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, us, end_prop,
+             CASE WHEN max(end_prop) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR us >= max(end_prop) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM base
+    ),
+    islands AS (
+      SELECT user_id, ts, end_prop,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us, end_prop
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(end_prop) AS session_end_us,
+           count(*) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (`session_window(ts, expr)`)
+    — error events hold a session open only 5 minutes, everything else
+    30: the form real session semantics take when activity types have
+    different dwell expectations. Sessions merge while an event starts
+    before the running max of proposed ends; the oracle replays that
+    merge as gaps-and-islands (running-max break marks + island sum).
+    The session end is reported in epoch micros (the merged
+    max(ts+gap)) so both engines agree exactly. One shuffle on
+    user_id."""
+    ev = load_table(spark, "events", sf_dir)
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    sw = ev.groupBy(F.session_window(F.col("ts"), gap).alias("sw"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sw.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        epoch_us(F.col("sw.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest([i for i in range(1, 21)]) AS b),
+    weighted AS (
+      SELECT r.b,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '#' ||
+                      CAST(r.b AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
+                    < 0.36787944117144233 THEN 0
+               WHEN CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '#' ||
+                      CAST(r.b AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
+                    < 0.7357588823428847 THEN 1
+               WHEN CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '#' ||
+                      CAST(r.b AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
+                    < 0.9196986029286058 THEN 2
+               WHEN CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '#' ||
+                      CAST(r.b AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0
+                    < 0.9810118431238462 THEN 3
+               ELSE 4
+             END AS w,
+             o.o_totalprice AS x
+      FROM orders o CROSS JOIN reps r
+    ),
+    means AS (
+      SELECT b,
+             CAST(sum(CAST(w * x AS DECIMAL(25,6))) AS DOUBLE)
+               / CAST(sum(w) AS DOUBLE) AS m
+      FROM weighted GROUP BY b
+    ),
+    point AS (
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS pm
+      FROM orders
+    )
+    SELECT point.pm AS point_mean,
+           quantile_cont(means.m, 0.05) AS boot_p05,
+           quantile_cont(means.m, 0.5)  AS boot_p50,
+           quantile_cont(means.m, 0.95) AS boot_p95,
+           count(*) AS n_replicates
+    FROM means CROSS JOIN point
+    GROUP BY point.pm
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean — DETERMINISTIC
+    Poisson bootstrap: each (row, replicate) draws a Poisson(1) resample
+    weight by inverting the CDF at a hash-uniform u =
+    md5(key#replicate)/2³² (the trick that makes distributed bootstrap
+    reproducible across engines, retries, and partitionings — no RNG
+    state anywhere). Poisson weights ≡ resampling-with-replacement for
+    large n (how production systems bootstrap a stream they can't
+    index); 20 replicate means summarized by exact interpolated
+    percentiles. Decimal-weighted sums keep every replicate mean
+    bit-identical cross-engine.
+
+    Scale: the replicate dimension is an explode (rows × B), weights
+    are scan-stage expressions, each replicate is one
+    map-side-combined aggregate — embarrassingly parallel; B and the
+    hash are the only state."""
+    o = load_table(spark, "orders", sf_dir)
+    reps = o.crossJoin(
+        F.broadcast(
+            o.sparkSession.range(1, 21).select(F.col("id").cast("int").alias("b"))
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("#"),
+                               F.col("b").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .otherwise(4)
+    )
+    means = (
+        reps.select("b", w.alias("w"), F.col("o_totalprice").alias("x"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum((F.col("w") * F.col("x")).cast("decimal(25,6)")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("m")
+        )
+    )
+    point = o.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "pm"
+        )
+    )
+    return (
+        means.crossJoin(F.broadcast(point))
+        .groupBy("pm")
+        .agg(
+            F.expr("percentile(m, array(0.05, 0.5, 0.95))").alias("_q"),
+            F.count(F.lit(1)).alias("n_replicates"),
+        )
+        .select(
+            F.col("pm").alias("point_mean"),
+            F.col("_q")[0].alias("boot_p05"),
+            F.col("_q")[1].alias("boot_p50"),
+            F.col("_q")[2].alias("boot_p95"),
+            "n_replicates",
+        )
+    )

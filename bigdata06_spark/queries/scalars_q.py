@@ -600,3 +600,42 @@ def scalar_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
          == F.collate(F.col("lang"), "UTF8_LCASE")).alias("lang_ci_equal"),
         F.length(shouty).cast("long").alias("n"),
     )
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '04107')              AS leeted,
+           concat(substr(p_name, 1, 2), 'XX', substr(p_name, 5)) AS overlaid,
+           concat(upper(substr(p_name, 1, 1)), substr(p_name, 2)) AS cap_first,
+           repeat(p_brand, 2)                               AS doubled,
+           reverse(p_type)                                  AS reversed,
+           CAST(len(regexp_extract_all(p_name, '[0-9]')) AS BIGINT) AS n_digits,
+           CAST(strpos(p_name, ' ') AS BIGINT)              AS first_space,
+           ltrim(rtrim(concat('  ', p_type, '  ')))          AS trimmed_both
+    FROM part
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function tranche: translate (char map), overlay
+    (in-place splice), first-char capitalization, repeat, reverse,
+    regexp_count, locate,
+    ltrim/rtrim — the remainder of the everyday string surface beyond
+    `scalar_string_funcs`. All codegen scalars, zero shuffle."""
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "04107").alias("leeted"),
+        F.overlay("p_name", F.lit("XX"), F.lit(3), F.lit(2)).alias("overlaid"),
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)")
+        ).alias("cap_first"),
+        F.repeat("p_brand", 2).alias("doubled"),
+        F.reverse("p_type").alias("reversed"),
+        F.regexp_count("p_name", F.lit("[0-9]")).alias("n_digits"),
+        F.locate(" ", F.col("p_name")).cast("long").alias("first_space"),
+        F.ltrim(F.rtrim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  ")))).alias(
+            "trimmed_both"
+        ),
+    )
