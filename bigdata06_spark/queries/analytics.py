@@ -2839,3 +2839,187 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replicates",
         )
     )
+
+
+@register(
+    "stats_ab_welch_ttest",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+             o_totalprice AS x
+      FROM orders
+    ),
+    moments AS (
+      SELECT grp,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM assigned GROUP BY grp
+    ),
+    wide AS (
+      SELECT max(CASE WHEN grp = 'A' THEN n END) AS na,
+             max(CASE WHEN grp = 'A' THEN sx END) AS sxa,
+             max(CASE WHEN grp = 'A' THEN sxx END) AS sxxa,
+             max(CASE WHEN grp = 'B' THEN n END) AS nb,
+             max(CASE WHEN grp = 'B' THEN sx END) AS sxb,
+             max(CASE WHEN grp = 'B' THEN sxx END) AS sxxb
+      FROM moments
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor((sxa / na - sxb / nb) * 1e6 + 0.5) / 1e6 AS mean_diff,
+           floor((sxa / na - sxb / nb)
+                 / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+                      + (sxxb - sxb * sxb / nb) / (nb - 1) / nb) * 1e6 + 0.5) / 1e6
+             AS t_stat,
+           abs((sxa / na - sxb / nb)
+               / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+                    + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)) > 1.96 AS significant
+    FROM wide
+    """,
+)
+def stats_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: hash-based 50/50 assignment (the same
+    reproducible-bucketing discipline as the split/bootstrap queries)
+    and a Welch t-statistic computed from DECIMAL power sums — the
+    engine's exact-moment technique applied to the most common
+    decision query in analytics. The final statistic is one shared
+    expression tree over bit-identical sums, 6dp-rounded; the
+    significance flag compares |t| to the 1.96 two-sided 5% critical
+    value (df is in the thousands — the normal approximation is the
+    honest one). Two map-side-combined aggregates, a two-row pivot,
+    zero data-size dependence after the scan."""
+    o = load_table(spark, "orders", sf_dir)
+    grp = F.when(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    moments = (
+        o.select(grp.alias("grp"), F.col("o_totalprice").alias("x"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        )
+    )
+    wide = moments.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "A", F.col("sx"))).alias("sxa"),
+        F.max(F.when(F.col("grp") == "A", F.col("sxx"))).alias("sxxa"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "B", F.col("sx"))).alias("sxb"),
+        F.max(F.when(F.col("grp") == "B", F.col("sxx"))).alias("sxxb"),
+    )
+    wide.createOrReplaceTempView("_ab_wide")
+    return spark.sql("""
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               floor((sxa / na - sxb / nb) * 1e6 + 0.5) / 1e6 AS mean_diff,
+               floor((sxa / na - sxb / nb)
+                     / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+                          + (sxxb - sxb * sxb / nb) / (nb - 1) / nb) * 1e6 + 0.5) / 1e6
+                 AS t_stat,
+               abs((sxa / na - sxb / nb)
+                   / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+                        + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)) > 1.96 AS significant
+        FROM _ab_wide
+    """)
+
+
+@register(
+    "orders_trend_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS DOUBLE)
+               AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(d AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(d * rev AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS slope,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e6 + 0.5)
+             / 1e6 AS intercept
+    FROM s
+    """,
+)
+def orders_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares revenue trend (slope + intercept of daily
+    revenue over time): closed-form OLS from decimal power sums — the
+    two-pass-free regression every dashboard trendline is. x is
+    day-since-epoch-start (exact small integers as doubles), y the
+    decimal-summed daily revenue; the normal-equation arithmetic is a
+    shared expression tree, 6dp-rounded. One daily rollup + one 5-sum
+    aggregate; nothing downstream depends on data size."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        F.date_diff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("double")
+        .alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("rev"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("d").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("rev").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((F.col("d") * F.col("rev")).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    s.createOrReplaceTempView("_ols_sums")
+    return spark.sql("""
+        SELECT CAST(n AS BIGINT) AS n_days,
+               floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS slope,
+               floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e6 + 0.5)
+                 / 1e6 AS intercept
+        FROM _ols_sums
+    """)
+
+
+@register(
+    "orders_forecast_ses",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    arr AS (SELECT count(*) AS n, list(rev ORDER BY d) AS xs FROM daily)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           floor(list_reduce(xs, (s, x) -> 0.3 * x + 0.7 * s) * 1e6 + 0.5) / 1e6
+             AS ses_forecast
+    FROM arr
+    """,
+)
+def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (α=0.3) over the daily-revenue
+    series — a RECURRENCE (each state depends on the previous), which
+    no parallel aggregate can express: the ordered-array fold technique
+    (see `corpus_diversity_metrics`) runs the same sequential
+    left-to-right reduction in both engines, seeded with the first
+    observation, so the smoothed forecast is bit-deterministic. The
+    series is |days|-sized after the rollup — bounded state, exactly
+    like production forecasting over pre-aggregated series. (For
+    per-key recurrences at scale, the same fold runs inside a groupBy
+    over each key's sorted array.)"""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("rev")
+    )
+    arr = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "rev"))), lambda s: s["rev"]
+        ).alias("xs"),
+    )
+    return arr.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "floor(aggregate(slice(xs, 2, size(xs) - 1), CAST(xs[1] AS DOUBLE),"
+        " (s, x) -> 0.3 * x + 0.7 * s) * 1e6 + 0.5) / 1e6 AS ses_forecast",
+    )
