@@ -11,7 +11,7 @@ probabilistic-recall ANN variants are rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata06_spark.catalog import load_table
@@ -1789,3 +1789,149 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", F.expr("CAST((w * 1000000) DIV m AS BIGINT)").alias("vq")
         )
     return v.select(F.col("pos").alias("dim"), F.col("vq").alias("component"))
+
+
+@register(
+    "text_rake_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest([{'pos': i, 'w': ws[i]} for i in range(1, len(ws) + 1)],
+                            recursive := true)
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN ('the', 'a', 'and', 'of', 'to', 'in') THEN 1 ELSE 0 END AS stop,
+             sum(CASE WHEN w IN ('the', 'a', 'and', 'of', 'to', 'in') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+      FROM toks
+    ),
+    members AS (SELECT doc_id, isl, pos, w FROM marked WHERE stop = 0),
+    phrases AS (
+      SELECT doc_id, isl, count(*) AS plen FROM members GROUP BY doc_id, isl
+    ),
+    wstats AS (
+      SELECT m.w,
+             count(*) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM members m JOIN phrases p ON m.doc_id = p.doc_id AND m.isl = p.isl
+      GROUP BY m.w
+    ),
+    scored AS (
+      SELECT m.doc_id, m.isl,
+             string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+             count(*) AS n_words,
+             floor(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(CAST(ws.deg AS DOUBLE) / ws.freq ORDER BY m.pos)),
+               (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS score
+      FROM members m JOIN wstats ws ON m.w = ws.w
+      GROUP BY m.doc_id, m.isl
+    )
+    SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words, score
+    FROM scored
+    ORDER BY score DESC, doc_id ASC, phrase ASC
+    LIMIT 10
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), fully relational:
+    candidate phrases are maximal stopword-free runs (gaps-and-islands
+    on a stopword running count), word degree = Σ length of containing
+    phrases, word score = degree/frequency, phrase score = Σ member
+    scores — extracted top-10 corpus-wide. The phrase-score sum is a
+    position-ordered sequential fold (technique as
+    `corpus_diversity_metrics`) because its terms are rationals, not
+    decimals; everything upstream is integer. Shuffles: tokens on
+    (doc, island) + one word-stats aggregate on the vocabulary — the
+    same inverted-index scale shape as tf-idf."""
+    from bigdata06_spark.operators.scale import rebalance_for_amplification
+
+    docs = load_table(spark, "documents", sf_dir)
+    STOPS = ("the", "a", "and", "of", "to", "in")
+    toks = rebalance_for_amplification(docs, "doc_id").select(
+        "doc_id", F.posexplode(T.words(F.col("text"))).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    is_stop = F.col("w").isin(*STOPS).cast("int")
+    wnd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = toks.select(
+        "doc_id", "pos", "w", is_stop.alias("stop"), F.sum(is_stop).over(wnd).alias("isl")
+    )
+    members = marked.filter(F.col("stop") == 0).select("doc_id", "isl", "pos", "w")
+    phrases = members.groupBy("doc_id", "isl").agg(F.count(F.lit(1)).alias("plen"))
+    wstats = (
+        members.join(phrases, ["doc_id", "isl"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").cast("long").alias("deg"))
+    )
+    scored = (
+        members.join(wstats, "w")
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", (F.col("deg").cast("double") / F.col("freq")).alias("sc"))
+                    )
+                ),
+                lambda s: s["sc"],
+            ).alias("_scores"),
+        )
+        .selectExpr(
+            "doc_id",
+            "phrase",
+            "CAST(n_words AS BIGINT) AS n_words",
+            "floor(aggregate(_scores, CAST(0 AS DOUBLE), (a, b) -> a + b) * 1e6 + 0.5) / 1e6"
+            " AS score",
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("phrase")).limit(10)
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                        for i in range(1, len(ws) - 1)])) AS shingle
+           FROM w),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(count(*) FILTER (WHERE f.first_doc = sh.doc_id) AS BIGINT) AS n_novel,
+           floor(CAST(count(*) FILTER (WHERE f.first_doc = sh.doc_id) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+    FROM sh JOIN firsts f ON sh.shingle = f.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in ingestion order: the share of a
+    doc's distinct 3-gram shingles first introduced by that doc
+    (first-seen = min doc_id — the same rewrite as
+    `events_cumulative_distinct`, applied to text). The curve this
+    produces is the diminishing-returns diagnostic for corpus growth:
+    when marginal novelty flattens, new data is re-treading old n-grams
+    and curation should shift sources. Integer counts + one rounded
+    ratio → exact. Shuffles: the shingle index build plus one min per
+    shingle and one per-doc count — tf-idf's budget."""
+    docs = load_table(spark, "documents", sf_dir)
+    idx = D.shingle_index(docs)
+    firsts = idx.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = idx.join(firsts, "shingle")
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).cast("long")
+    from bigdata06_spark.queries.qutil import rnd
+
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.alias("n_novel"),
+        rnd(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+    )

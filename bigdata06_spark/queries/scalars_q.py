@@ -639,3 +639,44 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_both"
         ),
     )
+
+
+@register(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(dayofyear(o_orderdate) AS BIGINT)      AS doy,
+           CAST(weekofyear(o_orderdate) AS BIGINT)     AS iso_week,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')      AS plus_3mo,
+           floor(CAST(date_diff('day', o_orderdate,
+                                TIMESTAMP '1998-01-01 00:00:00') AS DOUBLE) / 30.0
+                 * 1e2 + 0.5) / 1e2 AS months_to_98_approx,
+           CAST(epoch_us(date_trunc('week', o_orderdate)) AS BIGINT) AS week_start_us
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date tranche: day-of-year, ISO week, last_day, add_months,
+    interval-scaled difference, week truncation (as epoch micros —
+    both engines start ISO weeks on Monday). Calendar arithmetic is
+    where dialects diverge quietly; each output is pinned to a form
+    both engines define identically."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= 500)
+    from bigdata06_spark.queries.qutil import epoch_us, rnd
+
+    return o.select(
+        "o_orderkey",
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3mo"),
+        rnd(
+            F.date_diff(F.lit("1998-01-01").cast("timestamp"), F.col("o_orderdate")).cast(
+                "double"
+            )
+            / 30.0,
+            2,
+        ).alias("months_to_98_approx"),
+        epoch_us(F.date_trunc("week", F.col("o_orderdate"))).alias("week_start_us"),
+    )
