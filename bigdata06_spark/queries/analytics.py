@@ -3023,3 +3023,56 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(aggregate(slice(xs, 2, size(xs) - 1), CAST(xs[1] AS DOUBLE),"
         " (s, x) -> 0.3 * x + 0.7 * s) * 1e6 + 0.5) / 1e6 AS ses_forecast",
     )
+
+
+@register(
+    "supplier_affinity_graph",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    sz AS (SELECT s, count(*) AS n FROM sp GROUP BY s),
+    shared AS (
+      SELECT a.s AS s_a, b.s AS s_b, count(*) AS shared_parts
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT sh.s_a, sh.s_b, CAST(sh.shared_parts AS BIGINT) AS shared_parts,
+           floor(CAST(sh.shared_parts AS DOUBLE)
+                 / (za.n + zb.n - sh.shared_parts) * 1e6 + 0.5) / 1e6 AS affinity
+    FROM shared sh
+      JOIN sz za ON za.s = sh.s_a
+      JOIN sz zb ON zb.s = sh.s_b
+    WHERE CAST(sh.shared_parts AS DOUBLE) / (za.n + zb.n - sh.shared_parts) >= 0.3
+    """,
+)
+def supplier_affinity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection: the supplier-supplier affinity graph from
+    the supplier↔part relation — co-supply overlap scored by Jaccard
+    (≥ 0.3). Exactly the dedup engine's inverted-index self-join
+    machinery (`jaccard_pairs`) applied to RELATIONAL entity
+    resolution instead of text shingles: the part key is the index
+    key, the quadratic blowup confined to per-part buckets, affinity
+    an exact integer ratio. The pattern behind co-purchase graphs,
+    entity matching, and collaborative filtering candidate
+    generation."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    sz = sp.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a = sp.select(F.col("s").alias("s_a"), "p")
+    b = sp.select(F.col("s").alias("s_b"), "p")
+    shared = (
+        a.join(b, "p")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    from bigdata06_spark.queries.qutil import rnd
+
+    aff = F.col("shared_parts") / (F.col("n_a") + F.col("n_b") - F.col("shared_parts"))
+    return (
+        shared.join(sz.select(F.col("s").alias("s_a"), F.col("n").alias("n_a")), "s_a")
+        .join(sz.select(F.col("s").alias("s_b"), F.col("n").alias("n_b")), "s_b")
+        .filter(aff >= 0.3)
+        .select(
+            "s_a", "s_b", "shared_parts", rnd(aff, 6).alias("affinity")
+        )
+    )
