@@ -3076,3 +3076,138 @@ def supplier_affinity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_a", "s_b", "shared_parts", rnd(aff, 6).alias("affinity")
         )
     )
+
+
+@register(
+    "orders_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(dayofweek(o_orderdate) AS BIGINT) + 1 AS dow,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    per_dow AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS dow_rev
+      FROM daily GROUP BY dow
+    ),
+    overall AS (
+      SELECT CAST(sum(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS tot,
+             CAST(count(*) AS BIGINT) AS all_days
+      FROM daily
+    )
+    SELECT p.dow, p.n_days,
+           floor(p.dow_rev / p.n_days * 1e2 + 0.5) / 1e2 AS avg_daily_rev,
+           floor((p.dow_rev / p.n_days) / (o.tot / o.all_days) * 1e6 + 0.5) / 1e6
+             AS seasonality_index
+    FROM per_dow p CROSS JOIN overall o
+    """,
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: average daily revenue per weekday
+    divided by the overall average daily revenue — the multiplicative
+    seasonal factor (index 1.0 = typical day) behind staffing and
+    forecast adjustment. Decimal daily sums, shared final expression;
+    the DOW convention bridge (+1 on the oracle) matches
+    `scalar_date_funcs`. Two tiny aggregates over the daily rollup."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("rev"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("rev").cast("decimal(25,6)")).cast("double").alias("dow_rev"),
+    )
+    overall = daily.agg(
+        F.sum(F.col("rev").cast("decimal(25,6)")).cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("all_days"),
+    )
+    from bigdata06_spark.queries.qutil import rnd
+
+    return per_dow.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        rnd(F.col("dow_rev") / F.col("n_days"), 2).alias("avg_daily_rev"),
+        rnd((F.col("dow_rev") / F.col("n_days")) / (F.col("tot") / F.col("all_days")), 6).alias(
+            "seasonality_index"
+        ),
+    )
+
+
+@register(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    facts AS (
+      SELECT f.cohort_month,
+             CAST(date_diff('month', f.cohort_month,
+                            date_trunc('month', o.o_orderdate)) AS BIGINT) AS month_age,
+             o.o_totalprice AS x
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    sizes AS (SELECT cohort_month, count(*) AS cohort_size FROM firsts GROUP BY cohort_month),
+    per_age AS (
+      SELECT cohort_month, month_age,
+             sum(CAST(x AS DECIMAL(25,6))) AS rev_dec
+      FROM facts GROUP BY cohort_month, month_age
+    ),
+    cum AS (
+      SELECT cohort_month, month_age,
+             sum(rev_dec) OVER (PARTITION BY cohort_month ORDER BY month_age
+                                ROWS UNBOUNDED PRECEDING) AS cum_dec
+      FROM per_age
+    )
+    SELECT strftime(c.cohort_month, '%Y-%m') AS cohort,
+           c.month_age,
+           s.cohort_size,
+           floor(CAST(c.cum_dec AS DOUBLE) / s.cohort_size * 1e2 + 0.5) / 1e2
+             AS cum_ltv_per_customer
+    FROM cum c JOIN sizes s ON c.cohort_month = s.cohort_month
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month,
+    cumulative revenue per customer tracked by months-since-acquisition
+    — THE retention-economics table (each cohort's LTV curve read along
+    its row). Decimal sums end-to-end including the cumulative window
+    (window sums of doubles reassociate in DuckDB's segment tree — the
+    ABC query's lesson); division by cohort size happens once at the
+    end. Shuffles: first-order per customer, one (cohort, age) rollup,
+    one cohort-partitioned cumsum over the tiny rollup."""
+    o = load_table(spark, "orders", sf_dir)
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort_month")
+    )
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), F.col("cohort_month")
+        ).cast("long").alias("month_age"),
+        F.col("o_totalprice").alias("x"),
+    )
+    sizes = firsts.groupBy("cohort_month").agg(F.count(F.lit(1)).alias("cohort_size"))
+    per_age = facts.groupBy("cohort_month", "month_age").agg(
+        F.sum(F.col("x").cast("decimal(25,6)")).alias("rev_dec")
+    )
+    w = Window.partitionBy("cohort_month").orderBy("month_age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_age.select(
+        "cohort_month", "month_age", F.sum("rev_dec").over(w).alias("cum_dec")
+    )
+    from bigdata06_spark.queries.qutil import rnd
+
+    return cum.join(sizes, "cohort_month").select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+        "month_age",
+        "cohort_size",
+        rnd(F.col("cum_dec").cast("double") / F.col("cohort_size"), 2).alias(
+            "cum_ltv_per_customer"
+        ),
+    )

@@ -1935,3 +1935,53 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         rnd(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
     )
+
+
+@register(
+    "dedup_methods_agreement",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    exact_pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_minhash,
+           CAST(count(*) AS BIGINT) AS n_simhash,
+           CAST(count(*) AS BIGINT) AS n_all_three
+    FROM exact_pairs
+    """,
+)
+def dedup_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation certificate for the dedup family: the exact
+    Jaccard join, the MinHash-LSH pipeline, and the SimHash pipeline
+    run side by side over the same corpus and their PAIR SETS are
+    intersected — the output claims all three agree exactly (the LSH
+    recall guarantees say they must at this corpus's similarity
+    margins), and the oracle pins every count to the exact
+    computation. Any silent recall regression in either probabilistic
+    pipeline (band width, chunk bound, verification threshold) turns
+    this row red — a single driver-checked number standing guard over
+    the whole approximate-dedup surface."""
+    docs = load_table(spark, "documents", sf_dir)
+    ex = D.jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    mh = D.minhash_lsh_pairs(docs, threshold=0.5).select(
+        F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b"), F.lit(1).alias("_mh")
+    )
+    sh = D.simhash_pairs(docs, threshold=0.5).select(
+        F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b"), F.lit(1).alias("_sh")
+    )
+    joined = ex.join(mh, ["doc_a", "doc_b"], "full_outer").join(
+        sh, ["doc_a", "doc_b"], "full_outer"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.coalesce(F.col("_mh"), F.lit(0))).cast("long").alias("n_minhash"),
+        F.sum(F.coalesce(F.col("_sh"), F.lit(0))).cast("long").alias("n_simhash"),
+        F.sum(
+            (F.coalesce(F.col("_mh"), F.lit(0)) * F.coalesce(F.col("_sh"), F.lit(0)))
+        ).cast("long").alias("n_all_three"),
+    )
