@@ -3211,3 +3211,46 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_ltv_per_customer"
         ),
     )
+
+
+@register(
+    "events_path_analysis",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+           count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path ASC
+    LIMIT 10
+    """,
+)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user paths: the most frequent 3-step event sequences —
+    product-analytics path mining, the n-gram model applied to
+    behavioral streams (generalizes `events_transition_matrix` from
+    bigrams to trigram journeys). Two leads over one (user, time)
+    window, a count, a top-k with full tiebreak; one shuffle on
+    user_id plus the path rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )

@@ -680,3 +680,46 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("months_to_98_approx"),
         epoch_us(F.date_trunc("week", F.col("o_orderdate"))).alias("week_start_us"),
     )
+
+
+@register(
+    "scalar_math_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           sqrt(CAST(p_size AS DOUBLE))                    AS root,
+           floor(cbrt(CAST(p_size AS DOUBLE)) * 1e6 + 0.5) / 1e6     AS cuberoot,
+           CAST(factorial(p_size % 10) AS BIGINT)          AS fact,
+           pow(CAST(2 AS DOUBLE), CAST(p_size % 16 AS DOUBLE)) AS pow2,
+           floor(exp(CAST(p_size % 5 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS exp_small,
+           floor(log10(CAST(p_size + 1 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS log_ten,
+           sign(CAST(p_size - 25 AS DOUBLE))               AS sgn,
+           CAST(p_size % 7 AS BIGINT)                      AS modulo,
+           greatest(p_size, 10, 25)                        AS hi,
+           least(p_size, 10, 25)                           AS lo
+    FROM part
+    """,
+)
+def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second math tranche: sqrt (IEEE correctly-rounded, exact), cbrt
+    (NOT required correctly-rounded — measured last-ulp JVM/libm
+    divergence, hence 6dp-rounded),
+    integer factorial, exact powers of two, exp/log10 (transcendental
+    — 6dp-rounded, the last-ulp libm divergence guard), sign, modulo,
+    greatest/least. Pure codegen scalars."""
+    p = load_table(spark, "part", sf_dir)
+    sz = F.col("p_size")
+    from bigdata06_spark.queries.qutil import rnd
+
+    return p.select(
+        "p_partkey",
+        F.sqrt(sz.cast("double")).alias("root"),
+        rnd(F.cbrt(sz.cast("double")), 6).alias("cuberoot"),
+        F.factorial(sz % 10).cast("long").alias("fact"),
+        F.pow(F.lit(2.0), (sz % 16).cast("double")).alias("pow2"),
+        rnd(F.exp((sz % 5).cast("double")), 6).alias("exp_small"),
+        rnd(F.log10((sz + 1).cast("double")), 6).alias("log_ten"),
+        F.signum((sz - 25).cast("double")).alias("sgn"),
+        (sz % 7).cast("long").alias("modulo"),
+        F.greatest(sz, F.lit(10), F.lit(25)).alias("hi"),
+        F.least(sz, F.lit(10), F.lit(25)).alias("lo"),
+    )

@@ -171,3 +171,60 @@ def compact_small_files(spark, path: str, out_path: str,
     n_out = max(1, math.ceil((inv.total or 0) / target_file_bytes))
     df.repartition(n_out).write.mode("overwrite").parquet(out_path)
     return n_out
+
+
+def write_stats_manifest(spark, path: str, cols: list[str]) -> str:
+    """Write a per-file statistics MANIFEST (`_stats_manifest.json`)
+    for a parquet directory: row count + min/max per requested column
+    per data file — the file-skipping index lakehouse table formats
+    (Delta/Iceberg) maintain in their transaction logs. Stats are
+    computed DISTRIBUTED (one groupBy on `_metadata.file_path`); only
+    the per-file summary rows land on the driver for the manifest
+    commit, like the JSONL sink's manifest. Combined with
+    `write_sorted_parquet`/`write_zorder_parquet` layouts, a planner
+    can prune files from the manifest alone — see
+    `files_for_predicate`."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("file")).agg(*aggs).collect()
+    )
+    manifest = {
+        "files": [
+            {
+                "file": os.path.basename(r.file),
+                "rows": r.rows,
+                "stats": {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols},
+            }
+            for r in sorted(rows, key=lambda r: r.file)
+        ]
+    }
+    out = os.path.join(path, "_stats_manifest.json")
+    with open(out, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return out
+
+
+def files_for_predicate(manifest_path: str, col: str, lo, hi) -> list[str]:
+    """Planner-side file pruning from the stats manifest: the files
+    whose [min, max] range for `col` overlaps [lo, hi] — every other
+    file is skipped without opening it. This is the manifest half of
+    what parquet row-group statistics do inside a file, lifted to the
+    file level where it saves the open/footer-read too."""
+    import json
+
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    keep = []
+    for entry in manifest["files"]:
+        mn, mx = entry["stats"][col]
+        if not (mx < lo or mn > hi):
+            keep.append(entry["file"])
+    return keep

@@ -835,3 +835,35 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_stats_manifest_file_skipping(spark, sf_dir, tmp_path):
+    """Manifest-driven file skipping: a range-sorted layout + per-file
+    min/max manifest lets a predicate identify the one file it needs;
+    reading only the kept files equals the full filtered scan."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sinks import files_for_predicate, write_sorted_parquet, write_stats_manifest
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "sorted")
+    write_sorted_parquet(o, path, ["o_orderkey"], n_files=8)
+    manifest = write_stats_manifest(spark, path, ["o_orderkey"])
+
+    lo, hi = 10, 50
+    keep = files_for_predicate(manifest, "o_orderkey", lo, hi)
+    assert 1 <= len(keep) <= 2  # disjoint sorted ranges → almost all files skipped
+
+    import os
+
+    kept_paths = [os.path.join(path, f) for f in keep]
+    via_manifest = {
+        r.o_orderkey
+        for r in spark.read.parquet(*kept_paths)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .collect()
+    }
+    full = {
+        r.o_orderkey
+        for r in spark.read.parquet(path).filter(F.col("o_orderkey").between(lo, hi)).collect()
+    }
+    assert via_manifest == full and full
