@@ -867,3 +867,54 @@ def test_stats_manifest_file_skipping(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(path).filter(F.col("o_orderkey").between(lo, hi)).collect()
     }
     assert via_manifest == full and full
+
+
+def test_compression_codec_matrix(spark, sf_dir, tmp_path):
+    """Every supported parquet codec round-trips identical data; the
+    written files carry the codec's extension (the knob that trades
+    CPU for I/O at 100 TB — zstd is the modern default)."""
+    import glob
+
+    from bigdata06_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    expected = {(r.doc_id, r.text) for r in docs.collect()}
+    for codec, ext in [("snappy", ".snappy.parquet"), ("zstd", ".zstd.parquet"),
+                       ("gzip", ".gz.parquet"), ("none", ".parquet")]:
+        p = str(tmp_path / f"c_{codec}")
+        docs.write.option("compression", codec).parquet(p)
+        files = glob.glob(p + "/part-*")
+        assert files and all(f.endswith(ext) for f in files), (codec, files[:2])
+        assert {(r.doc_id, r.text) for r in spark.read.parquet(p).collect()} == expected
+
+
+def test_ignore_corrupt_files(spark, sf_dir, tmp_path):
+    """A corrupt file dropped into a dataset directory must not take
+    down the whole scan when ignoreCorruptFiles is on — the
+    quarantine-and-continue posture a 100 TB lake needs (one bad
+    object out of millions cannot fail the job); with it off, the
+    corruption is a loud error, never silent."""
+    from bigdata06_spark.catalog import load_table
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "with_corrupt")
+    o.write.parquet(path)
+    good = spark.read.parquet(path).count()
+    with open(path + "/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not really parquet")
+
+    key = "spark.sql.files.ignoreCorruptFiles"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "true")
+        assert spark.read.parquet(path).count() == good
+        spark.conf.set(key, "false")
+        import pytest
+
+        with pytest.raises(Exception):
+            spark.read.schema("o_orderkey long, o_totalprice double").parquet(path).count()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)

@@ -326,3 +326,28 @@ def test_rocksdb_state_store_equals_batch(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_dynamic_gap_session_stream_equals_batch(spark, sf_dir):
+    """Dynamic-gap session windows (per-event gap expression) must
+    produce the same merged sessions whether the events arrive as a
+    stream (state-store merge) or a batch (sort-based merge) — the
+    equivalence that licenses prototyping session logic in batch and
+    deploying it streaming."""
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+
+    def sessions(df):
+        return df.groupBy(F.session_window(F.col("ts"), gap).alias("sw"), "user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        ).select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+
+    streamed = SO.run_to_table(sessions(SO.stream_events(spark, sf_dir)), "complete")
+    batch = sessions(load_table(spark, "events", sf_dir))
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
