@@ -3254,3 +3254,101 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "sql_defined_functions",
+    oracle="""
+    SELECT o_orderkey,
+           floor(o_totalprice * 0.93 * 1e2 + 0.5) / 1e2 AS discounted,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS band
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def sql_defined_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 `CREATE FUNCTION ... RETURN expr`):
+    reusable business logic declared IN SQL — unlike Python UDFs these
+    inline into the plan at analysis time (full codegen, pushdown
+    through them, zero serialization), making them the right home for
+    shared derivations. The oracle is the hand-inlined expression —
+    which is literally what Catalyst does with the function."""
+    from bigdata06_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION discounted(p DOUBLE)
+        RETURNS DOUBLE RETURN floor(p * 0.93 * 1e2 + 0.5) / 1e2
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING RETURN
+          CASE WHEN p >= 300000 THEN 'high'
+               WHEN p >= 100000 THEN 'mid'
+               ELSE 'low' END
+    """)
+    return spark.sql("""
+        SELECT o_orderkey,
+               discounted(o_totalprice) AS discounted,
+               price_band(o_totalprice) AS band
+        FROM orders WHERE o_orderkey <= 1000
+    """)
+
+
+@register(
+    "scalar_generator_funcs",
+    oracle="""
+    WITH src AS (
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    )
+    SELECT s_suppkey, 'name' AS attr, s_name AS val FROM src
+    UNION ALL
+    SELECT s_suppkey, 'acctbal', CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) FROM src
+    """,
+)
+def scalar_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator functions beyond explode: `stack(n, k1, v1, k2, v2)`
+    turns columns into attribute rows (the generator form of unpivot —
+    compare `unpivot_measures`, the operator form). Scan-stage row
+    expansion, no shuffle. DuckDB spells the same thing as UNION ALL
+    branches — which is also its logical expansion.
+
+    Cross-engine float-to-string caveat: doubles render differently
+    ('1.0' vs '1'), so the stacked value column stringifies acctbal
+    via a DECIMAL cast pinned to 2 places on both sides."""
+    s = load_table(spark, "supplier", sf_dir)
+    return s.select(
+        "s_suppkey",
+        F.expr(
+            "stack(2, 'name', s_name, 'acctbal',"
+            " CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS STRING)) AS (attr, val)"
+        ),
+    )
+
+
+@register(
+    "sort_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sort_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: page 3 of the price-ranked orders via
+    ORDER BY + OFFSET + LIMIT — the engine form of the reference's
+    offset/limit page loop (SURVEY S5), with the tiebreak that makes
+    pages STABLE (an untiebroken ORDER BY can tear equal-valued rows
+    across page boundaries differently per run). Note the scale
+    caveat: OFFSET is O(offset) — deep pagination belongs to keyset
+    continuation (WHERE key > last_seen), which is what the connector's
+    cursor-based streaming source implements."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
