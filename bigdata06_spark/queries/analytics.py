@@ -3352,3 +3352,32 @@ def sort_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+_LATERAL_SQL = """
+    SELECT o.o_orderkey, o.o_totalprice, t.l_linenumber, t.l_extendedprice
+    FROM orders o,
+         LATERAL (
+           SELECT l.l_linenumber, l.l_extendedprice
+           FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+           ORDER BY l.l_extendedprice DESC, l.l_linenumber ASC
+           LIMIT 2
+         ) t
+    WHERE o.o_orderkey <= 200
+"""
+
+
+@register("join_lateral_topk", oracle=_LATERAL_SQL)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: per order, its top-2 most expensive
+    line items as a dependent subquery — the SQL-standard form of
+    per-group top-k (the window row_number form is `topk_per_group`;
+    this is the same result through the decorrelation path). The
+    IDENTICAL SQL text runs on both engines. Catalyst decorrelates
+    the lateral into a ranked join — per-key top-k never becomes a
+    per-row re-scan; plan shape matches the window form at scale."""
+    from bigdata06_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

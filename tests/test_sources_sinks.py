@@ -918,3 +918,18 @@ def test_ignore_corrupt_files(spark, sf_dir, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_to_arrow_interchange(spark, sf_dir):
+    """`df.toArrow()` (Spark 4): the zero-copy columnar handoff to the
+    Arrow ecosystem (polars/duckdb/pandas) — values and schema must
+    match a row collect exactly."""
+    from bigdata06_spark.catalog import load_table
+
+    df = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    tbl = df.toArrow()
+    assert tbl.num_rows == df.count()
+    assert tbl.column_names == ["n_nationkey", "n_name"]
+    via_arrow = set(zip(tbl.column("n_nationkey").to_pylist(), tbl.column("n_name").to_pylist()))
+    via_rows = {(r.n_nationkey, r.n_name) for r in df.collect()}
+    assert via_arrow == via_rows
