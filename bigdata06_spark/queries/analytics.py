@@ -3381,3 +3381,77 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+             value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+             CASE WHEN event_type = 'error' THEN 'unattributed' ELSE event_type END AS label
+      FROM events
+    )
+    SELECT keyed.event_id, dim.label
+    FROM keyed JOIN dim ON keyed.k IS NOT DISTINCT FROM dim.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each OTHER instead of silently dropping — the semantics
+    dirty-dimension joins actually need (an 'unknown' bucket must
+    still enrich), and the join-surface gap plain `=` leaves: under
+    standard equality every NULL-keyed fact row vanishes from an inner
+    join with no error. Still a hash join (NULL hashes as a regular
+    key value under null-safe equality) — same plan shape and
+    broadcast rules as `join_inner`."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("event_type"))
+    keyed = ev.select("event_id", k.alias("k"))
+    dim = (
+        ev.select(
+            k.alias("k"),
+            F.when(F.col("event_type") == "error", F.lit("unattributed"))
+            .otherwise(F.col("event_type"))
+            .alias("label"),
+        )
+        .distinct()
+    )
+    return keyed.join(F.broadcast(dim), keyed["k"].eqNullSafe(dim["k"])).select(
+        "event_id", "label"
+    )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS is_flag_rolled,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`grouping_id()` / `grouping(col)` over a rollup: the bit vector
+    that tells NULL-as-subtotal apart from NULL-as-data in multi-level
+    aggregates — without it a rollup over nullable group keys is
+    ambiguous (the reason every BI tool emits it alongside
+    super-aggregate rows). Both engines produce the same bit order
+    (left column = most significant)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.grouping("l_returnflag").cast("long").alias("is_flag_rolled"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "is_flag_rolled", "n")
+    )
