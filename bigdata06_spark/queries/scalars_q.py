@@ -723,3 +723,50 @@ def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(sz, F.lit(10), F.lit(25)).alias("hi"),
         F.least(sz, F.lit(10), F.lit(25)).alias("lo"),
     )
+
+
+@register(
+    "scalar_array_funcs2",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_sort(list_distinct(string_split(text, ' ')))[1:6] AS a
+      FROM documents
+    ),
+    b AS (SELECT doc_id, a, ['scan', 'merge', 'zzz'] AS q FROM w)
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_intersect(a, q)), '|'), '') AS inter,
+           CAST(len(list_distinct(a || q)) AS BIGINT)                      AS union_n,
+           coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(q, x))),
+                                    '|'), '')                              AS a_minus_q,
+           len(list_intersect(a, q)) > 0                                   AS overlaps,
+           CAST(list_position(a, 'scan') AS BIGINT)                        AS scan_pos,
+           array_to_string(list_prepend('HEAD', a[1:2]), '|')              AS prepended,
+           array_to_string(a[2:4], '|')                                    AS sliced
+    FROM b
+    """,
+)
+def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array tranche — the SET-ALGEBRA surface: array_intersect /
+    array_union / array_except / arrays_overlap / array_position plus
+    insert-at-head and slicing. Set-producing results are sorted
+    before serialization and the input basis is itself sorted-distinct
+    (DuckDB's list_distinct does not preserve first-occurrence order,
+    Spark's array_distinct does — sorting removes the divergence), and
+    empty-array serializations coalesce to '' (DuckDB's
+    array_to_string returns NULL on [])."""
+    d = load_table(spark, "documents", sf_dir)
+    a = F.slice(F.array_sort(F.array_distinct(T.words(F.col("text")))), 1, 6)
+    q = F.array(F.lit("scan"), F.lit("merge"), F.lit("zzz"))
+    b = d.select("doc_id", a.alias("a"), q.alias("q"))
+    return b.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect("a", "q")), "|").alias("inter"),
+        F.size(F.array_distinct(F.array_union("a", "q"))).cast("long").alias("union_n"),
+        F.array_join(F.array_sort(F.array_except("a", "q")), "|").alias("a_minus_q"),
+        F.arrays_overlap("a", "q").alias("overlaps"),
+        F.array_position("a", "scan").cast("long").alias("scan_pos"),
+        F.array_join(F.array_insert(F.slice("a", 1, 2), 1, F.lit("HEAD")), "|").alias(
+            "prepended"
+        ),
+        F.array_join(F.slice("a", 2, 3), "|").alias("sliced"),
+    )
