@@ -428,3 +428,34 @@ def test_spill_thresholds_do_not_change_results(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_dims_broadcast(spark, sf_dir):
+    """BM25's df/corpus-stats relations are vocabulary-/single-row-sized
+    — they must broadcast; the only sort-merge-scale joins allowed are
+    none (tf joins dl on the doc id, both doc-sized but AQE-planned)."""
+    plan = plan_of(SPECS["text_bm25_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cumulative_distinct_two_exchanges(spark, sf_dir):
+    """First-seen rewrite: one shuffle per aggregate level (user, then
+    day) and the single-partition cumsum — never a per-day rescan."""
+    plan = plan_of(SPECS["events_cumulative_distinct"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Exchange") <= 3, plan
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """Null-safe equality must still plan a hash join (NULL hashes as a
+    key value) — not degrade to nested-loop."""
+    plan = plan_of(SPECS["join_null_safe"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_affinity_graph_no_cartesian(spark, sf_dir):
+    """The bipartite projection must come from the part-key inverted
+    index join, never a supplier×supplier cross product."""
+    plan = plan_of(SPECS["supplier_affinity_graph"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
