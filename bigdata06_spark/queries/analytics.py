@@ -3455,3 +3455,35 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "is_flag_rolled", "n")
     )
+
+
+@register(
+    "agg_pivot_multi",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F_n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'F')
+                AS DOUBLE) AS F_qty,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O_n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (WHERE l_linestatus = 'O')
+                AS DOUBLE) AS O_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count + decimal
+    sum per line status) — the wide-report form one step past
+    `agg_pivot`'s single measure. Explicit pivot values keep the
+    schema static (no distinct-scan planning pass), and the aggregate
+    aliases give deterministic `{value}_{alias}` column names the
+    oracle mirrors with FILTER clauses. Still one Expand + one
+    exchange."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("qty"),
+        )
+    )
