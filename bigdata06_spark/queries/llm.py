@@ -124,41 +124,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs
-    (exact; the ANN variants are the scale path). Cosine computed in
-    double with a left-to-right fold, rounded 6dp on both engines.
-
-    Per-pair cost discipline for the deliberate O(N²): each side's norm
-    is computed ONCE per row before the cross join — the expression
-    tree (sqrt of the same fold over the same values, then
-    dot/(norm_a·norm_b)) is identical to folding norms per pair, so
-    every double is bit-unchanged and the 6dp oracle hash still
-    matches, but 2/3 of the interpreted per-pair work disappears. The
-    stream side is rebalanced so the nested-loop join's tasks cover
-    every core (a 1-split scan otherwise serializes all N² pairs
-    through one task). Measured 28s → 1.4s at sf0.1."""
-    from bigdata06_spark.operators.scale import rebalance_for_amplification
-    from bigdata06_spark.queries.qutil import rnd
-
+    """Embedding near-duplicate pairs: EXACT cosine ≥ 0.4 over all
+    pairs, executed as a block-tiled equi-join (`allpairs_blocked`) —
+    no cartesian/BroadcastNestedLoopJoin in the plan (plan-pinned);
+    both sides shard into B(B+1)/2 bounded tiles, so the same plan
+    runs on a 1000-executor cluster with per-task memory 2N/B rows.
+    See operators/similarity.py:allpairs_blocked for why ANN candidate
+    generation cannot keep this oracle green (the 0.4 threshold sits
+    inside the bulk of the pair-sim distribution); `knn_lsh_ann` /
+    `knn_ivf_ann` remain the approximate scale path. Cosine in double
+    with the same left-to-right fold as the oracle, rounded 6dp."""
     e = load_table(spark, "embeddings", sf_dir)
-    base = rebalance_for_amplification(e, "vec_id").select(
-        "vec_id", S.as_double(F.col("embedding")).alias("v")
-    )
-    with_norm = base.select("vec_id", "v", S.norm(F.col("v")).alias("nrm"))
-    a = with_norm.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = with_norm.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    sim = rnd(S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= 0.4)
-        .select("vec_a", "vec_b", "sim")
-    )
+    return S.allpairs_blocked(e, threshold=0.4, n_blocks=16)
 
 
 @register(

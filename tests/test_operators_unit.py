@@ -342,3 +342,29 @@ def test_star_components_equal_label_propagation(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, nodes, max_iter=5)
+
+
+def test_allpairs_blocked_equals_bruteforce(spark, sf_dir):
+    """The tiled equi-join must emit every unordered pair EXACTLY once
+    with the same rounded sim as the naive cross-join form — exactness
+    is the whole point (ANN covers the approximate path)."""
+    from bigdata06_spark.operators import similarity as S
+    from bigdata06_spark.queries.qutil import rnd
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = sorted(
+        (r.vec_a, r.vec_b, r.sim)
+        for r in S.allpairs_blocked(e, threshold=0.4, n_blocks=5).collect()
+    )
+    base = e.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    base = base.select("vec_id", "v", S.norm(F.col("v")).alias("n"))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    naive = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", rnd(S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("sim") >= 0.4)
+    )
+    want = sorted((r.vec_a, r.vec_b, r.sim) for r in naive.collect())
+    assert got == want and len(got) > 0

@@ -459,3 +459,18 @@ def test_affinity_graph_no_cartesian(spark, sf_dir):
     plan = plan_of(SPECS["supplier_affinity_graph"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_cosine_blocked_no_nested_loop(spark, sf_dir):
+    """VERDICT r2 #1: the exact all-pairs cosine query must plan a
+    shuffled EQUI-join on the tile key — never a CartesianProduct or
+    BroadcastNestedLoopJoin. (Why it stays exact rather than
+    ANN-candidates: see operators/similarity.py:allpairs_blocked.)"""
+    plan = plan_of(SPECS["dedup_embedding_cosine"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # any equi-join is fine (BHJ at tiny SF where the build side is
+    # KBs; stats pick SMJ/SHJ at scale) — the pin is "no nested loop".
+    assert (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan
