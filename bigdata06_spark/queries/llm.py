@@ -90,6 +90,42 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(load_table(spark, "documents", sf_dir), threshold=0.9)
 
 
+@register(
+    "dedup_jaccard_stop_shingles",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                        for i in range(1, len(ws) - 1)])) AS shingle
+           FROM w),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 4),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+    """,
+)
+def dedup_jaccard_stop_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard dedup with the `max_df` stop-shingle skew control ON
+    (max_df=4): shingles appearing in >4 docs are dropped from the
+    inverted index before the self-join, so no join bucket can exceed
+    max_df² pairs — the 100 TB skew guarantee, exercised end-to-end
+    under the oracle (VERDICT r2 #2). The document-frequency pass is
+    itself skew-proof: groupBy.count (map-side combined) + broadcast
+    anti-join — the index never shuffles on the shingle key to compute
+    DF (see operators/dedup.py:shingle_index)."""
+    return D.jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.5, max_df=4
+    )
+
+
 @register("dedup_minhash_lsh", oracle=_JACCARD_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH banding (32 bands × r=2) with exact-Jaccard
