@@ -10,9 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from bigdata06_spark.queries import register
 from bigdata06_spark.streaming import ops as SO
-from bigdata06_spark.streaming.stateful import running_user_totals
+from bigdata06_spark.streaming.stateful import running_user_totals, user_peak_totals
 
 
 @register(
@@ -156,6 +158,32 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle."""
     return SO.run_to_table(
         SO.purchase_view_interval_join(SO.stream_events(spark, sf_dir)), "append"
+    )
+
+
+@register(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 typed streaming state, on
+    RocksDB): per-user cumulative count + running max via a ValueState
+    handle, executed with the vendored protobuf runtime (compat.py —
+    activated for the running session's workers, so this runs under
+    the driver's vanilla session too). Update mode emits one row per
+    user per micro-batch; the state is CUMULATIVE, so the final value
+    per user is the max over emitted rows — reduced here to make the
+    replay batch-equivalent and exactly oracle-checkable."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = SO.run_to_table(user_peak_totals(SO.stream_events(spark, sf_dir)), "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
     )
 
 

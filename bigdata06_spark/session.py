@@ -65,6 +65,22 @@ def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None,
     builder in the JVM, like every static conf.
     """
     n = cores or default_parallelism()
+
+    # Vendored-protobuf shim (compat.py): the transformWithState
+    # protobuf is imported by every kind of Python process Spark
+    # spawns (task workers, the state-schema-validation runner), so
+    # the vendor dir must be on PYTHONPATH before the JVM starts —
+    # child processes inherit the JVM's environment in local mode
+    # (executorEnv carries it on a cluster). No-op when the
+    # environment ships its own protobuf.
+    from bigdata06_spark.compat import VENDOR_DIR, ensure_protobuf
+
+    py_path = os.environ.get("PYTHONPATH", "")
+    if VENDOR_DIR not in py_path.split(os.pathsep):
+        py_path = f"{VENDOR_DIR}{os.pathsep}{py_path}" if py_path else VENDOR_DIR
+    os.environ["PYTHONPATH"] = py_path
+    protobuf_ok = ensure_protobuf()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
@@ -85,6 +101,11 @@ def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if protobuf_ok:
+        builder = builder.config("spark.executorEnv.PYTHONPATH", py_path).config(
+            "spark.executorEnv.TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK",
+            os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", ""),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):

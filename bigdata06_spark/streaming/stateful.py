@@ -90,14 +90,16 @@ def _user_peak_processor():
 
 def user_peak_totals(events: DataFrame) -> DataFrame:
     """Per-user event count + running max via transformWithStateInPandas.
-    Requires the RocksDB state store provider AND `protobuf` on the
-    workers (the API's state round-trip wire format) — protobuf is not
-    installed in this container, so the operator is covered by an
-    import-gated test (tests/test_streaming.py) that activates wherever
-    the dependency exists, like the PIL decode path. Output mode
-    Update — one row per seen user per batch with the cumulative
-    values; `running_user_totals` (applyInPandasWithState) is the
-    runnable-here equivalent."""
+    Requires the RocksDB state store provider AND `protobuf` (the
+    API's state round-trip wire format) — satisfied here by the
+    vendored pure-Python runtime (see compat.py), activated for this
+    session's workers before the plan is built. Output mode Update —
+    one row per seen user per batch with the cumulative values;
+    `running_user_totals` (applyInPandasWithState) is the
+    protobuf-free equivalent."""
+    from bigdata06_spark.compat import activate_protobuf_for_session
+
+    activate_protobuf_for_session(events.sparkSession)
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_user_peak_processor(),
         outputStructType=TWS_OUTPUT_SCHEMA,
