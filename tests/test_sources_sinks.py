@@ -850,7 +850,7 @@ def test_stats_manifest_file_skipping(spark, sf_dir, tmp_path):
     manifest = write_stats_manifest(spark, path, ["o_orderkey"])
 
     lo, hi = 10, 50
-    keep = files_for_predicate(manifest, "o_orderkey", lo, hi)
+    keep = files_for_predicate(spark, manifest, "o_orderkey", lo, hi)
     assert 1 <= len(keep) <= 2  # disjoint sorted ranges → almost all files skipped
 
     import os
