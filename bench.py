@@ -49,6 +49,17 @@ HEADLINE = [
     "corpus_split_assign",
     # streaming
     "stream_tumbling_agg",
+    # heaviest non-headline plans (VERDICT r2 #5): iterative graph /
+    # linear-algebra, multi-method agreement, hybrid retrieval — the
+    # new cost frontier per PLANS.md; timed so regressions are visible
+    # round-over-round
+    "graph_pagerank",
+    "embedding_power_iteration",
+    "dedup_methods_agreement",
+    "rag_hybrid_rrf",
+    "supplier_affinity_graph",
+    # exact all-pairs similarity (block-tiled equi-join)
+    "dedup_embedding_cosine",
 ]
 
 
