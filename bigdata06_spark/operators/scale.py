@@ -75,10 +75,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, n_salts: int = 8,
     Result is identical to the unsalted join for any join type where
     the salted side is preserved (inner/left with big on the left).
 
-    The salt comes from the row's POSITION (monotonically_increasing_id),
-    not its content: duplicate-heavy hot keys (exact-repeat rows) would
-    all hash to one salt under a content hash, leaving the skew unsplit."""
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
+    The salt comes from a HASH of the row's position
+    (xxhash64(monotonically_increasing_id())), not its content:
+    duplicate-heavy hot keys (exact-repeat rows) would all hash to one
+    salt under a content hash, leaving the skew unsplit. Hashing the
+    position (rather than `pmod(position, n)`) matters too: a hot key
+    whose rows occur in a positional PATTERN (every 2nd row — think
+    interleaved event types) would otherwise land on the pattern's
+    stride of salts only, re-concentrating the skew (measured: a
+    50%-hot key at stride 2 spread over 4 of 8 salts). The hash
+    decorrelates salt from any arrival pattern."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt")
     b = big.select("*", salt)
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return b.join(s, [key, "_salt"], how).drop("_salt")
@@ -102,10 +109,12 @@ def salted_agg(df: DataFrame, key: str, aggs: dict[str, str], n_salts: int = 8) 
     alias; pass a non-nullable column for COUNT(*) semantics. Result is
     row-identical to the direct groupBy (test-pinned).
 
-    Positional salt (not a content hash): exact-duplicate rows of a hot
-    key must spread across salts, and hashing the row's columns would
-    send them all to one reducer."""
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
+    Hashed-positional salt (not a content hash): exact-duplicate rows
+    of a hot key must spread across salts, and hashing the row's
+    columns would send them all to one reducer; hashing the POSITION
+    also decorrelates the salt from positional arrival patterns (see
+    `salted_join`)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt")
     first = {"sum": F.sum, "count": lambda c: F.count(F.col(c)), "min": F.min, "max": F.max}
     second = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     partial = (

@@ -484,3 +484,58 @@ def test_stop_shingle_df_no_window_shuffle(spark, sf_dir):
     plan = plan_of(SPECS["dedup_jaccard_stop_shingles"].fn(spark, sf_dir))
     assert "Window" not in plan, plan
     assert re.search(r"BroadcastHashJoin LeftAnti", plan), plan
+
+
+def test_salted_join_bounds_max_partition(spark):
+    """VERDICT r2 #6: measured skew proof, not just a plan pin. A
+    Zipf-like keyed fact (hot key = 50% of rows, second key = 25%,
+    tail uniform) joined to a per-key dim: the salted join must spread
+    the hot key across reducers — max post-join partition ≤ 1/3 of the
+    plain join's straggler — while the row set is identical. AQE and
+    broadcast are disabled for the measurement (AQE's skew split would
+    mask the property; salting is the lever for engines/paths where
+    that isn't available, e.g. streaming state or partial-agg skew)."""
+    from bigdata06_spark.operators.scale import salted_join
+
+    n, n_keys = 40_000, 100
+    base = spark.range(n)
+    big = base.select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .when(F.col("id") % 4 == 1, F.lit(1))
+        .otherwise(F.col("id") % n_keys)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(n_keys).select(F.col("id").alias("k"), (F.col("id") * 10).alias("dim"))
+
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def max_partition(df):
+            sizes = (
+                df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in sizes)
+
+        plain = big.join(small, "k")
+        salted = salted_join(big, small, "k")
+        plain_max, salted_max = max_partition(plain), max_partition(salted)
+        # hot key alone is n/2 rows in ONE reducer unsalted; salted it
+        # spreads over n_salts=8 reducers
+        assert plain_max >= n // 2, plain_max
+        assert salted_max <= plain_max // 3, (plain_max, salted_max)
+        # ...and the join result is unchanged
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
