@@ -404,6 +404,34 @@ def source_spotify_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_avro_roundtrip",
+    oracle="SELECT * FROM orders",
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro I/O through the `avro_py` Python DataSource (VERDICT r2
+    #7): orders written to Avro object-container files (deflate, one
+    file per partition, deterministic sync markers) and read back —
+    the oracle is the parquet original, so a value-hash match proves
+    the encode→decode cycle is lossless across every column type the
+    table uses (long/string/double/timestamp). The codec itself is
+    cross-validated against the JVM Avro library in
+    tests/test_sources_sinks.py. See sources/avro_codec.py +
+    avro_datasource.py."""
+    import os
+    import tempfile
+
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sources.readers import read_avro, write_avro
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"avro_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_avro(o, path)
+    return read_avro(spark, path)
+
+
+@register(
     "ref_pandas_api_on_spark",
     oracle="""
     SELECT o_custkey,

@@ -60,9 +60,9 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     pathGlobFilter (e.g. '*.png') so the listing prunes before any
     bytes are read; at scale, partition discovery parallelizes the
     listing and `spark.sql.files.maxPartitionBytes` bins small files
-    per task. (Avro would slot in here the same way, but it ships as an
-    external Spark module and this environment has no package access —
-    documented, not stubbed.)"""
+    per task. (Avro: see `read_avro`/`write_avro` below — implemented
+    as a Python DataSource on the in-repo pure-Python codec, since the
+    external spark-avro module isn't installable here.)"""
     r = spark.read.format("binaryFile")
     if glob:
         r = r.option("pathGlobFilter", glob)
@@ -74,3 +74,26 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     `value` string column — the ingestion shape for line-delimited
     corpora before any schema is imposed."""
     return spark.read.format("text").load(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan via the `avro_py` Python DataSource (see
+    sources/avro_datasource.py): schema inferred from one file header,
+    one input partition per container file. The codec is the in-repo
+    pure-Python Avro implementation, cross-validated against the JVM
+    Avro library."""
+    from bigdata06_spark.sources.avro_datasource import register
+
+    register(spark)
+    return spark.read.format("avro_py").load(path)
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate",
+               mode: str = "overwrite") -> None:
+    """Avro sink via `avro_py`: one deflate-compressed container file
+    per Spark partition, deterministic sync markers (byte-reproducible
+    output)."""
+    from bigdata06_spark.sources.avro_datasource import register
+
+    register(df.sparkSession)
+    df.write.format("avro_py").mode(mode).option("codec", codec).save(path)
