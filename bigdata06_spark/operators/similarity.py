@@ -456,6 +456,54 @@ def kmeans_assign(corpus: DataFrame, k: int = 8, n_iter: int = 2,
     return assign.select("vec_id", F.col("cell").alias("cluster"))
 
 
+def semantic_dedup(corpus: DataFrame, threshold: float, k: int = 8, n_iter: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding corpus with k-means, then
+    mark a vector as a duplicate if a LOWER-ID vector in the SAME
+    cluster has cosine ≥ threshold; report the best such match
+    (highest sim, ties to the smaller id). Returns
+    (vec_id, dup_of, sim) for dropped vectors only.
+
+    Why cluster first: the pairwise pass is confined to per-cluster
+    buckets — with k grown proportionally to corpus size (the paper
+    uses k ≈ N/√N-ish), per-cluster membership stays bounded and the
+    quadratic term never spans the corpus. The k-means here is the
+    integer-exact `kmeans_assign` (deterministic seeding, quantized
+    geometry), so the WHOLE operator — an iterative clustering feeding
+    a similarity join — replays exactly in the SQL oracle; the cosine
+    itself is computed on the original float→double vectors, same
+    fold/rounding as every other similarity op."""
+    assign = kmeans_assign(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    base = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).select("vid", "v", norm(F.col("v")).alias("nrm"))
+    clustered = base.join(
+        assign.select(F.col("vec_id").alias("vid"), "cluster"), "vid"
+    )
+    lo = clustered.select(
+        F.col("vid").alias("dup_of"), F.col("v").alias("v_lo"),
+        F.col("nrm").alias("n_lo"), "cluster",
+    )
+    hi = clustered.select(
+        F.col("vid").alias("vec_id"), F.col("v").alias("v_hi"),
+        F.col("nrm").alias("n_hi"), "cluster",
+    )
+    sim = rnd(dot(F.col("v_lo"), F.col("v_hi")) / (F.col("n_lo") * F.col("n_hi")), 6)
+    pairs = (
+        hi.join(lo, "cluster")
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("dup_of"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "dup_of", "sim")
+    )
+
+
 def write_ivf_partitioned(corpus: DataFrame, path: str, centroids: list[list[float]],
                           id_col: str = "vec_id", vec_col: str = "embedding") -> None:
     """Materialize the IVF index as a CELL-PARTITIONED parquet layout:

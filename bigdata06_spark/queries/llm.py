@@ -394,6 +394,55 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_c4_filters",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             right(text, 1) IN ('.', '!', '?', '"') AS ends_ok,
+             len(ws) >= 5 AS min_words_ok,
+             text NOT LIKE '%{%' AND text NOT LIKE '%}%' AS no_brace,
+             lower(text) NOT LIKE '%lorem ipsum%' AS not_lorem,
+             CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+               BETWEEN 3 AND 10 AS wordlen_ok
+      FROM t
+    )
+    SELECT doc_id, ends_ok, min_words_ok, no_brace, not_lorem, wordlen_ok,
+           (ends_ok AND min_words_ok AND no_brace AND not_lorem AND wordlen_ok) AS kept
+    FROM r
+    """,
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality rules (Raffel et al. 2020, §2.2 —
+    the public web-corpus cleaning recipe): terminal punctuation,
+    minimum word count, no curly braces (code/templating tell), no
+    'lorem ipsum', sane mean word length. Emits each rule's verdict
+    plus the conjunction — per-rule pass rates are what you tune on a
+    real corpus, so the flags stay separate columns rather than one
+    boolean. Pure codegen row-local projection: zero shuffles at any
+    scale; mean word length is an exact int/int division
+    (bit-identical cross-engine)."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = T.words(F.col("text"))
+    ends_ok = F.expr("right(text, 1)").isin(".", "!", "?", '"')
+    min_words_ok = F.size(ws) >= 5
+    no_brace = ~F.col("text").contains("{") & ~F.col("text").contains("}")
+    not_lorem = ~F.lower(F.col("text")).contains("lorem ipsum")
+    wordlen_ok = T.mean_word_len(ws).between(3.0, 10.0)
+    return d.select(
+        "doc_id",
+        ends_ok.alias("ends_ok"),
+        min_words_ok.alias("min_words_ok"),
+        no_brace.alias("no_brace"),
+        not_lorem.alias("not_lorem"),
+        wordlen_ok.alias("wordlen_ok"),
+        (ends_ok & min_words_ok & no_brace & not_lorem & wordlen_ok).alias("kept"),
+    )
+
+
+@register(
     "text_lang_id",
     oracle="""
     WITH t AS (
@@ -723,10 +772,10 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_kmeans",
-    oracle="""
-    WITH q AS (
+# Integer-exact 2-round k-means (k=8) as a reusable oracle fragment:
+# final assignment relation `a2(vec_id, cell)` (see kmeans_assign).
+_KMEANS_CTE = """
+    q AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
       FROM embeddings
@@ -750,11 +799,21 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 AS (
       SELECT q.vec_id, c.cell, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist
       FROM q JOIN c1 c USING (pos) GROUP BY q.vec_id, c.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2) WHERE rn = 1
     )
-    SELECT vec_id, cell AS cluster FROM (
-      SELECT vec_id, cell,
-             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-      FROM d2) WHERE rn = 1
+"""
+
+
+@register(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH {_KMEANS_CTE}
+    SELECT vec_id, cell AS cluster FROM a2
     """,
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,6 +827,144 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash gate, not a rows-only check."""
     emb = load_table(spark, "embeddings", sf_dir)
     return S.kmeans_assign(emb, k=8, n_iter=2)
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_KMEANS_CTE},
+    p AS (
+      SELECT hi.vec_id AS vec_id, lo.vec_id AS dup_of,
+             floor(list_cosine_similarity(ehi.embedding::DOUBLE[],
+                                          elo.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM a2 hi
+        JOIN a2 lo ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+        JOIN embeddings ehi ON ehi.vec_id = hi.vec_id
+        JOIN embeddings elo ON elo.vec_id = lo.vec_id
+    )
+    SELECT vec_id, dup_of, sim FROM (
+      SELECT vec_id, dup_of, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, dup_of ASC) AS rn
+      FROM p WHERE sim >= 0.3
+    ) WHERE rn = 1
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then drop any vector with a lower-id same-cluster neighbor at
+    cosine ≥ 0.3, reporting the best such match. The pairwise pass is
+    confined to per-cluster buckets (grow k with the corpus and the
+    quadratic term stays bounded — the paper's own scaling argument);
+    the clustering is the integer-exact kmeans, so this ITERATIVE
+    clustering + similarity join replays exactly under the value-hash
+    oracle. See operators/similarity.py:semantic_dedup."""
+    return S.semantic_dedup(load_table(spark, "embeddings", sf_dir), threshold=0.3)
+
+
+@register(
+    "knn_label_vote",
+    oracle="""
+    WITH p AS (
+      SELECT a.vec_id AS q, b.vec_id AS nb, b.label AS nb_label,
+             floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    topk AS (
+      SELECT q, nb_label FROM (
+        SELECT q, nb_label,
+               row_number() OVER (PARTITION BY q ORDER BY sim DESC, nb ASC) AS rn
+        FROM p) WHERE rn <= 5
+    ),
+    votes AS (SELECT q, nb_label, count(*) AS c FROM topk GROUP BY q, nb_label),
+    pred AS (
+      SELECT q, nb_label AS pred_label FROM (
+        SELECT q, nb_label,
+               row_number() OVER (PARTITION BY q ORDER BY c DESC, nb_label ASC) AS rn
+        FROM votes) WHERE rn = 1
+    )
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.q
+    GROUP BY e.label
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-classification evaluation: leave-one-out 5-NN
+    majority-vote over the labeled corpus, reporting per-label count
+    and correct predictions — the standard embedding-quality probe
+    (kNN accuracy) run entirely relationally. The pair space comes
+    from the block-tiled exact all-pairs join (both orientations
+    reconstituted from the once-emitted unordered pairs), so the plan
+    is the shardable equi-join, not a cartesian; ranking pins total
+    order via (sim 6dp desc, neighbor id), vote ties break to the
+    smaller label."""
+    e = load_table(spark, "embeddings", sf_dir)
+    pairs = S.allpairs_blocked(e, threshold=-1.0, n_blocks=16)
+    both = pairs.selectExpr("vec_a AS q", "vec_b AS nb", "sim").unionAll(
+        pairs.selectExpr("vec_b AS q", "vec_a AS nb", "sim")
+    )
+    labels = e.select("vec_id", "label")
+    w_top = Window.partitionBy("q").orderBy(F.desc("sim"), F.asc("nb"))
+    topk = (
+        both.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .join(labels.select(F.col("vec_id").alias("nb"), F.col("label").alias("nb_label")), "nb")
+    )
+    votes = topk.groupBy("q", "nb_label").agg(F.count(F.lit(1)).alias("c"))
+    w_vote = Window.partitionBy("q").orderBy(F.desc("c"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .filter(F.col("rn") == 1)
+        .select("q", F.col("nb_label").alias("pred_label"))
+    )
+    return (
+        pred.join(labels.select(F.col("vec_id").alias("q"), "label"), "q")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+    )
+
+
+@register(
+    "knn_filtered",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM p) WHERE rn <= 3
+    """,
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the production retrieval
+    pattern: predicate + top-k): 10 query vectors ranked against only
+    the label=1 slice of the corpus. The filter lands BEFORE the
+    similarity join — pushed to the corpus scan, so the candidate set
+    shrinks at the source (`.explain` shows the pushed label filter),
+    not post-ranking; with an IVF-partitioned layout the same
+    predicate composes with cell pruning."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.knn_bruteforce(
+        e.filter(F.col("vec_id") < 10), e.filter(F.col("label") == 1), k=3
+    )
 
 
 # -------------------------------------------------------------- multimodal

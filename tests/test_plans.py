@@ -539,3 +539,30 @@ def test_salted_join_bounds_max_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """SemDeDup's pairwise pass must ride the cluster equi-join —
+    never a corpus-wide cartesian. The only nested-loop joins allowed
+    are kmeans_assign's deliberate k-row centroid broadcasts
+    (Cross/no-condition against a bounded build side); the pair
+    predicate must not appear in any of them, and an equi-join on the
+    cluster key must exist."""
+    plan = plan_of(SPECS["dedup_semantic"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # pair join is an equi-join keyed on cluster
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[\s\S]{0,200}cluster", plan
+    ), plan
+    # no BNLJ block carries the pair predicate (dup_of/vec_id compare)
+    for blk in plan.split("\n\n"):
+        if blk.strip().startswith("(") and "BroadcastNestedLoopJoin" in blk.splitlines()[0]:
+            assert "dup_of" not in blk and "Join condition: None" in blk, blk
+
+
+def test_knn_filtered_pushes_label_filter(spark, sf_dir):
+    """Filtered vector search: the metadata predicate must reach the
+    corpus parquet scan (candidate shrink at the source), not run
+    post-ranking."""
+    plan = plan_of(SPECS["knn_filtered"].fn(spark, sf_dir))
+    assert re.search(r"PushedFilters: \[.*label.*\]", plan), plan
