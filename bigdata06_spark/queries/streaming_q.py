@@ -8,13 +8,17 @@ is streaming-only semantics DuckDB can't mirror)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
 from bigdata06_spark.queries import register
 from bigdata06_spark.streaming import ops as SO
-from bigdata06_spark.streaming.stateful import running_user_totals, user_peak_totals
+from bigdata06_spark.streaming.stateful import (
+    running_user_totals,
+    user_last3_events,
+    user_peak_totals,
+)
 
 
 @register(
@@ -184,6 +188,53 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SO.run_to_table(user_peak_totals(SO.stream_events(spark, sf_dir)), "update")
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
+
+
+@register(
+    "stream_tws_list_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    l3 AS (
+      SELECT user_id,
+             array_to_string(list(event_id ORDER BY rn), ',') AS last3
+      FROM ranked WHERE rn <= 3 GROUP BY user_id
+    ),
+    n AS (SELECT user_id, count(*) AS n_seen FROM events GROUP BY user_id)
+    SELECT n.user_id, CAST(n.n_seen AS BIGINT) AS n_seen, l3.last3
+    FROM n JOIN l3 USING (user_id)
+    """,
+)
+def stream_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with LISTSTATE: per-user last-3
+    event ids by event time, state bounded at 3 rows/key regardless
+    of stream length (the "recent actions" feature buffer). Update
+    mode emits per batch; the final emission (max n_seen per user) is
+    batch-equivalent, so the typed-list state machinery sits under the
+    exact value-hash oracle. The id list is emitted as a joined string
+    (repo convention: arrays stay native inside the engine, collapse
+    at the oracle edge). Timestamps are µs-aligned with no
+    per-user ties (checked), so the (ts desc, event_id desc) order is
+    cross-engine deterministic."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = SO.run_to_table(user_last3_events(SO.stream_events(spark, sf_dir)), "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_seen",
+            F.concat_ws(",", F.col("last3").cast("array<string>")).alias("last3"),
+        )
     )
 
 

@@ -88,6 +88,82 @@ def _user_peak_processor():
     return UserPeak()
 
 
+TWS_LAST3_SCHEMA = "user_id long, n_seen long, last3 array<long>"
+
+
+def _user_last3_processor():
+    """StatefulProcessor using LISTSTATE: per user, keep the 3 most
+    recent (ts, event_id) observations across micro-batches — the
+    bounded-recency buffer behind "last N actions" features. The
+    state is the pruned top-3 list itself (bounded per key, never the
+    full history) plus a ValueState row count; order pins on
+    (ts desc, event_id desc) so replays are deterministic."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    class UserLast3(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getListState(
+                "recent",
+                StructType(
+                    [StructField("ts", TimestampType()), StructField("event_id", LongType())]
+                ),
+            )
+            self._n = handle.getValueState(
+                "n", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            entries = [tuple(t) for t in self._buf.get()]
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                entries.extend(
+                    (ts.to_pydatetime(), int(eid))
+                    for ts, eid in zip(pdf["ts"], pdf["event_id"])
+                )
+            entries.sort(key=lambda e: (e[0], e[1]), reverse=True)
+            entries = entries[:3]
+            self._buf.put([(e[0], e[1]) for e in entries])
+            self._n.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_seen": [n],
+                    "last3": [[e[1] for e in entries]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserLast3()
+
+
+def user_last3_events(events: DataFrame) -> DataFrame:
+    """Per-user last-3 event ids (by event time) via
+    transformWithStateInPandas ListState — state stays bounded at 3
+    rows per key no matter the stream length. Update mode; the final
+    emission per user (max n_seen) is the batch-equivalent answer."""
+    from bigdata06_spark.compat import activate_protobuf_for_session
+
+    activate_protobuf_for_session(events.sparkSession)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_user_last3_processor(),
+        outputStructType=TWS_LAST3_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def user_peak_totals(events: DataFrame) -> DataFrame:
     """Per-user event count + running max via transformWithStateInPandas.
     Requires the RocksDB state store provider AND `protobuf` (the
