@@ -18,6 +18,7 @@ from bigdata06_spark.streaming.stateful import (
     running_user_totals,
     user_last3_events,
     user_peak_totals,
+    user_type_counts,
 )
 
 
@@ -235,6 +236,40 @@ def stream_tws_list_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_seen",
             F.concat_ws(",", F.col("last3").cast("array<string>")).alias("last3"),
         )
+    )
+
+
+@register(
+    "stream_tws_map_state",
+    oracle="""
+    WITH pc AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_total,
+           string_agg(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts
+    FROM pc GROUP BY user_id
+    """,
+)
+def stream_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with MAPSTATE: per-user event_type
+    histogram maintained by point lookups/upserts against the state
+    store (the map never round-trips whole — MapState's reason to
+    exist over a ValueState dict). Canonical sorted 'type:count'
+    string emission; the final per-user emission (max n_total) equals
+    the batch GROUP BY — exact value-hash oracle. Completes the typed
+    state trio (ValueState / ListState / MapState) under the gate."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = SO.run_to_table(user_type_counts(SO.stream_events(spark, sf_dir)), "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_total"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_total", "type_counts")
     )
 
 

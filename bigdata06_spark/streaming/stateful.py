@@ -148,6 +148,71 @@ def _user_last3_processor():
     return UserLast3()
 
 
+TWS_TYPEMAP_SCHEMA = "user_id long, n_total long, type_counts string"
+
+
+def _user_typemap_processor():
+    """StatefulProcessor using MAPSTATE: per-user event_type → count,
+    updated incrementally per batch (point lookups + upserts against
+    the state store — the map never round-trips whole, which is the
+    reason MapState exists vs a ValueState holding a dict). Emits the
+    map as a canonical 'type:count' string sorted by type."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    class UserTypeMap(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts",
+                StructType([StructField("event_type", StringType())]),
+                StructType([StructField("n", LongType())]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            delta: dict[str, int] = {}
+            n_batch = 0
+            for pdf in rows:
+                n_batch += len(pdf)
+                for et, c in pdf["event_type"].value_counts().items():
+                    delta[et] = delta.get(et, 0) + int(c)
+            for et, c in delta.items():
+                prev = self._counts.getValue((et,)) if self._counts.containsKey((et,)) else None
+                self._counts.updateValue((et,), (int(prev[0]) + c if prev else c,))
+            items = sorted((k[0], int(v[0])) for k, v in self._counts.iterator())
+            n_total = sum(v for _, v in items)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_total": [n_total],
+                    "type_counts": [",".join(f"{k}:{v}" for k, v in items)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTypeMap()
+
+
+def user_type_counts(events: DataFrame) -> DataFrame:
+    """Per-user event_type histogram via transformWithStateInPandas
+    MapState — incremental point updates, canonical string emission.
+    Update mode; final emission per user (max n_total) is the batch
+    answer."""
+    from bigdata06_spark.compat import activate_protobuf_for_session
+
+    activate_protobuf_for_session(events.sparkSession)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_user_typemap_processor(),
+        outputStructType=TWS_TYPEMAP_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def user_last3_events(events: DataFrame) -> DataFrame:
     """Per-user last-3 event ids (by event time) via
     transformWithStateInPandas ListState — state stays bounded at 3
