@@ -351,3 +351,75 @@ def test_dynamic_gap_session_stream_equals_batch(spark, sf_dir):
     streamed = SO.run_to_table(sessions(SO.stream_events(spark, sf_dir)), "complete")
     batch = sessions(load_table(spark, "events", sf_dir))
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_tws_event_time_timers_fire(spark, sf_dir):
+    """transformWithStateInPandas EVENT-TIME TIMERS: each user's
+    processor registers a timer at its first-seen event time; when the
+    watermark passes it (end of the availableNow replay), Spark runs
+    the timer batch and handleExpiredTimer emits a closure row per
+    user. Asserts the timer path actually executes: every user whose
+    first event precedes the final watermark emits exactly one
+    timer row. Completes the TWS surface (typed state ×3 + timers)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bigdata06_spark.compat import activate_protobuf_for_session
+    from bigdata06_spark.streaming import ops as SO
+
+    activate_protobuf_for_session(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class FirstSeenTimer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._armed = handle.getValueState(
+                "armed", StructType([StructField("ts_ms", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                if not self._armed.exists():
+                    first_ms = int(pdf["ts"].min().value // 1_000_000)
+                    self._handle.registerTimer(first_ms)
+                    self._armed.update((first_ms,))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "fired_at_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = SO.as_event_time(SO.stream_events(spark, sf_dir)).withWatermark("ts", "0 seconds")
+    plan = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FirstSeenTimer(),
+        outputStructType="user_id long, fired_at_ms long",
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    out = SO.run_to_table(plan, "append")
+    fired = {r.user_id for r in out.collect()}
+    batch = load_table(spark, "events", sf_dir)
+    users = {r.user_id for r in batch.select("user_id").distinct().collect()}
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    expected = {
+        r.user_id
+        for r in batch.groupBy("user_id").agg(F.min("ts").alias("first_ts")).collect()
+        if r.first_ts < max_ts
+    }
+    assert fired, "no timers fired"
+    assert fired == expected, (len(fired), len(expected), len(users))
