@@ -423,3 +423,69 @@ def test_tws_event_time_timers_fire(spark, sf_dir):
     }
     assert fired, "no timers fired"
     assert fired == expected, (len(fired), len(expected), len(users))
+
+
+def test_tws_initial_state_seeding(spark, sf_dir):
+    """transformWithStateInPandas INITIAL STATE: a batch relation
+    seeds per-key state before the first micro-batch (the warm-start
+    path for migrating a batch-computed table into streaming state).
+    Seed = 1000 per user for even users; final per-user count must be
+    seed + stream count."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bigdata06_spark.compat import activate_protobuf_for_session
+    from bigdata06_spark.streaming import ops as SO
+
+    activate_protobuf_for_session(spark)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class SeededCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", StructType([StructField("n", LongType())]))
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._n.update((int(initialState["seed"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    batch = load_table(spark, "events", sf_dir)
+    seeds = (
+        batch.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("seed", F.lit(1000).cast("long"))
+        .groupBy("user_id")
+    )
+    plan = SO.stream_events(spark, sf_dir).groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SeededCount(),
+        outputStructType="user_id long, n long",
+        outputMode="Update",
+        timeMode="None",
+        initialState=seeds,
+    )
+    out = SO.run_to_table(plan, "update")
+    final = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id").agg(F.max("n").alias("n")).collect()
+    }
+    expected = {
+        r.user_id: r.n + (1000 if r.user_id % 2 == 0 else 0)
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == expected
