@@ -167,6 +167,32 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, v.event_id AS view_event_id, p.value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: unmatched purchases are
+    held in state and released with NULL view columns only once the
+    watermark proves no match can arrive — the outer-specific state
+    machinery on top of the inner variant. The replay source carries
+    flush punctuation rows (sentinel user, +2h) so the final watermark
+    closes every real row's window; with that, full replay ≡ batch
+    LEFT JOIN → exact oracle."""
+    out = SO.run_to_table(
+        SO.purchase_view_left_join(SO.stream_events_with_flush(spark, sf_dir)),
+        "append",
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
+@register(
     "stream_transform_with_state",
     oracle="""
     SELECT user_id, count(*) AS n_events, max(value) AS max_value

@@ -209,6 +209,94 @@ def purchase_view_interval_join(events: DataFrame, lookback: str = "1 hour") -> 
     ).select("event_id", "user_id", "view_event_id", "value")
 
 
+def stream_events_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events stream plus two FLUSH rows (one per join side, sentinel
+    user_id = -1) 2 hours past the corpus max ts. Outer joins and
+    other watermark-gated emitters hold their last rows until the
+    watermark passes them — on a bounded replay it never does, so the
+    tail stays unemitted. The flush rows are the standard punctuation
+    fix: they advance BOTH sides' watermarks past every real row's
+    join window, then filter out of the result on the sentinel id.
+    Written to a SEPARATE stream dir so the shared replay dirs other
+    streaming queries use are untouched."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    key = hashlib.md5((sf_dir + "#flush").encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), "bigdata06_stream", key, "events")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    flush_path = os.path.join(d, "flush.parquet")
+    if not os.path.exists(flush_path + "/_SUCCESS"):
+        ts_field = raw.schema["ts"].dataType.simpleString()
+        two_h = 2 * 3600 * (10**9 if ts_field == "bigint" else 1)
+        mx = raw.agg(F.max("ts").alias("m"))
+        flush = (
+            mx.crossJoin(
+                spark.createDataFrame(
+                    [(-1, "view"), (-2, "purchase")], ["fuser", "ftype"]
+                )
+            )
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                (
+                    (F.col("m") + F.lit(two_h))
+                    if ts_field == "bigint"
+                    else (F.col("m") + F.expr("INTERVAL 2 HOURS"))
+                ).alias("ts"),
+                F.col("fuser").cast("long").alias("user_id"),
+                F.col("ftype").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast(raw.schema["props"].dataType).alias("props"),
+            )
+        )
+        flush.coalesce(1).write.mode("overwrite").parquet(flush_path)
+    raw_schema = raw.schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        .load(d)
+    )
+    return normalize_events_ts(stream)
+
+
+def purchase_view_left_join(events: DataFrame, lookback: str = "1 hour") -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, matched to the
+    same user's views in the preceding `lookback` — or emitted with a
+    NULL view once the watermark proves no match can arrive. Outer
+    results cannot be emitted eagerly (a matching view may still come),
+    so Structured Streaming holds the unmatched left rows in state and
+    releases them only when the watermark passes their join window —
+    the outer-join-specific state machinery this operator exercises on
+    top of the inner variant. On a full availableNow replay the final
+    watermark passes every window, so the emitted set equals the batch
+    LEFT JOIN (exact oracle)."""
+    events = as_event_time(events)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("event_id", "user_id", "view_event_id", "value")
+
+
 def watermarked_dedup_counts(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     """Streaming dedup via dropDuplicatesWithinWatermark: state for a
     key is dropped once the watermark passes its last-seen ts +
