@@ -1,0 +1,167 @@
+"""Minimal lakehouse table format: versioned file log + copy-on-write
+MERGE + time travel, on plain parquet.
+
+The public mechanics of Delta/Iceberg (transaction log listing the
+file set per version; writers replace whole files, never rows; readers
+pin a version's file set) implemented small enough to audit:
+
+- `<path>/data/v<N>-*.parquet` — immutable data files, range-bucketed
+  and sorted on the table key so each file covers a narrow key range
+  (the property COW needs: a keyed change touches few files).
+- `<path>/_log/<N>.json` — one JSON per version: `{"add": [...],
+  "remove": [...]}`. Version N's file set = replay of logs 0..N.
+- MERGE (update + delete legs) rewrites ONLY the files whose
+  [min, max] key range overlaps the touched keys — file-level stats
+  come from the `_metadata` hidden column, computed distributed, and
+  only the (file → range) summary reaches the driver (same contract
+  as `sinks.write_stats_manifest` / Iceberg planFiles).
+
+Scale shape: the log is O(files-changed) per version; reads list one
+JSON per version (compact into snapshots at production version
+counts); the rewrite reads/writes only overlapping files. No
+row-level state anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DATA = "data"
+_LOG = "_log"
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _list_data_files(path: str, sub: str) -> list[str]:
+    d = os.path.join(path, _DATA, sub)
+    return sorted(
+        os.path.join(_DATA, sub, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def _write_log(path: str, version: int, add: list[str], remove: list[str]) -> None:
+    os.makedirs(_log_dir(path), exist_ok=True)
+    with open(os.path.join(_log_dir(path), f"{version}.json"), "w") as fh:
+        json.dump({"add": sorted(add), "remove": sorted(remove)}, fh, indent=1)
+
+
+def current_version(path: str) -> int:
+    try:
+        versions = [
+            int(f.split(".")[0]) for f in os.listdir(_log_dir(path)) if f.endswith(".json")
+        ]
+    except FileNotFoundError:
+        return -1
+    return max(versions, default=-1)
+
+
+def files_at_version(path: str, version: int) -> list[str]:
+    """Replay the log through `version` → that snapshot's file set."""
+    latest = current_version(path)
+    if version < 0 or version > latest:
+        raise ValueError(f"version {version} not in [0, {latest}]")
+    files: set[str] = set()
+    for v in range(version + 1):
+        with open(os.path.join(_log_dir(path), f"{v}.json")) as fh:
+            entry = json.load(fh)
+        files -= set(entry["remove"])
+        files |= set(entry["add"])
+    return sorted(files)
+
+
+def table_init(df: DataFrame, path: str, key: str, n_files: int = 8) -> None:
+    """Version 0: range-bucket + sort on `key` so every data file
+    covers a narrow, non-overlapping key range (parquet min/max stats
+    make the COW planner exact)."""
+    sub = "v0"
+    out = os.path.join(path, _DATA, sub)
+    (
+        df.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _write_log(path, 0, _list_data_files(path, sub), [])
+
+
+def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    files = [os.path.join(path, f) for f in files_at_version(path, version)]
+    return spark.read.parquet(*files)
+
+
+def merge(spark: SparkSession, path: str, key: str,
+          updates: DataFrame | None = None,
+          delete_keys: DataFrame | None = None) -> int:
+    """Copy-on-write MERGE: apply column updates (matched by `key`)
+    and/or deletes, producing a new version. Only data files whose
+    [min, max] range of `key` overlaps a touched key are rewritten;
+    untouched files carry over by reference in the log. Returns the
+    new version number.
+
+    The touched-key bounds come from one tiny aggregate over the
+    update/delete relations; per-file ranges from a distributed
+    `_metadata` groupBy — the driver only ever holds (file, lo, hi)
+    triples and the file lists it must hand the scanner anyway."""
+    prev_v = current_version(path)
+    snapshot = read_version(spark, path, prev_v)
+
+    touched = None
+    for rel in (updates, delete_keys):
+        if rel is not None:
+            k = rel.select(F.col(key))
+            touched = k if touched is None else touched.unionAll(k)
+    if touched is None:
+        raise ValueError("merge needs updates and/or delete_keys")
+    bounds = touched.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+
+    per_file = (
+        snapshot.groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+        .collect()
+    )
+    prev_files = {os.path.join(path, f): f for f in files_at_version(path, prev_v)}
+
+    def rel_of(abs_uri: str) -> str:
+        # _metadata.file_path is a file: URI; match on the relative tail
+        for abs_path, rel in prev_files.items():
+            if abs_uri.endswith(rel):
+                return rel
+        raise ValueError(f"unknown data file {abs_uri}")
+
+    affected = [
+        rel_of(r.file) for r in per_file if not (r.hi < bounds.lo or r.lo > bounds.hi)
+    ]
+    if not affected:
+        _write_log(path, prev_v + 1, [], [])
+        return prev_v + 1
+
+    rewrite_src = spark.read.parquet(*[os.path.join(path, f) for f in affected])
+    out = rewrite_src
+    if delete_keys is not None:
+        out = out.join(F.broadcast(delete_keys.select(key)), key, "left_anti")
+    if updates is not None:
+        upd_cols = [c for c in updates.columns if c != key]
+        renamed = updates.select(
+            key, *[F.col(c).alias(f"_u_{c}") for c in upd_cols]
+        )
+        out = out.join(F.broadcast(renamed), key, "left")
+        for c in upd_cols:
+            out = out.withColumn(c, F.coalesce(F.col(f"_u_{c}"), F.col(c))).drop(f"_u_{c}")
+        out = out.select(*rewrite_src.columns)
+
+    new_v = prev_v + 1
+    sub = f"v{new_v}"
+    (
+        out.repartitionByRange(max(1, len(affected)), F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, _DATA, sub))
+    )
+    _write_log(path, new_v, _list_data_files(path, sub), affected)
+    return new_v

@@ -65,6 +65,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         streaming_q,
         sampling,
         udfs_q,
+        lakehouse_q,
     )
 
     # Family-crossing head order (VERDICT r2 #8): external samplers

@@ -1,0 +1,89 @@
+"""Lakehouse-format queries: versioned table, COW merge, time travel
+(bigdata06_spark/lakehouse.py). Both queries build the same two-version
+table (deterministic path per SF), so the pair proves the format's
+core contract: version 1 reflects the merge, version 0 still reads
+exactly as written — snapshot isolation on plain parquet.
+
+Deterministic change set against `orders`:
+- UPDATE: keys in [10, 500) → o_totalprice = 0.0, status 'X'
+- DELETE: keys in [600, 700)
+Range-localized on purpose: the COW planner must rewrite only the
+data files whose key range overlaps [10, 700) (asserted in
+tests/test_plans.py), which is the whole point of range-bucketed
+files + a file-level log.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata06_spark import lakehouse as LH
+from bigdata06_spark.catalog import load_table
+from bigdata06_spark.queries import register
+
+KEY = "o_orderkey"
+
+
+def _table_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_orders_{tag}")
+
+
+def _build_two_versions(spark: SparkSession, sf_dir: str) -> str:
+    path = _table_dir(sf_dir)
+    if LH.current_version(path) < 1:
+        o = load_table(spark, "orders", sf_dir)
+        LH.table_init(o, path, KEY)
+        updates = (
+            o.filter((F.col(KEY) >= 10) & (F.col(KEY) < 500))
+            .select(KEY)
+            .withColumn("o_totalprice", F.lit(0.0))
+            .withColumn("o_orderstatus", F.lit("X"))
+        )
+        deletes = o.filter((F.col(KEY) >= 600) & (F.col(KEY) < 700)).select(KEY)
+        LH.merge(spark, path, KEY, updates=updates, delete_keys=deletes)
+    return path
+
+
+@register(
+    "lakehouse_time_travel",
+    oracle="SELECT * FROM orders",
+)
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL: read version 0 AFTER version 1's merge has
+    rewritten files — the v0 snapshot must equal the original table
+    byte-for-byte (its files are immutable; the log, not the data,
+    defines the version). The hash-match against the raw `orders`
+    oracle is the snapshot-isolation proof."""
+    path = _build_two_versions(spark, sf_dir)
+    return LH.read_version(spark, path, 0)
+
+
+@register(
+    "lakehouse_merge_current",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CASE WHEN o_orderkey >= 10 AND o_orderkey < 500
+                THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey >= 10 AND o_orderkey < 500
+                THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           o_orderpriority
+    FROM orders
+    WHERE NOT (o_orderkey >= 600 AND o_orderkey < 700)
+    """,
+)
+def lakehouse_merge_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW MERGE result: version 1 = update leg (totalprice 0, status
+    X on [10, 500)) + delete leg ([600, 700)) applied by rewriting
+    only the overlapping range-bucketed files; every other file
+    carries over by reference. Oracle replays the same change set in
+    SQL over the raw table."""
+    path = _build_two_versions(spark, sf_dir)
+    cols = load_table(spark, "orders", sf_dir).columns
+    return LH.read_version(spark, path, 1).select(*cols)

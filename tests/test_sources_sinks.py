@@ -1094,3 +1094,47 @@ def test_avro_streaming_sink(spark, sf_dir, tmp_path):
         "event_id", "user_id", "event_type", "value"
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_lakehouse_cow_rewrites_only_overlapping_files(spark, sf_dir, tmp_path):
+    """The COW planner must rewrite ONLY the data files whose key
+    range overlaps the touched keys: with 8 range-bucketed files and a
+    change localized to a narrow key range, most v0 files must carry
+    over by reference into v1, and the v0 snapshot must still read
+    exactly as written (snapshot isolation)."""
+    import json
+    import os
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh")
+    o = load_table(spark, "orders", sf_dir)
+    LH.table_init(o, path, "o_orderkey")
+    v0_files = set(LH.files_at_version(path, 0))
+    assert len(v0_files) == 8
+
+    updates = (
+        o.filter((F.col("o_orderkey") >= 1) & (F.col("o_orderkey") < 20))
+        .select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(1.25))
+    )
+    v1 = LH.merge(spark, path, "o_orderkey", updates=updates)
+    with open(os.path.join(path, "_log", f"{v1}.json")) as fh:
+        entry = json.load(fh)
+    assert 1 <= len(entry["remove"]) <= 2, entry  # narrow range → 1-2 files
+    carried = v0_files - set(entry["remove"])
+    assert carried < v0_files and carried <= set(LH.files_at_version(path, 1))
+
+    # snapshot isolation: v0 unchanged, v1 reflects the update
+    assert sorted(map(tuple, LH.read_version(spark, path, 0).collect())) == sorted(
+        map(tuple, o.collect())
+    )
+    changed = (
+        LH.read_version(spark, path, 1)
+        .filter((F.col("o_orderkey") >= 1) & (F.col("o_orderkey") < 20))
+        .select("o_totalprice")
+        .distinct()
+        .collect()
+    )
+    assert [r.o_totalprice for r in changed] == [1.25]
