@@ -368,3 +368,27 @@ def test_allpairs_blocked_equals_bruteforce(spark, sf_dir):
     )
     want = sorted((r.vec_a, r.vec_b, r.sim) for r in naive.collect())
     assert got == want and len(got) > 0
+
+
+def test_observation_metrics_piggyback_scan(spark, sf_dir):
+    """df.observe(Observation, ...): data-quality counters computed IN
+    the same job as the consuming action — no second scan. The
+    canonical use at 100 TB: row counts / null counts / bounds ride
+    the write job instead of a separate validation pass."""
+    from pyspark.sql import Observation
+
+    from bigdata06_spark.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    obs = Observation("quality")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+    )
+    n = observed.filter(F.col("l_quantity") > 0).count()  # the consuming action
+    got = obs.get
+    assert got["n_rows"] == li.count()
+    assert got["null_qty"] == 0
+    assert got["min_ship"] is not None and n > 0
