@@ -91,8 +91,16 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8) -> None:
 
 
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Version-pinned read. mergeSchema=true because versions may mix
+    file vintages after `add_column` schema evolution — carried-over
+    files simply lack the new column and read as NULL (Delta/Iceberg's
+    additive-evolution semantics)."""
     files = [os.path.join(path, f) for f in files_at_version(path, version)]
-    return spark.read.parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    for col_name, col_type in _schema_adds_at(path, version):
+        if col_name not in df.columns:
+            df = df.withColumn(col_name, F.lit(None).cast(col_type))
+    return df
 
 
 def merge(spark: SparkSession, path: str, key: str,
@@ -141,7 +149,15 @@ def merge(spark: SparkSession, path: str, key: str,
         _write_log(path, prev_v + 1, [], [])
         return prev_v + 1
 
-    rewrite_src = spark.read.parquet(*[os.path.join(path, f) for f in affected])
+    rewrite_src = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in affected]
+    )
+    # lazily-added columns (add_column) materialize into rewritten
+    # files here — the "later rewrites fill real values" half of
+    # additive schema evolution
+    for col_name, col_type in _schema_adds_at(path, prev_v):
+        if col_name not in rewrite_src.columns:
+            rewrite_src = rewrite_src.withColumn(col_name, F.lit(None).cast(col_type))
     out = rewrite_src
     if delete_keys is not None:
         out = out.join(F.broadcast(delete_keys.select(key)), key, "left_anti")
@@ -164,4 +180,60 @@ def merge(spark: SparkSession, path: str, key: str,
         .parquet(os.path.join(path, _DATA, sub))
     )
     _write_log(path, new_v, _list_data_files(path, sub), affected)
+    return new_v
+
+
+def add_column(path: str, col_name: str, col_type: str) -> int:
+    """ADDITIVE SCHEMA EVOLUTION as a zero-rewrite version: no data
+    file changes — the new version's log entry records the (name,
+    type) and `read_version` materializes the column as a typed NULL
+    wherever files predate it (Delta/Iceberg's additive-evolution
+    semantics: metadata change now, data lazily, later rewrites fill
+    real values into whatever files they touch). Returns the new
+    version."""
+    prev_v = current_version(path)
+    new_v = prev_v + 1
+    os.makedirs(_log_dir(path), exist_ok=True)
+    with open(os.path.join(_log_dir(path), f"{new_v}.json"), "w") as fh:
+        json.dump(
+            {
+                "add": [],
+                "remove": [],
+                "schema_add": {"column": col_name, "type": col_type},
+            },
+            fh,
+            indent=1,
+        )
+    return new_v
+
+
+def _schema_adds_at(path: str, version: int) -> list[tuple[str, str]]:
+    adds = []
+    for v in range(version + 1):
+        with open(os.path.join(_log_dir(path), f"{v}.json")) as fh:
+            entry = json.load(fh)
+        sa = entry.get("schema_add")
+        if sa:
+            adds.append((sa["column"], sa["type"]))
+    return adds
+
+
+def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4) -> int:
+    """OPTIMIZE (compaction) as a version: rewrite the CURRENT file
+    set into `n_files` range-bucketed files with identical rows — the
+    small-files pass (`sinks.compact_small_files`) lifted into the
+    versioned world, so readers pinned to old versions keep their
+    exact files while new readers get the compacted layout. Returns
+    the new version."""
+    prev_v = current_version(path)
+    snapshot = read_version(spark, path, prev_v)
+    new_v = prev_v + 1
+    sub = f"v{new_v}"
+    (
+        snapshot.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, _DATA, sub))
+    )
+    _write_log(path, new_v, _list_data_files(path, sub), files_at_version(path, prev_v))
     return new_v

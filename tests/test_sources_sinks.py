@@ -1138,3 +1138,50 @@ def test_lakehouse_cow_rewrites_only_overlapping_files(spark, sf_dir, tmp_path):
         .collect()
     )
     assert [r.o_totalprice for r in changed] == [1.25]
+
+
+def test_lakehouse_optimize_preserves_rows_reduces_files(spark, sf_dir, tmp_path):
+    """OPTIMIZE as a version: identical rows, fewer files, and the
+    pre-compaction version still reads its original layout."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_opt")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=8)
+    v1 = LH.optimize(spark, path, "o_orderkey", n_files=2)
+    assert len(LH.files_at_version(path, v1)) == 2
+    assert len(LH.files_at_version(path, 0)) == 8
+    want = sorted(map(tuple, o.collect()))
+    assert sorted(map(tuple, LH.read_version(spark, path, v1).collect())) == want
+    assert sorted(map(tuple, LH.read_version(spark, path, 0).collect())) == want
+
+
+def test_lakehouse_schema_evolution_lazy_column(spark, sf_dir, tmp_path):
+    """add_column: a metadata-only version — the new column reads as
+    typed NULL over files that predate it, the prior version doesn't
+    see it at all, and a later COW merge writes real values into the
+    files it rewrites while carried-over files stay lazy."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_evo")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    v1 = LH.add_column(path, "o_flag", "string")
+
+    cur = LH.read_version(spark, path, v1)
+    assert "o_flag" in cur.columns
+    assert cur.filter(F.col("o_flag").isNotNull()).count() == 0
+    assert "o_flag" not in LH.read_version(spark, path, 0).columns
+
+    updates = (
+        o.filter(F.col("o_orderkey") < 20)
+        .select("o_orderkey")
+        .withColumn("o_flag", F.lit("hot"))
+    )
+    v2 = LH.merge(spark, path, "o_orderkey", updates=updates)
+    after = LH.read_version(spark, path, v2)
+    flagged = after.filter(F.col("o_flag") == "hot").count()
+    assert flagged == o.filter(F.col("o_orderkey") < 20).count()
+    assert after.count() == o.count()
