@@ -105,7 +105,8 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
 
 def merge(spark: SparkSession, path: str, key: str,
           updates: DataFrame | None = None,
-          delete_keys: DataFrame | None = None) -> int:
+          delete_keys: DataFrame | None = None,
+          inserts: DataFrame | None = None) -> int:
     """Copy-on-write MERGE: apply column updates (matched by `key`)
     and/or deletes, producing a new version. Only data files whose
     [min, max] range of `key` overlaps a touched key are rewritten;
@@ -124,8 +125,18 @@ def merge(spark: SparkSession, path: str, key: str,
         if rel is not None:
             k = rel.select(F.col(key))
             touched = k if touched is None else touched.unionAll(k)
+    if touched is None and inserts is None:
+        raise ValueError("merge needs updates, delete_keys, and/or inserts")
     if touched is None:
-        raise ValueError("merge needs updates and/or delete_keys")
+        # insert-only merge: append one file, rewrite nothing
+        new_v = prev_v + 1
+        sub = f"v{new_v}"
+        new_rows = inserts.join(snapshot.select(key), key, "left_anti")
+        new_rows.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, _DATA, sub)
+        )
+        _write_log(path, new_v, _list_data_files(path, sub), [])
+        return new_v
     bounds = touched.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
 
     per_file = (
@@ -179,6 +190,16 @@ def merge(spark: SparkSession, path: str, key: str,
         .write.mode("overwrite")
         .parquet(os.path.join(path, _DATA, sub))
     )
+    if inserts is not None:
+        # INSERT leg: keys absent from the snapshot append as new
+        # files — no rewrite; the defensive anti-join makes the leg
+        # idempotent under replay (a re-delivered row is an update)
+        new_rows = inserts.join(snapshot.select(key), key, "left_anti").select(
+            *out.columns
+        )
+        new_rows.coalesce(1).write.mode("append").parquet(
+            os.path.join(path, _DATA, sub)
+        )
     _write_log(path, new_v, _list_data_files(path, sub), affected)
     return new_v
 

@@ -49,3 +49,31 @@ def foreach_batch_parquet(result: DataFrame, path: str, checkpoint: str):
     )
     q.awaitTermination()
     return q
+
+
+def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
+                                  checkpoint: str):
+    """Streaming CDC apply: each micro-batch UPSERTs into a versioned
+    lakehouse table (`bigdata06_spark/lakehouse.py`) — existing keys
+    take the batch's column values (COW rewrite of overlapping files
+    only), new keys append as fresh files. One table version per
+    micro-batch, so the table's log doubles as the stream's apply
+    history, and `read_version` time-travels through the ingest. The
+    insert leg's snapshot anti-join plus deterministic batch→version
+    mapping make a replayed batch a no-op-shaped update (same values
+    again), preserving effective exactly-once on parquet."""
+    from bigdata06_spark import lakehouse as LH
+
+    def apply_batch(batch_df: "DataFrame", batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        LH.merge(
+            batch_df.sparkSession, path, key, updates=batch_df, inserts=batch_df
+        )
+
+    return (
+        result.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -489,3 +489,52 @@ def test_tws_initial_state_seeding(spark, sf_dir):
         for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert final == expected
+
+
+def test_foreach_batch_lakehouse_cdc_upsert(spark, sf_dir, tmp_path):
+    """Streaming CDC apply: a changelog stream upserts into the
+    versioned lakehouse table micro-batch by micro-batch (foreachBatch
+    → COW merge; updates rewrite overlapping files, new keys append).
+    Two-file source + maxFilesPerTrigger=1 forces ≥2 real increments;
+    the final snapshot must equal the batch-applied expectation and
+    the log must hold one version per applied batch."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.streaming.sinks import foreach_batch_lakehouse_merge
+
+    o = load_table(spark, "orders", sf_dir)
+    key = "o_orderkey"
+    base = o.filter(F.col(key) % 3 != 0)
+    table = str(tmp_path / "cdc_table")
+    LH.table_init(base, table, key, n_files=4)
+
+    updates = (
+        o.filter((F.col(key) % 3 != 0) & (F.col(key) % 5 == 0))
+        .withColumn("o_totalprice", F.lit(999.0))
+    )
+    inserts = o.filter(F.col(key) % 3 == 0)
+    changes_dir = str(tmp_path / "changes")
+    updates.unionByName(inserts).repartition(2).write.parquet(changes_dir)
+
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(changes_dir)
+    )
+    q = foreach_batch_lakehouse_merge(stream, table, key, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    assert LH.current_version(table) >= 2  # v0 init + ≥2 batch merges
+    got = sorted(map(tuple, LH.read_version(spark, table, LH.current_version(table)).collect()))
+    expected = sorted(
+        map(
+            tuple,
+            o.withColumn(
+                "o_totalprice",
+                F.when(
+                    (F.col(key) % 3 != 0) & (F.col(key) % 5 == 0), F.lit(999.0)
+                ).otherwise(F.col("o_totalprice")),
+            ).collect(),
+        )
+    )
+    assert got == expected
