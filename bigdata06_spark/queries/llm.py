@@ -863,6 +863,69 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(load_table(spark, "embeddings", sf_dir), threshold=0.3)
 
 
+def _pq_oracle(n_subspaces: int = 4, k: int = 16, sub_dim: int = 16) -> str:
+    """Generate the PQ oracle: an independent 2-round integer kmeans
+    per subspace (the _KMEANS_CTE pattern, localized positions),
+    joined on vec_id with the summed winning distances."""
+    ctes = [
+        """qall AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+      FROM embeddings
+    )"""
+    ]
+    for m in range(n_subspaces):
+        lo, hi = m * sub_dim, (m + 1) * sub_dim
+        ctes.append(f"""q{m} AS (
+      SELECT vec_id, pos - {lo} AS pos, x FROM qall WHERE pos > {lo} AND pos <= {hi}
+    ),
+    c0_{m} AS (SELECT vec_id AS cell, pos, x AS cx FROM q{m} WHERE vec_id < {k}),
+    d1_{m} AS (
+      SELECT q.vec_id, c.cell, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist
+      FROM q{m} q JOIN c0_{m} c USING (pos) GROUP BY q.vec_id, c.cell
+    ),
+    a1_{m} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1_{m}) WHERE rn = 1
+    ),
+    c1_{m} AS (
+      SELECT a.cell, q.pos,
+             CAST(floor(CAST(sum(q.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      FROM q{m} q JOIN a1_{m} a USING (vec_id) GROUP BY a.cell, q.pos
+    ),
+    d2_{m} AS (
+      SELECT q.vec_id, c.cell, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist
+      FROM q{m} q JOIN c1_{m} c USING (pos) GROUP BY q.vec_id, c.cell
+    ),
+    a2_{m} AS (
+      SELECT vec_id, cell, dist FROM (
+        SELECT vec_id, cell, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2_{m}) WHERE rn = 1
+    )""")
+    code_cols = ", ".join(f"a2_{m}.cell AS code_{m}" for m in range(n_subspaces))
+    err = " + ".join(f"a2_{m}.dist" for m in range(n_subspaces))
+    joins = " ".join(f"JOIN a2_{m} USING (vec_id)" for m in range(1, n_subspaces))
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT vec_id, {code_cols}, CAST({err} AS BIGINT) AS sq_err
+    FROM a2_0 {joins}
+    """
+
+
+@register("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the codebook half of IVF-PQ): 4 subspaces
+    × 16-centroid integer-exact kmeans codebooks → 4 codes/vector
+    (64 floats → 4 bytes, the billion-scale ANN memory layout) plus
+    the exact integer reconstruction error. Four independent
+    iterative clusterings composed into one result, all under the
+    value-hash oracle. See operators/similarity.py:pq_quantize."""
+    return S.pq_quantize(load_table(spark, "embeddings", sf_dir))
+
+
 @register(
     "knn_label_vote",
     oracle="""
