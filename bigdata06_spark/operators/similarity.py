@@ -530,13 +530,23 @@ def pq_quantize(corpus: DataFrame, n_subspaces: int = 4, k: int = 16, n_iter: in
     Scale: per subspace per round = one broadcast(k×dim/M) fold + one
     min_by shuffle on vec_id; subspaces share the sliced scan; the
     final assembly is an M-way co-partitioned join on vec_id."""
+    codes, _ = pq_fit(corpus, n_subspaces, k, n_iter, id_col, vec_col)
+    return codes
+
+
+def pq_fit(corpus: DataFrame, n_subspaces: int = 4, k: int = 16, n_iter: int = 2,
+           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Fit PQ codebooks and encode the corpus. Returns
+    (codes DataFrame as in `pq_quantize`, list of per-subspace
+    centroid DataFrames (cell, cq)) — the codebooks `pq_adc_topk`
+    builds its distance lookup tables from."""
     dim_probe = corpus.select(vec_col).first()
     dim = len(dim_probe[0])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
     sub_dim = dim // n_subspaces
 
-    out = None
+    out, codebooks = None, []
     for m in range(n_subspaces):
         sub = corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -559,14 +569,66 @@ def pq_quantize(corpus: DataFrame, n_subspaces: int = 4, k: int = 16, n_iter: in
                 ).alias("cq")
             )
             assign = _assign_cells(sub, cents, with_dist=True)
+        codebooks.append(cents)
         coded = assign.select(
             "vec_id", F.col("cell").alias(f"code_{m}"), F.col("dist").alias(f"_d_{m}")
         )
         out = coded if out is None else out.join(coded, "vec_id")
 
     err = sum(F.col(f"_d_{m}") for m in range(n_subspaces))
-    return out.withColumn("sq_err", err.cast("long")).drop(
+    codes = out.withColumn("sq_err", err.cast("long")).drop(
         *[f"_d_{m}" for m in range(n_subspaces)]
+    )
+    return codes, codebooks
+
+
+def pq_adc_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
+                n_subspaces: int = 4, k: int = 16, n_iter: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes — the
+    query half of IVF-PQ: each query computes an exact distance to
+    every codebook centroid ONCE (M×k lookup-table entries), then
+    every corpus vector's approximate distance is the sum of M table
+    lookups indexed by its codes. Distance work per corpus row drops
+    from O(dim) to O(M) and the corpus is never decoded.
+
+    All-integer arithmetic end-to-end (quantized queries vs quantized
+    codebooks), so the approximate distances — and therefore the
+    ranking, tie-broken on neighbor id — are deterministic and replay
+    exactly in the SQL oracle. Output: (query_id, neighbor_id,
+    adc_dist, rn).
+
+    Scale: lookups are broadcast (M·k rows per query); the per-row
+    code join is M broadcast hash joins; ranking is the standard
+    per-query window."""
+    codes, codebooks = pq_fit(corpus, n_subspaces, k, n_iter, id_col, vec_col)
+    dim_probe = corpus.select(vec_col).first()
+    sub_dim = len(dim_probe[0]) // n_subspaces
+
+    scored = codes
+    for m, cents in enumerate(codebooks):
+        q_sub = queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)).alias("xq"),
+        )
+        lut = q_sub.crossJoin(F.broadcast(cents)).select(
+            "query_id",
+            F.col("cell").alias(f"code_{m}"),
+            _sq_l2_int(F.col("xq"), F.col("cq")).alias(f"_t_{m}"),
+        )
+        on = [f"code_{m}"] if m == 0 else ["query_id", f"code_{m}"]
+        scored = scored.join(F.broadcast(lut), on)
+    adc = sum(F.col(f"_t_{m}") for m in range(n_subspaces))
+    ranked = (
+        scored.filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("adc_dist", adc.cast("long"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_neighbors)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rn").cast("long").alias("rn"))
     )
 
 

@@ -926,6 +926,61 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_quantize(load_table(spark, "embeddings", sf_dir))
 
 
+def _pq_adc_oracle(n_subspaces: int = 4, k: int = 16, sub_dim: int = 16,
+                   n_queries: int = 10, topk: int = 3) -> str:
+    """ADC oracle: the PQ codebook CTEs plus per-query lookup tables
+    (exact integer distance from each query sub-vector to each final
+    centroid) and the M-lookup sum ranking."""
+    base = _pq_oracle(n_subspaces, k, sub_dim)
+    # reuse the WITH block of the codes oracle, swap the final SELECT
+    with_block = base[: base.rindex("SELECT vec_id,")]
+    luts = []
+    for m in range(n_subspaces):
+        luts.append(f"""lut{m} AS (
+      SELECT q.vec_id AS query_id, c.cell,
+             CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS t
+      FROM q{m} q JOIN c1_{m} c USING (pos)
+      WHERE q.vec_id < {n_queries}
+      GROUP BY q.vec_id, c.cell
+    )""")
+    joins = " ".join(
+        f"JOIN lut{m} ON lut{m}.query_id = lut0.query_id AND lut{m}.cell = codes.code_{m}"
+        for m in range(1, n_subspaces)
+    )
+    adc = " + ".join(f"lut{m}.t" for m in range(n_subspaces))
+    codes_cols = ", ".join(f"a2_{m}.cell AS code_{m}" for m in range(n_subspaces))
+    codes_joins = " ".join(f"JOIN a2_{m} USING (vec_id)" for m in range(1, n_subspaces))
+    return f"""{with_block.rstrip()}, {", ".join(luts)},
+    codes AS (
+      SELECT vec_id, {codes_cols} FROM a2_0 {codes_joins}
+    ),
+    scored AS (
+      SELECT lut0.query_id, codes.vec_id AS neighbor_id,
+             CAST({adc} AS BIGINT) AS adc_dist
+      FROM codes JOIN lut0 ON lut0.cell = codes.code_0 {joins}
+      WHERE lut0.query_id <> codes.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+      FROM scored) WHERE rn <= {topk}
+    """
+
+
+@register("knn_pq_adc", oracle=_pq_adc_oracle())
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes — the query half of IVF-PQ: 10 query
+    vectors build M×16 integer lookup tables against the codebooks;
+    every corpus vector's approximate distance is the sum of M table
+    lookups indexed by its codes (O(M) per row, corpus never
+    decoded). All-integer → the approximate ranking itself is
+    deterministic and replays exactly in SQL. See
+    operators/similarity.py:pq_adc_topk."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.pq_adc_topk(e.filter(F.col("vec_id") < 10), e, k_neighbors=3)
+
+
 @register(
     "knn_label_vote",
     oracle="""
