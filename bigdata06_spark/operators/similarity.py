@@ -632,6 +632,40 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
     )
 
 
+def pq_adc_rerank_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
+                       shortlist: int = 20, n_subspaces: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Production IVF-PQ retrieval shape: ADC produces a cheap
+    `shortlist` per query (O(M) per corpus row, codes only), then ONLY
+    the shortlist rows join back to their full vectors for an exact
+    cosine rerank — the decode cost is |queries|·shortlist rows, not
+    the corpus. This is the standard two-stage design (Jégou et al.
+    §V): compression bounds the first-stage error, the rerank
+    restores precision; recall is gated in
+    tests/test_operators_unit.py against exact brute force."""
+    short = pq_adc_topk(
+        queries, corpus, k_neighbors=shortlist, n_subspaces=n_subspaces,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_neighbors)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def write_ivf_partitioned(corpus: DataFrame, path: str, centroids: list[list[float]],
                           id_col: str = "vec_id", vec_col: str = "embedding") -> None:
     """Materialize the IVF index as a CELL-PARTITIONED parquet layout:

@@ -981,6 +981,49 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(e.filter(F.col("vec_id") < 10), e, k_neighbors=3)
 
 
+def _pq_adc_rerank_oracle(shortlist: int = 50, topk: int = 3) -> str:
+    """Two-stage oracle: the ADC ranking CTE produces the shortlist,
+    then exact 6dp cosine on the shortlist rows reranks."""
+    adc = _pq_adc_oracle(topk=shortlist)
+    with_block = adc[: adc.index("SELECT query_id, neighbor_id, adc_dist, CAST")]
+    return f"""{with_block.rstrip()},
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+        FROM scored) WHERE rn <= {shortlist}
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             floor(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          en.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM short s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings en ON en.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM rr) WHERE rn <= {topk}
+    """
+
+
+@register("knn_pq_adc_rerank", oracle=_pq_adc_rerank_oracle())
+def knn_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ retrieval: ADC shortlist-50 (codes only, O(M)
+    per row) → exact cosine rerank of only the shortlist rows (decode
+    cost |queries|·50, never the corpus). Both stages deterministic →
+    exact value-hash oracle; recall vs brute force gated at 0.6+ in
+    the unit tests (measured 0.73-0.83)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.pq_adc_rerank_topk(
+        e.filter(F.col("vec_id") < 10), e, k_neighbors=3, shortlist=50
+    )
+
+
 @register(
     "knn_label_vote",
     oracle="""

@@ -392,3 +392,37 @@ def test_observation_metrics_piggyback_scan(spark, sf_dir):
     assert got["n_rows"] == li.count()
     assert got["null_qty"] == 0
     assert got["min_ship"] is not None and n > 0
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    """ADC ranks by a lossy 4-byte code, so it's approximate — gate it
+    the way the LSH/IVF paths are gated, at BOTH stages. Pure ADC on
+    near-random 64-dim vectors at 4 bytes/vector is maximal
+    compression: measured recall@3 0.17-0.27 across SFs (the
+    quantization error swamps the thin cosine margins of this
+    fixture), floor 0.15. The production two-stage form
+    (`pq_adc_rerank_topk`: ADC shortlist-50 → exact rerank) measured
+    0.73-0.83, floor 0.6 — the rerank restoring precision is the
+    property that matters."""
+    from bigdata06_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(q, e, k=3).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_adc_topk(q, e, k_neighbors=3).collect()
+    }
+    assert len(adc & exact) / len(exact) >= 0.15, adc & exact
+    reranked = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_adc_rerank_topk(q, e, k_neighbors=3, shortlist=50).collect()
+    }
+    assert len(reranked & exact) / len(exact) >= 0.6, reranked & exact
+
+    codes = S.pq_quantize(e)
+    errs = [r.sq_err for r in codes.select("sq_err").collect()]
+    assert all(x >= 0 for x in errs) and any(x > 0 for x in errs)
