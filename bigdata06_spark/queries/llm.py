@@ -442,6 +442,83 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(n_merges: int = 6) -> str:
+    """Unrolled SQL replay of the relational BPE trainer: one CTE
+    chain per round (pair counts → argmax → greedy island-parity
+    merge), identical algorithm to operators/textops.py:bpe_train."""
+    ctes = ["""v0 AS (
+      SELECT w, wc, [w[i] for i in range(1, len(w) + 1)] AS sym FROM (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY w)
+    )"""]
+    for r in range(n_merges):
+        ctes.append(f"""ex{r} AS (
+      SELECT w, wc, generate_subscripts(sym, 1) - 1 AS pos, unnest(sym) AS s FROM v{r}
+    ),
+    exn{r} AS (
+      SELECT *, lead(s) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM ex{r}
+    ),
+    pairs{r} AS (
+      SELECT s AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS pair_count
+      FROM exn{r} WHERE nxt IS NOT NULL GROUP BY s, nxt
+    ),
+    best{r} AS (
+      SELECT CAST({r} AS BIGINT) AS round, a AS pair_left, b AS pair_right,
+             a || b AS merged, pair_count
+      FROM pairs{r} ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+    ),
+    st{r} AS (
+      SELECT e.*, b.pair_left AS _A, b.pair_right AS _B,
+             (e.s = b.pair_left AND e.nxt IS NOT DISTINCT FROM b.pair_right
+              AND e.nxt IS NOT NULL) AS is_cand
+      FROM exn{r} e CROSS JOIN best{r} b
+    ),
+    c{r} AS (
+      SELECT *, sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY w ORDER BY pos) AS cand_rn
+      FROM st{r}
+    ),
+    i{r} AS (
+      SELECT *, CASE WHEN is_cand THEN pos - cand_rn END AS island FROM c{r}
+    ),
+    rs{r} AS (
+      SELECT *, min(CASE WHEN is_cand THEN pos END)
+                  OVER (PARTITION BY w, island) AS run_start
+      FROM i{r}
+    ),
+    k{r} AS (
+      SELECT *, (is_cand AND ((pos - run_start) % 2 = 0)) AS kept FROM rs{r}
+    ),
+    o{r} AS (
+      SELECT *, coalesce(lag(kept) OVER (PARTITION BY w ORDER BY pos), false)
+                  AS consumed
+      FROM k{r}
+    ),
+    v{r + 1} AS (
+      SELECT w, wc,
+             list(CASE WHEN kept THEN _A || _B ELSE s END ORDER BY pos) AS sym
+      FROM o{r} WHERE NOT consumed GROUP BY w, wc
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM best{r}" for r in range(n_merges))
+    return f"""
+    WITH {",".join(ctes)}
+    {union}
+    """
+
+
+@register("text_bpe_train", oracle=_bpe_train_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table TRAINING over the corpus (6 merges): word-count
+    vocabulary in one corpus scan, then vocab-bounded iterative rounds
+    — weighted pair counts, argmax with lexicographic tie-break, and
+    the greedy left-to-right merge applied relationally (island-parity
+    resolution of overlapping candidates). An iterative learning
+    algorithm fully under the value-hash oracle; `text_bpe_tokenize`
+    is the apply side. See operators/textops.py:bpe_train."""
+    return T.bpe_train(load_table(spark, "documents", sf_dir), n_merges=6)
+
+
 @register(
     "text_lang_id",
     oracle="""
