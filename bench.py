@@ -64,6 +64,9 @@ HEADLINE = [
     # new plans — clustered pairwise and all-pairs + global window)
     "dedup_semantic",
     "knn_label_vote",
+    # iterative learning under the oracle: BPE training + PQ codes
+    "text_bpe_train",
+    "embedding_pq_codes",
 ]
 
 

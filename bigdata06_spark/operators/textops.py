@@ -126,7 +126,7 @@ def rolling_hash(text_col, mod: int = 1_000_000_007, base: int = 31) -> Column:
 
 
 def bpe_train(docs, n_merges: int = 6, id_col: str = "doc_id",
-              text_col: str = "text"):
+              text_col: str = "text", return_vocab: bool = False):
     """Train a BPE merge table from the corpus (Sennrich et al., ACL
     2016) — LEARNING the merges, not just applying a shipped table
     (`text_bpe_tokenize` is the apply side). Fully relational and
@@ -227,4 +227,10 @@ def bpe_train(docs, n_merges: int = 6, id_col: str = "doc_id",
         # per round is cheap; executor-local checkpoint, same caveat
         # as connected_components (lost executor → recompute).
         V = V.localCheckpoint(eager=True)
+    if return_vocab:
+        # (merge table, trained segmentation: word -> symbol array) —
+        # the tokenizer half: tokenizing a corpus with the learned
+        # vocab is a join against this Heaps'-bounded relation, never
+        # a re-run of the merge loop per document
+        return merges, V
     return merges

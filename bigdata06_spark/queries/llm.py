@@ -520,6 +520,41 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_train_tokenize",
+    oracle=_bpe_train_oracle(6)[: _bpe_train_oracle(6).rindex("SELECT * FROM best0")]
+    + """
+    SELECT d.doc_id,
+           CAST(sum(len(v.sym)) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d
+      JOIN v6 v USING (w)
+    WHERE length(d.w) > 0
+    GROUP BY d.doc_id
+    """,
+)
+def text_bpe_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer→tokenizer end-to-end: learn the 6-merge BPE vocab, then
+    tokenize the CORPUS with it — which is just a join of the corpus
+    words against the trained (word → symbols) relation, never a
+    re-run of the merge loop per document (the property that makes a
+    trained tokenizer O(corpus) to apply). Output: per-doc BPE token
+    and word counts, exact under the generated training oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    _, vocab = T.bpe_train(docs, n_merges=6, return_vocab=True)
+    doc_words = docs.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        doc_words.join(vocab.select("w", F.size("sym").alias("n_sym")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+
+
+@register(
     "text_lang_id",
     oracle="""
     WITH t AS (
