@@ -103,3 +103,88 @@ def test_salted_agg_equals_direct(spark, rows, n_salts):
         ).collect()
     }
     assert salted == direct
+
+
+def _greedy_merge_py(syms, a, b):
+    """Reference greedy left-to-right BPE pair merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@PROP
+@given(
+    words_=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=12
+    ),
+    n_merges=st.integers(1, 3),
+)
+def test_bpe_train_greedy_matches_python_reference(spark, words_, n_merges):
+    """The relational island-parity merge must equal the sequential
+    greedy merge for ARBITRARY inputs — including the overlap-heavy
+    a=b runs ('aaaa') the parity trick exists for. Replays the whole
+    trainer against a pure-Python reference implementation."""
+    from collections import Counter
+
+    from bigdata06_spark.operators.textops import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words_)], ["doc_id", "text"]
+    )
+    got = {
+        r.round: (r.pair_left, r.pair_right, r.pair_count)
+        for r in bpe_train(docs, n_merges=n_merges).collect()
+    }
+
+    vocab = Counter(words_)  # each doc is one word
+    segs = {w: list(w) for w in vocab}
+    expect = {}
+    for r in range(n_merges):
+        counts = Counter()
+        for w, wc in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += wc
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        expect[r] = (a, b, c)
+        segs = {w: _greedy_merge_py(s, a, b) for w, s in segs.items()}
+    assert got == expect
+
+
+@PROP
+@given(
+    n_vec=st.integers(2, 20),
+    n_blocks=st.sampled_from([1, 2, 3, 7, 16]),
+    seed=st.integers(0, 10**6),
+)
+def test_allpairs_blocked_block_count_invariant(spark, n_vec, n_blocks, seed):
+    """Tiling is pure orchestration: ANY block count must produce the
+    identical pair set (every unordered pair exactly once)."""
+    import random
+
+    from bigdata06_spark.operators.similarity import allpairs_blocked
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(n_vec)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = sorted(
+        (r.vec_a, r.vec_b, r.sim)
+        for r in allpairs_blocked(df, threshold=-2.0, n_blocks=n_blocks).collect()
+    )
+    assert len(got) == n_vec * (n_vec - 1) // 2
+    base = sorted(
+        (r.vec_a, r.vec_b, r.sim)
+        for r in allpairs_blocked(df, threshold=-2.0, n_blocks=4).collect()
+    )
+    assert got == base
