@@ -3487,3 +3487,40 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("qty"),
         )
     )
+
+
+@register(
+    "join_fuzzy_entity_resolution",
+    oracle="""
+    WITH b AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
+    )
+    SELECT a.p_partkey,
+           min(c.p_partkey) AS canonical,
+           (min(c.p_partkey) < a.p_partkey) AS is_dup
+    FROM b a JOIN b c
+      ON a.blk = c.blk AND levenshtein(a.p_name, c.p_name) <= 1
+    GROUP BY a.p_partkey
+    """,
+)
+def join_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY entity resolution: resolve each part to a canonical
+    entity id — the min partkey among same-block names within edit
+    distance 1 (self included, so singletons canonicalize to
+    themselves). The similarity join is BLOCKED on the name's first
+    token: an equi-join whose quadratic term is confined to per-block
+    buckets (the ER analogue of the dedup engine's inverted index —
+    never a name×name cartesian, plan-pinned), with `levenshtein` as
+    the in-bucket verifier. Output stays |parts|-sized regardless of
+    duplicate density."""
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_name")
+    b = p.withColumn("blk", F.split("p_name", " ")[0])
+    a = b.select(F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("nm_a"), "blk")
+    c = b.select(F.col("p_partkey").alias("pk_c"), F.col("p_name").alias("nm_c"), "blk")
+    return (
+        a.join(c, "blk")
+        .filter(F.levenshtein("nm_a", "nm_c") <= 1)
+        .groupBy(F.col("pk_a").alias("p_partkey"))
+        .agg(F.min("pk_c").alias("canonical"))
+        .withColumn("is_dup", F.col("canonical") < F.col("p_partkey"))
+    )

@@ -566,3 +566,12 @@ def test_knn_filtered_pushes_label_filter(spark, sf_dir):
     post-ranking."""
     plan = plan_of(SPECS["knn_filtered"].fn(spark, sf_dir))
     assert re.search(r"PushedFilters: \[.*label.*\]", plan), plan
+
+
+def test_fuzzy_er_join_is_blocked_equijoin(spark, sf_dir):
+    """The edit-distance similarity join must ride the blocking-key
+    equi-join (quadratic term confined to blocks) — never a
+    name-cross-name nested loop."""
+    plan = plan_of(SPECS["join_fuzzy_entity_resolution"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
