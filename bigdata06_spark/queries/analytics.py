@@ -3524,3 +3524,101 @@ def join_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("pk_c").alias("canonical"))
         .withColumn("is_dup", F.col("canonical") < F.col("p_partkey"))
     )
+
+
+@register(
+    "graph_triangle_census",
+    oracle="""
+    WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    co AS (
+      SELECT a.s AS sa, b.s AS sb, count(*) AS c
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s GROUP BY a.s, b.s
+    ),
+    rk AS (
+      SELECT sa, sb,
+             row_number() OVER (PARTITION BY sa ORDER BY c DESC, sb ASC) AS rn
+      FROM co
+    ),
+    d AS (SELECT sa, sb FROM rk WHERE rn <= 5),
+    e AS (
+      SELECT d.sa, d.sb FROM d JOIN d m ON m.sa = d.sb AND m.sb = d.sa
+      WHERE d.sa < d.sb
+    ),
+    deg AS (
+      SELECT v, count(*) AS dg FROM (
+        SELECT sa AS v FROM e UNION ALL SELECT sb AS v FROM e) GROUP BY v
+    ),
+    tri AS (
+      SELECT count(*) AS n FROM e e1
+        JOIN e e2 ON e2.sa = e1.sb
+        JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT sum(dg * (dg - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+           CASE WHEN (SELECT sum(dg * (dg - 1) / 2) FROM deg) = 0 THEN 0.0
+                ELSE floor(3.0 * (SELECT n FROM tri)
+                           / (SELECT sum(dg * (dg - 1) / 2) FROM deg)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS clustering
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the MUTUAL-top-5 co-supply graph: each
+    supplier keeps its 5 strongest co-supply partners (shared-part
+    count, deterministic tie-break), edges require mutuality — a
+    degree-bounded kNN graph, so the edge set stays ≤ 2.5·|nodes| at
+    ANY corpus size (the raw co-supply graph is complete on this data
+    and would be quadratic). Triangles by the ordered two-join
+    (a<b<c — each triangle counted once); wedges from degrees; global
+    clustering coefficient = 3·triangles/wedges. The standard
+    distributed graph-statistics pattern (edge joins, no
+    vertex-centric framework needed); completes the graph family
+    (PageRank, components, label propagation, census)."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    li = load_table(spark, "lineitem", sf_dir)
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    co = (
+        sp.alias("a")
+        .join(sp.alias("b"), F.expr("a.p = b.p AND a.s <> b.s"))
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("sa").orderBy(F.desc("c"), F.asc("sb"))
+    d = co.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).select("sa", "sb")
+    e = (
+        d.alias("d")
+        .join(d.alias("m"), F.expr("m.sa = d.sb AND m.sb = d.sa"))
+        .filter(F.expr("d.sa < d.sb"))
+        .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
+    )
+    deg = (
+        e.select(F.col("sa").alias("v"))
+        .unionAll(e.select(F.col("sb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.expr("e2.sa = e1.sb"))
+        .join(e3, F.expr("e3.sa = e1.sa AND e3.sb = e2.sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("dg") * (F.col("dg") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = stats.crossJoin(n_edges).crossJoin(tri)
+    clustering = F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+        rnd(F.lit(3.0) * F.col("n") / F.col("n_wedges"), 6)
+    )
+    return out.select(
+        "n_nodes",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        "n_wedges",
+        F.col("n").cast("long").alias("n_triangles"),
+        clustering.alias("clustering"),
+    )
