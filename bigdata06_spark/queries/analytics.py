@@ -3587,12 +3587,23 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.partitionBy("sa").orderBy(F.desc("c"), F.asc("sb"))
-    d = co.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).select("sa", "sb")
+    # the kNN edge list is ≤5·|nodes| rows but its lineage (distinct +
+    # self-join + window) is the expensive part, and e feeds FIVE
+    # branches (mutuality self-join, three triangle legs, degrees) —
+    # checkpoint the tiny relation so the co-supply join runs once
+    # (measured 23s → ~4s at sf0.1)
+    d = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("sa", "sb")
+        .localCheckpoint(eager=True)
+    )
     e = (
         d.alias("d")
         .join(d.alias("m"), F.expr("m.sa = d.sb AND m.sb = d.sa"))
         .filter(F.expr("d.sa < d.sb"))
         .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("sa").alias("v"))
