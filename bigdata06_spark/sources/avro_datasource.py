@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql import types as T
@@ -299,6 +300,11 @@ class AvroPyDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool):  # noqa: N802 — Spark API
         return AvroStreamWriter(self.options, schema)
 
+    def simpleStreamReader(self, schema):  # noqa: N802 — Spark API
+        r = AvroStreamReader(self.options)
+        r.spark_schema = schema
+        return r
+
 
 def register(spark) -> None:
     """Idempotently register the source (workers import this module, so
@@ -368,3 +374,46 @@ class AvroStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m and m.file_path and os.path.exists(m.file_path):
                 os.remove(m.file_path)
+
+
+# ------------------------------------------------------ streaming reader
+
+
+class AvroStreamReader(SimpleDataSourceStreamReader):
+    """Streaming Avro source: watch a directory for container files;
+    the checkpointed offset is the sorted list boundary of files
+    already emitted (the same monotonic-file-listing contract Spark's
+    own file source uses). A restarted query resumes past the
+    committed files; a replayed batch re-reads exactly its file
+    window, so downstream idempotent sinks get exactly-once."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avro_py stream source requires a path")
+        self.spark_schema = None  # set by datasource
+
+    def initialOffset(self) -> dict:
+        return {"done": []}
+
+    def _decode_files(self, files: list[str]):
+        rows = []
+        fields = self.spark_schema.fields
+        for f in files:
+            with open(os.path.join(self.path, f), "rb") as fh:
+                _, it = A.read_container(fh)
+                for rec in it:
+                    rows.append(
+                        tuple(_from_avro_value(rec.get(fd.name), fd.dataType) for fd in fields)
+                    )
+        return rows
+
+    def read(self, start: dict):
+        done = set(start["done"])
+        now = [os.path.basename(f) for f in _list_avro_files(self.path)]
+        new = sorted(f for f in now if f not in done)
+        return iter(self._decode_files(new)), {"done": sorted(done | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        window = sorted(set(end["done"]) - set(start["done"]))
+        return iter(self._decode_files(window))

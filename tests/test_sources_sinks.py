@@ -1185,3 +1185,59 @@ def test_lakehouse_schema_evolution_lazy_column(spark, sf_dir, tmp_path):
     flagged = after.filter(F.col("o_flag") == "hot").count()
     assert flagged == o.filter(F.col("o_orderkey") < 20).count()
     assert after.count() == o.count()
+
+
+def test_avro_streaming_source_incremental(spark, sf_dir, tmp_path):
+    """avro_py as a STREAMING source: files landing in the directory
+    between runs are picked up incrementally from the checkpointed
+    file-set offset — run 1 sees batch A, run 2 (same checkpoint)
+    adds only batch B; union equals both writes, nothing duplicated."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sources.avro_datasource import register
+    from bigdata06_spark.sources.readers import write_avro
+
+    register(spark)
+    src = str(tmp_path / "avro_src")
+    ckpt = str(tmp_path / "ckpt")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+
+    import os
+    import shutil
+
+    write_avro(a.coalesce(1), src)
+    schema = o.schema
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("avro_py")
+            .schema(schema)
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got1 = run_once()
+    assert sorted(map(tuple, got1.collect())) == sorted(map(tuple, a.collect()))
+
+    # land batch B as new files (write elsewhere, move in — the sink
+    # would clear _SUCCESS etc.; keep only new .avro files)
+    tmp2 = str(tmp_path / "b_stage")
+    write_avro(b.coalesce(1), tmp2)
+    for f in os.listdir(tmp2):
+        if f.endswith(".avro"):
+            shutil.move(os.path.join(tmp2, f), os.path.join(src, "b-" + f))
+
+    got2 = run_once()
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, a.unionAll(b).collect())
+    )
