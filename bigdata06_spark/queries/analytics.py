@@ -3633,3 +3633,71 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_triangles"),
         clustering.alias("clustering"),
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM orders) AS BIGINT) AS orders_rows,
+      CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+        AS orders_pk_dupes,
+      CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+        AS orders_null_custkey,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        AS orders_orphan_custkey,
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS lineitem_orphan_orderkey,
+      CAST((SELECT count(*) FROM lineitem
+            WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1) AS BIGINT)
+        AS lineitem_range_violations,
+      CAST((SELECT count(*) FROM lineitem
+            WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+        AS lineitem_domain_violations
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Great-Expectations /
+    dbt-test audit, as ONE relational plan): primary-key uniqueness,
+    null checks, referential integrity (anti-joins — never EXISTS
+    subquery loops), numeric range and categorical domain constraints
+    — each expectation a counter in a single result row, so the whole
+    audit is one job and a CI gate can diff it against all-zeros.
+    Anti-joins broadcast the key side when small; every leg is a scan
+    + aggregate, no O(N²) anywhere."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+
+    orders_rows = o.agg(
+        F.count(F.lit(1)).alias("orders_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orders_pk_dupes"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("orders_null_custkey"),
+    )
+    orphan_o = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orders_orphan_custkey"))
+    )
+    orphan_li = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_orphan_orderkey"))
+    )
+    li_checks = li.agg(
+        F.sum(
+            (
+                (F.col("l_quantity") <= 0)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1)
+            ).cast("long")
+        ).alias("lineitem_range_violations"),
+        F.sum((~F.col("l_returnflag").isin("A", "N", "R")).cast("long")).alias(
+            "lineitem_domain_violations"
+        ),
+    )
+    return (
+        orders_rows.crossJoin(orphan_o).crossJoin(orphan_li).crossJoin(li_checks)
+    )
