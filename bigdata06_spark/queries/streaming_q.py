@@ -137,12 +137,29 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SO.run_to_table(SO.watermarked_tumbling(SO.stream_events(spark, sf_dir)), "append")
 
 
-@register("stream_stateful_running", oracle=None)
+@register(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
-    running totals across micro-batches. Output rows depend on batch
-    boundaries → rows-only check."""
-    return SO.run_to_table(running_user_totals(SO.stream_events(spark, sf_dir)), "update")
+    running totals across micro-batches, state held as integer CENTS
+    so accumulation is associative (exact under any batch split). The
+    final emission per user (max n_events) equals the batch totals —
+    promoted from a rows-only check to the exact value-hash oracle."""
+    out = SO.run_to_table(running_user_totals(SO.stream_events(spark, sf_dir)), "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
 
 
 @register(

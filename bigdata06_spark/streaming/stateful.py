@@ -3,7 +3,8 @@ per-user running totals maintained in the state store across
 micro-batches (the template for any custom accumulating operator the
 built-in aggregations can't express).
 
-State schema is explicit (`n long, total double`); output is one row
+State schema is explicit (`n long, cents long` — integer money so
+accumulation is associative/exact); output is one row
 per user per batch with the cumulative values. Arrow-batched; state is
 partitioned by the group key, so scale-out is the same hash shuffle as
 a streaming aggregation.
@@ -19,19 +20,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
+STATE_SCHEMA = "n long, cents long"
 
 
 def _update_user_state(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """State carries CENTS as integers (values are 2dp): integer
+    accumulation is associative, so the cumulative total is exact no
+    matter how rows split across micro-batches — which is what lets
+    the final emission match a batch SQL oracle bit-for-bit (float
+    accumulation order would differ per replay)."""
+    import numpy as np
+
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+        cents += int(np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [cents / 100.0]}
+    )
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
