@@ -128,12 +128,28 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark_append", oracle=None)
+@register(
+    "stream_watermark_append",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    HAVING make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+             + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
 def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode aggregation (10-min late-data bound):
-    emits each window once the watermark passes it — windows still open
-    at end-of-replay are intentionally unemitted, so the result is a
-    streaming-semantics artifact → rows-only check."""
+    emits each window once the watermark passes its end; windows still
+    open at end-of-replay stay unemitted. On a bounded availableNow
+    replay the FINAL watermark is itself deterministic (max ts −
+    bound), so the emitted set equals the batch windows whose end
+    precedes it — the watermark SEMANTICS are in the oracle now
+    (window_end ≤ max(ts) − 10min), promoting this from rows-only to
+    the exact value-hash gate."""
     return SO.run_to_table(SO.watermarked_tumbling(SO.stream_events(spark, sf_dir)), "append")
 
 
