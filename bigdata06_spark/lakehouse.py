@@ -144,14 +144,16 @@ def merge(spark: SparkSession, path: str, key: str,
         .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
         .collect()
     )
-    prev_files = {os.path.join(path, f): f for f in files_at_version(path, prev_v)}
+    prev_files = set(files_at_version(path, prev_v))
 
     def rel_of(abs_uri: str) -> str:
-        # _metadata.file_path is a file: URI; match on the relative tail
-        for abs_path, rel in prev_files.items():
-            if abs_uri.endswith(rel):
-                return rel
-        raise ValueError(f"unknown data file {abs_uri}")
+        # _metadata.file_path is a file: URI; the table-relative path
+        # starts at the data/ segment (O(1) per file — no scan of the
+        # file list, which would be O(files²) at real file counts)
+        rel = _DATA + "/" + abs_uri.split(f"/{_DATA}/", 1)[1]
+        if rel not in prev_files:
+            raise ValueError(f"unknown data file {abs_uri}")
+        return rel
 
     affected = [
         rel_of(r.file) for r in per_file if not (r.hi < bounds.lo or r.lo > bounds.hi)
