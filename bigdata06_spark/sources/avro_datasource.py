@@ -13,6 +13,11 @@ one container file per Spark partition with a deterministic sync
 marker — byte-reproducible output, no RNG. Schema inference opens ONE
 file header (metadata block only), never scans data.
 
+File-system note: listing/rename use the local FS API (the Python
+DataSource runs Python-side); pointing this at s3://... means swapping
+`os` calls for an fsspec filesystem — the partitioning, codec, and
+commit protocol are unchanged.
+
 Usage:
     register(spark)
     df.write.format("avro_py").mode("overwrite").save(path)
@@ -319,14 +324,19 @@ def register(spark) -> None:
 
 
 class AvroStreamWriter(DataSourceStreamWriter):
-    """Streaming Avro sink: one container file per (micro-batch, task),
-    named part-<batchId>-<taskId>.avro — deterministic names make a
-    replayed batch OVERWRITE its own files instead of duplicating them,
-    which is the idempotence contract exactly-once sinks build on
-    (same scheme as foreachBatch's batch_id partitioning,
-    streaming/sinks.py). commit() drops a _batch-<id>.committed marker
-    listing the batch's files; readers that require committed-only data
-    can intersect against the markers."""
+    """Streaming Avro sink with a two-phase commit:
+
+    - tasks write `_tmp-<partition>.avro` — the underscore prefix
+      hides in-progress/partial files from every reader
+      (`_list_avro_files` skips them), and the DETERMINISTIC per-task
+      name makes a retried task overwrite its own leftovers instead
+      of duplicating (micro-batches are serial per query, so tmp
+      names can't collide across batches);
+    - commit(batchId) renames the batch's tmp files to
+      `part-<batchId>-<partition>.avro` and drops a
+      `_batch-<id>.committed` marker listing them — a replayed batch
+      re-renames onto the same final names, keeping the directory
+      exactly-once; abort deletes the tmp files."""
 
     def __init__(self, options, schema: T.StructType):
         self.path = options.get("path") or options.get("checkpointLocation_path")
@@ -340,14 +350,8 @@ class AvroStreamWriter(DataSourceStreamWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        # batch id is not exposed to write(); a unique temp name keyed
-        # by (attempt) is renamed by nothing — instead the final name
-        # embeds the batch id at commit time via the marker; the file
-        # itself is keyed by (stage attempt, partition) which Spark
-        # keeps unique per micro-batch task set
-        out_path = os.path.join(self.path, f"part-{ctx.stageId()}-{pid:05d}.avro")
+        pid = TaskContext.get().partitionId()
+        out_path = os.path.join(self.path, f"_tmp-{pid:05d}.avro")
         sync = hashlib.md5(out_path.encode("utf-8")).digest()
         fields = self.schema.fields
         avro_rows = (
@@ -363,12 +367,17 @@ class AvroStreamWriter(DataSourceStreamWriter):
         return AvroCommit(out_path, n)
 
     def commit(self, messages, batchId: int) -> None:
-        files = sorted(
-            os.path.basename(m.file_path) for m in messages if m and m.file_path
-        )
+        finals = []
+        for m in messages:
+            if not (m and m.file_path):
+                continue
+            pid_part = os.path.basename(m.file_path)[len("_tmp-"):]
+            final = os.path.join(self.path, f"part-{batchId:08d}-{pid_part}")
+            os.replace(m.file_path, final)
+            finals.append(os.path.basename(final))
         marker = os.path.join(self.path, f"_batch-{batchId}.committed")
         with open(marker, "w") as fh:
-            fh.write("\n".join(files))
+            fh.write("\n".join(sorted(finals)))
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
