@@ -666,6 +666,102 @@ def pq_adc_rerank_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int =
     )
 
 
+def ivfpq_query(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
+                nprobe: int = 2, n_cells: int = 8, n_subspaces: int = 4,
+                codebook_k: int = 16, shortlist: int = 20,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """END-TO-END IVF-PQ retrieval — the composed billion-scale ANN
+    design (Jégou et al. 2011; the FAISS IVFPQ index), every stage of
+    which is exact-integer and therefore value-hash replayable:
+
+    1. IVF coarse partition: corpus assigned to `n_cells` k-means
+       cells (integer-exact `kmeans_assign` — at scale this is the
+       partitioned layout of `write_ivf_partitioned`, and probing is
+       partition pruning);
+    2. queries probe their `nprobe` nearest cells (same integer L2);
+    3. within probed cells, candidates rank by ADC over global PQ
+       codes (O(M) per candidate, corpus never decoded);
+    4. the ADC `shortlist` reranks with exact cosine.
+
+    Compute per query: nprobe/n_cells of the corpus scored at O(M)
+    each + `shortlist` exact distances — the two-knob cost model
+    (recall ↑ with nprobe and shortlist) that runs the production
+    systems; recall vs brute force is gated in the unit tests."""
+    # 1-2: coarse cells for corpus and queries (shared integer kmeans)
+    cells = kmeans_assign(corpus, k=n_cells, n_iter=2, id_col=id_col, vec_col=vec_col)
+    qv = queries.select(F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("xq"))
+    # final centroids: recompute from the assignment (same relation the
+    # last kmeans round used — floor(mean) per dim over members)
+    corpus_q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("xq")
+    )
+    per_dim = (
+        corpus_q.join(cells.select(F.col("vec_id"), F.col("cluster").alias("cell")), "vec_id")
+        .select("cell", F.posexplode("xq").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cx"))
+    )
+    cents = per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+        ).alias("cq")
+    )
+    qcell = qv.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"), "cell",
+        _sq_l2_int(F.col("xq"), F.col("cq")).alias("cdist"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    probes = (
+        qcell.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # 3: ADC over global PQ codes, restricted to probed cells
+    codes, codebooks = pq_fit(corpus, n_subspaces, codebook_k, 2, id_col, vec_col)
+    member_codes = codes.join(
+        cells.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+    )
+    cand = probes.join(member_codes, "cell").filter(F.col("query_id") != F.col("vec_id"))
+    dim_probe = corpus.select(vec_col).first()
+    sub_dim = len(dim_probe[0]) // n_subspaces
+    for m, cb in enumerate(codebooks):
+        q_sub = queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)).alias("xq"),
+        )
+        lut = q_sub.crossJoin(F.broadcast(cb)).select(
+            "query_id", F.col("cell").alias(f"code_{m}"),
+            _sq_l2_int(F.col("xq"), F.col("cq")).alias(f"_t_{m}"),
+        )
+        cand = cand.join(F.broadcast(lut), ["query_id", f"code_{m}"])
+    adc = sum(F.col(f"_t_{m}") for m in range(n_subspaces)).cast("long")
+    wshort = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    short = (
+        cand.withColumn("adc", adc)
+        .withColumn("srn", F.row_number().over(wshort))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # 4: exact rerank of the shortlist only
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    cd = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    exact = (
+        short.join(F.broadcast(qd), "query_id")
+        .join(cd, "neighbor_id")
+        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    wfin = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(wfin))
+        .filter(F.col("rn") <= k_neighbors)
+        .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def write_ivf_partitioned(corpus: DataFrame, path: str, centroids: list[list[float]],
                           id_col: str = "vec_id", vec_col: str = "embedding") -> None:
     """Materialize the IVF index as a CELL-PARTITIONED parquet layout:

@@ -1123,6 +1123,102 @@ def _pq_adc_rerank_oracle(shortlist: int = 50, topk: int = 3) -> str:
     """
 
 
+def _ivfpq_oracle(n_queries: int = 10, nprobe: int = 2, n_subspaces: int = 4,
+                  shortlist: int = 20, topk: int = 3) -> str:
+    """End-to-end IVF-PQ oracle: the shared kmeans CTEs give the
+    coarse cells (a2) + refreshed centroids (c2); the PQ CTEs give the
+    per-subspace codes and codebooks; probes → cell-restricted ADC →
+    shortlist → exact rerank. Assembled from the same fragments the
+    component oracles use, so the composition is auditable."""
+    pq = _pq_oracle(n_subspaces)
+    pq_ctes = pq[pq.index("WITH ") + 5 : pq.rindex("SELECT vec_id,")].rstrip().rstrip(",")
+    luts = ", ".join(
+        f"""lut{m} AS (
+      SELECT q.vec_id AS query_id, c.cell,
+             CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS t
+      FROM q{m} q JOIN c1_{m} c USING (pos)
+      WHERE q.vec_id < {n_queries}
+      GROUP BY q.vec_id, c.cell
+    )"""
+        for m in range(n_subspaces)
+    )
+    code_cols = ", ".join(f"a2_{m}.cell AS code_{m}" for m in range(n_subspaces))
+    codes_joins = " ".join(f"JOIN a2_{m} USING (vec_id)" for m in range(1, n_subspaces))
+    lut_joins = " ".join(
+        f"JOIN lut{m} ON lut{m}.query_id = probes.query_id AND lut{m}.cell = codes.code_{m}"
+        for m in range(n_subspaces)
+    )
+    adc = " + ".join(f"lut{m}.t" for m in range(n_subspaces))
+    return f"""
+    WITH {_KMEANS_CTE},
+    {pq_ctes},
+    c2 AS (
+      SELECT a2.cell, q.pos,
+             CAST(floor(CAST(sum(q.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      FROM q JOIN a2 USING (vec_id) GROUP BY a2.cell, q.pos
+    ),
+    qc AS (
+      SELECT q.vec_id AS query_id, c.cell,
+             CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS cdist
+      FROM q JOIN c2 c USING (pos)
+      WHERE q.vec_id < {n_queries}
+      GROUP BY q.vec_id, c.cell
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cdist ASC, cell ASC) AS rn
+        FROM qc) WHERE rn <= {nprobe}
+    ),
+    codes AS (SELECT vec_id, {code_cols} FROM a2_0 {codes_joins}),
+    {luts},
+    cand AS (
+      SELECT probes.query_id, codes.vec_id AS neighbor_id,
+             CAST({adc} AS BIGINT) AS adc
+      FROM probes
+        JOIN a2 mem ON mem.cell = probes.cell
+        JOIN codes ON codes.vec_id = mem.vec_id
+        {lut_joins}
+      WHERE probes.query_id <> codes.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, neighbor_id ASC) AS rn
+        FROM cand) WHERE rn <= {shortlist}
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             floor(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          en.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM short s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings en ON en.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM rr) WHERE rn <= {topk}
+    """
+
+
+@register("knn_ivfpq", oracle=_ivfpq_oracle())
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END IVF-PQ (the FAISS-style billion-scale index,
+    composed): integer-kmeans coarse cells → nprobe=2 cell probe →
+    ADC over global PQ codes within probed cells → exact rerank of
+    the shortlist. Every stage integer-deterministic, so the FULL
+    production retrieval pipeline sits under one generated value-hash
+    oracle; recall vs brute force gated in unit tests. See
+    operators/similarity.py:ivfpq_query."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.ivfpq_query(e.filter(F.col("vec_id") < 10), e, k_neighbors=3)
+
+
 @register("knn_pq_adc_rerank", oracle=_pq_adc_rerank_oracle())
 def knn_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage IVF-PQ retrieval: ADC shortlist-50 (codes only, O(M)

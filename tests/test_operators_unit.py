@@ -426,3 +426,25 @@ def test_pq_adc_recall_floor(spark, sf_dir):
     codes = S.pq_quantize(e)
     errs = [r.sq_err for r in codes.select("sq_err").collect()]
     assert all(x >= 0 for x in errs) and any(x > 0 for x in errs)
+
+
+def test_ivfpq_recall_floor(spark, sf_dir):
+    """End-to-end IVF-PQ recall@3 vs exact brute force. Two lossy
+    stages compound (nprobe=2 of 8 cells + 4-byte ADC shortlist), so
+    the floor sits below the rerank-only path's: measured ~0.4-0.6 on
+    the near-random fixture; floor 0.3. The exact-replayable pipeline
+    (knn_ivfpq's oracle) certifies CORRECTNESS of the machinery; this
+    gates its retrieval QUALITY."""
+    from bigdata06_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivfpq_query(q, e, k_neighbors=3).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(q, e, k=3).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.3, got & exact
