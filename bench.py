@@ -67,6 +67,8 @@ HEADLINE = [
     # iterative learning under the oracle: BPE training + PQ codes
     "text_bpe_train",
     "embedding_pq_codes",
+    # the composed billion-scale ANN index (kmeans cells + PQ + rerank)
+    "knn_ivfpq",
 ]
 
 
