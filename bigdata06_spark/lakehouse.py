@@ -137,11 +137,23 @@ def merge(spark: SparkSession, path: str, key: str,
         )
         _write_log(path, new_v, _list_data_files(path, sub), [])
         return new_v
-    bounds = touched.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
 
-    per_file = (
-        snapshot.groupBy(F.col("_metadata.file_path").alias("file"))
-        .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+    # Per-FILE overlap test, not one global bounding box: a scattered
+    # change set (keys 1 and 10⁹) must rewrite only the files that
+    # actually contain a touched key's range — the file-range relation
+    # is small (one row per data file) and joins the touched keys with
+    # a range predicate; only the surviving file list is collected
+    # (the scanner needs it anyway).
+    per_file = snapshot.groupBy(F.col("_metadata.file_path").alias("file")).agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    )
+    hit = (
+        per_file.join(
+            touched.distinct(),
+            (F.col(key) >= F.col("lo")) & (F.col(key) <= F.col("hi")),
+            "left_semi",
+        )
+        .select("file")
         .collect()
     )
     prev_files = set(files_at_version(path, prev_v))
@@ -155,9 +167,7 @@ def merge(spark: SparkSession, path: str, key: str,
             raise ValueError(f"unknown data file {abs_uri}")
         return rel
 
-    affected = [
-        rel_of(r.file) for r in per_file if not (r.hi < bounds.lo or r.lo > bounds.hi)
-    ]
+    affected = [rel_of(r.file) for r in hit]
     if not affected:
         _write_log(path, prev_v + 1, [], [])
         return prev_v + 1

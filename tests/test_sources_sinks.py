@@ -1241,3 +1241,34 @@ def test_avro_streaming_source_incremental(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got2.collect())) == sorted(
         map(tuple, a.unionAll(b).collect())
     )
+
+
+def test_lakehouse_scattered_merge_prunes_per_file(spark, sf_dir, tmp_path):
+    """A change set touching two keys at OPPOSITE ends of the key
+    space must rewrite only the two files containing them — a global
+    bounding box would mark every file in between."""
+    import json
+    import os
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_scatter")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=8)
+    lo_key = o.agg(F.min("o_orderkey")).first()[0]
+    hi_key = o.agg(F.max("o_orderkey")).first()[0]
+    updates = spark.createDataFrame(
+        [(lo_key, 1.0), (hi_key, 2.0)], ["o_orderkey", "o_totalprice"]
+    )
+    v1 = LH.merge(spark, path, "o_orderkey", updates=updates)
+    with open(os.path.join(path, "_log", f"{v1}.json")) as fh:
+        entry = json.load(fh)
+    assert len(entry["remove"]) == 2, entry
+    got = {
+        r.o_orderkey: r.o_totalprice
+        for r in LH.read_version(spark, path, v1)
+        .filter(F.col("o_orderkey").isin(lo_key, hi_key))
+        .collect()
+    }
+    assert got == {lo_key: 1.0, hi_key: 2.0}
