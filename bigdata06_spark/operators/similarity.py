@@ -687,8 +687,16 @@ def ivfpq_query(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
     each + `shortlist` exact distances — the two-knob cost model
     (recall ↑ with nprobe and shortlist) that runs the production
     systems; recall vs brute force is gated in the unit tests."""
-    # 1-2: coarse cells for corpus and queries (shared integer kmeans)
-    cells = kmeans_assign(corpus, k=n_cells, n_iter=2, id_col=id_col, vec_col=vec_col)
+    # 1-2: coarse cells for corpus and queries (shared integer kmeans).
+    # The assignment is (id, cell) — 16 bytes/vector — but its lineage
+    # is the whole iterative kmeans, and it feeds THREE branches
+    # (centroid refresh, member join, and the codes join): checkpoint
+    # so the clustering runs once (same pattern as bpe_train /
+    # connected_components; executor-local, lost-executor caveat
+    # documented there).
+    cells = kmeans_assign(
+        corpus, k=n_cells, n_iter=2, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
     qv = queries.select(F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("xq"))
     # final centroids: recompute from the assignment (same relation the
     # last kmeans round used — floor(mean) per dim over members)
@@ -716,8 +724,10 @@ def ivfpq_query(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "cell")
     )
-    # 3: ADC over global PQ codes, restricted to probed cells
+    # 3: ADC over global PQ codes, restricted to probed cells (codes
+    # relation is M bytes/vector; checkpoint for the same reason)
     codes, codebooks = pq_fit(corpus, n_subspaces, codebook_k, 2, id_col, vec_col)
+    codes = codes.localCheckpoint(eager=True)
     member_codes = codes.join(
         cells.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
     )

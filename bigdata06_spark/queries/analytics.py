@@ -3530,7 +3530,11 @@ def join_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_census",
     oracle="""
     WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-    co AS (
+    -- MATERIALIZED: d/e are referenced multiple times (mutuality
+    -- join, three triangle legs, degrees, counts); inlining would
+    -- replay the 18M-row co-supply join per reference (measured
+    -- ~80 GB of DuckDB spill at sf0.1). The relations are tiny.
+    co AS MATERIALIZED (
       SELECT a.s AS sa, b.s AS sb, count(*) AS c
       FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s GROUP BY a.s, b.s
     ),
@@ -3539,8 +3543,8 @@ def join_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY sa ORDER BY c DESC, sb ASC) AS rn
       FROM co
     ),
-    d AS (SELECT sa, sb FROM rk WHERE rn <= 5),
-    e AS (
+    d AS MATERIALIZED (SELECT sa, sb FROM rk WHERE rn <= 5),
+    e AS MATERIALIZED (
       SELECT d.sa, d.sb FROM d JOIN d m ON m.sa = d.sb AND m.sb = d.sa
       WHERE d.sa < d.sb
     ),
