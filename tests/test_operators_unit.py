@@ -448,3 +448,55 @@ def test_ivfpq_recall_floor(spark, sf_dir):
         for r in S.knn_bruteforce(q, e, k=3).collect()
     }
     assert len(got & exact) / len(exact) >= 0.3, got & exact
+
+
+def test_avro_codec_error_paths():
+    """The codec fails LOUD, never misreads: corrupt magic, corrupt
+    sync boundary, unsupported schema types, bad codec, wrong-size
+    sync marker."""
+    import io
+
+    import pytest
+
+    from bigdata06_spark.sources import avro_codec as A
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    buf = io.BytesIO()
+    A.write_container(buf, schema, [{"x": 1}, {"x": 2}], codec="null",
+                      sync=b"0123456789abcdef")
+    raw = bytearray(buf.getvalue())
+
+    with pytest.raises(ValueError, match="not an Avro"):
+        A.read_container(io.BytesIO(b"XXXX" + bytes(raw[4:])))
+
+    corrupt = bytearray(raw)
+    corrupt[-1] ^= 0xFF  # flip a sync byte
+    _, rows = A.read_container(io.BytesIO(bytes(corrupt)))
+    with pytest.raises(ValueError, match="sync marker"):
+        list(rows)
+
+    with pytest.raises(ValueError, match="enum/fixed|unsupported"):
+        A.write_container(io.BytesIO(), {"type": "enum", "name": "e", "symbols": ["A"]}, [])
+    with pytest.raises(ValueError, match="codec"):
+        A.write_container(io.BytesIO(), schema, [], codec="snappy")
+    with pytest.raises(ValueError, match="16 bytes"):
+        A.write_container(io.BytesIO(), schema, [], sync=b"short")
+
+
+def test_lakehouse_error_paths(spark, sf_dir, tmp_path):
+    """Version-pinned reads reject out-of-range versions; merge
+    demands a change set."""
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_err")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    with pytest.raises(ValueError, match="not in"):
+        LH.files_at_version(path, 5)
+    with pytest.raises(ValueError, match="not in"):
+        LH.files_at_version(path, -1)
+    with pytest.raises(ValueError, match="merge needs"):
+        LH.merge(spark, path, "o_orderkey")
