@@ -270,3 +270,28 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4) -> int:
     )
     _write_log(path, new_v, _list_data_files(path, sub), files_at_version(path, prev_v))
     return new_v
+
+
+def read_changes(spark: SparkSession, path: str, from_version: int,
+                 to_version: int) -> DataFrame:
+    """CHANGE-DATA-FEED read at COW granularity: the rows of files
+    ADDED between the two versions (exclusive lower bound) — i.e.
+    the post-image of every row a rewrite or insert touched, which is
+    what an incremental downstream consumer (index refresh,
+    aggregate maintenance) reprocesses instead of the whole table.
+    File-granular by design (this format rewrites whole files);
+    row-level pre/post images would come from pairing removed and
+    added files on the key, which composes from this primitive."""
+    latest = current_version(path)
+    if not (0 <= from_version <= to_version <= latest):
+        raise ValueError(f"bad version range [{from_version}, {to_version}]")
+    before = set(files_at_version(path, from_version))
+    after = files_at_version(path, to_version)
+    added = [os.path.join(path, f) for f in after if f not in before]
+    if not added:
+        return read_version(spark, path, to_version).limit(0)
+    df = spark.read.option("mergeSchema", "true").parquet(*added)
+    for col_name, col_type in _schema_adds_at(path, to_version):
+        if col_name not in df.columns:
+            df = df.withColumn(col_name, F.lit(None).cast(col_type))
+    return df

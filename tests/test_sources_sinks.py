@@ -1272,3 +1272,35 @@ def test_lakehouse_scattered_merge_prunes_per_file(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == {lo_key: 1.0, hi_key: 2.0}
+
+
+def test_lakehouse_change_data_feed(spark, sf_dir, tmp_path):
+    """Incremental consumption: read_changes(v0→v1) returns exactly
+    the rewritten files' post-image rows (the touched key updated,
+    plus its co-resident rows) and nothing from untouched files —
+    the input an incremental downstream job reprocesses."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_cdf")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=8)
+    lo_key = o.agg(F.min("o_orderkey")).first()[0]
+    updates = spark.createDataFrame([(lo_key, 7.0)], ["o_orderkey", "o_totalprice"])
+    v1 = LH.merge(spark, path, "o_orderkey", updates=updates)
+
+    changes = LH.read_changes(spark, path, 0, v1)
+    n_total = o.count()
+    assert 0 < changes.count() < n_total  # one rewritten file, not the table
+    got = {r.o_orderkey: r.o_totalprice for r in changes.collect()}
+    assert got[lo_key] == 7.0
+    # post-image consistency: changed rows agree with the v1 snapshot
+    v1_rows = {
+        r.o_orderkey: r.o_totalprice
+        for r in LH.read_version(spark, path, v1)
+        .filter(F.col("o_orderkey").isin(list(got)))
+        .collect()
+    }
+    assert got == v1_rows
+    # empty range → empty frame with the right schema
+    assert LH.read_changes(spark, path, v1, v1).count() == 0
