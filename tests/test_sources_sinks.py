@@ -1304,3 +1304,40 @@ def test_lakehouse_change_data_feed(spark, sf_dir, tmp_path):
     assert got == v1_rows
     # empty range → empty frame with the right schema
     assert LH.read_changes(spark, path, v1, v1).count() == 0
+
+
+def test_format_parity_matrix(spark, sf_dir, tmp_path):
+    """One table through every batch format the engine ships —
+    parquet, ORC, JSON-lines, CSV, Avro — must read back row-identical
+    (types coerced where the format is untyped): the format swap is
+    invisible to query results."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sources.readers import (
+        read_avro,
+        read_csv,
+        read_json,
+        read_orc,
+        write_avro,
+    )
+    from bigdata06_spark.sinks import write_csv, write_jsonl, write_orc, write_parquet
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    want = sorted(map(tuple, o.collect()))
+    schema = o.schema
+
+    pq = str(tmp_path / "pq"); write_parquet(o, pq)
+    assert sorted(map(tuple, spark.read.parquet(pq).collect())) == want
+
+    orc = str(tmp_path / "orc"); write_orc(o, orc)
+    assert sorted(map(tuple, read_orc(spark, orc).collect())) == want
+
+    js = str(tmp_path / "jsonl"); write_jsonl(o, js)
+    assert sorted(map(tuple, read_json(spark, js, schema).collect())) == want
+
+    csvp = str(tmp_path / "csv"); write_csv(o, csvp)
+    assert sorted(map(tuple, read_csv(spark, csvp, schema).collect())) == want
+
+    av = str(tmp_path / "avro"); write_avro(o, av)
+    assert sorted(map(tuple, read_avro(spark, av).collect())) == want
