@@ -185,6 +185,19 @@ def merge(spark: SparkSession, path: str, key: str,
     if delete_keys is not None:
         out = out.join(F.broadcast(delete_keys.select(key)), key, "left_anti")
     if updates is not None:
+        # a duplicate key in the update batch would FAN OUT the left
+        # join and silently duplicate table rows — fail loud and make
+        # the caller state its conflict policy (pre-aggregate the
+        # changelog to one row per key)
+        dup = (
+            updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "updates contain duplicate keys; reduce the changelog to one "
+                "row per key (last-write-wins needs an ordering column) "
+                "before merge"
+            )
         upd_cols = [c for c in updates.columns if c != key]
         renamed = updates.select(
             key, *[F.col(c).alias(f"_u_{c}") for c in upd_cols]

@@ -1341,3 +1341,22 @@ def test_format_parity_matrix(spark, sf_dir, tmp_path):
 
     av = str(tmp_path / "avro"); write_avro(o, av)
     assert sorted(map(tuple, read_avro(spark, av).collect())) == want
+
+
+def test_lakehouse_merge_rejects_duplicate_update_keys(spark, sf_dir, tmp_path):
+    """Duplicate keys in an update batch would fan out the COW join
+    and silently duplicate table rows — merge must refuse."""
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_dup")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    dupes = spark.createDataFrame(
+        [(k, 1.0), (k, 2.0)], ["o_orderkey", "o_totalprice"]
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        LH.merge(spark, path, "o_orderkey", updates=dupes)
