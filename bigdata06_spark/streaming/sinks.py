@@ -52,7 +52,7 @@ def foreach_batch_parquet(result: DataFrame, path: str, checkpoint: str):
 
 
 def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
-                                  checkpoint: str):
+                                  checkpoint: str, op_col: str | None = None):
     """Streaming CDC apply: each micro-batch UPSERTs into a versioned
     lakehouse table (`bigdata06_spark/lakehouse.py`) — existing keys
     take the batch's column values (COW rewrite of overlapping files
@@ -62,13 +62,28 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
     insert leg's snapshot anti-join plus deterministic batch→version
     mapping make a replayed batch a no-op-shaped update (same values
     again), preserving effective exactly-once on parquet."""
+    from pyspark.sql import functions as F
+
     from bigdata06_spark import lakehouse as LH
 
     def apply_batch(batch_df: "DataFrame", batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if op_col is None:
+            LH.merge(
+                batch_df.sparkSession, path, key, updates=batch_df, inserts=batch_df
+            )
+            return
+        # op-column changelog (Debezium-style): 'd' rows delete by
+        # key, everything else upserts; the op column itself never
+        # lands in the table
+        deletes = batch_df.filter(F.col(op_col) == "d").select(key)
+        upserts = batch_df.filter(F.col(op_col) != "d").drop(op_col)
         LH.merge(
-            batch_df.sparkSession, path, key, updates=batch_df, inserts=batch_df
+            batch_df.sparkSession, path, key,
+            updates=upserts if not upserts.isEmpty() else None,
+            inserts=upserts if not upserts.isEmpty() else None,
+            delete_keys=deletes if not deletes.isEmpty() else None,
         )
 
     return (

@@ -538,3 +538,57 @@ def test_foreach_batch_lakehouse_cdc_upsert(spark, sf_dir, tmp_path):
         )
     )
     assert got == expected
+
+
+def test_foreach_batch_cdc_with_deletes(spark, sf_dir, tmp_path):
+    """Op-column changelog (Debezium shape): 'd' rows delete by key,
+    'u' rows upsert — applied per micro-batch into the versioned
+    table; final snapshot equals the batch-applied expectation."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.streaming.sinks import foreach_batch_lakehouse_merge
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    key = "o_orderkey"
+    table = str(tmp_path / "cdc_ops")
+    LH.table_init(o, table, key, n_files=4)
+
+    upserts = (
+        o.filter(F.col(key) % 7 == 0)
+        .withColumn("o_totalprice", F.lit(555.0))
+        .withColumn("op", F.lit("u"))
+    )
+    deletes = (
+        o.filter((F.col(key) % 11 == 3) & (F.col(key) % 7 != 0))
+        .withColumn("op", F.lit("d"))
+    )
+    changes_dir = str(tmp_path / "changes")
+    upserts.unionByName(deletes).repartition(2).write.parquet(changes_dir)
+
+    stream = (
+        spark.readStream.schema(upserts.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(changes_dir)
+    )
+    q = foreach_batch_lakehouse_merge(
+        stream, table, key, str(tmp_path / "ckpt"), op_col="op"
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(tuple, LH.read_version(spark, table, LH.current_version(table)).collect())
+    )
+    expected = sorted(
+        map(
+            tuple,
+            o.filter(~((F.col(key) % 11 == 3) & (F.col(key) % 7 != 0)))
+            .withColumn(
+                "o_totalprice",
+                F.when(F.col(key) % 7 == 0, F.lit(555.0)).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .collect(),
+        )
+    )
+    assert got == expected
