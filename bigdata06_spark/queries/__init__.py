@@ -94,14 +94,19 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "sample_stratified",
         "graph_pagerank", "cdc_scd2_history", "events_hypertable_rollup",
         "sql_interface", "sql_recursive_cte",
+        # round-3 new families — one flagship each inside the sampled
+        # window (lakehouse, composed IVF-PQ, DQ audit, BPE training)
+        "lakehouse_time_travel", "knn_ivfpq", "dq_expectations",
+        "text_bpe_train",
         # previously-sampled families keep flagship representation
         "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
         "q18_large_volume_customers",
-        "ref_dedup_first_wins", "ref_enrichment_join", "ref_flatten_json",
+        "ref_dedup_first_wins", "ref_enrichment_join",
         "source_spotify_datasource", "source_avro_roundtrip",
         "join_inner", "join_asof", "join_null_safe", "join_lateral_topk",
         "agg_grouping_sets", "agg_percentiles", "agg_approx_distinct",
-        "agg_skew_salted", "agg_pivot",
+        "agg_skew_salted", "agg_pivot", "ref_flatten_json",
+        "join_fuzzy_entity_resolution", "graph_triangle_census",
     ]
     missing = [n for n in flagship_head if n not in REGISTRY]
     if missing:
