@@ -68,10 +68,16 @@ def files_at_version(path: str, version: int) -> list[str]:
         raise ValueError(f"version {version} not in [0, {latest}]")
     files: set[str] = set()
     for v in range(version + 1):
-        with open(os.path.join(_log_dir(path), f"{v}.json")) as fh:
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):  # squashed away by checkpoint_log
+            continue
+        with open(lp) as fh:
             entry = json.load(fh)
-        files -= set(entry["remove"])
-        files |= set(entry["add"])
+        if entry.get("checkpoint"):
+            files = set(entry["add"])
+        else:
+            files -= set(entry["remove"])
+            files |= set(entry["add"])
     return sorted(files)
 
 
@@ -256,8 +262,13 @@ def add_column(path: str, col_name: str, col_type: str) -> int:
 def _schema_adds_at(path: str, version: int) -> list[tuple[str, str]]:
     adds = []
     for v in range(version + 1):
-        with open(os.path.join(_log_dir(path), f"{v}.json")) as fh:
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):  # squashed away by checkpoint_log
+            continue
+        with open(lp) as fh:
             entry = json.load(fh)
+        for sa in entry.get("schema_adds", []):
+            adds.append((sa["column"], sa["type"]))
         sa = entry.get("schema_add")
         if sa:
             adds.append((sa["column"], sa["type"]))
@@ -308,3 +319,65 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
         if col_name not in df.columns:
             df = df.withColumn(col_name, F.lit(None).cast(col_type))
     return df
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """VACUUM: physically delete data files referenced ONLY by
+    versions older than the retention window (latest `keep_versions`
+    versions stay fully readable — time travel inside the window
+    survives, older versions become unreadable by design; same
+    contract as Delta's VACUUM). Returns the deleted file list.
+
+    Driver cost is O(log size): set algebra over the per-version file
+    lists; no data is read. The files themselves are immutable, so a
+    reader pinned inside the window is unaffected mid-vacuum."""
+    latest = current_version(path)
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    horizon = max(0, latest - keep_versions + 1)
+    live: set[str] = set()
+    for v in range(horizon, latest + 1):
+        live |= set(files_at_version(path, v))
+    ever: set[str] = set()
+    for v in range(latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):  # squashed away by checkpoint_log
+            continue
+        with open(lp) as fh:
+            ever |= set(json.load(fh)["add"])
+    dead = sorted(ever - live)
+    for f in dead:
+        p = os.path.join(path, f)
+        if os.path.exists(p):
+            os.remove(p)
+    return dead
+
+
+def checkpoint_log(path: str, at_version: int | None = None) -> int:
+    """LOG CHECKPOINTING: squash versions 0..V into one snapshot
+    entry (the full file list of version V), so readers replay
+    O(versions since checkpoint) instead of the whole history —
+    Delta's checkpoint-parquet / Iceberg's snapshot list, in one
+    JSON. Later version files are untouched; earlier per-version
+    time travel collapses onto the squashed snapshot (pair with
+    `vacuum`, which removes their files anyway). Returns V."""
+    latest = current_version(path)
+    v = latest if at_version is None else at_version
+    if not (0 <= v <= latest):
+        raise ValueError(f"version {v} not in [0, {latest}]")
+    files = files_at_version(path, v)
+    adds = _schema_adds_at(path, v)
+    for old in range(v):
+        old_p = os.path.join(_log_dir(path), f"{old}.json")
+        if os.path.exists(old_p):
+            os.remove(old_p)
+    entry = {
+        "add": files,
+        "remove": [],
+        "checkpoint": True,
+        # schema adds re-emitted so _schema_adds_at survives the squash
+        "schema_adds": [{"column": c, "type": t} for c, t in adds],
+    }
+    with open(os.path.join(_log_dir(path), f"{v}.json"), "w") as fh:
+        json.dump(entry, fh, indent=1)
+    return v

@@ -1360,3 +1360,37 @@ def test_lakehouse_merge_rejects_duplicate_update_keys(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         LH.merge(spark, path, "o_orderkey", updates=dupes)
+
+
+def test_lakehouse_vacuum_and_log_checkpoint(spark, sf_dir, tmp_path):
+    """Operational lifecycle: versions accumulate → checkpoint_log
+    squashes history into one snapshot entry → vacuum deletes files
+    only old versions referenced. The current version reads
+    identically before and after; schema evolution survives the
+    squash; vacuumed files are gone from disk."""
+    import os
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_ops")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    LH.add_column(path, "o_flag", "string")
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    updates = spark.createDataFrame(
+        [(k, 9.0, "hot")], ["o_orderkey", "o_totalprice", "o_flag"]
+    )
+    v2 = LH.merge(spark, path, "o_orderkey", updates=updates)
+    before = sorted(map(tuple, LH.read_version(spark, path, v2).collect()))
+
+    dead = LH.vacuum(path, keep_versions=1)
+    assert dead, "the rewritten v0 file should be reclaimable"
+    assert all(not os.path.exists(os.path.join(path, f)) for f in dead)
+
+    v = LH.checkpoint_log(path)
+    assert v == v2
+    assert not os.path.exists(os.path.join(path, "_log", "0.json"))
+    after = sorted(map(tuple, LH.read_version(spark, path, v2).collect()))
+    assert after == before
+    assert "o_flag" in LH.read_version(spark, path, v2).columns
