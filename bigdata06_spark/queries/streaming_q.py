@@ -226,6 +226,35 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_full_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, v.user_id AS v_user,
+           v.event_id AS view_event_id, p.value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: both sides' unmatched
+    rows surface with NULLs once the watermark closes their windows —
+    the flush punctuation closes every real window on the bounded
+    replay, so the emitted set equals the batch FULL JOIN (exact
+    oracle). Completes the stream-stream join family
+    (inner/left/full)."""
+    out = SO.run_to_table(
+        SO.purchase_view_full_join(SO.stream_events_with_flush(spark, sf_dir)),
+        "append",
+    )
+    return out.filter(
+        (F.coalesce(F.col("user_id"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("v_user"), F.lit(0)) >= 0)
+    )
+
+
+@register(
     "stream_transform_with_state",
     oracle="""
     SELECT user_id, count(*) AS n_events, max(value) AS max_value

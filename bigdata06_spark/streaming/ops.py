@@ -211,7 +211,10 @@ def purchase_view_interval_join(events: DataFrame, lookback: str = "1 hour") -> 
 
 def stream_events_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events stream plus two FLUSH rows (one per join side, sentinel
-    user_id = -1) 2 hours past the corpus max ts. Outer joins and
+    user_id = -1) 3 hours past the corpus max ts (strictly beyond
+    every row's release point: an unmatched VIEW releases only when
+    the watermark strictly passes view_ts + lookback, so the flush
+    must clear max_ts + lookback + watermark-delay). Outer joins and
     other watermark-gated emitters hold their last rows until the
     watermark passes them — on a bounded replay it never does, so the
     tail stays unemitted. The flush rows are the standard punctuation
@@ -230,7 +233,7 @@ def stream_events_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     flush_path = os.path.join(d, "flush.parquet")
     if not os.path.exists(flush_path + "/_SUCCESS"):
         ts_field = raw.schema["ts"].dataType.simpleString()
-        two_h = 2 * 3600 * (10**9 if ts_field == "bigint" else 1)
+        two_h = 3 * 3600 * (10**9 if ts_field == "bigint" else 1)
         mx = raw.agg(F.max("ts").alias("m"))
         flush = (
             mx.crossJoin(
@@ -243,7 +246,7 @@ def stream_events_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     (F.col("m") + F.lit(two_h))
                     if ts_field == "bigint"
-                    else (F.col("m") + F.expr("INTERVAL 2 HOURS"))
+                    else (F.col("m") + F.expr("INTERVAL 3 HOURS"))
                 ).alias("ts"),
                 F.col("fuser").cast("long").alias("user_id"),
                 F.col("ftype").alias("event_type"),
@@ -295,6 +298,37 @@ def purchase_view_left_join(events: DataFrame, lookback: str = "1 hour") -> Data
         & (F.col("view_ts") <= F.col("p_ts")),
         "left_outer",
     ).select("event_id", "user_id", "view_event_id", "value")
+
+
+def purchase_view_full_join(events: DataFrame, lookback: str = "1 hour") -> DataFrame:
+    """Stream-stream FULL OUTER join: unmatched rows on EITHER side
+    are held in state and emitted with NULLs once the watermark
+    proves no partner can arrive — both sides' eviction machinery at
+    once (views outside any purchase's lookback window surface too).
+    Same flush-punctuation requirement as the left join on bounded
+    replays."""
+    events = as_event_time(events)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select("event_id", "user_id", "v_user", "view_event_id", "value")
 
 
 def watermarked_dedup_counts(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
