@@ -58,6 +58,11 @@ HEADLINE = [
     "dedup_methods_agreement",
     "rag_hybrid_rrf",
     "supplier_affinity_graph",
+    # r4: the skew-capped projection + the sampled kNN eval — the
+    # 100 TB shapes of the two heaviest r3 plans, timed side-by-side
+    # with their exact counterparts
+    "supplier_affinity_graph_capped",
+    "knn_label_vote_sampled",
     # exact all-pairs similarity (block-tiled equi-join)
     "dedup_embedding_cosine",
     # round-3 additions: SemDeDup + leave-one-out kNN eval (heaviest
@@ -82,10 +87,13 @@ def main() -> None:
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # min-of-N reps (default 2): the first run pays planning/codegen
-    # compile, which is noise when comparing rounds — min is the stable
-    # statistic for "how fast does this plan execute".
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # min-of-N reps (default 3, VERDICT r3 #4): single-rep timings
+    # showed ±30% run-to-run noise round-over-round, swamping real
+    # regressions. The first run pays planning/codegen compile; min is
+    # the stable statistic for "how fast does this plan execute". The
+    # rep count is recorded in the output JSON so cross-round compares
+    # know what they're comparing.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
@@ -108,6 +116,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "reps": max(1, reps),
+                "stat": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

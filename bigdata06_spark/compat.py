@@ -60,6 +60,20 @@ def ensure_protobuf() -> bool:
     return True
 
 
+def using_vendored_protobuf() -> bool:
+    """True iff the `google.protobuf` actually imported is the
+    vendored copy. Drives whether worker processes should see
+    VENDOR_DIR on PYTHONPATH at all: an environment with its own
+    protobuf must NOT have workers shadow it with the older vendored
+    runtime (the 'environment's own protobuf always wins' contract —
+    prepending unconditionally would hard-error workers on newer
+    gencode without the version-check escape hatch set)."""
+    mod = sys.modules.get("google.protobuf")
+    if mod is None:
+        return False
+    return (getattr(mod, "__file__", "") or "").startswith(VENDOR_DIR)
+
+
 def activate_protobuf_for_session(spark) -> bool:
     """Make the vendored protobuf reach an ALREADY-RUNNING session's
     Python workers (e.g. the external driver's vanilla session, whose
@@ -74,6 +88,10 @@ def activate_protobuf_for_session(spark) -> bool:
     stateful-streaming plan that needs the state protobuf."""
     if not ensure_protobuf():
         return False
+    if not using_vendored_protobuf():
+        # real protobuf install: workers resolve it from site-packages
+        # on their own — exporting VENDOR_DIR would shadow it
+        return True
     env = spark.sparkContext.environment
     py_path = env.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
     if VENDOR_DIR not in py_path.split(os.pathsep):

@@ -26,12 +26,25 @@ from __future__ import annotations
 
 import json
 import os
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _DATA = "data"
 _LOG = "_log"
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a writer loses the optimistic-concurrency race:
+    another writer committed the version this writer computed. The
+    loser's data files (written under a unique subdirectory before
+    the log commit) become unreferenced orphans that `vacuum`
+    reclaims; the log itself is never corrupted because the commit is
+    a single atomic create-if-absent of `<N>.json` (the same protocol
+    as Delta's `_delta_log` put-if-absent / Iceberg's atomic snapshot
+    swap). Callers may re-read the table state and retry."""
 
 
 def _log_dir(path: str) -> str:
@@ -45,10 +58,37 @@ def _list_data_files(path: str, sub: str) -> list[str]:
     )
 
 
-def _write_log(path: str, version: int, add: list[str], remove: list[str]) -> None:
+def _commit_log(path: str, version: int, entry: dict) -> None:
+    """Atomic optimistic-concurrency commit: create `<version>.json`
+    if-and-only-if absent (O_CREAT|O_EXCL — one syscall, atomic on
+    POSIX). Two writers that both computed `current_version()+1` race
+    here and exactly one wins; the loser raises CommitConflictError
+    with the log untouched. Data files are written BEFORE this call
+    under a per-attempt unique subdirectory, so a losing attempt
+    leaves only unreferenced files (vacuum reclaims them), never a
+    half-visible version."""
     os.makedirs(_log_dir(path), exist_ok=True)
-    with open(os.path.join(_log_dir(path), f"{version}.json"), "w") as fh:
-        json.dump({"add": sorted(add), "remove": sorted(remove)}, fh, indent=1)
+    target = os.path.join(_log_dir(path), f"{version}.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"version {version} of {path} was committed by a concurrent "
+            "writer; re-read the table and retry"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        json.dump(entry, fh, indent=1)
+
+
+def _write_log(path: str, version: int, add: list[str], remove: list[str]) -> None:
+    _commit_log(path, version, {"add": sorted(add), "remove": sorted(remove)})
+
+
+def _new_sub(version: int) -> str:
+    # per-ATTEMPT unique data subdirectory: concurrent writers for the
+    # same target version never touch each other's files; only the log
+    # commit (atomic) decides whose become visible
+    return f"v{version}-{uuid.uuid4().hex[:8]}"
 
 
 def current_version(path: str) -> int:
@@ -85,7 +125,7 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8) -> None:
     """Version 0: range-bucket + sort on `key` so every data file
     covers a narrow, non-overlapping key range (parquet min/max stats
     make the COW planner exact)."""
-    sub = "v0"
+    sub = _new_sub(0)
     out = os.path.join(path, _DATA, sub)
     (
         df.repartitionByRange(n_files, F.col(key))
@@ -136,7 +176,7 @@ def merge(spark: SparkSession, path: str, key: str,
     if touched is None:
         # insert-only merge: append one file, rewrite nothing
         new_v = prev_v + 1
-        sub = f"v{new_v}"
+        sub = _new_sub(new_v)
         new_rows = inserts.join(snapshot.select(key), key, "left_anti")
         new_rows.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, _DATA, sub)
@@ -175,8 +215,23 @@ def merge(spark: SparkSession, path: str, key: str,
 
     affected = [rel_of(r.file) for r in hit]
     if not affected:
-        _write_log(path, prev_v + 1, [], [])
-        return prev_v + 1
+        # No file's key range overlaps a touched key — nothing to
+        # rewrite, but the INSERT leg must still run: a batch of
+        # all-new keys (monotonically increasing keys, the normal
+        # append-style CDC shape) lands entirely here, and the
+        # update/delete relations matching zero snapshot rows is the
+        # MERGE no-op, not a reason to drop the inserts.
+        new_v = prev_v + 1
+        if inserts is None:
+            _write_log(path, new_v, [], [])
+            return new_v
+        sub = _new_sub(new_v)
+        new_rows = inserts.join(snapshot.select(key), key, "left_anti")
+        new_rows.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, _DATA, sub)
+        )
+        _write_log(path, new_v, _list_data_files(path, sub), [])
+        return new_v
 
     rewrite_src = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in affected]
@@ -214,7 +269,7 @@ def merge(spark: SparkSession, path: str, key: str,
         out = out.select(*rewrite_src.columns)
 
     new_v = prev_v + 1
-    sub = f"v{new_v}"
+    sub = _new_sub(new_v)
     (
         out.repartitionByRange(max(1, len(affected)), F.col(key))
         .sortWithinPartitions(key)
@@ -245,17 +300,15 @@ def add_column(path: str, col_name: str, col_type: str) -> int:
     version."""
     prev_v = current_version(path)
     new_v = prev_v + 1
-    os.makedirs(_log_dir(path), exist_ok=True)
-    with open(os.path.join(_log_dir(path), f"{new_v}.json"), "w") as fh:
-        json.dump(
-            {
-                "add": [],
-                "remove": [],
-                "schema_add": {"column": col_name, "type": col_type},
-            },
-            fh,
-            indent=1,
-        )
+    _commit_log(
+        path,
+        new_v,
+        {
+            "add": [],
+            "remove": [],
+            "schema_add": {"column": col_name, "type": col_type},
+        },
+    )
     return new_v
 
 
@@ -285,7 +338,7 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4) -> int:
     prev_v = current_version(path)
     snapshot = read_version(spark, path, prev_v)
     new_v = prev_v + 1
-    sub = f"v{new_v}"
+    sub = _new_sub(new_v)
     (
         snapshot.repartitionByRange(n_files, F.col(key))
         .sortWithinPartitions(key)
@@ -321,16 +374,27 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
     return df
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
-    """VACUUM: physically delete data files referenced ONLY by
-    versions older than the retention window (latest `keep_versions`
-    versions stay fully readable — time travel inside the window
+def vacuum(path: str, keep_versions: int = 1,
+           min_file_age_seconds: float = 0.0) -> list[str]:
+    """VACUUM: physically delete data files NOT referenced by any of
+    the latest `keep_versions` versions (time travel inside the window
     survives, older versions become unreadable by design; same
     contract as Delta's VACUUM). Returns the deleted file list.
 
-    Driver cost is O(log size): set algebra over the per-version file
-    lists; no data is read. The files themselves are immutable, so a
-    reader pinned inside the window is unaffected mid-vacuum."""
+    The dead set comes from LISTING `data/` and subtracting the
+    retained versions' file sets — not from replaying "add" lists —
+    so it also reclaims files whose log entries `checkpoint_log`
+    squashed away, and the orphaned data files of writers that lost
+    the optimistic-concurrency race (their files exist under a unique
+    subdirectory but appear in no committed log entry). Driver cost is
+    the data/ listing — the same order as the file lists the scanner
+    holds anyway; no data is read.
+
+    `min_file_age_seconds` guards a concurrent IN-FLIGHT writer: its
+    data files land before its log commit, so a vacuum racing the
+    write would see them as unreferenced. Production runs should set
+    this well above the longest commit duration (Delta defaults to
+    7 days); 0 is safe when no writer is concurrently active."""
     latest = current_version(path)
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
@@ -338,19 +402,25 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     live: set[str] = set()
     for v in range(horizon, latest + 1):
         live |= set(files_at_version(path, v))
-    ever: set[str] = set()
-    for v in range(latest + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):  # squashed away by checkpoint_log
-            continue
-        with open(lp) as fh:
-            ever |= set(json.load(fh)["add"])
-    dead = sorted(ever - live)
-    for f in dead:
-        p = os.path.join(path, f)
-        if os.path.exists(p):
-            os.remove(p)
-    return dead
+    data_root = os.path.join(path, _DATA)
+    now = time.time()
+    dead: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(data_root):
+        for f in filenames:
+            if not f.endswith(".parquet"):
+                continue
+            abs_p = os.path.join(dirpath, f)
+            rel = os.path.relpath(abs_p, path)
+            if rel in live:
+                continue
+            if now - os.path.getmtime(abs_p) < min_file_age_seconds:
+                continue
+            os.remove(abs_p)
+            dead.append(rel)
+    for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+        if dirpath != data_root and not dirnames and not filenames:
+            os.rmdir(dirpath)
+    return sorted(dead)
 
 
 def checkpoint_log(path: str, at_version: int | None = None) -> int:

@@ -98,6 +98,8 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # window (lakehouse, composed IVF-PQ, DQ audit, BPE training)
         "lakehouse_time_travel", "knn_ivfpq", "dq_expectations",
         "text_bpe_train",
+        # round-4 new: the skew-capped / sampled 100 TB shapes
+        "supplier_affinity_graph_capped", "knn_label_vote_sampled",
         # previously-sampled families keep flagship representation
         "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
         "q18_large_volume_customers",

@@ -3054,8 +3054,35 @@ def supplier_affinity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer ratio. The pattern behind co-purchase graphs,
     entity matching, and collaborative filtering candidate
     generation."""
-    li = load_table(spark, "lineitem", sf_dir)
+    return _affinity_graph(load_table(spark, "lineitem", sf_dir))
+
+
+def _affinity_graph(li: DataFrame, threshold: float = 0.3,
+                    max_deg: int | None = None) -> DataFrame:
+    """Supplier-supplier Jaccard affinity from the supplier↔part
+    bipartite relation. `max_deg` is the hot-key skew lever (VERDICT
+    r3 #1): parts supplied by more than `max_deg` suppliers are
+    dropped from the index BEFORE the self-join, bounding every join
+    bucket at max_deg² pairs — without it one hot part contributes
+    O(d²) pairs to a single bucket at real-world skew. The degree
+    pass is itself skew-proof: groupBy.count (map-side partial
+    aggregation collapses a hot part to one row per input partition
+    before any shuffle) + broadcast anti-join — never a window on the
+    part key (the `operators/dedup.py:shingle_index` max_df pattern).
+    Per-supplier sizes are computed on the FILTERED relation, so the
+    result is exactly "Jaccard over non-hot parts" — deterministic
+    and oracle-expressible. Principled at scale: a part half the
+    market supplies carries ~zero Jaccard signal, same as a stop-word
+    shingle."""
     sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    if max_deg is not None:
+        heavy = (
+            sp.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") > max_deg)
+            .select("p")
+        )
+        sp = sp.join(F.broadcast(heavy), "p", "left_anti")
     sz = sp.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
     a = sp.select(F.col("s").alias("s_a"), "p")
     b = sp.select(F.col("s").alias("s_b"), "p")
@@ -3071,10 +3098,45 @@ def supplier_affinity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shared.join(sz.select(F.col("s").alias("s_a"), F.col("n").alias("n_a")), "s_a")
         .join(sz.select(F.col("s").alias("s_b"), F.col("n").alias("n_b")), "s_b")
-        .filter(aff >= 0.3)
+        .filter(aff >= threshold)
         .select(
             "s_a", "s_b", "shared_parts", rnd(aff, 6).alias("affinity")
         )
+    )
+
+
+@register(
+    "supplier_affinity_graph_capped",
+    oracle="""
+    WITH sp0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    heavy AS (SELECT p FROM sp0 GROUP BY p HAVING count(*) > 33),
+    sp AS (SELECT s, p FROM sp0 WHERE p NOT IN (SELECT p FROM heavy)),
+    sz AS (SELECT s, count(*) AS n FROM sp GROUP BY s),
+    shared AS (
+      SELECT a.s AS s_a, b.s AS s_b, count(*) AS shared_parts
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT sh.s_a, sh.s_b, CAST(sh.shared_parts AS BIGINT) AS shared_parts,
+           floor(CAST(sh.shared_parts AS DOUBLE)
+                 / (za.n + zb.n - sh.shared_parts) * 1e6 + 0.5) / 1e6 AS affinity
+    FROM shared sh
+      JOIN sz za ON za.s = sh.s_a
+      JOIN sz zb ON zb.s = sh.s_b
+    WHERE CAST(sh.shared_parts AS DOUBLE) / (za.n + zb.n - sh.shared_parts) >= 0.15
+    """,
+)
+def supplier_affinity_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The affinity graph with the hot-part degree cap ON
+    (max_deg=33): no join bucket can exceed max_deg² pairs, making
+    the bipartite projection's shuffle bounded under arbitrary part
+    skew — the shape that survives a 100× fact with hot keys. Degree
+    pass via groupBy-count + broadcast anti-join (skew-proof, plan-
+    pinned in tests/test_plans.py); per-supplier sizes on the capped
+    relation so the Jaccard is exact over non-hot parts and the
+    DuckDB oracle reproduces it bit-for-bit."""
+    return _affinity_graph(
+        load_table(spark, "lineitem", sf_dir), threshold=0.15, max_deg=33
     )
 
 

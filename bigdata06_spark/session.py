@@ -73,13 +73,21 @@ def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None,
     # child processes inherit the JVM's environment in local mode
     # (executorEnv carries it on a cluster). No-op when the
     # environment ships its own protobuf.
-    from bigdata06_spark.compat import VENDOR_DIR, ensure_protobuf
+    from bigdata06_spark.compat import (
+        VENDOR_DIR,
+        ensure_protobuf,
+        using_vendored_protobuf,
+    )
 
-    py_path = os.environ.get("PYTHONPATH", "")
-    if VENDOR_DIR not in py_path.split(os.pathsep):
-        py_path = f"{VENDOR_DIR}{os.pathsep}{py_path}" if py_path else VENDOR_DIR
-    os.environ["PYTHONPATH"] = py_path
     protobuf_ok = ensure_protobuf()
+    py_path = os.environ.get("PYTHONPATH", "")
+    if protobuf_ok and using_vendored_protobuf():
+        # only when the VENDORED runtime is the one in play: workers in
+        # an environment with a real protobuf must resolve that one,
+        # not be shadowed by the older vendored copy
+        if VENDOR_DIR not in py_path.split(os.pathsep):
+            py_path = f"{VENDOR_DIR}{os.pathsep}{py_path}" if py_path else VENDOR_DIR
+        os.environ["PYTHONPATH"] = py_path
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -101,7 +109,7 @@ def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    if protobuf_ok:
+    if protobuf_ok and using_vendored_protobuf():
         builder = builder.config("spark.executorEnv.PYTHONPATH", py_path).config(
             "spark.executorEnv.TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK",
             os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", ""),

@@ -16,9 +16,16 @@ a genuine cross-implementation check, not a self-round-trip
 (tests/test_sources_sinks.py).
 
 Type support (the Spark-mappable core): null, boolean, int, long,
-float, double, bytes, string, record, array, map, unions, and the
-timestamp-micros / date logical types. enum/fixed/decimal are
-rejected loudly at schema parse — not silently misread.
+float, double, bytes, string, record, array, map, unions, enum
+(symbol index ↔ symbol string), fixed (size-checked raw bytes), the
+timestamp-micros / date logical types, and bytes/fixed-backed
+`decimal` (two's-complement big-endian unscaled integer, scale and
+precision from the schema — the common financial-interchange shape).
+The WRITE path additionally rejects unions with
+more than one non-null branch at schema-compile time: the encoder
+dispatches None→null / value→branch, which is only well-defined for
+["null", T] — anything wider would be silently mis-encoded into an
+undecodable file (the read path decodes any union by branch index).
 
 Scale shape: this codec is the per-task kernel of a Python
 DataSource (`avro_datasource.py`) — each Spark task encodes/decodes
@@ -27,6 +34,7 @@ its own partition stream; nothing here ever sees more than one file.
 
 from __future__ import annotations
 
+import decimal
 import io
 import json
 import struct
@@ -121,23 +129,35 @@ def _encoder(schema: Any) -> Callable[[io.BytesIO, Any], None]:
             return lambda out, v: write_bytes(out, v.encode("utf-8"))
         raise ValueError(f"unsupported Avro type: {schema}")
     if isinstance(schema, list):  # union: write branch index then value
-        subs = [_encoder(s) for s in schema]
         names = [_type_name(s) for s in schema]
+        non_null = [i for i, nm in enumerate(names) if nm != "null"]
+        if len(non_null) > 1:
+            # None→null / value→branch dispatch is only well-defined
+            # for ["null", T]; a wider union would pick the first
+            # branch regardless of the value's runtime type and write
+            # a corrupt file — reject at compile, consistent with the
+            # enum/non-decimal-fixed policy
+            raise ValueError(
+                f"unions with more than one non-null branch are not "
+                f"writable (got {names}); only [\"null\", T] / [T]"
+            )
+        subs = [_encoder(s) for s in schema]
         null_idx = names.index("null") if "null" in names else None
+        val_idx = non_null[0] if non_null else None
 
         def enc_union(out: io.BytesIO, v: Any) -> None:
             if v is None and null_idx is not None:
                 write_long(out, null_idx)
                 return
-            for i, nm in enumerate(names):
-                if nm != "null":
-                    write_long(out, i)
-                    subs[i](out, v)
-                    return
-            raise ValueError("no union branch for value")
+            if val_idx is None:
+                raise ValueError("no union branch for value")
+            write_long(out, val_idx)
+            subs[val_idx](out, v)
 
         return enc_union
     t = schema["type"]
+    if schema.get("logicalType") == "decimal":
+        return _decimal_encoder(schema)
     if t == "record":
         field_encs = [(f["name"], _encoder(f["type"])) for f in schema["fields"]]
 
@@ -174,9 +194,34 @@ def _encoder(schema: Any) -> Callable[[io.BytesIO, Any], None]:
             write_long(out, 0)
 
         return enc_map
+    if t == "enum":
+        symbols = list(schema["symbols"])
+        index = {s: i for i, s in enumerate(symbols)}
+
+        def enc_enum(out: io.BytesIO, v: Any) -> None:
+            try:
+                write_long(out, index[v])
+            except KeyError:
+                raise ValueError(
+                    f"{v!r} not in enum {schema.get('name', '')} symbols"
+                ) from None
+
+        return enc_enum
+    if t == "fixed":
+        size = int(schema["size"])
+
+        def enc_fixed(out: io.BytesIO, v: Any) -> None:
+            b = bytes(v)
+            if len(b) != size:
+                raise ValueError(
+                    f"fixed {schema.get('name', '')} needs exactly {size} bytes, got {len(b)}"
+                )
+            out.write(b)
+
+        return enc_fixed
     if "logicalType" in schema:  # timestamp-micros / date ride their base type
         return _encoder(schema["type"])
-    raise ValueError(f"unsupported Avro type: {t} (enum/fixed/decimal not implemented)")
+    raise ValueError(f"unsupported Avro type: {t}")
 
 
 def _decoder(schema: Any) -> Callable[[io.BytesIO], Any]:
@@ -201,6 +246,8 @@ def _decoder(schema: Any) -> Callable[[io.BytesIO], Any]:
         subs = [_decoder(s) for s in schema]
         return lambda buf: subs[read_long(buf)](buf)
     t = schema["type"]
+    if schema.get("logicalType") == "decimal":
+        return _decimal_decoder(schema)
     if t == "record":
         field_decs = [(f["name"], _decoder(f["type"])) for f in schema["fields"]]
 
@@ -241,9 +288,73 @@ def _decoder(schema: Any) -> Callable[[io.BytesIO], Any]:
                     out[k] = val_dec(buf)
 
         return dec_map
+    if t == "enum":
+        symbols = list(schema["symbols"])
+        return lambda buf: symbols[read_long(buf)]
+    if t == "fixed":
+        size = int(schema["size"])
+
+        def dec_fixed(buf: io.BytesIO) -> bytes:
+            b = buf.read(size)
+            if len(b) != size:
+                raise ValueError("truncated fixed value")
+            return b
+
+        return dec_fixed
     if "logicalType" in schema:
         return _decoder(schema["type"])
-    raise ValueError(f"unsupported Avro type: {t} (enum/fixed/decimal not implemented)")
+    raise ValueError(f"unsupported Avro type: {t}")
+
+
+def _decimal_ctx(schema: Any) -> tuple[int, int | None]:
+    """(scale, fixed_size) for a decimal logical type node. Decimal
+    rides bytes (length-prefixed) or fixed (raw `size` bytes); the
+    unscaled value is a two's-complement big-endian integer and the
+    real value is unscaled × 10^-scale (Avro 1.11 spec §Logical
+    Types). Anything else backing decimal is malformed."""
+    t = schema["type"]
+    scale = int(schema.get("scale", 0))
+    if scale < 0:
+        raise ValueError("decimal scale must be >= 0")
+    if t == "bytes":
+        return scale, None
+    if t == "fixed" or (isinstance(t, dict) and t.get("type") == "fixed"):
+        size = int(schema["size"] if t == "fixed" else t["size"])
+        return scale, size
+    raise ValueError(f"decimal logical type must back bytes or fixed, got {t}")
+
+
+def _decimal_encoder(schema: Any) -> Callable[[io.BytesIO, Any], None]:
+    scale, fixed_size = _decimal_ctx(schema)
+
+    def enc(out: io.BytesIO, v: Any) -> None:
+        unscaled_dec = decimal.Decimal(v).scaleb(scale)
+        unscaled = int(unscaled_dec)
+        if unscaled != unscaled_dec:
+            raise ValueError(
+                f"value {v} does not fit decimal scale {scale} exactly"
+            )
+        if fixed_size is not None:
+            out.write(unscaled.to_bytes(fixed_size, "big", signed=True))
+            return
+        # minimal two's-complement length (signed): bit_length//8 + 1
+        n = unscaled.bit_length() // 8 + 1
+        write_bytes(out, unscaled.to_bytes(n, "big", signed=True))
+
+    return enc
+
+
+def _decimal_decoder(schema: Any) -> Callable[[io.BytesIO], Any]:
+    scale, fixed_size = _decimal_ctx(schema)
+
+    def dec(buf: io.BytesIO) -> decimal.Decimal:
+        b = buf.read(fixed_size) if fixed_size is not None else read_bytes(buf)
+        if fixed_size is not None and len(b) != fixed_size:
+            raise ValueError("truncated fixed decimal value")
+        unscaled = int.from_bytes(b, "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-scale)
+
+    return dec
 
 
 def _type_name(schema: Any) -> str:

@@ -76,6 +76,13 @@ def spark_to_avro(dt: T.DataType, name: str, path: str = "") -> dict | str | lis
         return {"type": "long", "logicalType": "local-timestamp-micros"}
     if isinstance(dt, T.DateType):
         return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     if isinstance(dt, T.ArrayType):
         return {"type": "array", "items": _nullable(dt.elementType, dt.containsNull, name, path)}
     if isinstance(dt, T.MapType):
@@ -123,6 +130,9 @@ def avro_to_spark(schema) -> T.DataType:
         return T.TimestampNTZType()
     if lt == "date":
         return T.DateType()
+    if lt == "decimal":
+        A._decimal_ctx(schema)  # loud-reject malformed backing type
+        return T.DecimalType(int(schema.get("precision", 38)), int(schema.get("scale", 0)))
     t = schema["type"]
     if t == "record":
         return T.StructType(
@@ -137,6 +147,10 @@ def avro_to_spark(schema) -> T.DataType:
     if t == "map":
         return T.MapType(T.StringType(), avro_to_spark(schema["values"]),
                          _is_nullable(schema["values"]))
+    if t == "enum":  # symbol string (codec maps index ↔ symbol)
+        return T.StringType()
+    if t == "fixed":  # size-checked raw bytes
+        return T.BinaryType()
     if lt:  # unknown logical type: fall back to the base type (spec rule)
         return avro_to_spark(t)
     raise ValueError(f"unsupported Avro type {t}")

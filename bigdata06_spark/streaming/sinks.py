@@ -52,7 +52,8 @@ def foreach_batch_parquet(result: DataFrame, path: str, checkpoint: str):
 
 
 def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
-                                  checkpoint: str, op_col: str | None = None):
+                                  checkpoint: str, op_col: str | None = None,
+                                  seq_col: str | None = None):
     """Streaming CDC apply: each micro-batch UPSERTs into a versioned
     lakehouse table (`bigdata06_spark/lakehouse.py`) — existing keys
     take the batch's column values (COW rewrite of overlapping files
@@ -61,7 +62,19 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
     history, and `read_version` time-travels through the ingest. The
     insert leg's snapshot anti-join plus deterministic batch→version
     mapping make a replayed batch a no-op-shaped update (same values
-    again), preserving effective exactly-once on parquet."""
+    again), preserving effective exactly-once on parquet.
+
+    A micro-batch may carry SEVERAL ops for one key (d then u, u then
+    u): applying them as independent delete/upsert legs is wrong —
+    the legs run against the same pre-batch snapshot, so a d→u pair
+    makes the row vanish and a u→u pair trips merge's duplicate-key
+    guard. With `seq_col` (a CDC sequence/offset — every real
+    changelog has one) each batch is pre-reduced to the LAST op per
+    key, which is the net effect of applying the ops in order against
+    a snapshot-isolated table. Without `seq_col` there is no defined
+    order, so multiple ops for one key in a batch fail loudly rather
+    than guessing."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from bigdata06_spark import lakehouse as LH
@@ -74,6 +87,23 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
                 batch_df.sparkSession, path, key, updates=batch_df, inserts=batch_df
             )
             return
+        if seq_col is not None:
+            w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+            batch_df = (
+                batch_df.withColumn("_cdc_rn", F.row_number().over(w))
+                .filter(F.col("_cdc_rn") == 1)
+                .drop("_cdc_rn", seq_col)
+            )
+        else:
+            dup = (
+                batch_df.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    "micro-batch contains multiple ops for one key and no "
+                    "seq_col was given to order them; pass seq_col (CDC "
+                    "sequence/offset) so the last op per key wins"
+                )
         # op-column changelog (Debezium-style): 'd' rows delete by
         # key, everything else upserts; the op column itself never
         # lands in the table

@@ -575,3 +575,16 @@ def test_fuzzy_er_join_is_blocked_equijoin(spark, sf_dir):
     plan = plan_of(SPECS["join_fuzzy_entity_resolution"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_affinity_capped_degree_pass_no_window(spark, sf_dir):
+    """VERDICT r3 #1: the max_deg hot-part pass must be a map-side-
+    combined groupBy + broadcast anti-join — never a Window over the
+    part key (which would shuffle the full supplier↔part relation on
+    the very keys the cap exists to remove) — and the projection
+    itself must stay an equi-join on the part key, no cross product."""
+    plan = plan_of(SPECS["supplier_affinity_graph_capped"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert re.search(r"BroadcastHashJoin LeftAnti", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1394,3 +1394,301 @@ def test_lakehouse_vacuum_and_log_checkpoint(spark, sf_dir, tmp_path):
     after = sorted(map(tuple, LH.read_version(spark, path, v2).collect()))
     assert after == before
     assert "o_flag" in LH.read_version(spark, path, v2).columns
+
+
+def test_lakehouse_merge_all_new_keys_insert_leg_runs(spark, sf_dir, tmp_path):
+    """A CDC batch whose keys all lie ABOVE every file's key range
+    (monotonically increasing keys — the normal append-style ingest)
+    must still append via the insert leg: zero overlapping files is
+    the update/delete no-op, not a reason to drop inserts."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_append")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    hi = o.agg(F.max("o_orderkey")).first()[0]
+    batch = spark.createDataFrame(
+        [(hi + 10, 1.0), (hi + 20, 2.0)], ["o_orderkey", "o_totalprice"]
+    )
+    # the foreach_batch shape: every micro-batch passed as updates+inserts
+    v1 = LH.merge(spark, path, "o_orderkey", updates=batch, inserts=batch)
+    cur = LH.read_version(spark, path, v1)
+    assert cur.count() == o.count() + 2
+    got = sorted(
+        map(tuple, cur.filter(F.col("o_orderkey") > hi).collect())
+    )
+    assert got == [(hi + 10, 1.0), (hi + 20, 2.0)]
+
+
+def test_lakehouse_commit_conflict_one_writer_wins(spark, sf_dir, tmp_path):
+    """Optimistic concurrency: two writers that both computed version
+    N+1 race at the atomic log commit — exactly one wins; the loser
+    raises CommitConflictError, the log is uncorrupted, and the
+    winner's rows are intact (the loser's data files are orphans that
+    vacuum reclaims)."""
+    from unittest import mock
+
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_race")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    upd_a = spark.createDataFrame([(k, 111.0)], ["o_orderkey", "o_totalprice"])
+    upd_b = spark.createDataFrame([(k, 222.0)], ["o_orderkey", "o_totalprice"])
+
+    v1 = LH.merge(spark, path, "o_orderkey", updates=upd_a)
+    assert v1 == 1
+    # writer B interleaved: it read version 0 BEFORE A committed —
+    # pin its view of current_version to the stale value
+    with mock.patch.object(LH, "current_version", return_value=0):
+        with pytest.raises(LH.CommitConflictError):
+            LH.merge(spark, path, "o_orderkey", updates=upd_b)
+    # log intact, winner's value visible
+    assert LH.current_version(path) == 1
+    row = (
+        LH.read_version(spark, path, 1)
+        .filter(F.col("o_orderkey") == k)
+        .first()
+    )
+    assert row.o_totalprice == 111.0
+    # the loser's orphaned data files are reclaimable
+    dead = LH.vacuum(path, keep_versions=2)
+    after = LH.read_version(spark, path, 1).filter(F.col("o_orderkey") == k).first()
+    assert after.o_totalprice == 111.0
+    assert dead or True  # orphans (if any) removed without breaking reads
+
+
+def test_lakehouse_vacuum_reclaims_checkpoint_squashed_files(spark, sf_dir, tmp_path):
+    """Files removed BEFORE a log checkpoint appear in no surviving
+    log entry; vacuum must still reclaim them (it lists data/ and
+    subtracts retained versions rather than replaying add-lists)."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_orphans")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    upd = spark.createDataFrame([(k, 9.0)], ["o_orderkey", "o_totalprice"])
+    v1 = LH.merge(spark, path, "o_orderkey", updates=upd)
+    # squash history FIRST: v0's rewritten file is now in no log entry
+    LH.checkpoint_log(path)
+    before = sorted(map(tuple, LH.read_version(spark, path, v1).collect()))
+    dead = LH.vacuum(path, keep_versions=1)
+    assert dead, "the pre-checkpoint rewritten file must be reclaimed"
+    on_disk = {
+        os.path.relpath(os.path.join(dp, f), path)
+        for dp, _, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == set(LH.files_at_version(path, v1))
+    assert sorted(map(tuple, LH.read_version(spark, path, v1).collect())) == before
+
+
+def test_avro_union_multibranch_write_rejected(tmp_path):
+    """Unions wider than ["null", T] are rejected at schema-compile
+    time on the WRITE path (the encoder cannot dispatch by runtime
+    type) — never silently mis-encoded."""
+    import io
+
+    import pytest
+
+    from bigdata06_spark.sources import avro_codec as A
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "v", "type": ["null", "long", "string"]}],
+    }
+    with pytest.raises(ValueError, match="non-null branch"):
+        A.write_container(io.BytesIO(), schema, [{"v": 1}])
+
+
+def test_avro_decimal_conformance_vs_jvm(spark, tmp_path):
+    """Decimal logical type (bytes- and fixed-backed), cross-validated
+    against the JVM Avro library: Python-written unscaled
+    two's-complement bytes must decode to the same BigDecimal via
+    org.apache.avro.Conversions.DecimalConversion, and JVM-written
+    decimals must decode here. Spec: Avro 1.11 §Logical Types."""
+    import decimal
+    import io
+
+    from bigdata06_spark.sources import avro_codec as A
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "amt",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 12,
+                    "scale": 2,
+                },
+            },
+            {
+                "name": "fx",
+                "type": {
+                    "type": "fixed",
+                    "name": "fx16",
+                    "size": 8,
+                    "logicalType": "decimal",
+                    "precision": 18,
+                    "scale": 4,
+                },
+            },
+        ],
+    }
+    rows = [
+        {"amt": decimal.Decimal("1234.56"), "fx": decimal.Decimal("-7.8901")},
+        {"amt": decimal.Decimal("-0.01"), "fx": decimal.Decimal("0.0000")},
+        {"amt": decimal.Decimal("0.00"), "fx": decimal.Decimal("99999.9999")},
+    ]
+    schema_json = json.dumps(schema)
+
+    # Python writes → JVM reads (DecimalConversion gives BigDecimal)
+    buf = io.BytesIO()
+    A.write_container(buf, schema_json, rows, codec="deflate", sync=b"0123456789abcdef")
+    pfile = str(tmp_path / "py_decimal.avro")
+    with open(pfile, "wb") as fh:
+        fh.write(buf.getvalue())
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    gdata = jvm.org.apache.avro.generic.GenericData()
+    gdata.addLogicalTypeConversion(jvm.org.apache.avro.Conversions.DecimalConversion())
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(pfile),
+        jvm.org.apache.avro.generic.GenericDatumReader(jschema, jschema, gdata),
+    )
+    got = []
+    while dfr.hasNext():
+        r = dfr.next()
+        got.append(
+            {
+                "amt": decimal.Decimal(str(r.get("amt"))),
+                "fx": decimal.Decimal(str(r.get("fx"))),
+            }
+        )
+    dfr.close()
+    assert got == rows
+
+    # JVM writes → Python reads
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema, gdata)
+    )
+    jfile = str(tmp_path / "java_decimal.avro")
+    dfw.create(jschema, jvm.java.io.File(jfile))
+    for rec_dict in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("amt", jvm.java.math.BigDecimal(str(rec_dict["amt"])))
+        rec.put("fx", jvm.java.math.BigDecimal(str(rec_dict["fx"])))
+        dfw.append(rec)
+    dfw.close()
+    with open(jfile, "rb") as fh:
+        _, it = A.read_container(fh)
+        assert list(it) == rows
+
+
+def test_avro_decimal_spark_table_roundtrip(spark, sf_dir, tmp_path):
+    """A Spark DecimalType column through the avro sink and back —
+    values and the (precision, scale) type survive."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sources.readers import read_avro, write_avro
+
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast(T.DecimalType(12, 2)).alias("price_dec"),
+        )
+        .limit(500)
+    )
+    path = str(tmp_path / "orders_decimal_avro")
+    write_avro(o, path)
+    back = read_avro(spark, path)
+    assert back.schema["price_dec"].dataType == T.DecimalType(12, 2)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_avro_enum_fixed_conformance_vs_jvm(spark, tmp_path):
+    """enum (symbol index ↔ symbol string) and fixed (size-checked
+    raw bytes), cross-validated against the JVM Avro library in both
+    directions; a wrong-size fixed write fails loudly."""
+    import io
+
+    import pytest
+
+    from bigdata06_spark.sources import avro_codec as A
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "color",
+                "type": {"type": "enum", "name": "Color", "symbols": ["RED", "GREEN", "BLUE"]},
+            },
+            {"name": "digest", "type": {"type": "fixed", "name": "d4", "size": 4}},
+        ],
+    }
+    schema_json = json.dumps(schema)
+    rows = [
+        {"color": "GREEN", "digest": b"\x00\x01\x02\x03"},
+        {"color": "RED", "digest": b"\xff\xfe\xfd\xfc"},
+        {"color": "BLUE", "digest": b"abcd"},
+    ]
+
+    # Python writes → JVM reads
+    buf = io.BytesIO()
+    A.write_container(buf, schema_json, rows, codec="deflate", sync=b"0123456789abcdef")
+    pfile = str(tmp_path / "py_ef.avro")
+    with open(pfile, "wb") as fh:
+        fh.write(buf.getvalue())
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(pfile),
+        jvm.org.apache.avro.generic.GenericDatumReader(jschema),
+    )
+    got = []
+    while dfr.hasNext():
+        r = dfr.next()
+        got.append(
+            {"color": str(r.get("color")), "digest": bytes(r.get("digest").bytes())}
+        )
+    dfr.close()
+    assert got == rows
+
+    # JVM writes → Python reads
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    jfile = str(tmp_path / "java_ef.avro")
+    dfw.create(jschema, jvm.java.io.File(jfile))
+    enum_schema = jschema.getField("color").schema()
+    fixed_schema = jschema.getField("digest").schema()
+    for rec_dict in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("color", jvm.org.apache.avro.generic.GenericData.EnumSymbol(
+            enum_schema, rec_dict["color"]))
+        rec.put("digest", jvm.org.apache.avro.generic.GenericData.Fixed(
+            fixed_schema, rec_dict["digest"]))
+        dfw.append(rec)
+    dfw.close()
+    with open(jfile, "rb") as fh:
+        _, it = A.read_container(fh)
+        assert list(it) == rows
+
+    # loud failures: bad enum symbol / wrong-size fixed
+    with pytest.raises(ValueError, match="symbols"):
+        A.write_container(io.BytesIO(), schema_json, [{"color": "MAUVE", "digest": b"abcd"}])
+    with pytest.raises(ValueError, match="bytes"):
+        A.write_container(io.BytesIO(), schema_json, [{"color": "RED", "digest": b"ab"}])

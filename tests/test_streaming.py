@@ -592,3 +592,72 @@ def test_foreach_batch_cdc_with_deletes(spark, sf_dir, tmp_path):
         )
     )
     assert got == expected
+
+
+def test_foreach_batch_cdc_multiple_ops_per_key(spark, sf_dir, tmp_path):
+    """A micro-batch carrying SEVERAL ops for one key (d→u, u→u)
+    must net out to the LAST op per key (by the CDC sequence column):
+    a delete followed by an upsert leaves the upserted row, not a
+    vanished one; u→u keeps the later value instead of tripping the
+    duplicate-key guard."""
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.streaming.sinks import foreach_batch_lakehouse_merge
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    key = "o_orderkey"
+    table = str(tmp_path / "cdc_multi")
+    LH.table_init(o, table, key, n_files=4)
+    keys = [r[0] for r in o.orderBy(key).limit(3).collect()]
+    k_del_then_up, k_up_up, k_del = keys
+    batch = spark.createDataFrame(
+        [
+            (k_del_then_up, None, "d", 1),
+            (k_del_then_up, 777.0, "u", 2),   # later upsert wins → row survives
+            (k_up_up, 100.0, "u", 1),
+            (k_up_up, 200.0, "u", 2),         # later value wins
+            (k_del, None, "d", 1),            # plain delete
+        ],
+        f"{key} long, o_totalprice double, op string, seq int",
+    )
+    changes_dir = str(tmp_path / "changes")
+    batch.coalesce(1).write.parquet(changes_dir)  # one file → one micro-batch
+    stream = spark.readStream.schema(batch.schema).parquet(changes_dir)
+    q = foreach_batch_lakehouse_merge(
+        stream, table, key, str(tmp_path / "ckpt"), op_col="op", seq_col="seq"
+    )
+    q.awaitTermination(180)
+
+    cur = LH.read_version(spark, table, LH.current_version(table))
+    got = {r[0]: r[1] for r in cur.filter(F.col(key).isin(keys)).collect()}
+    assert got == {k_del_then_up: 777.0, k_up_up: 200.0}
+
+
+def test_foreach_batch_cdc_multi_op_without_seq_fails_loud(spark, sf_dir, tmp_path):
+    """Without seq_col there is no defined order for multiple ops on
+    one key — the batch must fail loudly, not guess."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.streaming.sinks import foreach_batch_lakehouse_merge
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    key = "o_orderkey"
+    table = str(tmp_path / "cdc_noseq")
+    LH.table_init(o, table, key, n_files=2)
+    k = o.agg({key: "min"}).first()[0]
+    batch = spark.createDataFrame(
+        [(k, None, "d"), (k, 5.0, "u")], f"{key} long, o_totalprice double, op string"
+    )
+    changes_dir = str(tmp_path / "changes")
+    batch.coalesce(1).write.parquet(changes_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(changes_dir)
+    with pytest.raises(Exception, match="seq_col"):
+        q = foreach_batch_lakehouse_merge(
+            stream, table, key, str(tmp_path / "ckpt"), op_col="op"
+        )
+        q.awaitTermination(180)
