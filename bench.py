@@ -63,6 +63,7 @@ HEADLINE = [
     # with their exact counterparts
     "supplier_affinity_graph_capped",
     "knn_label_vote_sampled",
+    "dedup_semantic_scaled",
     # exact all-pairs similarity (block-tiled equi-join)
     "dedup_embedding_cosine",
     # round-3 additions: SemDeDup + leave-one-out kNN eval (heaviest

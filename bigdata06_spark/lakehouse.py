@@ -290,6 +290,30 @@ def merge(spark: SparkSession, path: str, key: str,
     return new_v
 
 
+def merge_with_retry(spark: SparkSession, path: str, key: str,
+                     updates: DataFrame | None = None,
+                     delete_keys: DataFrame | None = None,
+                     inserts: DataFrame | None = None,
+                     max_retries: int = 3) -> int:
+    """MERGE under optimistic concurrency with bounded retry: on
+    CommitConflictError, re-read the (now newer) snapshot and re-apply
+    the same change relations — the standard OCC loop Delta/Iceberg
+    writers run. Correct because the change relations are DECLARATIVE
+    (keys + new values): re-running them against the newer snapshot
+    yields the state as if this merge had simply committed after the
+    competing one. Raises after `max_retries` losses (persistent
+    contention should back off at the application level, not spin
+    here)."""
+    last: CommitConflictError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return merge(spark, path, key, updates=updates,
+                         delete_keys=delete_keys, inserts=inserts)
+        except CommitConflictError as e:
+            last = e
+    raise last
+
+
 def add_column(path: str, col_name: str, col_type: str) -> int:
     """ADDITIVE SCHEMA EVOLUTION as a zero-rewrite version: no data
     file changes — the new version's log entry records the (name,
@@ -372,6 +396,91 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
         if col_name not in df.columns:
             df = df.withColumn(col_name, F.lit(None).cast(col_type))
     return df
+
+
+def read_row_changes(spark: SparkSession, path: str, key: str,
+                     from_version: int, to_version: int) -> DataFrame:
+    """ROW-LEVEL change-data-feed: pre/post images between two
+    versions, composed from the file-granular primitive by pairing
+    removed and added files on the table key (the design
+    `read_changes` documents). Emits Delta-CDF-shaped rows — every
+    table column plus `_change_type`:
+
+    - `insert`           — key only in the after-image
+    - `delete`           — key only in the before-image (the pre-image row)
+    - `update_preimage`  — key in both, any column changed (old row)
+    - `update_postimage` — key in both, any column changed (new row)
+
+    Carried-over rows (same key, identical values — the bulk of every
+    COW rewrite) are filtered out by an exact full-row struct compare.
+    Cost is bounded by the touched files, never the table: both sides
+    read only files the version range added/removed, and the
+    full-outer join keys on the table key those files are
+    range-bucketed by."""
+    latest = current_version(path)
+    if not (0 <= from_version <= to_version <= latest):
+        raise ValueError(f"bad version range [{from_version}, {to_version}]")
+    before_set = set(files_at_version(path, from_version))
+    after_set = set(files_at_version(path, to_version))
+    removed = [os.path.join(path, f) for f in sorted(before_set - after_set)]
+    added = [os.path.join(path, f) for f in sorted(after_set - before_set)]
+    template = read_version(spark, path, to_version)
+    cols = template.columns
+    if not removed and not added:
+        return template.limit(0).withColumn("_change_type", F.lit(""))
+
+    def _load(files: list[str], at_version: int) -> DataFrame:
+        if not files:
+            return read_version(spark, path, at_version).limit(0)
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        for col_name, col_type in _schema_adds_at(path, at_version):
+            if col_name not in df.columns:
+                df = df.withColumn(col_name, F.lit(None).cast(col_type))
+        return df
+
+    pre = _load(removed, from_version)
+    post = _load(added, to_version)
+    pre_cols = [c for c in cols if c in pre.columns]
+    b = pre.select(
+        F.col(key).alias("_k"), F.struct(*[F.col(c) for c in pre_cols]).alias("_pre")
+    )
+    a = post.select(
+        F.col(key).alias("_k"), F.struct(*[F.col(c) for c in cols]).alias("_post")
+    )
+    j = b.join(a, "_k", "full_outer")
+    inserts = j.filter(F.col("_pre").isNull()).select(
+        *[F.col("_post").getField(c).alias(c) for c in cols],
+        F.lit("insert").alias("_change_type"),
+    )
+    deletes = j.filter(F.col("_post").isNull()).select(
+        *[
+            (F.col("_pre").getField(c) if c in pre_cols else F.lit(None)).alias(c)
+            for c in cols
+        ],
+        F.lit("delete").alias("_change_type"),
+    )
+    # changed = any column differs (null-safe compare on the shared
+    # columns; a column added by schema evolution counts as changed
+    # only if the post value is non-null)
+    diff = ~F.struct(
+        *[F.col("_pre").getField(c) for c in pre_cols]
+    ).eqNullSafe(F.struct(*[F.col("_post").getField(c) for c in pre_cols]))
+    for c in cols:
+        if c not in pre_cols:
+            diff = diff | F.col("_post").getField(c).isNotNull()
+    changed = j.filter(F.col("_pre").isNotNull() & F.col("_post").isNotNull()).filter(diff)
+    upd_pre = changed.select(
+        *[
+            (F.col("_pre").getField(c) if c in pre_cols else F.lit(None)).alias(c)
+            for c in cols
+        ],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    upd_post = changed.select(
+        *[F.col("_post").getField(c).alias(c) for c in cols],
+        F.lit("update_postimage").alias("_change_type"),
+    )
+    return inserts.unionByName(deletes).unionByName(upd_pre).unionByName(upd_post)
 
 
 def vacuum(path: str, keep_versions: int = 1,

@@ -274,7 +274,19 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     signature chunks (pigeonhole: any pair with hamming ≤ chunks-1 is
     guaranteed a shared chunk → recall is exact, not probabilistic, for
     max_hamming ≤ 15 at 16 chunks), filtered to hamming ≤ max_hamming,
-    then exact-Jaccard verified ≥ threshold."""
+    then exact-Jaccard verified ≥ threshold.
+
+    SCALE CROSSOVER (measured, round-4 sf1 probe — SCALE.md): 16
+    chunks of a 64-bit signature leave 4-bit chunk values, so once
+    N ≫ 16 the candidate join degenerates toward Σ bucket² ≈ N²/2 —
+    measured 38× cost on 10× docs at 50k docs. The chunk count is
+    FORCED by recall: short docs (few shingle features) put true
+    J≥0.5 pairs at hamming 11-13 of 64, and the pigeonhole guarantee
+    then needs ≥ max_hamming+1 chunks. SimHash's economics require
+    hamming/bits ≲ 10% — i.e. LONG documents, where max_hamming ~3-6
+    admits 4-8 wide chunks and sub-quadratic candidates. For
+    short-doc corpora at scale use `minhash_lsh_pairs` (same oracle
+    contract; measured 2.4× on 10× data on the same probe)."""
     width = SIMHASH_BITS // chunks
     # Both sides of the chunk self-join descend from this aggregate,
     # but Catalyst plans the 64-sum signature job twice (no

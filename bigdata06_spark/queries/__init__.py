@@ -98,8 +98,11 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # window (lakehouse, composed IVF-PQ, DQ audit, BPE training)
         "lakehouse_time_travel", "knn_ivfpq", "dq_expectations",
         "text_bpe_train",
-        # round-4 new: the skew-capped / sampled 100 TB shapes
+        # round-4 new: the skew-capped / sampled 100 TB shapes, the
+        # row-level CDF, and the Avro decimal logical type
         "supplier_affinity_graph_capped", "knn_label_vote_sampled",
+        "lakehouse_row_cdf", "source_avro_decimal_roundtrip",
+        "dedup_semantic_scaled",
         # previously-sampled families keep flagship representation
         "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
         "q18_large_volume_customers",

@@ -87,3 +87,37 @@ def lakehouse_merge_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _build_two_versions(spark, sf_dir)
     cols = load_table(spark, "orders", sf_dir).columns
     return LH.read_version(spark, path, 1).select(*cols)
+
+
+@register(
+    "lakehouse_row_cdf",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority,
+           'update_preimage' AS _change_type
+    FROM orders WHERE o_orderkey >= 10 AND o_orderkey < 500
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+           0.0 AS o_totalprice, o_orderdate, o_orderpriority,
+           'update_postimage' AS _change_type
+    FROM orders WHERE o_orderkey >= 10 AND o_orderkey < 500
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority,
+           'delete' AS _change_type
+    FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 700
+    """,
+)
+def lakehouse_row_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL change-data-feed between versions 0 and 1: pre/post
+    images paired from the removed/added files on the table key
+    (`lakehouse.read_row_changes`) — Delta-CDF-shaped output
+    (`_change_type` ∈ insert/delete/update_preimage/update_postimage).
+    The oracle replays the deterministic change set in SQL: every
+    [10,500) key yields both update images, every [600,700) key a
+    delete pre-image, and NOTHING else — proving the full-row struct
+    compare filters the carried-over rows that COW file rewrites
+    drag along (the bulk of every rewritten file)."""
+    path = _build_two_versions(spark, sf_dir)
+    cols = load_table(spark, "orders", sf_dir).columns
+    return LH.read_row_changes(spark, path, KEY, 0, 1).select(*cols, "_change_type")

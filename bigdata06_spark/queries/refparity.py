@@ -432,6 +432,46 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_avro_decimal_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec
+    FROM orders
+    """,
+)
+def source_avro_decimal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro DECIMAL logical type end-to-end (VERDICT r3 #6): orders'
+    totalprice cast to DECIMAL(12,2), written through the avro_py sink
+    as bytes-backed decimal (two's-complement big-endian unscaled
+    integer per the Avro 1.11 spec) and read back; the oracle is the
+    same cast on the parquet original. Values compare as canonical
+    strings — the exactness decimal exists for is the gate, with no
+    float round-trip anywhere. The codec is additionally
+    cross-validated against the JVM Avro library (both directions,
+    bytes- and fixed-backed) in tests/test_sources_sinks.py."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sources.readers import read_avro, write_avro
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(T.DecimalType(12, 2)).alias("price_dec"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"avro_dec_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_avro(o, path)
+    back = read_avro(spark, path)
+    return back.select(
+        "o_orderkey", F.col("price_dec").cast("string").alias("price_dec")
+    )
+
+
+@register(
     "ref_pandas_api_on_spark",
     oracle="""
     SELECT o_custkey,

@@ -475,8 +475,10 @@ def test_avro_codec_error_paths():
     with pytest.raises(ValueError, match="sync marker"):
         list(rows)
 
-    with pytest.raises(ValueError, match="enum/fixed|unsupported"):
-        A.write_container(io.BytesIO(), {"type": "enum", "name": "e", "symbols": ["A"]}, [])
+    # enum/fixed/decimal are SUPPORTED since round 4; a genuinely
+    # unknown type must still reject loudly
+    with pytest.raises(ValueError, match="unsupported"):
+        A.write_container(io.BytesIO(), {"type": "interval", "name": "i"}, [])
     with pytest.raises(ValueError, match="codec"):
         A.write_container(io.BytesIO(), schema, [], codec="snappy")
     with pytest.raises(ValueError, match="16 bytes"):

@@ -1692,3 +1692,76 @@ def test_avro_enum_fixed_conformance_vs_jvm(spark, tmp_path):
         A.write_container(io.BytesIO(), schema_json, [{"color": "MAUVE", "digest": b"abcd"}])
     with pytest.raises(ValueError, match="bytes"):
         A.write_container(io.BytesIO(), schema_json, [{"color": "RED", "digest": b"ab"}])
+
+
+def test_lakehouse_merge_with_retry_wins_after_conflict(spark, sf_dir, tmp_path):
+    """The OCC retry loop: a writer that loses the version race
+    re-reads the newer snapshot and re-applies its declarative change
+    — both writers' effects land, serialized."""
+    from unittest import mock
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_retry")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    k1, k2 = [r[0] for r in o.orderBy("o_orderkey").limit(2).collect()]
+    upd_a = spark.createDataFrame([(k1, 111.0)], ["o_orderkey", "o_totalprice"])
+    upd_b = spark.createDataFrame([(k2, 222.0)], ["o_orderkey", "o_totalprice"])
+
+    # writer B sees version 0 on its FIRST attempt only (stale read);
+    # the retry re-reads the real current version
+    real_cv = LH.current_version
+    calls = {"n": 0}
+
+    def stale_once(p):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_cv(p)
+
+    LH.merge(spark, path, "o_orderkey", updates=upd_a)  # writer A → v1
+    with mock.patch.object(LH, "current_version", side_effect=stale_once):
+        v = LH.merge_with_retry(spark, path, "o_orderkey", updates=upd_b)
+    assert v == 2
+    got = {
+        r[0]: r[1]
+        for r in LH.read_version(spark, path, 2)
+        .filter(F.col("o_orderkey").isin([k1, k2]))
+        .collect()
+    }
+    assert got == {k1: 111.0, k2: 222.0}
+
+
+def test_lakehouse_row_level_cdf(spark, sf_dir, tmp_path):
+    """Row-level pre/post images between versions: inserts, deletes,
+    and both update images come out Delta-CDF-shaped; carried-over
+    rows in rewritten files (the COW bulk) are filtered out."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_rowcdf")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    k1, k2, k3 = [r[0] for r in o.orderBy("o_orderkey").limit(3).collect()]
+    hi = o.agg(F.max("o_orderkey")).first()[0]
+    old_k1 = o.filter(F.col("o_orderkey") == k1).first().o_totalprice
+    v1 = LH.merge(
+        spark, path, "o_orderkey",
+        updates=spark.createDataFrame([(k1, 999.5)], ["o_orderkey", "o_totalprice"]),
+        delete_keys=spark.createDataFrame([(k2,)], ["o_orderkey"]),
+        inserts=spark.createDataFrame(
+            [(hi + 5, 42.0), (k3, 1.0)], ["o_orderkey", "o_totalprice"]
+        ),  # k3 exists → anti-joined away; only hi+5 inserts
+    )
+    ch = LH.read_row_changes(spark, path, "o_orderkey", 0, v1)
+    got = sorted((r._change_type, r.o_orderkey, r.o_totalprice) for r in ch.collect())
+    assert got == sorted(
+        [
+            ("insert", hi + 5, 42.0),
+            ("delete", k2, o.filter(F.col("o_orderkey") == k2).first().o_totalprice),
+            ("update_preimage", k1, old_k1),
+            ("update_postimage", k1, 999.5),
+        ]
+    )
+    # empty range → empty frame with the _change_type column
+    assert LH.read_row_changes(spark, path, "o_orderkey", v1, v1).count() == 0
