@@ -121,3 +121,59 @@ def lakehouse_row_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _build_two_versions(spark, sf_dir)
     cols = load_table(spark, "orders", sf_dir).columns
     return LH.read_row_changes(spark, path, KEY, 0, 1).select(*cols, "_change_type")
+
+
+@register(
+    "lakehouse_mv_incremental",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderkey >= 10 AND o_orderkey < 500
+                         THEN 0
+                         ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS cents
+    FROM orders
+    WHERE NOT (o_orderkey >= 600 AND o_orderkey < 700)
+    GROUP BY o_orderpriority
+    """,
+)
+def lakehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the row-level
+    CDF — what a downstream aggregate does at 100 TB instead of
+    recomputing: the v0 aggregate (revenue cents by priority) is
+    REFRESHED to v1 by applying only the change feed
+    (`read_row_changes`): +post-image for insert/update_postimage,
+    −pre-image for delete/update_preimage, grouped by each image's
+    OWN group key (so group-moving updates transfer mass correctly).
+    Cost is O(changed rows), never O(table). Integer-cents arithmetic
+    makes the incremental result EXACTLY equal the full recompute —
+    which is what the oracle computes directly over the raw table
+    with the change set applied in SQL; the hash match IS the
+    maintenance-correctness proof."""
+    path = _build_two_versions(spark, sf_dir)
+
+    def cents(col):
+        return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+    base = (
+        LH.read_version(spark, path, 0)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    ch = LH.read_row_changes(spark, path, KEY, 0, 1)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        ch.groupBy("o_orderpriority")
+        .agg(F.sum(sign * cents(F.col("o_totalprice"))).alias("d"))
+    )
+    return (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce(F.col("cents"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0)))
+            .cast("long")
+            .alias("cents"),
+        )
+        .filter(F.col("cents").isNotNull())
+    )
