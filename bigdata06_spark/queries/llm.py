@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata06_spark.catalog import load_table
+from bigdata06_spark.operators import classifier as C
 from bigdata06_spark.operators import dedup as D
 from bigdata06_spark.operators import multimodal as M
 from bigdata06_spark.operators import packing as P
@@ -2697,4 +2698,135 @@ def dedup_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.coalesce(F.col("_mh"), F.lit(0)) * F.coalesce(F.col("_sh"), F.lit(0)))
         ).cast("long").alias("n_all_three"),
+    )
+
+
+def _perceptron_ctes(epochs: int = 4, dim: int = 1024) -> str:
+    """Generate the unrolled POCKET-perceptron CTE chain (the
+    _KMEANS_CTE pattern for supervised learning): hashed bag-of-words
+    features; per epoch score -> sign(0)=-1 predict -> misclassified
+    set -> integer weight delta; then the pocket selection — the
+    iterate with the fewest training errors (tie -> earliest epoch).
+    Multi-referenced CTEs are MATERIALIZED (the triangle-census
+    DuckDB-inlining spill lesson)."""
+    parts = [f"""feats AS MATERIALIZED (
+      SELECT DISTINCT doc_id, bucket, CAST(1 AS BIGINT) AS x FROM (
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(string_split(w, ''), ch -> ascii(ch))),
+                 (acc, ch) -> (acc * 31 + ch) % 1000000007) % {dim} AS bucket
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+      )
+    ),
+    lab AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN list_contains(string_split(text, ' '), 'spark')
+                  THEN 1 ELSE -1 END AS y
+      FROM documents)"""]
+    prev = None
+    for e in range(1, epochs + 2):
+        if prev is None:
+            parts.append(f"s{e} AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS s FROM lab)")
+        else:
+            parts.append(f"""raw_s{e} AS (
+      SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT) AS s
+      FROM feats f JOIN {prev} w USING (bucket) GROUP BY f.doc_id
+    ),
+    s{e} AS (SELECT l.doc_id, l.y, COALESCE(r.s, 0) AS s
+             FROM lab l LEFT JOIN raw_s{e} r USING (doc_id))""")
+        parts.append(f"""e{e} AS MATERIALIZED (SELECT doc_id, y FROM s{e}
+             WHERE (CASE WHEN s > 0 THEN 1 ELSE -1 END) <> y)""")
+        if e == epochs + 1:
+            break  # e{epochs+1} evaluates the LAST iterate; no update
+        parts.append(f"""d{e} AS (SELECT f.bucket, CAST(sum(f.x * e.y) AS BIGINT) AS d
+             FROM feats f JOIN e{e} e USING (doc_id) GROUP BY f.bucket)""")
+        if prev is None:
+            parts.append(f"w{e} AS MATERIALIZED (SELECT bucket, d AS w FROM d{e})")
+        else:
+            parts.append(f"""w{e} AS MATERIALIZED (
+      SELECT COALESCE(w.bucket, d.bucket) AS bucket,
+             CAST(COALESCE(w.w, 0) + COALESCE(d.d, 0) AS BIGINT) AS w
+      FROM {prev} w FULL OUTER JOIN d{e} d ON w.bucket = d.bucket)""")
+        prev = f"w{e}"
+    pocket_rows = ", ".join(
+        f"({k}, (SELECT count(*) FROM e{k + 1}))" for k in range(1, epochs + 1)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS k, bucket, w FROM w{k}" for k in range(1, epochs + 1)
+    )
+    parts.append(f"""kbest AS (
+      SELECT k FROM (VALUES {pocket_rows}) t(k, n) ORDER BY n ASC, k ASC LIMIT 1
+    ),
+    pocket_w AS (SELECT bucket, w FROM ({union})
+                 WHERE k = (SELECT k FROM kbest) AND w <> 0)""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "text_classifier_train",
+    oracle=f"""
+    WITH {_perceptron_ctes(16, 1024)}
+    SELECT bucket, w FROM pocket_w
+    """,
+)
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN a linear corpus filter relationally: 16-epoch POCKET
+    perceptron (Gallant 1990) on 1024 hashed bag-of-words buckets —
+    the fastText-style learned relevance/quality filter (CCNet, LLaMA
+    pipelines), with the ITERATIVE SUPERVISED TRAINING itself under
+    the value-hash oracle. The target is docs containing the token
+    'spark' — a separable function of the feature space, so training
+    accuracy is measurable (pocket error 1/500 at sf0.01; the fixture's
+    `lang`/`source` labels are uncorrelated with their text by
+    construction, so no content model can learn them). Integer-exact
+    end-to-end (counts x integer weights, sign(0) pinned to -1,
+    pocket picks the fewest-errors iterate, tie -> earliest), so the
+    unrolled epoch replay in SQL matches bit-for-bit. Output = the
+    trained model: (bucket, w != 0) — a broadcast-sized relation. Per
+    epoch: one broadcast weight join + one doc-keyed score shuffle +
+    one D-bounded delta aggregate + one scalar error count (bounded
+    driver control flow, the connected_components contract). See
+    operators/classifier.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    label = F.when(F.array_contains(F.split(F.col("text"), " "), "spark"), 1).otherwise(-1)
+    return C.perceptron_train(docs, label, epochs=16, dim=1024)
+
+
+@register(
+    "text_classifier_eval",
+    oracle=f"""
+    WITH {_perceptron_ctes(16, 1024)},
+    final_s AS (
+      SELECT l.doc_id, l.y, COALESCE(r.s, 0) AS s
+      FROM lab l LEFT JOIN (
+        SELECT f.doc_id, CAST(sum(f.x * w.w) AS BIGINT) AS s
+        FROM feats f JOIN pocket_w w USING (bucket) GROUP BY f.doc_id
+      ) r USING (doc_id)
+    )
+    SELECT y, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos
+    FROM final_s GROUP BY y
+    """,
+)
+def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned filter (the 100 TB shape: one broadcast
+    model join + one doc-keyed aggregate) and report the confusion by
+    true class — (y, n, n_pred_pos) gives training
+    precision/recall directly. Trains the same 16-epoch pocket model
+    as `text_classifier_train` (shared deterministic pipeline),
+    scores every document, aggregates. The oracle replays training
+    AND scoring in one unrolled SQL chain."""
+    docs = load_table(spark, "documents", sf_dir)
+    label = F.when(F.array_contains(F.split(F.col("text"), " "), "spark"), 1).otherwise(-1)
+    w = C.perceptron_train(docs, label, epochs=16, dim=1024)
+    scored = C.perceptron_score(docs, w)
+    truth = docs.select("doc_id", label.cast("long").alias("y"))
+    return (
+        truth.join(scored, "doc_id")
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("long").alias("n_pred_pos"),
+        )
     )

@@ -502,3 +502,33 @@ def test_lakehouse_error_paths(spark, sf_dir, tmp_path):
         LH.files_at_version(path, -1)
     with pytest.raises(ValueError, match="merge needs"):
         LH.merge(spark, path, "o_orderkey")
+
+
+def test_perceptron_pocket_learns_separable_target(spark, sf_dir):
+    """The pocket perceptron must actually LEARN the separable
+    contains-'spark' target — ≥95% training accuracy — not settle at
+    the majority-class solution (77% base rate), which is where plain
+    full-batch iterates cycle. Guards the binary-feature + pocket
+    dynamics against regressions."""
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators import classifier as C
+
+    docs = load_table(spark, "documents", sf_dir)
+    label = F.when(
+        F.array_contains(F.split(F.col("text"), " "), "spark"), 1
+    ).otherwise(-1)
+    w = C.perceptron_train(docs, label, epochs=16, dim=1024)
+    scored = C.perceptron_score(docs, w)
+    truth = docs.select("doc_id", label.cast("long").alias("y"))
+    stats = (
+        truth.join(scored, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0)).alias("ok"),
+        )
+        .first()
+    )
+    acc = stats.ok / stats.n
+    assert acc >= 0.95, f"pocket perceptron accuracy {acc:.3f} < 0.95"
