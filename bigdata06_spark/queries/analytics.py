@@ -3767,3 +3767,58 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders_rows.crossJoin(orphan_o).crossJoin(orphan_li).crossJoin(li_checks)
     )
+
+
+@register(
+    "dq_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty_units,
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_discount_violations
+    FROM lineitem
+    """,
+)
+def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INLINE observed metrics (`df.observe` / the Observation API):
+    data-quality counters computed ON THE SAME PASS as a real
+    consuming pipeline — the scan that feeds a revenue aggregate also
+    emits row count, null count, an integer volume total, and a range
+    violation count, with NO second scan of the fact (at 100 TB the
+    audit otherwise doubles the I/O bill; this is also the only
+    metrics path available inside a structured-streaming query).
+    Deterministic integer metrics, so the oracle recomputes them
+    directly; the pipeline's own aggregate is executed (that action
+    is what materializes the observation) and discarded."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("n_null_returnflag"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty_units"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("n_discount_violations"),
+    )
+    # the consuming pipeline — its action materializes the metrics
+    observed.groupBy("l_returnflag").agg(
+        F.sum("l_extendedprice").alias("revenue")
+    ).collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_returnflag"],
+                m["total_qty_units"],
+                m["n_discount_violations"],
+            )
+        ],
+        "n_rows long, n_null_returnflag long, total_qty_units long, "
+        "n_discount_violations long",
+    )

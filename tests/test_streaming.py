@@ -661,3 +661,35 @@ def test_foreach_batch_cdc_multi_op_without_seq_fails_loud(spark, sf_dir, tmp_pa
             stream, table, key, str(tmp_path / "ckpt"), op_col="op"
         )
         q.awaitTermination(180)
+
+
+def test_streaming_progress_listener_accounting(spark, sf_dir):
+    """StreamingQueryListener observability: the recorded progress
+    must account for EXACTLY the input rows the replay processed, and
+    a stateful (windowed) query must surface bounded state-operator
+    metrics — the leak-detection signal the 100 TB designs watch."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.streaming import ops as SO
+    from bigdata06_spark.streaming.monitor import ProgressRecorder
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        SO.run_to_table(
+            SO.tumbling_counts(SO.stream_events(spark, sf_dir)), "complete"
+        )
+        # listener events are delivered asynchronously on the driver
+        deadline = time.time() + 30
+        n_events = load_table(spark, "events", sf_dir).count()
+        while time.time() < deadline and rec.total_input_rows() < n_events:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+    assert rec.started, "onQueryStarted never fired"
+    assert rec.total_input_rows() == n_events
+    assert rec.max_state_rows() > 0, "stateful agg surfaced no state metrics"
+    assert all(p["batchId"] is not None for p in rec.progress)
