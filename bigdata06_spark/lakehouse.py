@@ -152,7 +152,8 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
 def merge(spark: SparkSession, path: str, key: str,
           updates: DataFrame | None = None,
           delete_keys: DataFrame | None = None,
-          inserts: DataFrame | None = None) -> int:
+          inserts: DataFrame | None = None,
+          merge_schema: bool = False) -> int:
     """Copy-on-write MERGE: apply column updates (matched by `key`)
     and/or deletes, producing a new version. Only data files whose
     [min, max] range of `key` overlaps a touched key are rewritten;
@@ -165,6 +166,35 @@ def merge(spark: SparkSession, path: str, key: str,
     triples and the file lists it must hand the scanner anyway."""
     prev_v = current_version(path)
     snapshot = read_version(spark, path, prev_v)
+
+    # AUTOMATIC SCHEMA EVOLUTION on merge (Delta's mergeSchema):
+    # columns present in the change relations but absent from the
+    # snapshot are ADDED — recorded as schema_adds in this version's
+    # log entry, so carried-over files read them as typed NULLs and
+    # later rewrites materialize real values. Off by default: without
+    # merge_schema=True an unknown column is a loud error, not a
+    # silent drop (a typo'd column name should not evolve the table).
+    known = set(snapshot.columns)
+    new_cols: dict[str, str] = {}
+    for rel in (updates, inserts):
+        if rel is None:
+            continue
+        for f in rel.schema.fields:
+            if f.name not in known and f.name != key and f.name not in new_cols:
+                new_cols[f.name] = f.dataType.simpleString()
+    if new_cols and not merge_schema:
+        raise ValueError(
+            f"change relations carry columns not in the table schema "
+            f"{sorted(new_cols)}; pass merge_schema=True to evolve, or fix "
+            f"the column names"
+        )
+    schema_adds = [{"column": c, "type": t} for c, t in sorted(new_cols.items())]
+
+    def _commit(version: int, add: list[str], remove: list[str]) -> None:
+        entry: dict = {"add": sorted(add), "remove": sorted(remove)}
+        if schema_adds:
+            entry["schema_adds"] = schema_adds
+        _commit_log(path, version, entry)
 
     touched = None
     for rel in (updates, delete_keys):
@@ -181,7 +211,7 @@ def merge(spark: SparkSession, path: str, key: str,
         new_rows.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, _DATA, sub)
         )
-        _write_log(path, new_v, _list_data_files(path, sub), [])
+        _commit(new_v, _list_data_files(path, sub), [])
         return new_v
 
     # Per-FILE overlap test, not one global bounding box: a scattered
@@ -230,7 +260,7 @@ def merge(spark: SparkSession, path: str, key: str,
         new_rows.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, _DATA, sub)
         )
-        _write_log(path, new_v, _list_data_files(path, sub), [])
+        _commit(new_v, _list_data_files(path, sub), [])
         return new_v
 
     rewrite_src = spark.read.option("mergeSchema", "true").parquet(
@@ -265,8 +295,15 @@ def merge(spark: SparkSession, path: str, key: str,
         )
         out = out.join(F.broadcast(renamed), key, "left")
         for c in upd_cols:
-            out = out.withColumn(c, F.coalesce(F.col(f"_u_{c}"), F.col(c))).drop(f"_u_{c}")
-        out = out.select(*rewrite_src.columns)
+            if c in rewrite_src.columns:
+                out = out.withColumn(c, F.coalesce(F.col(f"_u_{c}"), F.col(c)))
+            else:  # evolved column: update rows get the value, rest NULL
+                out = out.withColumn(c, F.col(f"_u_{c}"))
+            out = out.drop(f"_u_{c}")
+        out = out.select(
+            *rewrite_src.columns,
+            *[c for c in new_cols if c in out.columns and c not in rewrite_src.columns],
+        )
 
     new_v = prev_v + 1
     sub = _new_sub(new_v)
@@ -280,13 +317,17 @@ def merge(spark: SparkSession, path: str, key: str,
         # INSERT leg: keys absent from the snapshot append as new
         # files — no rewrite; the defensive anti-join makes the leg
         # idempotent under replay (a re-delivered row is an update)
-        new_rows = inserts.join(snapshot.select(key), key, "left_anti").select(
-            *out.columns
-        )
+        new_rows = inserts.join(snapshot.select(key), key, "left_anti")
+        for c in out.columns:
+            if c not in new_rows.columns:
+                new_rows = new_rows.withColumn(
+                    c, F.lit(None).cast(dict(out.dtypes)[c])
+                )
+        new_rows = new_rows.select(*out.columns)
         new_rows.coalesce(1).write.mode("append").parquet(
             os.path.join(path, _DATA, sub)
         )
-    _write_log(path, new_v, _list_data_files(path, sub), affected)
+    _commit(new_v, _list_data_files(path, sub), affected)
     return new_v
 
 

@@ -1765,3 +1765,40 @@ def test_lakehouse_row_level_cdf(spark, sf_dir, tmp_path):
     )
     # empty range → empty frame with the _change_type column
     assert LH.read_row_changes(spark, path, "o_orderkey", v1, v1).count() == 0
+
+
+def test_lakehouse_merge_schema_evolution(spark, sf_dir, tmp_path):
+    """MERGE with merge_schema=True: a new column in the change
+    relations evolves the table — update rows carry the value,
+    carried-over rows read NULL, and later reads see the column
+    everywhere. Without the flag, the unknown column fails loudly."""
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_evolve")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    hi = o.agg(F.max("o_orderkey")).first()[0]
+    upd = spark.createDataFrame(
+        [(k, 9.0, "gold")], "o_orderkey long, o_totalprice double, tier string"
+    )
+    ins = spark.createDataFrame(
+        [(hi + 7, 1.0, "new")], "o_orderkey long, o_totalprice double, tier string"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        LH.merge(spark, path, "o_orderkey", updates=upd)
+    v1 = LH.merge(
+        spark, path, "o_orderkey", updates=upd, inserts=ins, merge_schema=True
+    )
+    cur = LH.read_version(spark, path, v1)
+    assert "tier" in cur.columns
+    got = {r.o_orderkey: r.tier for r in cur.filter(F.col("o_orderkey").isin([k, hi + 7, k + 1])).collect()}
+    assert got[k] == "gold" and got[hi + 7] == "new" and got[k + 1] is None
+    # untouched-file rows read NULL via the logged schema_add
+    n_null = cur.filter(F.col("tier").isNull()).count()
+    assert n_null == cur.count() - 2
+    # v0 remains evolution-free
+    assert "tier" not in LH.read_version(spark, path, 0).columns

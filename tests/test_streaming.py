@@ -693,3 +693,60 @@ def test_streaming_progress_listener_accounting(spark, sf_dir):
     assert rec.total_input_rows() == n_events
     assert rec.max_state_rows() > 0, "stateful agg surfaced no state metrics"
     assert all(p["batchId"] is not None for p in rec.progress)
+
+
+def test_lakehouse_cdf_stream_source_incremental(spark, sf_dir, tmp_path):
+    """The lakehouse table as a STREAMING SOURCE: availableNow drains
+    version 0; after a merge commits version 1, resuming from the same
+    checkpoint emits ONLY version 1's added rows (with their
+    _commit_version) — the Delta-streaming-source contract, so tables
+    chain into incremental pipelines."""
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sources import lakehouse_datasource as LDS
+
+    table = str(tmp_path / "lh_src")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice").limit(200)
+    n0 = o.count()
+    LH.table_init(o, table, "o_orderkey", n_files=2)
+    LDS.register(spark)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    got0 = spark.read.parquet(out_dir)
+    assert got0.count() == n0
+    assert got0.agg(F.max("_commit_version")).first()[0] == 0
+
+    hi = o.agg(F.max("o_orderkey")).first()[0]
+    batch = spark.createDataFrame(
+        [(hi + 1, 1.5), (hi + 2, 2.5)], "o_orderkey long, o_totalprice double"
+    )
+    v1 = LH.merge(spark, table, "o_orderkey", inserts=batch)
+    drain()
+    got1 = spark.read.parquet(out_dir)
+    new = got1.filter(F.col("_commit_version") == v1)
+    assert got1.count() == n0 + 2
+    assert sorted((r.o_orderkey, r.o_totalprice) for r in new.collect()) == [
+        (hi + 1, 1.5),
+        (hi + 2, 2.5),
+    ]
+
+    # idle resume: nothing new → no extra rows
+    drain()
+    assert spark.read.parquet(out_dir).count() == n0 + 2
