@@ -304,6 +304,12 @@ def merge(spark: SparkSession, path: str, key: str,
             *rewrite_src.columns,
             *[c for c in new_cols if c in out.columns and c not in rewrite_src.columns],
         )
+    # evolved columns carried ONLY by inserts (not updates) must still
+    # exist in the rewrite output, else the insert leg's select below
+    # would silently drop their values from the appended file
+    for c, t in new_cols.items():
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast(t))
 
     new_v = prev_v + 1
     sub = _new_sub(new_v)

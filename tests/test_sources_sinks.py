@@ -1802,3 +1802,28 @@ def test_lakehouse_merge_schema_evolution(spark, sf_dir, tmp_path):
     assert n_null == cur.count() - 2
     # v0 remains evolution-free
     assert "tier" not in LH.read_version(spark, path, 0).columns
+
+
+def test_lakehouse_merge_schema_evolution_insert_only_column(spark, sf_dir, tmp_path):
+    """An evolved column carried ONLY by the insert relation (updates
+    touch different columns) must land with its values — not be
+    dropped by the rewrite leg's column alignment."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_evolve_ins")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    hi = o.agg(F.max("o_orderkey")).first()[0]
+    upd = spark.createDataFrame([(k, 5.0)], "o_orderkey long, o_totalprice double")
+    ins = spark.createDataFrame(
+        [(hi + 3, 7.0, "fresh")], "o_orderkey long, o_totalprice double, origin string"
+    )
+    v1 = LH.merge(
+        spark, path, "o_orderkey", updates=upd, inserts=ins, merge_schema=True
+    )
+    cur = LH.read_version(spark, path, v1)
+    row = cur.filter(F.col("o_orderkey") == hi + 3).first()
+    assert row.origin == "fresh" and row.o_totalprice == 7.0
+    assert cur.filter(F.col("o_orderkey") == k).first().origin is None
