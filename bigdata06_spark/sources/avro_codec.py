@@ -158,6 +158,12 @@ def _encoder(schema: Any) -> Callable[[io.BytesIO, Any], None]:
     t = schema["type"]
     if schema.get("logicalType") == "decimal":
         return _decimal_encoder(schema)
+    if schema.get("logicalType") in ("timestamp-millis", "local-timestamp-millis"):
+        # engine-internal timestamps are MICROSECONDS; the millis
+        # logical types convert at the codec boundary so every
+        # consumer sees one unit (Kafka-Connect-style interchange
+        # files default to millis)
+        return lambda out, v: write_long(out, v // 1000)
     if t == "record":
         field_encs = [(f["name"], _encoder(f["type"])) for f in schema["fields"]]
 
@@ -248,6 +254,8 @@ def _decoder(schema: Any) -> Callable[[io.BytesIO], Any]:
     t = schema["type"]
     if schema.get("logicalType") == "decimal":
         return _decimal_decoder(schema)
+    if schema.get("logicalType") in ("timestamp-millis", "local-timestamp-millis"):
+        return lambda buf: read_long(buf) * 1000  # millis → µs (see encoder)
     if t == "record":
         field_decs = [(f["name"], _decoder(f["type"])) for f in schema["fields"]]
 

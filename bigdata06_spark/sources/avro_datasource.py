@@ -124,9 +124,10 @@ def avro_to_spark(schema) -> T.DataType:
             raise ValueError("only unions of null with one type map to Spark")
         return avro_to_spark(non_null[0])
     lt = schema.get("logicalType")
-    if lt == "timestamp-micros":
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        # millis files normalize to µs at the codec boundary
         return T.TimestampType()
-    if lt == "local-timestamp-micros":
+    if lt in ("local-timestamp-micros", "local-timestamp-millis"):
         return T.TimestampNTZType()
     if lt == "date":
         return T.DateType()

@@ -1827,3 +1827,68 @@ def test_lakehouse_merge_schema_evolution_insert_only_column(spark, sf_dir, tmp_
     row = cur.filter(F.col("o_orderkey") == hi + 3).first()
     assert row.origin == "fresh" and row.o_totalprice == 7.0
     assert cur.filter(F.col("o_orderkey") == k).first().origin is None
+
+
+def test_avro_timestamp_millis_conformance_vs_jvm(spark, tmp_path):
+    """timestamp-millis (the Kafka-Connect interchange default):
+    JVM-written millis files decode to the engine's internal
+    microseconds, and a millis-schema file written here reads back
+    with JVM semantics — values cross-validated both directions."""
+    import io
+
+    from bigdata06_spark.sources import avro_codec as A
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        ],
+    }
+    schema_json = json.dumps(schema)
+    ms_values = [(0, 1700000000123), (1, 1700000001456)]
+
+    # JVM writes raw millis longs → we read µs
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    jfile = str(tmp_path / "java_ms.avro")
+    dfw.create(jschema, jvm.java.io.File(jfile))
+    for i, ms in ms_values:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", i)
+        rec.put("ts", ms)
+        dfw.append(rec)
+    dfw.close()
+    with open(jfile, "rb") as fh:
+        _, it = A.read_container(fh)
+        assert list(it) == [{"id": i, "ts": ms * 1000} for i, ms in ms_values]
+
+    # we write µs through a millis schema → JVM reads raw millis
+    buf = io.BytesIO()
+    A.write_container(
+        buf, schema_json,
+        [{"id": i, "ts": ms * 1000} for i, ms in ms_values],
+        codec="null", sync=b"0123456789abcdef",
+    )
+    pfile = str(tmp_path / "py_ms.avro")
+    with open(pfile, "wb") as fh:
+        fh.write(buf.getvalue())
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(pfile), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while dfr.hasNext():
+        r = dfr.next()
+        got.append((r.get("id"), r.get("ts")))
+    dfr.close()
+    assert got == ms_values
+
+    # spark-side read maps the logical type to TimestampType
+    from bigdata06_spark.sources.avro_datasource import avro_to_spark
+
+    st = avro_to_spark(schema)
+    assert st["ts"].dataType == T.TimestampType()
