@@ -188,3 +188,60 @@ def test_allpairs_blocked_block_count_invariant(spark, n_vec, n_blocks, seed):
         for r in allpairs_blocked(df, threshold=-2.0, n_blocks=4).collect()
     )
     assert got == base
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(ops=st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete", "insert", "optimize", "checkpoint"]),
+        st.lists(st.integers(0, 49), min_size=1, max_size=8),
+        st.integers(0, 10**6),
+    ),
+    min_size=1, max_size=6,
+))
+def test_lakehouse_model_based_random_op_sequences(spark, tmp_path_factory, ops):
+    """MODEL-BASED check of the table format: a random sequence of
+    upsert/delete/insert/OPTIMIZE/log-checkpoint operations must leave
+    the table equal to a plain dict model applying the same ops — and
+    after every op, the CURRENT version must read back exactly the
+    model state (log replay, COW rewrites, file carry-over, compaction
+    and checkpoint squashing all composed). Keys are drawn from a
+    small domain so update/delete/insert legs constantly collide."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path_factory.mktemp("lh_model") / "t")
+    init_rows = [(k, float(k * 10)) for k in range(0, 30)]
+    model = dict(init_rows)
+    df = spark.createDataFrame(init_rows, "k long, v double")
+    LH.table_init(df, path, "k", n_files=4)
+
+    for op, keys, val in ops:
+        keys = sorted(set(keys))
+        if op == "upsert":
+            rows = [(k, float(val + k)) for k in keys]
+            rel = spark.createDataFrame(rows, "k long, v double")
+            LH.merge(spark, path, "k", updates=rel, inserts=rel)
+            for k, v in rows:
+                model[k] = v
+        elif op == "delete":
+            rel = spark.createDataFrame([(k,) for k in keys], "k long")
+            LH.merge(spark, path, "k", delete_keys=rel)
+            for k in keys:
+                model.pop(k, None)
+        elif op == "insert":
+            rows = [(k, float(val - k)) for k in keys]
+            rel = spark.createDataFrame(rows, "k long, v double")
+            LH.merge(spark, path, "k", inserts=rel)
+            for k, v in rows:
+                model.setdefault(k, v)  # insert leg: existing keys untouched
+        elif op == "optimize":
+            LH.optimize(spark, path, "k", n_files=2)
+        elif op == "checkpoint":
+            LH.checkpoint_log(path)
+        got = {
+            r.k: r.v
+            for r in LH.read_version(spark, path, LH.current_version(path)).collect()
+        }
+        assert got == model, f"after {op}({keys}): {got} != {model}"
