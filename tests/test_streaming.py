@@ -750,3 +750,63 @@ def test_lakehouse_cdf_stream_source_incremental(spark, sf_dir, tmp_path):
     # idle resume: nothing new → no extra rows
     drain()
     assert spark.read.parquet(out_dir).count() == n0 + 2
+
+
+def test_lakehouse_table_to_table_incremental_pipeline(spark, sf_dir, tmp_path):
+    """END-TO-END incremental pipeline: table A streams out through
+    the CDF source, a transformation runs per micro-batch, and the
+    result MERGEs into table B — the medallion (bronze→silver) chain.
+    After an append to A and a resumed run, B must equal the full
+    recompute over A's current state, having processed only A's new
+    version."""
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.sources import lakehouse_datasource as LDS
+    from bigdata06_spark.streaming.sinks import foreach_batch_lakehouse_merge
+
+    a_path = str(tmp_path / "bronze")
+    b_path = str(tmp_path / "silver")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice").limit(100)
+    LH.table_init(o, a_path, "o_orderkey", n_files=2)
+    LDS.register(spark)
+    # silver starts from bronze v0's transform
+    t0 = o.select("o_orderkey", (F.col("o_totalprice") * 2).alias("doubled"))
+    LH.table_init(t0.limit(0), b_path, "o_orderkey", n_files=1)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_pipeline():
+        stream = (
+            spark.readStream.format("lakehouse_cdf")
+            .option("path", a_path)
+            .load()
+            .select("o_orderkey", (F.col("o_totalprice") * 2).alias("doubled"))
+        )
+        q = foreach_batch_lakehouse_merge(stream, b_path, "o_orderkey", ckpt)
+        q.awaitTermination(180)
+
+    run_pipeline()
+    b1 = LH.read_version(spark, b_path, LH.current_version(b_path))
+    assert b1.count() == 100
+
+    hi = o.agg(F.max("o_orderkey")).first()[0]
+    batch = spark.createDataFrame(
+        [(hi + 1, 10.0), (hi + 2, 20.0)], "o_orderkey long, o_totalprice double"
+    )
+    LH.merge(spark, a_path, "o_orderkey", inserts=batch)
+    run_pipeline()
+
+    got = sorted(
+        map(tuple, LH.read_version(spark, b_path, LH.current_version(b_path)).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            LH.read_version(spark, a_path, LH.current_version(a_path))
+            .select("o_orderkey", (F.col("o_totalprice") * 2).alias("doubled"))
+            .collect(),
+        )
+    )
+    assert got == want
