@@ -1602,6 +1602,56 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_recursive_spine_sql("STRING", " MAX RECURSION LEVEL 500"))
 
 
+def _exp_smoothing_sql(str_type: str, idiv: str, level_clause: str = "") -> str:
+    """Shared recursive exponential-smoothing text. Dialect splits:
+    string type name, integer-division spelling (Spark `div`, DuckDB
+    `//` — identical on the positive cents here, where floor = trunc),
+    and Spark's MAX RECURSION LEVEL clause."""
+    return f"""
+    WITH RECURSIVE m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents,
+             row_number() OVER (ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE))
+               AS i
+      FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+    ),
+    sm(i, mo, cents, s){level_clause} AS (
+      SELECT i, mo, cents, cents FROM m WHERE i = 1
+      UNION ALL
+      SELECT m.i, m.mo, m.cents, (3 * sm.s + m.cents) {idiv} 4
+      FROM m JOIN sm ON m.i = sm.i + 1
+    )
+    SELECT CAST(mo AS {str_type}) AS month_start,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(s AS BIGINT) AS smoothed_cents
+    FROM sm
+"""
+
+
+@register(
+    "forecast_exp_smoothing",
+    oracle=_exp_smoothing_sql("VARCHAR", "//"),
+)
+def forecast_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL time-series recursion as a recursive CTE: integer
+    exponential smoothing of monthly revenue — s₁ = x₁,
+    sₜ = ⌊(3·sₜ₋₁ + xₜ)/4⌋ (α = 1/4 as exact rational arithmetic on
+    cents) — the trend-following smoother behind capacity forecasts,
+    expressed with NO driver loop: the recursion itself runs in the
+    engine (Spark 4 WITH RECURSIVE), one month per step over the
+    80-row monthly aggregate, never the fact table. The oracle is the
+    SAME statement up to dialect spelling (`div` vs `//`, identical on
+    positive operands; STRING vs VARCHAR), extending the recursive-CTE
+    parity pin (`sql_recursive_cte`) from spine GENERATION to genuine
+    sequential STATE. Depth = #months — bounded by the data's date
+    span, not its size; the fact scan is one month-keyed aggregate."""
+    from bigdata06_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_exp_smoothing_sql("STRING", "div", " MAX RECURSION LEVEL 500"))
+
+
 @register(
     "sql_scripting_block",
     oracle="""
