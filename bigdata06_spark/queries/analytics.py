@@ -1652,6 +1652,62 @@ def forecast_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_exp_smoothing_sql("STRING", "div", " MAX RECURSION LEVEL 500"))
 
 
+def _clamped_running_sum_sql(str_type: str, idiv: str,
+                             level_clause: str = "") -> str:
+    """Shared recursive clamped-running-sum text (dialect splits as
+    `_exp_smoothing_sql`). Inventory semantics: monthly net movement
+    (shipped minus returned units, centered on the mean month so the
+    series oscillates), accumulated under a [0, 5000] clamp."""
+    return f"""
+    WITH RECURSIVE m0 AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN -CAST(l_quantity AS BIGINT)
+                           ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS net
+      FROM lineitem GROUP BY CAST(date_trunc('month', l_shipdate) AS DATE)
+    ),
+    m AS (
+      SELECT mo, net - (SELECT sum(net) {idiv} count(*) FROM m0) AS delta,
+             row_number() OVER (ORDER BY mo) AS i
+      FROM m0
+    ),
+    inv(i, mo, delta, level){level_clause} AS (
+      SELECT i, mo, delta, greatest(0, least(5000, delta)) FROM m WHERE i = 1
+      UNION ALL
+      SELECT m.i, m.mo, m.delta,
+             greatest(0, least(5000, inv.level + m.delta))
+      FROM m JOIN inv ON m.i = inv.i + 1
+    )
+    SELECT CAST(mo AS {str_type}) AS month_start,
+           CAST(delta AS BIGINT) AS net_delta,
+           CAST(level AS BIGINT) AS stock_level
+    FROM inv
+"""
+
+
+@register(
+    "inventory_clamped_running_sum",
+    oracle=_clamped_running_sum_sql("VARCHAR", "//"),
+)
+def inventory_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLAMPED running sum — the textbook sequential computation a
+    window CANNOT express (each month's stock level depends on whether
+    EARLIER clamps bound: levelₜ = max(0, min(cap, levelₜ₋₁ + Δₜ)),
+    warehouse capacity on top / stock-out at 0 below — a cumulative
+    `sum() OVER` has no way to re-anchor after saturation). Runs as a
+    recursive CTE in the engine, one step per month over the 83-row
+    monthly aggregate; on this data both clamps genuinely bind (6
+    stock-outs, 15 capacity saturations), so the oracle match proves
+    the sequential semantics, not just an unclamped cumsum. Dialect
+    parity as `forecast_exp_smoothing`."""
+    from bigdata06_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _clamped_running_sum_sql("STRING", "div", " MAX RECURSION LEVEL 500")
+    )
+
+
 @register(
     "sql_scripting_block",
     oracle="""
