@@ -75,6 +75,9 @@ HEADLINE = [
     "embedding_pq_codes",
     # the composed billion-scale ANN index (kmeans cells + PQ + rerank)
     "knn_ivfpq",
+    # r4: iterative supervised learning + engine-side recursion
+    "text_classifier_train",
+    "forecast_exp_smoothing",
 ]
 
 

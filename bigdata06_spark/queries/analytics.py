@@ -1602,20 +1602,33 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_recursive_spine_sql("STRING", " MAX RECURSION LEVEL 500"))
 
 
-def _exp_smoothing_sql(str_type: str, idiv: str, level_clause: str = "") -> str:
-    """Shared recursive exponential-smoothing text. Dialect splits:
-    string type name, integer-division spelling (Spark `div`, DuckDB
-    `//` — identical on the positive cents here, where floor = trunc),
-    and Spark's MAX RECURSION LEVEL clause."""
-    return f"""
-    WITH RECURSIVE m AS (
+_MONTHLY_REV_SQL = """
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents,
              row_number() OVER (ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE))
                AS i
       FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
-    ),
+"""
+
+
+def _exp_smoothing_sql(str_type: str, idiv: str, level_clause: str = "",
+                       m_source: str | None = None) -> str:
+    """Shared recursive exponential-smoothing text. Dialect splits:
+    string type name, integer-division spelling (Spark `div`, DuckDB
+    `//` — identical on the positive cents here, where floor = trunc),
+    and Spark's MAX RECURSION LEVEL clause. `m_source` swaps the
+    monthly-aggregate CTE body for a PRE-MATERIALIZED relation on the
+    Spark side: each recursion step references `m`, and without
+    materialization the engine re-runs the fact aggregate once PER
+    MONTH STEP — measured 24-45s at sf0.1 vs ~7-9s anchored on an
+    80-row checkpointed view, the remainder being the per-iteration
+    machinery cost, FLAT in data size (DuckDB gets AS MATERIALIZED
+    for the same reason)."""
+    m_body = m_source or _MONTHLY_REV_SQL
+    mat = "" if m_source else " MATERIALIZED"
+    return f"""
+    WITH RECURSIVE m AS{mat} ({m_body}),
     sm(i, mo, cents, s){level_clause} AS (
       SELECT i, mo, cents, cents FROM m WHERE i = 1
       UNION ALL
@@ -1649,28 +1662,47 @@ def forecast_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata06_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_exp_smoothing_sql("STRING", "div", " MAX RECURSION LEVEL 500"))
+    # materialize the 80-row monthly aggregate ONCE; the recursion
+    # anchors on the checkpointed view instead of re-aggregating the
+    # fact per step (see _exp_smoothing_sql)
+    spark.sql(f"SELECT * FROM ({_MONTHLY_REV_SQL})").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("monthly_rev_cents")
+    return spark.sql(
+        _exp_smoothing_sql(
+            "STRING", "div", " MAX RECURSION LEVEL 500",
+            m_source="SELECT * FROM monthly_rev_cents",
+        )
+    )
+
+
+def _monthly_net_sql(idiv: str) -> str:
+    return f"""
+      SELECT mo,
+             net - ((sum(net) OVER ()) {idiv} (count(*) OVER ())) AS delta,
+             row_number() OVER (ORDER BY mo) AS i
+      FROM (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                             THEN -CAST(l_quantity AS BIGINT)
+                             ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS net
+        FROM lineitem GROUP BY CAST(date_trunc('month', l_shipdate) AS DATE)
+      ) m0
+"""
 
 
 def _clamped_running_sum_sql(str_type: str, idiv: str,
-                             level_clause: str = "") -> str:
-    """Shared recursive clamped-running-sum text (dialect splits as
-    `_exp_smoothing_sql`). Inventory semantics: monthly net movement
-    (shipped minus returned units, centered on the mean month so the
-    series oscillates), accumulated under a [0, 5000] clamp."""
+                             level_clause: str = "",
+                             m_source: str | None = None) -> str:
+    """Shared recursive clamped-running-sum text (dialect splits and
+    the `m_source` pre-materialization lever as `_exp_smoothing_sql`).
+    Inventory semantics: monthly net movement (shipped minus returned
+    units, centered on the mean month so the series oscillates),
+    accumulated under a [0, 5000] clamp."""
+    m_body = m_source or _monthly_net_sql(idiv)
+    mat = "" if m_source else " MATERIALIZED"
     return f"""
-    WITH RECURSIVE m0 AS (
-      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
-             CAST(sum(CASE WHEN l_returnflag = 'R'
-                           THEN -CAST(l_quantity AS BIGINT)
-                           ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS net
-      FROM lineitem GROUP BY CAST(date_trunc('month', l_shipdate) AS DATE)
-    ),
-    m AS (
-      SELECT mo, net - (SELECT sum(net) {idiv} count(*) FROM m0) AS delta,
-             row_number() OVER (ORDER BY mo) AS i
-      FROM m0
-    ),
+    WITH RECURSIVE m AS{mat} ({m_body}),
     inv(i, mo, delta, level){level_clause} AS (
       SELECT i, mo, delta, greatest(0, least(5000, delta)) FROM m WHERE i = 1
       UNION ALL
@@ -1703,8 +1735,14 @@ def inventory_clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame
     from bigdata06_spark.catalog import register_views
 
     register_views(spark, sf_dir)
+    spark.sql(f"SELECT * FROM ({_monthly_net_sql('div')})").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("monthly_net_units")
     return spark.sql(
-        _clamped_running_sum_sql("STRING", "div", " MAX RECURSION LEVEL 500")
+        _clamped_running_sum_sql(
+            "STRING", "div", " MAX RECURSION LEVEL 500",
+            m_source="SELECT * FROM monthly_net_units",
+        )
     )
 
 
