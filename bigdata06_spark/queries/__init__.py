@@ -105,6 +105,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "dedup_semantic_scaled", "lakehouse_mv_incremental",
         "text_classifier_train", "text_classifier_eval",
         "dq_observed_metrics",
+        "forecast_exp_smoothing", "inventory_clamped_running_sum",
         # previously-sampled families keep flagship representation
         "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
         "q18_large_volume_customers",
