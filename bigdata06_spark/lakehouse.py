@@ -91,6 +91,16 @@ def _new_sub(version: int) -> str:
     return f"v{version}-{uuid.uuid4().hex[:8]}"
 
 
+def _sub_version(subdir: str) -> int | None:
+    """Target version encoded in a data subdirectory name
+    (`v<N>-<attempt>`), or None for non-standard names. Vacuum uses
+    this to recognize in-flight writers' attempt directories."""
+    if not subdir.startswith("v"):
+        return None
+    head = subdir[1:].split("-", 1)[0]
+    return int(head) if head.isdigit() else None
+
+
 def current_version(path: str) -> int:
     try:
         versions = [
@@ -253,7 +263,11 @@ def merge(spark: SparkSession, path: str, key: str,
         # MERGE no-op, not a reason to drop the inserts.
         new_v = prev_v + 1
         if inserts is None:
-            _write_log(path, new_v, [], [])
+            # commit via _commit (not _write_log) so schema_adds from a
+            # merge_schema=True update relation evolve the table even
+            # when the update keys match no snapshot file — Delta
+            # evolves the schema regardless of row matches
+            _commit(new_v, [], [])
             return new_v
         sub = _new_sub(new_v)
         new_rows = inserts.join(snapshot.select(key), key, "left_anti")
@@ -341,6 +355,7 @@ def merge_with_retry(spark: SparkSession, path: str, key: str,
                      updates: DataFrame | None = None,
                      delete_keys: DataFrame | None = None,
                      inserts: DataFrame | None = None,
+                     merge_schema: bool = False,
                      max_retries: int = 3) -> int:
     """MERGE under optimistic concurrency with bounded retry: on
     CommitConflictError, re-read the (now newer) snapshot and re-apply
@@ -355,7 +370,8 @@ def merge_with_retry(spark: SparkSession, path: str, key: str,
     for _ in range(max_retries + 1):
         try:
             return merge(spark, path, key, updates=updates,
-                         delete_keys=delete_keys, inserts=inserts)
+                         delete_keys=delete_keys, inserts=inserts,
+                         merge_schema=merge_schema)
         except CommitConflictError as e:
             last = e
     raise last
@@ -546,11 +562,20 @@ def vacuum(path: str, keep_versions: int = 1,
     the data/ listing — the same order as the file lists the scanner
     holds anyway; no data is read.
 
-    `min_file_age_seconds` guards a concurrent IN-FLIGHT writer: its
-    data files land before its log commit, so a vacuum racing the
-    write would see them as unreferenced. Production runs should set
-    this well above the longest commit duration (Delta defaults to
-    7 days); 0 is safe when no writer is concurrently active."""
+    IN-FLIGHT-WRITER SAFETY (two independent guards): an OCC writer
+    writes its data files BEFORE its atomic log commit, so a vacuum
+    racing it would otherwise see those files as unreferenced, delete
+    them, and let the commit land referencing missing files — a
+    corrupt table. (1) Data subdirectories whose `v<N>-` version
+    prefix EXCEEDS the committed version at vacuum start are skipped
+    outright: a writer that can still WIN its commit always targets
+    `current_version()+1` or later (a writer targeting ≤ current has
+    already lost — its commit is guaranteed CommitConflictError and
+    its files are true orphans, safe to reclaim). This closes the
+    corruption window deterministically, with no clock assumptions.
+    (2) `min_file_age_seconds` additionally age-guards everything
+    else (Delta's mechanism; Delta defaults to 7 days) — belt for
+    the suspenders, e.g. non-standard subdirectory names."""
     latest = current_version(path)
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
@@ -561,7 +586,13 @@ def vacuum(path: str, keep_versions: int = 1,
     data_root = os.path.join(path, _DATA)
     now = time.time()
     dead: list[str] = []
-    for dirpath, _dirnames, filenames in os.walk(data_root):
+    for dirpath, dirnames, filenames in os.walk(data_root):
+        if dirpath == data_root:
+            # guard (1): prune attempt dirs targeting an uncommitted
+            # future version — an in-flight writer that can still win
+            dirnames[:] = [
+                d for d in dirnames if _sub_version(d) is None or _sub_version(d) <= latest
+            ]
         for f in filenames:
             if not f.endswith(".parquet"):
                 continue

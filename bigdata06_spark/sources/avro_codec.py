@@ -334,6 +334,7 @@ def _decimal_ctx(schema: Any) -> tuple[int, int | None]:
 
 def _decimal_encoder(schema: Any) -> Callable[[io.BytesIO, Any], None]:
     scale, fixed_size = _decimal_ctx(schema)
+    precision = int(schema["precision"]) if "precision" in schema else None
 
     def enc(out: io.BytesIO, v: Any) -> None:
         unscaled_dec = decimal.Decimal(v).scaleb(scale)
@@ -341,6 +342,15 @@ def _decimal_encoder(schema: Any) -> Callable[[io.BytesIO, Any], None]:
         if unscaled != unscaled_dec:
             raise ValueError(
                 f"value {v} does not fit decimal scale {scale} exactly"
+            )
+        # loud-reject values wider than the declared precision (same
+        # policy as enum symbols / fixed sizes): a 13-digit unscaled
+        # value written into DECIMAL(12,2) would violate the declared
+        # logical type for every downstream reader
+        if precision is not None and abs(unscaled) >= 10 ** precision:
+            raise ValueError(
+                f"value {v} has more than {precision} significant digits "
+                f"(decimal precision {precision}, scale {scale})"
             )
         if fixed_size is not None:
             out.write(unscaled.to_bytes(fixed_size, "big", signed=True))

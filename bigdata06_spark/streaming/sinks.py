@@ -82,11 +82,10 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
     def apply_batch(batch_df: "DataFrame", batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if op_col is None:
-            LH.merge(
-                batch_df.sparkSession, path, key, updates=batch_df, inserts=batch_df
-            )
-            return
+        # the seq_col reduction applies in BOTH modes: a plain-upsert
+        # stream (op_col=None) with several rows per key in one batch
+        # has the same in-batch ordering problem as a changelog, and
+        # seq_col must never land in the table as a data column
         if seq_col is not None:
             w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
             batch_df = (
@@ -94,7 +93,12 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
                 .filter(F.col("_cdc_rn") == 1)
                 .drop("_cdc_rn", seq_col)
             )
-        else:
+        if op_col is None:
+            LH.merge(
+                batch_df.sparkSession, path, key, updates=batch_df, inserts=batch_df
+            )
+            return
+        if seq_col is None:
             dup = (
                 batch_df.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
             )

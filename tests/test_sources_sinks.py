@@ -1892,3 +1892,130 @@ def test_avro_timestamp_millis_conformance_vs_jvm(spark, tmp_path):
 
     st = avro_to_spark(schema)
     assert st["ts"].dataType == T.TimestampType()
+
+
+def test_lakehouse_vacuum_spares_inflight_writer_files(spark, sf_dir, tmp_path):
+    """ADVICE r4 (medium): an OCC writer's data files land BEFORE its
+    atomic log commit; a vacuum racing it must NOT delete them (the
+    commit would then reference missing files — a corrupt table).
+    Attempt dirs targeting an UNCOMMITTED FUTURE version (prefix >
+    current_version) are skipped even at min_file_age_seconds=0; an
+    attempt dir targeting an already-committed version belongs to a
+    guaranteed LOSER and is reclaimed."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_inflight")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    assert LH.current_version(path) == 0
+
+    # simulate an IN-FLIGHT writer targeting version 1: files written,
+    # log not yet committed
+    inflight_sub = "v1-aaaaaaaa"
+    o.limit(5).coalesce(1).write.parquet(os.path.join(path, "data", inflight_sub))
+    inflight_files = set(LH._list_data_files(path, inflight_sub))
+    assert inflight_files
+
+    # and a guaranteed-LOSER attempt: targets version 0 (already
+    # committed) — its commit can only raise CommitConflictError
+    loser_sub = "v0-bbbbbbbb"
+    o.limit(5).coalesce(1).write.parquet(os.path.join(path, "data", loser_sub))
+
+    dead = LH.vacuum(path, keep_versions=1, min_file_age_seconds=0.0)
+    on_disk = {
+        os.path.relpath(os.path.join(dp, f), path)
+        for dp, _, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    # in-flight files survive; loser's files are gone
+    assert inflight_files <= on_disk
+    assert not any(d.startswith(f"data/{loser_sub}") for d in on_disk)
+    assert any(d.startswith(f"data/{loser_sub}") for d in dead)
+
+    # the in-flight writer now commits — table must be readable
+    LH._write_log(path, 1, sorted(inflight_files), [])
+    got = LH.read_version(spark, path, 1)
+    assert got.count() == o.count() + 5
+
+
+def test_lakehouse_merge_with_retry_forwards_merge_schema(spark, sf_dir, tmp_path):
+    """ADVICE r4: merge_with_retry must forward merge_schema so a
+    schema-evolving merge can use the OCC retry path."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_retry_schema")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    upd = spark.createDataFrame(
+        [(k, 1.0, "gold")], ["o_orderkey", "o_totalprice", "tier"]
+    )
+    v = LH.merge_with_retry(spark, path, "o_orderkey", updates=upd, merge_schema=True)
+    cur = LH.read_version(spark, path, v)
+    assert "tier" in cur.columns
+    assert cur.filter(F.col("o_orderkey") == k).first().tier == "gold"
+
+
+def test_lakehouse_merge_schema_evolves_with_no_file_overlap(spark, sf_dir, tmp_path):
+    """ADVICE r4: when a merge_schema=True update matches NO snapshot
+    file (keys beyond every file's range) and there are no inserts,
+    the schema must still evolve — Delta records the metadata change
+    regardless of row matches."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_noop_evolve")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    beyond = o.agg(F.max("o_orderkey")).first()[0] + 10_000_000
+    upd = spark.createDataFrame(
+        [(beyond, 1.0, "gold")], ["o_orderkey", "o_totalprice", "tier"]
+    )
+    v = LH.merge(spark, path, "o_orderkey", updates=upd, merge_schema=True)
+    cur = LH.read_version(spark, path, v)
+    assert "tier" in cur.columns  # evolved as typed NULL everywhere
+    assert cur.filter(F.col("tier").isNotNull()).count() == 0
+
+
+def test_avro_decimal_precision_overflow_rejected(tmp_path):
+    """ADVICE r4: a value with more significant digits than the
+    declared decimal precision is loud-rejected at encode time, not
+    written as a spec-violating unscaled integer."""
+    import io as _io
+
+    import pytest
+
+    from bigdata06_spark.sources import avro_codec as A
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "amt",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 12,
+                    "scale": 2,
+                },
+            }
+        ],
+    }
+    import decimal as D
+
+    # 12 digits (10 integer + 2 fraction) fits
+    buf = _io.BytesIO()
+    A.write_container(
+        buf, schema, [{"amt": D.Decimal("9999999999.99")}],
+        codec="null", sync=b"0123456789abcdef",
+    )
+    # 13 digits overflows the declared precision
+    with pytest.raises(ValueError, match="precision"):
+        A.write_container(
+            _io.BytesIO(), schema, [{"amt": D.Decimal("19999999999.99")}],
+            codec="null", sync=b"0123456789abcdef",
+        )

@@ -810,3 +810,36 @@ def test_lakehouse_table_to_table_incremental_pipeline(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_foreach_batch_plain_upsert_with_seq_col(spark, sf_dir, tmp_path):
+    """ADVICE r4: a plain-upsert stream (op_col=None) with seq_col and
+    MULTIPLE rows per key in one micro-batch must reduce to the
+    last-by-seq row — previously the seq column leaked into the table
+    as a data column and the duplicate keys tripped merge's guard."""
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.streaming.sinks import foreach_batch_lakehouse_merge
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    key = "o_orderkey"
+    table = str(tmp_path / "upsert_seq")
+    LH.table_init(o, table, key, n_files=4)
+    k = o.agg(F.min(key)).first()[0]
+    batch = spark.createDataFrame(
+        [(k, 100.0, 1), (k, 250.0, 2)],  # same key twice → last seq wins
+        f"{key} long, o_totalprice double, seq int",
+    )
+    changes_dir = str(tmp_path / "changes")
+    batch.coalesce(1).write.parquet(changes_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(changes_dir)
+    q = foreach_batch_lakehouse_merge(
+        stream, table, key, str(tmp_path / "ckpt"), seq_col="seq"
+    )
+    q.awaitTermination(180)
+
+    cur = LH.read_version(spark, table, LH.current_version(table))
+    assert "seq" not in cur.columns  # ordering column never lands in the table
+    assert cur.filter(F.col(key) == k).first().o_totalprice == 250.0
