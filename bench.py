@@ -63,12 +63,14 @@ HEADLINE = [
     # with their exact counterparts
     "supplier_affinity_graph_capped",
     "knn_label_vote_sampled",
-    "dedup_semantic_scaled",
+    # r5: the scaled-k form IS `dedup_semantic` now (VERDICT r4 #2);
+    # the pinned-k=8 reference form is timed beside it
+    "dedup_semantic",
     # exact all-pairs similarity (block-tiled equi-join)
     "dedup_embedding_cosine",
-    # round-3 additions: SemDeDup + leave-one-out kNN eval (heaviest
-    # new plans — clustered pairwise and all-pairs + global window)
-    "dedup_semantic",
+    # round-3 additions: SemDeDup fixed-k + leave-one-out kNN eval
+    # (heaviest r3 plans — clustered pairwise, all-pairs + global window)
+    "dedup_semantic_fixed_k",
     "knn_label_vote",
     # iterative learning under the oracle: BPE training + PQ codes
     "text_bpe_train",

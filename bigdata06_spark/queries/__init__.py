@@ -102,7 +102,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # row-level CDF, and the Avro decimal logical type
         "supplier_affinity_graph_capped", "knn_label_vote_sampled",
         "lakehouse_row_cdf", "source_avro_decimal_roundtrip",
-        "dedup_semantic_scaled", "lakehouse_mv_incremental",
+        "dedup_semantic", "lakehouse_mv_incremental",
         "text_classifier_train", "text_classifier_eval",
         "dq_observed_metrics",
         "forecast_exp_smoothing", "inventory_clamped_running_sum",

@@ -949,7 +949,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_semantic",
+    "dedup_semantic_fixed_k",
     oracle=f"""
     WITH {_KMEANS_CTE},
     p AS (
@@ -970,20 +970,20 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
 )
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
-    then drop any vector with a lower-id same-cluster neighbor at
-    cosine ≥ 0.3, reporting the best such match. The pairwise pass is
-    confined to per-cluster buckets (grow k with the corpus and the
-    quadratic term stays bounded — the paper's own scaling argument);
-    the clustering is the integer-exact kmeans, so this ITERATIVE
-    clustering + similarity join replays exactly under the value-hash
-    oracle. See operators/similarity.py:semantic_dedup."""
+def dedup_semantic_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at a PINNED k=8 — SMALL-N ONLY (demoted round 5,
+    VERDICT r4 #2): with k fixed, per-cluster membership grows
+    linearly with the corpus and the per-cluster pairwise pass
+    quadratically — measured 11× on 10× data at the sf1 probe
+    (SCALE.md). Kept registered as the fixed-parameter reference
+    form; the canonical `dedup_semantic` computes k from N (the
+    paper's own scaling rule) and stays on the linear budget. See
+    operators/similarity.py:semantic_dedup."""
     return S.semantic_dedup(load_table(spark, "embeddings", sf_dir), threshold=0.3)
 
 
 @register(
-    "dedup_semantic_scaled",
+    "dedup_semantic",
     oracle=f"""
     WITH {_kmeans_cte("(SELECT greatest(8, count(*) // 250) FROM embeddings)")},
     p AS (
@@ -1004,19 +1004,23 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
 )
-def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with the paper's own SCALING RULE made executable
-    (round-4 sf1 probe: the fixed-k=8 variant ran 11× on 10× data —
-    per-cluster membership grew linearly and the per-cluster pairwise
-    pass quadratically): k = max(8, N/250), computed identically on
-    the Spark side (one count) and in the oracle (scalar subquery),
-    so per-cluster membership — and therefore the quadratic term —
-    stays bounded at ~250 vectors at ANY corpus size. At the driver
-    gate's sf0.01 (N=500) this degenerates to k=8, i.e. exactly
-    `dedup_semantic`; at sf1 it runs k=80 over the same integer-exact
-    kmeans and stays on the linear budget. Min-id seeding means
-    growing k only APPENDS seed centroids — cluster quality is the
-    paper's trade, determinism is unaffected."""
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023), CANONICAL form (round 5 — VERDICT
+    r4 #2 re-pointed the unqualified name at the scaled-k variant):
+    k-means-cluster the embeddings, then drop any vector with a
+    lower-id same-cluster neighbor at cosine ≥ 0.3, reporting the
+    best such match — with the paper's own SCALING RULE made
+    executable: k = max(8, N/250), computed identically on the Spark
+    side (one count) and in the oracle (scalar subquery), so
+    per-cluster membership — and therefore the quadratic pairwise
+    term — stays bounded at ~250 vectors at ANY corpus size. At the
+    driver gate's sf0.01 (N=500) this degenerates to k=8, i.e.
+    exactly `dedup_semantic_fixed_k`; at sf1 it runs k=80 over the
+    same integer-exact kmeans and stays on the linear budget
+    (measured 1.6× on 10× data vs fixed-k's 11× — SCALE.md). Min-id
+    seeding means growing k only APPENDS seed centroids — cluster
+    quality is the paper's trade, determinism is unaffected. See
+    operators/similarity.py:semantic_dedup."""
     e = load_table(spark, "embeddings", sf_dir)
     k = max(8, e.count() // 250)
     return S.semantic_dedup(e, threshold=0.3, k=k)
