@@ -39,6 +39,7 @@ HEADLINE = [
     # LLM-pipeline: dedup + similarity + text + curation
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_adaptive",
     "dedup_incremental",
     "knn_bruteforce",
     "text_quality_score",

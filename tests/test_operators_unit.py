@@ -532,3 +532,65 @@ def test_perceptron_pocket_learns_separable_target(spark, sf_dir):
     )
     acc = stats.ok / stats.n
     assert acc >= 0.95, f"pocket perceptron accuracy {acc:.3f} < 0.95"
+
+
+def test_adaptive_simhash_chunk_rule():
+    """The adaptive chunk rule must keep the per-chunk VALUE SPACE ≥ N
+    (the linearity invariant) within the [2,16] clamp, and the chunk
+    spans must be disjoint and cover all signature bits (the pigeonhole
+    guarantee needs exactly this)."""
+    from bigdata06_spark.operators.dedup import (
+        SIMHASH_POLY_BITS,
+        _chunk_spans,
+        adaptive_simhash_chunks,
+    )
+
+    for n_docs in (1, 2, 100, 2_000, 20_000, 50_000, 10**6, 10**9):
+        c = adaptive_simhash_chunks(n_docs)
+        assert 2 <= c <= 16
+        spans = _chunk_spans(c)
+        # disjoint + covering
+        bits = sorted(b for lo, w in spans for b in range(lo, lo + w))
+        assert bits == list(range(SIMHASH_POLY_BITS))
+        # value space of every chunk ≥ N (up to the chunk-count clamp:
+        # at the floor of 2 chunks the width is ≥ 30 bits — space 2^30)
+        min_width = min(w for _, w in spans)
+        if c > 2:
+            assert 2 ** min_width >= min(n_docs, 2 ** 30) or c == 16
+
+
+def test_adaptive_simhash_finds_exact_duplicates(spark):
+    """Hamming-0 pairs (exact text duplicates) must always surface —
+    the guaranteed-recall floor of the adaptive regime at ANY chunk
+    count."""
+    from bigdata06_spark.operators.dedup import simhash_adaptive_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "completely different text about distributed query engines here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = simhash_adaptive_pairs(docs, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_minhash_seed_families_are_independent(spark, sf_dir):
+    """The seed_offset parameter must produce a genuinely DIFFERENT
+    hash family (different signatures) while the verified output stays
+    the same exact pair set — the property dedup_methods_agreement's
+    cross-validation rests on."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    s0 = minhash_signatures(docs).orderBy("doc_id").limit(5).collect()
+    # same docs, shifted seeds → different signature values
+    from bigdata06_spark.operators.dedup import _minhash_aggs, shingle_index
+
+    idx = shingle_index(docs)
+    sig_b = idx.groupBy("doc_id").agg(*_minhash_aggs(64, 101)).orderBy("doc_id").limit(5).collect()
+    assert [r.h0 for r in s0] != [r.h0 for r in sig_b]
+    pa = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b").collect()))
+    pb = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5, seed_offset=101).select("doc_a", "doc_b").collect()))
+    assert pa == pb  # verified output identical despite disjoint seeds
