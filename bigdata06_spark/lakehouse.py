@@ -52,10 +52,16 @@ def _log_dir(path: str) -> str:
 
 
 def _list_data_files(path: str, sub: str) -> list[str]:
+    """All parquet files under one attempt directory, table-relative.
+    Recursive: partitioned tables nest Hive-style `col=val` directories
+    inside the attempt dir."""
     d = os.path.join(path, _DATA, sub)
-    return sorted(
-        os.path.join(_DATA, sub, f) for f in os.listdir(d) if f.endswith(".parquet")
-    )
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(d):
+        for f in filenames:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(dirpath, f), path))
+    return sorted(out)
 
 
 def _commit_log(path: str, version: int, entry: dict) -> None:
@@ -81,7 +87,131 @@ def _commit_log(path: str, version: int, entry: dict) -> None:
 
 
 def _write_log(path: str, version: int, add: list[str], remove: list[str]) -> None:
-    _commit_log(path, version, {"add": sorted(add), "remove": sorted(remove)})
+    entry = {"add": sorted(add), "remove": sorted(remove)}
+    entry.update(_entry_partition_meta(add))
+    _commit_log(path, version, entry)
+
+
+# ------------------------------------------------- partition columns
+#
+# Hive-style partition layout (VERDICT r4 #3): `partition_by=['col']`
+# tables write `data/v<N>-<attempt>/<col>=<val>/part-*.parquet`. Two
+# deliberate departures from Spark's stock partitionBy semantics:
+#
+# 1. The partition columns STAY IN THE DATA FILES. Stock partitionBy
+#    drops them into the directory name only, which forces readers to
+#    run partition DISCOVERY — impossible for this format's
+#    explicit-file-list reads (a version's files span several attempt
+#    dirs, and the `v<N>-` segment is not `k=v`-shaped, so no single
+#    basePath works). Keeping the columns means every existing reader
+#    (read_version, CDF, row-CDF, streaming source) works unchanged;
+#    the directory layout is purely the PRUNING/organization axis.
+#    (Implementation: the writer partitions by a `__p_<col>` copy,
+#    then the temp-named dirs are renamed to `<col>=<val>` — a
+#    driver-side O(partitions-touched) pass, the same order as the
+#    per-partition metadata Delta tracks.)
+# 2. The log records `partition_by` (v0 / checkpoint entries) and
+#    per-file `partition_values` (every add), so the PLANNER prunes
+#    from the log alone — no directory listing, no file I/O — exactly
+#    like Delta's add.partitionValues. The file path is the same
+#    information (asserted equal in tests); the log copy is what a
+#    scale deployment reads.
+
+_PTMP = "__p_"
+
+
+def _pvals_of_rel(rel_path: str) -> dict[str, str]:
+    """Partition values encoded in a table-relative file path
+    (`data/v0-x/col=val/file.parquet` → {'col': 'val'})."""
+    vals: dict[str, str] = {}
+    for seg in rel_path.split("/")[2:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = v
+    return vals
+
+
+def _entry_partition_meta(add: list[str]) -> dict:
+    pv = {f: _pvals_of_rel(f) for f in sorted(add)}
+    pv = {f: v for f, v in pv.items() if v}
+    return {"partition_values": pv} if pv else {}
+
+
+def table_partition_by(path: str) -> list[str]:
+    """The table's partition columns ([] when unpartitioned) — recorded
+    at init and re-emitted by checkpoint_log."""
+    latest = current_version(path)
+    for v in range(latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if "partition_by" in entry:
+            return list(entry["partition_by"])
+    return []
+
+
+def _merge_move(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            _merge_move(s, d)
+        else:
+            os.replace(s, d)
+    os.rmdir(src)
+
+
+def _finalize_partition_dirs(out_dir: str) -> None:
+    """Rename the writer's `__p_<col>=<val>` directories to Hive-style
+    `<col>=<val>`, merging into an existing target (append legs write
+    into an attempt dir that already has the partition's directory;
+    part-file names are task-unique so moves never collide)."""
+    for dirpath, dirnames, _filenames in os.walk(out_dir, topdown=False):
+        for dn in dirnames:
+            if dn.startswith(_PTMP) and "=" in dn:
+                _merge_move(
+                    os.path.join(dirpath, dn),
+                    os.path.join(dirpath, dn[len(_PTMP):]),
+                )
+
+
+def _write_partitioned(df: DataFrame, out: str, key: str, n_files: int,
+                       partition_by: list[str], mode: str = "overwrite") -> None:
+    """Partition-laid-out write that keeps the partition columns in
+    the data files (see the module comment above): range-partition on
+    (partition cols, key) so same-partition rows co-locate (≈ n_files
+    files total, not n_files × partitions), sort by key within tasks
+    for the per-file key-range stats the COW planner prunes on."""
+    tmp_cols = [f"{_PTMP}{c}" for c in partition_by]
+    d = df
+    for c, t in zip(partition_by, tmp_cols):
+        d = d.withColumn(t, F.col(c))
+    (
+        d.repartitionByRange(
+            n_files, *[F.col(c) for c in partition_by], F.col(key)
+        )
+        .sortWithinPartitions(key)
+        .write.partitionBy(*tmp_cols)
+        .mode(mode)
+        .parquet(out)
+    )
+    _finalize_partition_dirs(out)
+
+
+def _matches_partition(rel_path: str, partition_filter: dict) -> bool:
+    vals = _pvals_of_rel(rel_path)
+    for k, want in partition_filter.items():
+        if k not in vals:
+            raise ValueError(
+                f"file {rel_path} carries no partition value for {k!r}; "
+                f"the table is not partitioned by it"
+            )
+        allowed = want if isinstance(want, (list, tuple, set, frozenset)) else [want]
+        if vals[k] not in {str(w) for w in allowed}:
+            return False
+    return True
 
 
 def _new_sub(version: int) -> str:
@@ -131,27 +261,52 @@ def files_at_version(path: str, version: int) -> list[str]:
     return sorted(files)
 
 
-def table_init(df: DataFrame, path: str, key: str, n_files: int = 8) -> None:
+def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
+               partition_by: list[str] | None = None) -> None:
     """Version 0: range-bucket + sort on `key` so every data file
     covers a narrow, non-overlapping key range (parquet min/max stats
-    make the COW planner exact)."""
+    make the COW planner exact). With `partition_by`, files land in
+    Hive-style `col=val` directories, the log records the partition
+    spec and per-file partition values, and reads/merges prune on
+    them (see the partition-columns comment above)."""
     sub = _new_sub(0)
     out = os.path.join(path, _DATA, sub)
-    (
-        df.repartitionByRange(n_files, F.col(key))
-        .sortWithinPartitions(key)
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    _write_log(path, 0, _list_data_files(path, sub), [])
+    if partition_by:
+        _write_partitioned(df, out, key, n_files, list(partition_by))
+    else:
+        (
+            df.repartitionByRange(n_files, F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    files = _list_data_files(path, sub)
+    entry: dict = {"add": files, "remove": []}
+    if partition_by:
+        entry["partition_by"] = list(partition_by)
+    entry.update(_entry_partition_meta(files))
+    _commit_log(path, 0, entry)
 
 
-def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+def read_version(spark: SparkSession, path: str, version: int,
+                 partition_filter: dict | None = None) -> DataFrame:
     """Version-pinned read. mergeSchema=true because versions may mix
     file vintages after `add_column` schema evolution — carried-over
     files simply lack the new column and read as NULL (Delta/Iceberg's
-    additive-evolution semantics)."""
-    files = [os.path.join(path, f) for f in files_at_version(path, version)]
+    additive-evolution semantics).
+
+    `partition_filter` ({col: value-or-values}) PRUNES AT THE PLANNER:
+    only files whose Hive-style partition values match are handed to
+    the scanner — the other partitions' files never appear in the
+    scan (inputFiles/plan-pinned in tests), the same static partition
+    pruning a date-predicate gets on a Hive/Delta table. Values
+    compare as their string (path) encoding."""
+    rel_files = files_at_version(path, version)
+    if partition_filter:
+        rel_files = [f for f in rel_files if _matches_partition(f, partition_filter)]
+        if not rel_files:
+            return read_version(spark, path, version).limit(0)
+    files = [os.path.join(path, f) for f in rel_files]
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     for col_name, col_type in _schema_adds_at(path, version):
         if col_name not in df.columns:
@@ -176,6 +331,14 @@ def merge(spark: SparkSession, path: str, key: str,
     triples and the file lists it must hand the scanner anyway."""
     prev_v = current_version(path)
     snapshot = read_version(spark, path, prev_v)
+    pby = table_partition_by(path)
+
+    def _write_insert_leg(new_rows: DataFrame, sub: str, mode: str) -> None:
+        out_dir = os.path.join(path, _DATA, sub)
+        if pby:
+            _write_partitioned(new_rows, out_dir, key, 1, pby, mode=mode)
+        else:
+            new_rows.coalesce(1).write.mode(mode).parquet(out_dir)
 
     # AUTOMATIC SCHEMA EVOLUTION on merge (Delta's mergeSchema):
     # columns present in the change relations but absent from the
@@ -204,6 +367,7 @@ def merge(spark: SparkSession, path: str, key: str,
         entry: dict = {"add": sorted(add), "remove": sorted(remove)}
         if schema_adds:
             entry["schema_adds"] = schema_adds
+        entry.update(_entry_partition_meta(add))
         _commit_log(path, version, entry)
 
     touched = None
@@ -218,9 +382,7 @@ def merge(spark: SparkSession, path: str, key: str,
         new_v = prev_v + 1
         sub = _new_sub(new_v)
         new_rows = inserts.join(snapshot.select(key), key, "left_anti")
-        new_rows.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, _DATA, sub)
-        )
+        _write_insert_leg(new_rows, sub, "overwrite")
         _commit(new_v, _list_data_files(path, sub), [])
         return new_v
 
@@ -254,6 +416,36 @@ def merge(spark: SparkSession, path: str, key: str,
         return rel
 
     affected = [rel_of(r.file) for r in hit]
+    # PARTITION CONFINEMENT (VERDICT r4 #3): when the table is
+    # partitioned AND every change relation carries the partition
+    # columns, the rewrite set shrinks to files in the TOUCHED
+    # partitions — a key-range overlap in an untouched partition
+    # (key ranges repeat per partition) no longer forces a rewrite.
+    # The distinct-partition collect is bounded by partitions touched,
+    # the same driver contract as the pruned file list itself.
+    # Semantics note: this assumes a change row's partition values
+    # name the partition its key LIVES in (true whenever the
+    # partition column is an immutable attribute of the key, the
+    # standard lakehouse layout rule); rows whose stored partition
+    # differs from the change row's claim are left untouched, exactly
+    # like a Delta MERGE whose ON clause includes the partition
+    # predicate. Change relations WITHOUT the partition columns keep
+    # the partition-agnostic (key-only) semantics.
+    chg_rels = [r for r in (updates, delete_keys) if r is not None]
+    if pby and affected and all(
+        all(c in rel.columns for c in pby) for rel in chg_rels
+    ):
+        touched_parts: set[tuple] = set()
+        for rel in chg_rels:
+            touched_parts |= {
+                tuple("" if r[c] is None else str(r[c]) for c in pby)
+                for r in rel.select(*pby).distinct().collect()
+            }
+        affected = [
+            f
+            for f in affected
+            if tuple(_pvals_of_rel(f).get(c, "") for c in pby) in touched_parts
+        ]
     if not affected:
         # No file's key range overlaps a touched key — nothing to
         # rewrite, but the INSERT leg must still run: a batch of
@@ -271,9 +463,7 @@ def merge(spark: SparkSession, path: str, key: str,
             return new_v
         sub = _new_sub(new_v)
         new_rows = inserts.join(snapshot.select(key), key, "left_anti")
-        new_rows.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, _DATA, sub)
-        )
+        _write_insert_leg(new_rows, sub, "overwrite")
         _commit(new_v, _list_data_files(path, sub), [])
         return new_v
 
@@ -327,12 +517,20 @@ def merge(spark: SparkSession, path: str, key: str,
 
     new_v = prev_v + 1
     sub = _new_sub(new_v)
-    (
-        out.repartitionByRange(max(1, len(affected)), F.col(key))
-        .sortWithinPartitions(key)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, _DATA, sub))
-    )
+    if pby:
+        # partition-preserving rewrite: dirs re-derive from the data
+        # columns, so an update that CHANGES a partition value
+        # migrates the row to its new partition directory
+        _write_partitioned(
+            out, os.path.join(path, _DATA, sub), key, max(1, len(affected)), pby
+        )
+    else:
+        (
+            out.repartitionByRange(max(1, len(affected)), F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, _DATA, sub))
+        )
     if inserts is not None:
         # INSERT leg: keys absent from the snapshot append as new
         # files — no rewrite; the defensive anti-join makes the leg
@@ -344,9 +542,7 @@ def merge(spark: SparkSession, path: str, key: str,
                     c, F.lit(None).cast(dict(out.dtypes)[c])
                 )
         new_rows = new_rows.select(*out.columns)
-        new_rows.coalesce(1).write.mode("append").parquet(
-            os.path.join(path, _DATA, sub)
-        )
+        _write_insert_leg(new_rows, sub, "append")
     _commit(new_v, _list_data_files(path, sub), affected)
     return new_v
 
@@ -424,14 +620,18 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4) -> int:
     the new version."""
     prev_v = current_version(path)
     snapshot = read_version(spark, path, prev_v)
+    pby = table_partition_by(path)
     new_v = prev_v + 1
     sub = _new_sub(new_v)
-    (
-        snapshot.repartitionByRange(n_files, F.col(key))
-        .sortWithinPartitions(key)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, _DATA, sub))
-    )
+    if pby:
+        _write_partitioned(snapshot, os.path.join(path, _DATA, sub), key, n_files, pby)
+    else:
+        (
+            snapshot.repartitionByRange(n_files, F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, _DATA, sub))
+        )
     _write_log(path, new_v, _list_data_files(path, sub), files_at_version(path, prev_v))
     return new_v
 
@@ -624,6 +824,7 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         raise ValueError(f"version {v} not in [0, {latest}]")
     files = files_at_version(path, v)
     adds = _schema_adds_at(path, v)
+    pby = table_partition_by(path)  # before deleting the entry holding it
     for old in range(v):
         old_p = os.path.join(_log_dir(path), f"{old}.json")
         if os.path.exists(old_p):
@@ -635,6 +836,10 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         # schema adds re-emitted so _schema_adds_at survives the squash
         "schema_adds": [{"column": c, "type": t} for c, t in adds],
     }
+    if pby:
+        # partition spec + per-file values re-emitted likewise
+        entry["partition_by"] = pby
+        entry.update(_entry_partition_meta(files))
     with open(os.path.join(_log_dir(path), f"{v}.json"), "w") as fh:
         json.dump(entry, fh, indent=1)
     return v

@@ -103,6 +103,9 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "supplier_affinity_graph_capped", "knn_label_vote_sampled",
         "lakehouse_row_cdf", "source_avro_decimal_roundtrip",
         "dedup_semantic", "lakehouse_mv_incremental",
+        # round-5 new: partition-pruned lakehouse scan + the
+        # scale-safe adaptive simhash
+        "lakehouse_partition_pruned", "dedup_simhash_adaptive",
         "text_classifier_train", "text_classifier_eval",
         "dq_observed_metrics",
         "forecast_exp_smoothing", "inventory_clamped_running_sum",

@@ -177,3 +177,72 @@ def lakehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cents").isNotNull())
     )
+
+
+def _events_part_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_events_part_{tag}")
+
+
+def _build_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Date-partitioned events lakehouse table (idempotent per SF),
+    two versions: v0 = init (Hive-style `event_date=<day>/` layout),
+    v1 = a merge zeroing `value` for event_id % 3 = 0 on 2024-01-03 —
+    the change relation carries the partition column, so the rewrite
+    is CONFINED to that day's files (tests pin this)."""
+    path = _events_part_dir(sf_dir)
+    if LH.current_version(path) < 1:
+        ev = (
+            load_table(spark, "events", sf_dir)
+            .withColumn("event_date", F.to_date("ts"))
+            .select("event_id", "event_date", "event_type", "value")
+        )
+        LH.table_init(ev, path, "event_id", n_files=4, partition_by=["event_date"])
+        day = F.lit("2024-01-03").cast("date")
+        upd = (
+            ev.filter((F.col("event_date") == day) & (F.col("event_id") % 3 == 0))
+            .select("event_id", "event_date")
+            .withColumn("value", F.lit(0.0))
+        )
+        LH.merge(spark, path, "event_id", updates=upd)
+    return path
+
+
+@register(
+    "lakehouse_partition_pruned",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_id % 3 = 0 OR value = 0.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zeroed,
+           CAST(min(event_id) AS BIGINT) AS first_id,
+           CAST(max(event_id) AS BIGINT) AS last_id
+    FROM events
+    WHERE ts::DATE = DATE '2024-01-03'
+    GROUP BY event_type
+    """,
+)
+def lakehouse_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC PARTITION PRUNING on the lakehouse format (VERDICT r4
+    #3): the events table is Hive-date-partitioned
+    (`event_date=<day>/` directories, partition spec + per-file
+    partition values in the log), and this day-scoped aggregate reads
+    via `partition_filter` — the planner hands the scanner ONLY
+    2024-01-03's files (inputFiles-pinned in tests), the single most
+    common scan optimization on time-partitioned fact tables. The
+    day's files span BOTH versions' attempt dirs (v1's merge rewrote
+    only this partition), so the pruned read also exercises
+    pruning-across-versions. Integer-exact output (counts + id
+    bounds; the zeroed-row count folds the merge's effect) so the
+    oracle replays on the raw table."""
+    path = _build_partitioned_events(spark, sf_dir)
+    day = LH.read_version(
+        spark, path, LH.current_version(path),
+        partition_filter={"event_date": "2024-01-03"},
+    )
+    return day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("value") == 0.0).cast("long")).cast("long").alias("n_zeroed"),
+        F.min("event_id").cast("long").alias("first_id"),
+        F.max("event_id").cast("long").alias("last_id"),
+    )
