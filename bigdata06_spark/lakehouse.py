@@ -840,6 +840,15 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         # partition spec + per-file values re-emitted likewise
         entry["partition_by"] = pby
         entry.update(_entry_partition_meta(files))
-    with open(os.path.join(_log_dir(path), f"{v}.json"), "w") as fh:
+    # ATOMIC replace (write-temp + rename), not an in-place overwrite:
+    # checkpoint deliberately REPLACES an existing committed entry
+    # (squash-in-place), so O_EXCL doesn't apply — but a reader
+    # replaying the log concurrently must see either the old or the
+    # new entry, never a torn write. POSIX rename is the atomic swap
+    # (Delta writes checkpoint files the same way).
+    target = os.path.join(_log_dir(path), f"{v}.json")
+    tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
         json.dump(entry, fh, indent=1)
+    os.replace(tmp, target)
     return v

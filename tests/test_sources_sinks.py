@@ -2134,3 +2134,97 @@ def test_lakehouse_partitioned_optimize_checkpoint_vacuum(spark, sf_dir, tmp_pat
     pruned = LH.read_version(spark, path, v1, partition_filter={"event_date": day})
     assert pruned.count() > 0
     assert all(f"/event_date={day}/" in f for f in pruned.inputFiles())
+
+
+def test_lakehouse_occ_optimize_and_add_column_lose_races_cleanly(spark, sf_dir, tmp_path):
+    """VERDICT r4 #4: OPTIMIZE and ADD COLUMN run under the same
+    optimistic-concurrency commit as merge — an interleaved writer
+    that committed first makes the stale writer raise
+    CommitConflictError with the log uncorrupted and the winner's
+    version intact."""
+    from unittest import mock
+
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_occ_ops")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+
+    # a merge wins version 1; a STALE optimize (read v0 before the
+    # merge committed) must lose, not clobber
+    upd = spark.createDataFrame([(k, 111.0)], ["o_orderkey", "o_totalprice"])
+    assert LH.merge(spark, path, "o_orderkey", updates=upd) == 1
+    with mock.patch.object(LH, "current_version", return_value=0):
+        with pytest.raises(LH.CommitConflictError):
+            LH.optimize(spark, path, "o_orderkey", n_files=2)
+    assert LH.current_version(path) == 1
+    assert (
+        LH.read_version(spark, path, 1).filter(F.col("o_orderkey") == k).first().o_totalprice
+        == 111.0
+    )
+
+    # an optimize wins version 2; a STALE add_column must lose
+    assert LH.optimize(spark, path, "o_orderkey", n_files=2) == 2
+    with mock.patch.object(LH, "current_version", return_value=1):
+        with pytest.raises(LH.CommitConflictError):
+            LH.add_column(path, "tier", "string")
+    assert LH.current_version(path) == 2
+    assert "tier" not in LH.read_version(spark, path, 2).columns
+    # the non-stale retry succeeds (the standard OCC loop)
+    assert LH.add_column(path, "tier", "string") == 3
+    assert "tier" in LH.read_version(spark, path, 3).columns
+    # losers' orphans reclaim without breaking any retained version
+    LH.vacuum(path, keep_versions=4)
+    assert LH.read_version(spark, path, 3).count() == o.count()
+
+
+def test_lakehouse_vacuum_stale_view_spares_newly_committed_version(spark, sf_dir, tmp_path):
+    """VERDICT r4 #4 (vacuum vs concurrent commit): a writer that
+    commits version N+1 WHILE a vacuum (which read latest=N before
+    the commit landed) is walking data/ must keep its files — the
+    version-prefix guard treats them as in-flight."""
+    from unittest import mock
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_vac_race")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    upd = spark.createDataFrame([(k, 9.0)], ["o_orderkey", "o_totalprice"])
+    v1 = LH.merge(spark, path, "o_orderkey", updates=upd)  # commits v1
+
+    # vacuum runs with the STALE pre-commit view (latest=0): v1's
+    # files must survive even though they are "unreferenced" in the
+    # retained set it computes
+    with mock.patch.object(LH, "current_version", return_value=0):
+        LH.vacuum(path, keep_versions=1, min_file_age_seconds=0.0)
+    got = LH.read_version(spark, path, v1).filter(F.col("o_orderkey") == k).first()
+    assert got.o_totalprice == 9.0  # v1 fully readable — no file lost
+
+
+def test_lakehouse_checkpoint_replace_is_atomic_swap(spark, sf_dir, tmp_path):
+    """checkpoint_log replaces the squashed entry via write-temp +
+    rename — no torn .tmp files survive and the squashed entry is
+    complete JSON."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_ckpt_atomic")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    upd = spark.createDataFrame([(k, 5.0)], ["o_orderkey", "o_totalprice"])
+    v1 = LH.merge(spark, path, "o_orderkey", updates=upd)
+    LH.checkpoint_log(path)
+    log_files = os.listdir(os.path.join(path, "_log"))
+    assert not [f for f in log_files if ".tmp-" in f]
+    with open(os.path.join(path, "_log", f"{v1}.json")) as fh:
+        entry = json.load(fh)
+    assert entry["checkpoint"] is True
+    assert sorted(entry["add"]) == LH.files_at_version(path, v1)
