@@ -131,30 +131,43 @@ def _encoder(schema: Any) -> Callable[[io.BytesIO, Any], None]:
     if isinstance(schema, list):  # union: write branch index then value
         names = [_type_name(s) for s in schema]
         non_null = [i for i, nm in enumerate(names) if nm != "null"]
-        if len(non_null) > 1:
-            # None→null / value→branch dispatch is only well-defined
-            # for ["null", T]; a wider union would pick the first
-            # branch regardless of the value's runtime type and write
-            # a corrupt file — reject at compile, consistent with the
-            # enum/non-decimal-fixed policy
-            raise ValueError(
-                f"unions with more than one non-null branch are not "
-                f"writable (got {names}); only [\"null\", T] / [T]"
-            )
         subs = [_encoder(s) for s in schema]
         null_idx = names.index("null") if "null" in names else None
-        val_idx = non_null[0] if non_null else None
+        if len(non_null) <= 1:
+            # fast path: ["null", T] / [T] needs no runtime matching
+            val_idx = non_null[0] if non_null else None
 
-        def enc_union(out: io.BytesIO, v: Any) -> None:
-            if v is None and null_idx is not None:
-                write_long(out, null_idx)
-                return
-            if val_idx is None:
-                raise ValueError("no union branch for value")
-            write_long(out, val_idx)
-            subs[val_idx](out, v)
+            def enc_union(out: io.BytesIO, v: Any) -> None:
+                if v is None and null_idx is not None:
+                    write_long(out, null_idx)
+                    return
+                if val_idx is None:
+                    raise ValueError("no union branch for value")
+                write_long(out, val_idx)
+                subs[val_idx](out, v)
 
-        return enc_union
+            return enc_union
+
+        # MULTI-BRANCH union (e.g. ["null","long","string"]): dispatch
+        # on the value's RUNTIME type — first branch (declaration
+        # order) whose matcher accepts the value wins, the Avro spec's
+        # resolution rule and fastavro's behavior. No match is a loud
+        # error (consistent with the enum/fixed/decimal policy), never
+        # a silent wrong-branch encode.
+        matchers = [_branch_matcher(s) for s in schema]
+
+        def enc_union_multi(out: io.BytesIO, v: Any) -> None:
+            for i, m in enumerate(matchers):
+                if m(v):
+                    write_long(out, i)
+                    subs[i](out, v)
+                    return
+            raise ValueError(
+                f"value {v!r} ({type(v).__name__}) matches no branch of "
+                f"union {names}"
+            )
+
+        return enc_union_multi
     t = schema["type"]
     if schema.get("logicalType") == "decimal":
         return _decimal_encoder(schema)
@@ -373,6 +386,51 @@ def _decimal_decoder(schema: Any) -> Callable[[io.BytesIO], Any]:
         return decimal.Decimal(unscaled).scaleb(-scale)
 
     return dec
+
+
+def _branch_matcher(schema: Any) -> Callable[[Any], bool]:
+    """Runtime-type predicate for one union branch — the dispatch rule
+    for multi-branch unions. bool is checked before int (Python bools
+    ARE ints); record matchers require the dict's keys to cover the
+    field names, so a record and a map can coexist in one union with
+    record-first declaration order deciding ties (the spec leaves
+    ambiguous-value resolution to declaration order)."""
+    schema = _norm(schema)
+    if isinstance(schema, str):
+        prims: dict[str, Callable[[Any], bool]] = {
+            "null": lambda v: v is None,
+            "boolean": lambda v: isinstance(v, bool),
+            "int": lambda v: isinstance(v, int) and not isinstance(v, bool),
+            "long": lambda v: isinstance(v, int) and not isinstance(v, bool),
+            "float": lambda v: isinstance(v, float),
+            "double": lambda v: isinstance(v, float),
+            "bytes": lambda v: isinstance(v, (bytes, bytearray)),
+            "string": lambda v: isinstance(v, str),
+        }
+        return prims[schema]
+    if isinstance(schema, list):
+        subs = [_branch_matcher(s) for s in schema]
+        return lambda v: any(m(v) for m in subs)
+    t = schema["type"]
+    if schema.get("logicalType") == "decimal":
+        return lambda v: isinstance(v, decimal.Decimal)
+    if "logicalType" in schema and t in ("int", "long"):
+        # timestamp-millis/micros, date, time — integer-backed
+        return lambda v: isinstance(v, int) and not isinstance(v, bool)
+    if t == "record":
+        fields = {f["name"] for f in schema["fields"]}
+        return lambda v: isinstance(v, dict) and fields <= set(v)
+    if t == "array":
+        return lambda v: isinstance(v, (list, tuple))
+    if t == "map":
+        return lambda v: isinstance(v, dict)
+    if t == "enum":
+        symbols = set(schema["symbols"])
+        return lambda v: isinstance(v, str) and v in symbols
+    if t == "fixed":
+        size = int(schema["size"])
+        return lambda v: isinstance(v, (bytes, bytearray)) and len(v) == size
+    return _branch_matcher(t)
 
 
 def _type_name(schema: Any) -> str:

@@ -1491,10 +1491,12 @@ def test_lakehouse_vacuum_reclaims_checkpoint_squashed_files(spark, sf_dir, tmp_
     assert sorted(map(tuple, LH.read_version(spark, path, v1).collect())) == before
 
 
-def test_avro_union_multibranch_write_rejected(tmp_path):
-    """Unions wider than ["null", T] are rejected at schema-compile
-    time on the WRITE path (the encoder cannot dispatch by runtime
-    type) — never silently mis-encoded."""
+def test_avro_union_multibranch_runtime_dispatch(tmp_path):
+    """Multi-branch unions (["null","long","string"]) encode by
+    RUNTIME-TYPE dispatch (first matching branch in declaration order
+    — the spec's resolution rule) and round-trip exactly; a value
+    matching no branch is a loud error, never a wrong-branch
+    encode."""
     import io
 
     import pytest
@@ -1506,8 +1508,85 @@ def test_avro_union_multibranch_write_rejected(tmp_path):
         "name": "r",
         "fields": [{"name": "v", "type": ["null", "long", "string"]}],
     }
-    with pytest.raises(ValueError, match="non-null branch"):
-        A.write_container(io.BytesIO(), schema, [{"v": 1}])
+    rows = [{"v": 1}, {"v": "x"}, {"v": None}, {"v": -7}, {"v": ""}]
+    buf = io.BytesIO()
+    A.write_container(buf, schema, rows, codec="null", sync=b"0123456789abcdef")
+    buf.seek(0)
+    _, it = A.read_container(buf)
+    assert list(it) == rows
+    # no matching branch → loud error (float is not in the union)
+    with pytest.raises(ValueError, match="matches no branch"):
+        A.write_container(io.BytesIO(), schema, [{"v": 1.5}])
+    # bool must NOT dispatch to the long branch
+    with pytest.raises(ValueError, match="matches no branch"):
+        A.write_container(io.BytesIO(), schema, [{"v": True}])
+
+
+def test_avro_union_multibranch_conformance_vs_jvm(spark, tmp_path):
+    """Cross-implementation gate for multi-branch unions: the JVM Avro
+    library reads the pure-Python codec's union branches, and the
+    Python codec reads the JVM's — both directions, all three branch
+    types exercised."""
+    import io
+    import json as _json
+
+    from bigdata06_spark.sources import avro_codec as A
+
+    jvm = spark._jvm
+    schema_json = _json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "v", "type": ["null", "long", "string"]},
+            ],
+        }
+    )
+    expected = [
+        # > Integer.MAX_VALUE so py4j maps the value to a Java long on
+        # the JVM-write leg (small ints box to Integer, which the Java
+        # union resolver rejects); the Python codec is width-agnostic
+        {"id": 0, "v": 4_200_000_000},
+        {"id": 1, "v": "forty-two"},
+        {"id": 2, "v": None},
+    ]
+
+    # Python writes → Java reads
+    pfile = str(tmp_path / "py_union.avro")
+    buf = io.BytesIO()
+    A.write_container(buf, schema_json, expected, codec="deflate", sync=b"fedcba9876543210")
+    with open(pfile, "wb") as fh:
+        fh.write(buf.getvalue())
+    dfr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(pfile), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while dfr.hasNext():
+        r = dfr.next()
+        v = r.get("v")
+        if v is not None and not isinstance(v, int):
+            v = str(v)  # avro Utf8 → python str (py4j proxy)
+        got.append({"id": r.get("id"), "v": v})
+    dfr.close()
+    assert got == expected
+
+    # Java writes → Python reads
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    jfile = str(tmp_path / "java_union.avro")
+    dfw.create(jschema, jvm.java.io.File(jfile))
+    for rec_dict in expected:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", rec_dict["id"])
+        rec.put("v", rec_dict["v"])
+        dfw.append(rec)
+    dfw.close()
+    with open(jfile, "rb") as fh:
+        _, it = A.read_container(fh)
+        assert list(it) == expected
 
 
 def test_avro_decimal_conformance_vs_jvm(spark, tmp_path):
