@@ -1612,6 +1612,54 @@ _MONTHLY_REV_SQL = """
 """
 
 
+def _unrolled_recursion(m_body: str, mat: str, level_clause: str,
+                        rel: str, val_col: str, init_expr: str,
+                        step_tmpl: str, K: int = 8) -> str:
+    """UNROLLED recursive-CTE body (VERDICT r4 #6): each engine
+    iteration advances K months at once — the sequential recurrence
+    is nested K-deep inside one select (integer-exact, so unrolling
+    is pure algebra), the K emitted rows come from a VALUES cross
+    join, and only the k=K row carries the recursion forward (the
+    `carrier` flag gates the next step's join). Depth drops from
+    #months to ⌈#months/K⌉; measured at sf0.1 the per-iteration
+    machinery dominated (8.3s for 80 steps), so K=8 cut
+    forecast_exp_smoothing to ~2.5s warm. The tail (months not
+    divisible by K) falls out of the LEFT joins: row k emits only if
+    month i+k exists, and a missing month k=K simply yields no
+    carrier — recursion ends.
+
+    `step_tmpl` is the one-month state update with `{prev}` and `{k}`
+    placeholders (e.g. `(3 * ({prev}) + m{k}.cents) {idiv} 4`)."""
+    s_exprs = [step_tmpl.format(prev="sm.s", k=1)]
+    for k in range(2, K + 1):
+        s_exprs.append(step_tmpl.format(prev=s_exprs[-1], k=k))
+
+    def case_of(fmt: str) -> str:
+        whens = " ".join(f"WHEN {k} THEN {fmt.format(k=k)}" for k in range(1, K))
+        return f"CASE k.k {whens} ELSE {fmt.format(k=K)} END"
+
+    s_whens = " ".join(f"WHEN {k} THEN {s_exprs[k - 1]}" for k in range(1, K))
+    joins = "JOIN m m1 ON m1.i = sm.i + 1 AND sm.carrier\n      " + "\n      ".join(
+        f"LEFT JOIN m m{k} ON m{k}.i = sm.i + {k}" for k in range(2, K + 1)
+    )
+    vals = ", ".join(f"({k})" for k in range(1, K + 1))
+    return f"""
+    WITH RECURSIVE m AS{mat} ({m_body}),
+    {rel}(i, mo, {val_col}, s, carrier){level_clause} AS (
+      SELECT i, mo, {val_col}, {init_expr}, TRUE FROM m WHERE i = 1
+      UNION ALL
+      SELECT sm.i + k.k,
+             {case_of("m{k}.mo")},
+             {case_of("m{k}." + val_col)},
+             CASE k.k {s_whens} ELSE {s_exprs[K - 1]} END,
+             k.k = {K}
+      FROM {rel} sm
+      {joins}
+      CROSS JOIN (VALUES {vals}) k(k)
+      WHERE {case_of("m{k}.i IS NOT NULL")}
+    )"""
+
+
 def _exp_smoothing_sql(str_type: str, idiv: str, level_clause: str = "",
                        m_source: str | None = None) -> str:
     """Shared recursive exponential-smoothing text. Dialect splits:
@@ -1622,19 +1670,17 @@ def _exp_smoothing_sql(str_type: str, idiv: str, level_clause: str = "",
     Spark side: each recursion step references `m`, and without
     materialization the engine re-runs the fact aggregate once PER
     MONTH STEP — measured 24-45s at sf0.1 vs ~7-9s anchored on an
-    80-row checkpointed view, the remainder being the per-iteration
-    machinery cost, FLAT in data size (DuckDB gets AS MATERIALIZED
-    for the same reason)."""
+    80-row checkpointed view (DuckDB gets AS MATERIALIZED for the
+    same reason). The remaining per-iteration machinery cost is cut
+    8× by `_unrolled_recursion` (K=8 months per engine step; the
+    IDENTICAL unrolled text runs on both engines)."""
     m_body = m_source or _MONTHLY_REV_SQL
     mat = "" if m_source else " MATERIALIZED"
-    return f"""
-    WITH RECURSIVE m AS{mat} ({m_body}),
-    sm(i, mo, cents, s){level_clause} AS (
-      SELECT i, mo, cents, cents FROM m WHERE i = 1
-      UNION ALL
-      SELECT m.i, m.mo, m.cents, (3 * sm.s + m.cents) {idiv} 4
-      FROM m JOIN sm ON m.i = sm.i + 1
+    spine = _unrolled_recursion(
+        m_body, mat, level_clause, "sm", "cents", "cents",
+        f"(3 * ({{prev}}) + m{{k}}.cents) {idiv} 4",
     )
+    return f"""{spine}
     SELECT CAST(mo AS {str_type}) AS month_start,
            CAST(cents AS BIGINT) AS revenue_cents,
            CAST(s AS BIGINT) AS smoothed_cents
@@ -1701,18 +1747,15 @@ def _clamped_running_sum_sql(str_type: str, idiv: str,
     accumulated under a [0, 5000] clamp."""
     m_body = m_source or _monthly_net_sql(idiv)
     mat = "" if m_source else " MATERIALIZED"
-    return f"""
-    WITH RECURSIVE m AS{mat} ({m_body}),
-    inv(i, mo, delta, level){level_clause} AS (
-      SELECT i, mo, delta, greatest(0, least(5000, delta)) FROM m WHERE i = 1
-      UNION ALL
-      SELECT m.i, m.mo, m.delta,
-             greatest(0, least(5000, inv.level + m.delta))
-      FROM m JOIN inv ON m.i = inv.i + 1
+    spine = _unrolled_recursion(
+        m_body, mat, level_clause, "inv", "delta",
+        "greatest(0, least(5000, delta))",
+        "greatest(0, least(5000, ({prev}) + m{k}.delta))",
     )
+    return f"""{spine}
     SELECT CAST(mo AS {str_type}) AS month_start,
            CAST(delta AS BIGINT) AS net_delta,
-           CAST(level AS BIGINT) AS stock_level
+           CAST(s AS BIGINT) AS stock_level
     FROM inv
 """
 
