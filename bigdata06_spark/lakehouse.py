@@ -200,6 +200,114 @@ def _write_partitioned(df: DataFrame, out: str, key: str, n_files: int,
     _finalize_partition_dirs(out)
 
 
+# ------------------------------------------- file-level column stats
+#
+# STATS-BASED DATA SKIPPING (Delta's minValues/maxValues): tables
+# initialized with `stats_cols=[...]` record per-file [min, max] for
+# those columns in every commit's log entry, computed DISTRIBUTED
+# (one `_metadata.file_path` groupBy over the just-written files —
+# only the (file → bounds) rows reach the driver, the same contract
+# as the COW planner's key ranges). Readers pass `stats_filter=
+# {col: (lo, hi)}` and the PLANNER drops every file whose recorded
+# range cannot intersect — the mechanism that makes a range predicate
+# on the table's cluster axis scan O(matching files) instead of the
+# table. Skipping is SOUND, not exact: a file with missing stats (old
+# vintage, evolved column) is kept, and the caller still applies the
+# real filter — pruning only ever removes provably-empty files.
+
+
+def table_stats_cols(path: str) -> list[str]:
+    """Columns with per-file stats ([] when none) — recorded at init,
+    re-emitted by checkpoint_log."""
+    latest = current_version(path)
+    for v in range(latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if "stats_cols" in entry:
+            return list(entry["stats_cols"])
+    return []
+
+
+def _json_scalar(v):
+    """JSON-safe stats bound: numbers/strings/bools pass through;
+    dates/timestamps/decimals serialize to their ISO string (whose
+    lexicographic order equals their natural order — what the
+    overlap compare relies on)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _collect_file_stats(spark: SparkSession, path: str, files: list[str],
+                        stats_cols: list[str]) -> dict:
+    full = [os.path.join(path, f) for f in files]
+    df = spark.read.option("mergeSchema", "true").parquet(*full)
+    present = [c for c in stats_cols if c in df.columns]
+    if not present:
+        return {}
+    aggs = []
+    for c in present:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("f")).agg(*aggs).collect()
+    )
+    out = {}
+    for r in rows:
+        rel = _DATA + "/" + r["f"].split(f"/{_DATA}/", 1)[1]
+        out[rel] = {
+            c: [_json_scalar(r[f"_mn_{c}"]), _json_scalar(r[f"_mx_{c}"])]
+            for c in present
+        }
+    return out
+
+
+def file_stats_at(path: str, version: int) -> dict:
+    """Replay the log through `version` → per-file stats for that
+    snapshot's surviving files."""
+    latest = current_version(path)
+    if version < 0 or version > latest:
+        raise ValueError(f"version {version} not in [0, {latest}]")
+    stats: dict = {}
+    for v in range(version + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if entry.get("checkpoint"):
+            stats = dict(entry.get("stats", {}))
+        else:
+            for f in entry.get("remove", []):
+                stats.pop(f, None)
+            stats.update(entry.get("stats", {}))
+    return stats
+
+
+def _stats_may_match(file_stats: dict | None, stats_filter: dict) -> bool:
+    """True unless the recorded [min, max] of some filtered column
+    provably misses the requested [lo, hi] interval. Missing stats,
+    NULL bounds, or a type mismatch keep the file (sound skipping)."""
+    if not file_stats:
+        return True
+    for c, bounds in stats_filter.items():
+        if c not in file_stats:
+            continue
+        mn, mx = file_stats[c]
+        lo, hi = bounds
+        lo, hi = _json_scalar(lo), _json_scalar(hi)
+        try:
+            if lo is not None and mx is not None and mx < lo:
+                return False
+            if hi is not None and mn is not None and mn > hi:
+                return False
+        except TypeError:
+            continue  # incomparable types → keep
+    return True
+
+
 def _matches_partition(rel_path: str, partition_filter: dict) -> bool:
     vals = _pvals_of_rel(rel_path)
     for k, want in partition_filter.items():
@@ -262,13 +370,17 @@ def files_at_version(path: str, version: int) -> list[str]:
 
 
 def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
-               partition_by: list[str] | None = None) -> None:
+               partition_by: list[str] | None = None,
+               stats_cols: list[str] | None = None) -> None:
     """Version 0: range-bucket + sort on `key` so every data file
     covers a narrow, non-overlapping key range (parquet min/max stats
     make the COW planner exact). With `partition_by`, files land in
     Hive-style `col=val` directories, the log records the partition
     spec and per-file partition values, and reads/merges prune on
-    them (see the partition-columns comment above)."""
+    them (see the partition-columns comment above). With
+    `stats_cols`, every commit records per-file [min, max] for those
+    columns and `read_version(stats_filter=...)` skips files at the
+    planner (see the data-skipping comment above)."""
     sub = _new_sub(0)
     out = os.path.join(path, _DATA, sub)
     if partition_by:
@@ -285,11 +397,17 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
     if partition_by:
         entry["partition_by"] = list(partition_by)
     entry.update(_entry_partition_meta(files))
+    if stats_cols:
+        entry["stats_cols"] = list(stats_cols)
+        entry["stats"] = _collect_file_stats(
+            df.sparkSession, path, files, list(stats_cols)
+        )
     _commit_log(path, 0, entry)
 
 
 def read_version(spark: SparkSession, path: str, version: int,
-                 partition_filter: dict | None = None) -> DataFrame:
+                 partition_filter: dict | None = None,
+                 stats_filter: dict | None = None) -> DataFrame:
     """Version-pinned read. mergeSchema=true because versions may mix
     file vintages after `add_column` schema evolution — carried-over
     files simply lack the new column and read as NULL (Delta/Iceberg's
@@ -300,12 +418,22 @@ def read_version(spark: SparkSession, path: str, version: int,
     the scanner — the other partitions' files never appear in the
     scan (inputFiles/plan-pinned in tests), the same static partition
     pruning a date-predicate gets on a Hive/Delta table. Values
-    compare as their string (path) encoding."""
+    compare as their string (path) encoding.
+
+    `stats_filter` ({col: (lo, hi)}, either bound None) additionally
+    skips files whose logged [min, max] for the column cannot
+    intersect the interval — SOUND pruning only (missing stats keep
+    the file); the caller still applies the real row filter."""
     rel_files = files_at_version(path, version)
     if partition_filter:
         rel_files = [f for f in rel_files if _matches_partition(f, partition_filter)]
-        if not rel_files:
-            return read_version(spark, path, version).limit(0)
+    if stats_filter:
+        stats = file_stats_at(path, version)
+        rel_files = [
+            f for f in rel_files if _stats_may_match(stats.get(f), stats_filter)
+        ]
+    if (partition_filter or stats_filter) and not rel_files:
+        return read_version(spark, path, version).limit(0)
     files = [os.path.join(path, f) for f in rel_files]
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     for col_name, col_type in _schema_adds_at(path, version):
@@ -363,11 +491,15 @@ def merge(spark: SparkSession, path: str, key: str,
         )
     schema_adds = [{"column": c, "type": t} for c, t in sorted(new_cols.items())]
 
+    scols = table_stats_cols(path)
+
     def _commit(version: int, add: list[str], remove: list[str]) -> None:
         entry: dict = {"add": sorted(add), "remove": sorted(remove)}
         if schema_adds:
             entry["schema_adds"] = schema_adds
         entry.update(_entry_partition_meta(add))
+        if scols and add:
+            entry["stats"] = _collect_file_stats(spark, path, sorted(add), scols)
         _commit_log(path, version, entry)
 
     touched = None
@@ -611,16 +743,40 @@ def _schema_adds_at(path: str, version: int) -> list[tuple[str, str]]:
     return adds
 
 
-def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4) -> int:
+def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
+             partitions: dict | None = None) -> int:
     """OPTIMIZE (compaction) as a version: rewrite the CURRENT file
     set into `n_files` range-bucketed files with identical rows — the
     small-files pass (`sinks.compact_small_files`) lifted into the
     versioned world, so readers pinned to old versions keep their
     exact files while new readers get the compacted layout. Returns
-    the new version."""
+    the new version.
+
+    `partitions` ({col: value-or-values}) scopes the compaction to
+    matching partitions — Delta's `OPTIMIZE ... WHERE`: only those
+    partitions' files rewrite (the streaming-ingest pattern compacts
+    ONLY the day that just closed), everything else carries over by
+    reference; at 100 TB an unscoped compaction of a date-partitioned
+    fact table would rewrite years of cold data for no reason."""
     prev_v = current_version(path)
-    snapshot = read_version(spark, path, prev_v)
     pby = table_partition_by(path)
+    if partitions:
+        if not pby:
+            raise ValueError("partitions= given but the table is unpartitioned")
+        prev_files = files_at_version(path, prev_v)
+        target = [f for f in prev_files if _matches_partition(f, partitions)]
+        if not target:
+            raise ValueError(f"no files match partitions {partitions}")
+        snapshot = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in target]
+        )
+        for col_name, col_type in _schema_adds_at(path, prev_v):
+            if col_name not in snapshot.columns:
+                snapshot = snapshot.withColumn(col_name, F.lit(None).cast(col_type))
+        remove = target
+    else:
+        snapshot = read_version(spark, path, prev_v)
+        remove = files_at_version(path, prev_v)
     new_v = prev_v + 1
     sub = _new_sub(new_v)
     if pby:
@@ -632,7 +788,13 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4) -> int:
             .write.mode("overwrite")
             .parquet(os.path.join(path, _DATA, sub))
         )
-    _write_log(path, new_v, _list_data_files(path, sub), files_at_version(path, prev_v))
+    adds = _list_data_files(path, sub)
+    entry: dict = {"add": adds, "remove": remove}
+    entry.update(_entry_partition_meta(adds))
+    scols = table_stats_cols(path)
+    if scols:
+        entry["stats"] = _collect_file_stats(spark, path, adds, scols)
+    _commit_log(path, new_v, entry)
     return new_v
 
 
@@ -824,7 +986,10 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         raise ValueError(f"version {v} not in [0, {latest}]")
     files = files_at_version(path, v)
     adds = _schema_adds_at(path, v)
-    pby = table_partition_by(path)  # before deleting the entry holding it
+    # resolve table metadata BEFORE deleting the entries holding it
+    pby = table_partition_by(path)
+    scols_pre = table_stats_cols(path)
+    stats_pre = file_stats_at(path, v) if scols_pre else {}
     for old in range(v):
         old_p = os.path.join(_log_dir(path), f"{old}.json")
         if os.path.exists(old_p):
@@ -840,6 +1005,10 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         # partition spec + per-file values re-emitted likewise
         entry["partition_by"] = pby
         entry.update(_entry_partition_meta(files))
+    if scols_pre:
+        # stats spec + surviving files' stats survive the squash too
+        entry["stats_cols"] = scols_pre
+        entry["stats"] = stats_pre
     # ATOMIC replace (write-temp + rename), not an in-place overwrite:
     # checkpoint deliberately REPLACES an existing committed entry
     # (squash-in-place), so O_EXCL doesn't apply — but a reader

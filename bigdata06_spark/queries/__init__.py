@@ -106,6 +106,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # round-5 new: partition-pruned lakehouse scan + the
         # scale-safe adaptive simhash
         "lakehouse_partition_pruned", "dedup_simhash_adaptive",
+        "lakehouse_stats_skipping",
         "text_classifier_train", "text_classifier_eval",
         "dq_observed_metrics",
         "forecast_exp_smoothing", "inventory_clamped_running_sum",

@@ -246,3 +246,59 @@ def lakehouse_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("long").alias("first_id"),
         F.max("event_id").cast("long").alias("last_id"),
     )
+
+
+def _orders_by_date_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_orders_bydate_{tag}")
+
+
+@register(
+    "lakehouse_stats_skipping",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-06-30'
+    GROUP BY o_orderpriority
+    """,
+)
+def lakehouse_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-BASED DATA SKIPPING (Delta's minValues/maxValues): the
+    orders table is clustered (range-bucketed) on o_orderdate with
+    per-file [min, max] date stats in the log, and this half-year
+    range aggregate reads via `stats_filter` — the planner hands the
+    scanner only files whose recorded date range can intersect
+    (inputFiles-pinned in tests: a ~7-year table scans ~1/14th of its
+    files), then the REAL filter still applies (skipping is sound,
+    not exact — boundary files carry out-of-range rows). This is the
+    second pruning axis beside partition columns: partitions prune on
+    exact values of the layout key, stats prune on RANGES of any
+    clustered column, which is what a 100 TB time-ordered fact table
+    uses for every date-windowed query. Integer-cents output."""
+    path = _orders_by_date_dir(sf_dir)
+    if LH.current_version(path) < 0:
+        o = load_table(spark, "orders", sf_dir)
+        LH.table_init(
+            o, path, "o_orderdate", n_files=14, stats_cols=["o_orderdate"]
+        )
+    lo, hi = "1995-01-01", "1995-06-30"
+    df = LH.read_version(
+        spark, path, LH.current_version(path),
+        stats_filter={"o_orderdate": (lo, hi)},
+    )
+    return (
+        df.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("date"))
+            & (F.col("o_orderdate") <= F.lit(hi).cast("date"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("cents"),
+        )
+    )

@@ -2307,3 +2307,83 @@ def test_lakehouse_checkpoint_replace_is_atomic_swap(spark, sf_dir, tmp_path):
         entry = json.load(fh)
     assert entry["checkpoint"] is True
     assert sorted(entry["add"]) == LH.files_at_version(path, v1)
+
+
+def test_lakehouse_stats_skipping_prunes_files(spark, sf_dir, tmp_path):
+    """Per-file column stats (stats_cols) land in every commit's log
+    entry; a stats_filter read's planned scan holds only files whose
+    recorded [min, max] can intersect the interval; stats survive
+    merge and checkpoint; pruning is SOUND (result after the real
+    filter equals the unpruned result)."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_stats")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    LH.table_init(o, path, "o_orderdate", n_files=8, stats_cols=["o_orderdate"])
+    assert LH.table_stats_cols(path) == ["o_orderdate"]
+    stats = LH.file_stats_at(path, 0)
+    files = LH.files_at_version(path, 0)
+    assert set(stats) == set(files)
+    assert all("o_orderdate" in s and s["o_orderdate"][0] <= s["o_orderdate"][1]
+               for s in stats.values())
+
+    lo, hi = "1995-01-01", "1995-03-31"
+    pruned = LH.read_version(spark, path, 0, stats_filter={"o_orderdate": (lo, hi)})
+    scanned = {os.path.relpath(f.replace("file://", ""), path) for f in pruned.inputFiles()}
+    assert scanned < set(files), "stats pruning must drop some files"
+    # sound: post-filter result equals the unpruned post-filter result
+    pred = (F.col("o_orderdate") >= F.lit(lo).cast("date")) & (
+        F.col("o_orderdate") <= F.lit(hi).cast("date")
+    )
+    got = sorted(map(tuple, pruned.filter(pred).collect()))
+    want = sorted(map(tuple, LH.read_version(spark, path, 0).filter(pred).collect()))
+    assert got == want and got
+
+    # a merge's new files get stats too; checkpoint re-emits the spec
+    # (the table key is o_orderdate here — delete one date's rows)
+    k = o.agg(F.min("o_orderdate")).first()[0]
+    del_keys = spark.createDataFrame([(str(k),)], "o_orderdate string").select(
+        F.col("o_orderdate").cast("date").alias("o_orderdate")
+    )
+    v1 = LH.merge(spark, path, "o_orderdate", delete_keys=del_keys)
+    s1 = LH.file_stats_at(path, v1)
+    assert set(s1) == set(LH.files_at_version(path, v1))
+    LH.checkpoint_log(path)
+    assert LH.table_stats_cols(path) == ["o_orderdate"]
+    assert set(LH.file_stats_at(path, v1)) == set(LH.files_at_version(path, v1))
+
+
+def test_lakehouse_optimize_where_partition_scoped(spark, sf_dir, tmp_path):
+    """OPTIMIZE ... WHERE: a partition-scoped compaction rewrites ONLY
+    the matching partition's files; every other partition's files
+    carry over by reference, and rows are unchanged."""
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_opt_where")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("event_date", F.to_date("ts"))
+        .select("event_id", "event_date", "event_type", "value")
+    )
+    LH.table_init(ev, path, "event_id", n_files=4, partition_by=["event_date"])
+    before_files = set(LH.files_at_version(path, 0))
+    before_rows = sorted(map(tuple, LH.read_version(spark, path, 0).collect()))
+    day = "2024-01-05"
+    v1 = LH.optimize(spark, path, "event_id", n_files=1,
+                     partitions={"event_date": day})
+    with open(os.path.join(path, "_log", f"{v1}.json")) as fh:
+        entry = json.load(fh)
+    assert entry["remove"] and all(f"/event_date={day}/" in f for f in entry["remove"])
+    assert entry["add"] and all(f"/event_date={day}/" in f for f in entry["add"])
+    after_files = set(LH.files_at_version(path, v1))
+    carried = {f for f in before_files if f"/event_date={day}/" not in f}
+    assert carried <= after_files  # untouched partitions carry over
+    assert sorted(map(tuple, LH.read_version(spark, path, v1).collect())) == before_rows
+    with pytest.raises(ValueError, match="no files match"):
+        LH.optimize(spark, path, "event_id", partitions={"event_date": "1999-01-01"})
