@@ -349,12 +349,20 @@ def current_version(path: str) -> int:
     return max(versions, default=-1)
 
 
-def files_at_version(path: str, version: int) -> list[str]:
-    """Replay the log through `version` → that snapshot's file set."""
+def _state_at_version(path: str, version: int) -> tuple[list[str], dict[str, list[str]]]:
+    """Replay the log through `version` → (file set, deletion-vector
+    map). The DV map is {data file → [dv parquet files]}: the files
+    whose (file, row_index) rows are SUBTRACTED from that data file
+    on read (merge-on-read deletes — see `delete_where`). Replay
+    rules: a `dv_add` entry appends to each affected live file's
+    list; removing a data file (COW rewrite / OPTIMIZE) drops its DV
+    list — the rewrite applied the DVs, so they are spent; a
+    checkpoint entry restores the squashed map verbatim."""
     latest = current_version(path)
     if version < 0 or version > latest:
         raise ValueError(f"version {version} not in [0, {latest}]")
     files: set[str] = set()
+    dvs: dict[str, list[str]] = {}
     for v in range(version + 1):
         lp = os.path.join(_log_dir(path), f"{v}.json")
         if not os.path.exists(lp):  # squashed away by checkpoint_log
@@ -363,10 +371,29 @@ def files_at_version(path: str, version: int) -> list[str]:
             entry = json.load(fh)
         if entry.get("checkpoint"):
             files = set(entry["add"])
+            dvs = {f: list(lst) for f, lst in entry.get("dvs", {}).items()}
         else:
-            files -= set(entry["remove"])
+            for f in entry["remove"]:
+                files.discard(f)
+                dvs.pop(f, None)
             files |= set(entry["add"])
-    return sorted(files)
+            da = entry.get("dv_add")
+            if da:
+                for f in da["files"]:
+                    if f in files:
+                        dvs.setdefault(f, []).extend(da["dv"])
+    return sorted(files), dvs
+
+
+def files_at_version(path: str, version: int) -> list[str]:
+    """Replay the log through `version` → that snapshot's file set."""
+    return _state_at_version(path, version)[0]
+
+
+def dvs_at_version(path: str, version: int) -> dict[str, list[str]]:
+    """The deletion-vector map ({data file → [dv files]}) in force at
+    `version`."""
+    return _state_at_version(path, version)[1]
 
 
 def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
@@ -424,7 +451,7 @@ def read_version(spark: SparkSession, path: str, version: int,
     skips files whose logged [min, max] for the column cannot
     intersect the interval — SOUND pruning only (missing stats keep
     the file); the caller still applies the real row filter."""
-    rel_files = files_at_version(path, version)
+    rel_files, dvs = _state_at_version(path, version)
     if partition_filter:
         rel_files = [f for f in rel_files if _matches_partition(f, partition_filter)]
     if stats_filter:
@@ -436,10 +463,147 @@ def read_version(spark: SparkSession, path: str, version: int,
         return read_version(spark, path, version).limit(0)
     files = [os.path.join(path, f) for f in rel_files]
     df = spark.read.option("mergeSchema", "true").parquet(*files)
+    # deletion vectors subtract BEFORE the evolved-column fill: the
+    # anti-join needs the scan relation's `_metadata`; only DVs of
+    # the surviving (pruned) files are loaded
+    df = _apply_dvs(spark, path, df, _dv_files_for(dvs, rel_files))
     for col_name, col_type in _schema_adds_at(path, version):
         if col_name not in df.columns:
             df = df.withColumn(col_name, F.lit(None).cast(col_type))
     return df
+
+
+# ------------------------------------------------- deletion vectors
+#
+# MERGE-ON-READ deletes (Delta deletion vectors / Iceberg positional
+# delete files): `delete_where` writes a small parquet of
+# (file, row_index) positions and commits a version that REWRITES
+# NOTHING — the 100 TB point-delete path (GDPR erasure, late-arriving
+# retractions), where COW would rewrite every file a scattered key
+# set touches. Readers subtract the positions with a broadcast
+# left-anti join on (file, row_index), using the parquet scanner's
+# own `_metadata.row_index` — no surrogate row ids, no data rewrite.
+#
+# Life cycle: DVs ACCUMULATE per file across versions; any rewrite of
+# the file (MERGE leg, OPTIMIZE) reads it DV-applied and drops the
+# spent DV references in the same commit, so compaction is the
+# pressure valve that keeps the anti-join side small. Reads at scale:
+# the DV relation is bounded by deletes-since-last-compaction, the
+# same bound Delta's bitmaps carry; the broadcast stays cheap exactly
+# as long as OPTIMIZE runs at the cadence any DV design assumes.
+
+
+def _rel_file_expr():
+    """`_metadata.file_path` (absolute file: URI) → table-relative
+    path (`data/...`), the form the log stores. Same `/data/` split as
+    merge's rel_of — O(1) per row, no file-list lookup."""
+    return F.concat(
+        F.lit(_DATA + "/"),
+        F.element_at(F.split(F.col("_metadata.file_path"), f"/{_DATA}/"), -1),
+    )
+
+
+def _dv_files_for(dvs: dict[str, list[str]], rel_files: list[str]) -> list[str]:
+    """The distinct DV files any of `rel_files` needs subtracted."""
+    out: set[str] = set()
+    for f in rel_files:
+        out.update(dvs.get(f, []))
+    return sorted(out)
+
+
+def _apply_dvs(spark: SparkSession, path: str, df: DataFrame,
+               dv_files: list[str]) -> DataFrame:
+    """Subtract deletion-vector positions from a freshly-scanned
+    DataFrame. `df` must come straight from a parquet read (the
+    `_metadata` hidden column resolves only on the scan relation).
+    No-op (and plan-identical) when the table carries no DVs."""
+    if not dv_files:
+        return df
+    dv = (
+        spark.read.parquet(*[os.path.join(path, f) for f in dv_files])
+        .select("file", "row_index")
+        .distinct()
+    )
+    marked = df.withColumn("_dv_file", _rel_file_expr()).withColumn(
+        "_dv_ri", F.col("_metadata.row_index")
+    )
+    out = marked.join(
+        F.broadcast(dv),
+        (marked["_dv_file"] == dv["file"]) & (marked["_dv_ri"] == dv["row_index"]),
+        "left_anti",
+    )
+    return out.drop("_dv_file", "_dv_ri")
+
+
+def delete_where(spark: SparkSession, path: str, predicate,
+                 n_files: int = 1) -> int:
+    """DELETE via deletion vectors: mark every current row matching
+    `predicate` (SQL string or Column) deleted WITHOUT rewriting any
+    data file. Writes one small parquet of (file, row_index)
+    positions under a per-attempt `v<N>-<attempt>dv/` directory and
+    commits `{"dv_add": {...}}` through the same atomic O_EXCL log
+    protocol as every other writer (a lost race raises
+    CommitConflictError; the orphaned DV parquet is vacuum food).
+    Returns the new version — or the current one unchanged when no
+    row matches (no empty versions).
+
+    Cost shape: one predicate scan of the current snapshot (the same
+    scan a COW delete needs to FIND the rows) + a write of O(matched
+    rows) positions; zero data-file rewrite. The scan excludes
+    already-deleted positions, so re-running the same predicate is a
+    no-op, not a DV that grows without bound."""
+    prev_v = current_version(path)
+    if prev_v < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    rel_files, dvs = _state_at_version(path, prev_v)
+    if not rel_files:
+        return prev_v
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in rel_files]
+    )
+    for col_name, col_type in _schema_adds_at(path, prev_v):
+        if col_name not in df.columns:
+            df = df.withColumn(col_name, F.lit(None).cast(col_type))
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # materialize the position columns from the scan relation FIRST:
+    # `_metadata` resolves only there, not through the anti-join below
+    marked = df.withColumn("_dv_file", _rel_file_expr()).withColumn(
+        "_dv_ri", F.col("_metadata.row_index")
+    )
+    old_dv = _dv_files_for(dvs, rel_files)
+    if old_dv:
+        prior = (
+            spark.read.parquet(*[os.path.join(path, f) for f in old_dv])
+            .select("file", "row_index")
+            .distinct()
+        )
+        marked = marked.join(
+            F.broadcast(prior),
+            (marked["_dv_file"] == prior["file"])
+            & (marked["_dv_ri"] == prior["row_index"]),
+            "left_anti",
+        )
+    hits = marked.filter(cond).select(
+        F.col("_dv_file").alias("file"), F.col("_dv_ri").alias("row_index")
+    )
+    new_v = prev_v + 1
+    sub = _new_sub(new_v) + "dv"
+    out_dir = os.path.join(path, _DATA, sub)
+    hits.repartition(max(1, n_files)).write.mode("overwrite").parquet(out_dir)
+    dv_files = _list_data_files(path, sub)
+    affected = sorted(
+        r.file
+        for r in spark.read.parquet(out_dir).select("file").distinct().collect()
+    )
+    if not affected:  # predicate matched nothing: drop the empty attempt
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return prev_v
+    _commit_log(
+        path, new_v, {"add": [], "remove": [], "dv_add": {"files": affected, "dv": dv_files}}
+    )
+    return new_v
 
 
 def merge(spark: SparkSession, path: str, key: str,
@@ -458,7 +622,8 @@ def merge(spark: SparkSession, path: str, key: str,
     `_metadata` groupBy — the driver only ever holds (file, lo, hi)
     triples and the file lists it must hand the scanner anyway."""
     prev_v = current_version(path)
-    snapshot = read_version(spark, path, prev_v)
+    snapshot = read_version(spark, path, prev_v)  # DV-applied: the live rows
+    snap_rel_files, snap_dvs = _state_at_version(path, prev_v)
     pby = table_partition_by(path)
 
     def _write_insert_leg(new_rows: DataFrame, sub: str, mode: str) -> None:
@@ -523,8 +688,15 @@ def merge(spark: SparkSession, path: str, key: str,
     # actually contain a touched key's range — the file-range relation
     # is small (one row per data file) and joins the touched keys with
     # a range predicate; only the surviving file list is collected
-    # (the scanner needs it anyway).
-    per_file = snapshot.groupBy(F.col("_metadata.file_path").alias("file")).agg(
+    # (the scanner needs it anyway). RAW scan (not the DV-applied
+    # snapshot): `_metadata` resolves only on the scan relation, and
+    # raw per-file ranges are a sound superset — a file whose every
+    # touched-range row is DV-deleted rewrites harmlessly (and sheds
+    # its spent DVs in the process).
+    raw_snapshot = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in snap_rel_files]
+    )
+    per_file = raw_snapshot.groupBy(F.col("_metadata.file_path").alias("file")).agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     )
     hit = (
@@ -602,6 +774,10 @@ def merge(spark: SparkSession, path: str, key: str,
     rewrite_src = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in affected]
     )
+    # DV-deleted rows must not resurrect through the rewrite: apply
+    # the affected files' deletion vectors before the merge legs; the
+    # new commit removes those files, which drops their spent DVs
+    rewrite_src = _apply_dvs(spark, path, rewrite_src, _dv_files_for(snap_dvs, affected))
     # lazily-added columns (add_column) materialize into rewritten
     # files here — the "later rewrites fill real values" half of
     # additive schema evolution
@@ -770,6 +946,12 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
         snapshot = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(path, f) for f in target]
         )
+        # compaction MATERIALIZES deletes: the rewritten files carry
+        # the DV-applied rows and the commit's remove drops the spent
+        # DV references from the replayed state
+        snapshot = _apply_dvs(
+            spark, path, snapshot, _dv_files_for(dvs_at_version(path, prev_v), target)
+        )
         for col_name, col_type in _schema_adds_at(path, prev_v):
             if col_name not in snapshot.columns:
                 snapshot = snapshot.withColumn(col_name, F.lit(None).cast(col_type))
@@ -811,12 +993,23 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
     latest = current_version(path)
     if not (0 <= from_version <= to_version <= latest):
         raise ValueError(f"bad version range [{from_version}, {to_version}]")
-    before = set(files_at_version(path, from_version))
-    after = files_at_version(path, to_version)
-    added = [os.path.join(path, f) for f in after if f not in before]
-    if not added:
+    before_files, before_dvs = _state_at_version(path, from_version)
+    before = set(before_files)
+    after, after_dvs = _state_at_version(path, to_version)
+    # a file whose DV set changed in the range is LOGICALLY rewritten
+    # (its live row set shrank) — its surviving rows reprocess, same
+    # as a COW rewrite's carried rows would
+    changed = [
+        f
+        for f in after
+        if f not in before or before_dvs.get(f, []) != after_dvs.get(f, [])
+    ]
+    if not changed:
         return read_version(spark, path, to_version).limit(0)
-    df = spark.read.option("mergeSchema", "true").parquet(*added)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in changed]
+    )
+    df = _apply_dvs(spark, path, df, _dv_files_for(after_dvs, changed))
     for col_name, col_type in _schema_adds_at(path, to_version):
         if col_name not in df.columns:
             df = df.withColumn(col_name, F.lit(None).cast(col_type))
@@ -845,26 +1038,41 @@ def read_row_changes(spark: SparkSession, path: str, key: str,
     latest = current_version(path)
     if not (0 <= from_version <= to_version <= latest):
         raise ValueError(f"bad version range [{from_version}, {to_version}]")
-    before_set = set(files_at_version(path, from_version))
-    after_set = set(files_at_version(path, to_version))
-    removed = [os.path.join(path, f) for f in sorted(before_set - after_set)]
-    added = [os.path.join(path, f) for f in sorted(after_set - before_set)]
+    before_list, before_dvs = _state_at_version(path, from_version)
+    after_list, after_dvs = _state_at_version(path, to_version)
+    before_set, after_set = set(before_list), set(after_list)
+    # a file present on both sides whose DV set changed is LOGICALLY
+    # rewritten: it joins both the pre side (its from-version live
+    # rows) and the post side (its to-version live rows), so the
+    # full-outer pairing below emits the DV-deleted rows as `delete`
+    # pre-images — the same machinery COW rewrites flow through
+    dv_changed = sorted(
+        f
+        for f in after_set & before_set
+        if before_dvs.get(f, []) != after_dvs.get(f, [])
+    )
+    removed = sorted(before_set - after_set) + dv_changed
+    added = sorted(after_set - before_set) + dv_changed
     template = read_version(spark, path, to_version)
     cols = template.columns
     if not removed and not added:
         return template.limit(0).withColumn("_change_type", F.lit(""))
 
-    def _load(files: list[str], at_version: int) -> DataFrame:
-        if not files:
+    def _load(rel_files: list[str], at_version: int,
+              dvs: dict[str, list[str]]) -> DataFrame:
+        if not rel_files:
             return read_version(spark, path, at_version).limit(0)
-        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in rel_files]
+        )
+        df = _apply_dvs(spark, path, df, _dv_files_for(dvs, rel_files))
         for col_name, col_type in _schema_adds_at(path, at_version):
             if col_name not in df.columns:
                 df = df.withColumn(col_name, F.lit(None).cast(col_type))
         return df
 
-    pre = _load(removed, from_version)
-    post = _load(added, to_version)
+    pre = _load(removed, from_version, before_dvs)
+    post = _load(added, to_version, after_dvs)
     pre_cols = [c for c in cols if c in pre.columns]
     b = pre.select(
         F.col(key).alias("_k"), F.struct(*[F.col(c) for c in pre_cols]).alias("_pre")
@@ -944,7 +1152,11 @@ def vacuum(path: str, keep_versions: int = 1,
     horizon = max(0, latest - keep_versions + 1)
     live: set[str] = set()
     for v in range(horizon, latest + 1):
-        live |= set(files_at_version(path, v))
+        files_v, dvs_v = _state_at_version(path, v)
+        live |= set(files_v)
+        # deletion-vector parquets referenced by a retained version
+        # are part of that version's read path — as live as its data
+        live |= {dv for lst in dvs_v.values() for dv in lst}
     data_root = os.path.join(path, _DATA)
     now = time.time()
     dead: list[str] = []
@@ -984,7 +1196,7 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     v = latest if at_version is None else at_version
     if not (0 <= v <= latest):
         raise ValueError(f"version {v} not in [0, {latest}]")
-    files = files_at_version(path, v)
+    files, dvs = _state_at_version(path, v)
     adds = _schema_adds_at(path, v)
     # resolve table metadata BEFORE deleting the entries holding it
     pby = table_partition_by(path)
@@ -1001,6 +1213,9 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         # schema adds re-emitted so _schema_adds_at survives the squash
         "schema_adds": [{"column": c, "type": t} for c, t in adds],
     }
+    if dvs:
+        # live deletion-vector map re-emitted so MOR reads survive too
+        entry["dvs"] = dvs
     if pby:
         # partition spec + per-file values re-emitted likewise
         entry["partition_by"] = pby

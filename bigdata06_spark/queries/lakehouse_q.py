@@ -302,3 +302,49 @@ def lakehouse_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("cents"),
         )
     )
+
+
+def _orders_dv_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_orders_dv_{tag}")
+
+
+@register(
+    "lakehouse_delete_vectors",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderkey % 7 <> 3
+    GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via deletion vectors (Delta DVs / Iceberg
+    positional deletes): every 7th order key is deleted — the
+    SCATTERED-delete shape (GDPR erasure, late retractions) that is
+    COW's worst case (every file's key range is hit, so a COW merge
+    would rewrite the whole table) and the DV design's best case: the
+    commit writes one small (file, row_index) parquet and rewrites
+    ZERO data files; the read subtracts the positions with a
+    broadcast anti-join on the parquet scanner's own
+    `_metadata.row_index`. At 100 TB the delete costs one predicate
+    scan + O(deleted rows) positions instead of a full-table rewrite;
+    OPTIMIZE later materializes and drops the spent DVs (the
+    compaction contract tests pin). Integer-cents output so the
+    oracle replays exactly on the raw table."""
+    path = _orders_dv_dir(sf_dir)
+    if LH.current_version(path) < 1:
+        o = load_table(spark, "orders", sf_dir)
+        if LH.current_version(path) < 0:
+            LH.table_init(o, path, "o_orderkey", n_files=8)
+        LH.delete_where(spark, path, "o_orderkey % 7 = 3")
+    df = LH.read_version(spark, path, LH.current_version(path))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("cents"),
+    )

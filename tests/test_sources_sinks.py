@@ -2387,3 +2387,197 @@ def test_lakehouse_optimize_where_partition_scoped(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, LH.read_version(spark, path, v1).collect())) == before_rows
     with pytest.raises(ValueError, match="no files match"):
         LH.optimize(spark, path, "event_id", partitions={"event_date": "1999-01-01"})
+
+
+def test_lakehouse_delete_vectors_basic(spark, sf_dir, tmp_path):
+    """MERGE-ON-READ deletes: a SCATTERED delete (every 7th key — the
+    COW worst case, which would rewrite all 8 files) commits a
+    deletion-vector version that rewrites ZERO data files; the read
+    subtracts the positions; time travel to v0 still sees every row;
+    re-running the same predicate is a version no-op."""
+    import json
+    import os
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_dv")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    LH.table_init(o, path, "o_orderkey", n_files=8)
+    v1 = LH.delete_where(spark, path, "o_orderkey % 7 = 3")
+    assert v1 == 1
+    with open(os.path.join(path, "_log", "1.json")) as fh:
+        entry = json.load(fh)
+    assert entry["add"] == [] and entry["remove"] == []  # zero rewrite
+    assert entry["dv_add"]["dv"] and len(entry["dv_add"]["files"]) == 8
+    # same data file set in both versions — only the DV map differs
+    assert LH.files_at_version(path, 1) == LH.files_at_version(path, 0)
+    assert set(LH.dvs_at_version(path, 1)) == set(LH.files_at_version(path, 1))
+
+    want_v1 = sorted(map(tuple, o.filter("o_orderkey % 7 <> 3").collect()))
+    assert sorted(map(tuple, LH.read_version(spark, path, 1).collect())) == want_v1
+    # time travel: v0 still reads the full table
+    want_v0 = sorted(map(tuple, o.collect()))
+    assert sorted(map(tuple, LH.read_version(spark, path, 0).collect())) == want_v0
+    # idempotent: every matching position already deleted → no commit
+    assert LH.delete_where(spark, path, "o_orderkey % 7 = 3") == 1
+    assert LH.current_version(path) == 1
+
+
+def test_lakehouse_dv_merge_rewrite_no_resurrect(spark, sf_dir, tmp_path):
+    """A COW rewrite of a DV-carrying file must (a) not resurrect the
+    DV-deleted rows and (b) drop the spent DV references in the same
+    commit; the merge INSERT leg must treat a DV-deleted key as
+    absent (re-insertable)."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_dv_merge")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    LH.delete_where(spark, path, "o_orderkey < 100")
+    # update a range overlapping the DV'd keys → rewrites their file
+    updates = (
+        o.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 200))
+        .select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(9.5))
+    )
+    v2 = LH.merge(spark, path, "o_orderkey", updates=updates)
+    got = LH.read_version(spark, path, v2)
+    assert got.filter("o_orderkey < 100").count() == 0  # no resurrection
+    assert (
+        got.filter("o_orderkey >= 100 AND o_orderkey < 200")
+        .select("o_totalprice").distinct().collect()[0][0] == 9.5
+    )
+    # the rewritten file's DVs are spent: no DV references the live set
+    dvs = LH.dvs_at_version(path, v2)
+    live = set(LH.files_at_version(path, v2))
+    assert all(f not in live or not lst for f, lst in dvs.items()) and not any(
+        f in live and lst for f, lst in dvs.items()
+    )
+    # a DV-deleted key is re-insertable (insert leg sees live rows only)
+    ins = spark.createDataFrame([(5, 1.0)], "o_orderkey long, o_totalprice double")
+    v3 = LH.merge(spark, path, "o_orderkey", inserts=ins)
+    assert LH.read_version(spark, path, v3).filter("o_orderkey = 5").count() == 1
+
+
+def test_lakehouse_dv_optimize_materializes_and_vacuum_reclaims(spark, sf_dir, tmp_path):
+    """OPTIMIZE after a DV delete materializes the deletes (rows
+    equal, DV map empty) and VACUUM then reclaims the spent DV
+    parquet; with the DV version still retained, vacuum keeps it."""
+    import os
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_dv_opt")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    v1 = LH.delete_where(spark, path, "o_orderkey % 5 = 0")
+    dv_files = [dv for lst in LH.dvs_at_version(path, v1).values() for dv in lst]
+    assert dv_files
+    # retained DV version → its DV parquet is live, vacuum spares it
+    assert LH.vacuum(path, keep_versions=2) == []
+    assert all(os.path.exists(os.path.join(path, f)) for f in set(dv_files))
+
+    want = sorted(map(tuple, o.filter("o_orderkey % 5 <> 0").collect()))
+    v2 = LH.optimize(spark, path, "o_orderkey", n_files=2)
+    assert LH.dvs_at_version(path, v2) == {}
+    assert sorted(map(tuple, LH.read_version(spark, path, v2).collect())) == want
+    # only the compacted version retained → DV parquet is dead
+    gone = LH.vacuum(path, keep_versions=1)
+    assert set(dv_files) <= set(gone)
+    assert sorted(map(tuple, LH.read_version(spark, path, v2).collect())) == want
+
+
+def test_lakehouse_dv_row_cdf_emits_deletes(spark, sf_dir, tmp_path):
+    """read_row_changes across a DV-only commit: the DV'd rows emit
+    as `delete` pre-images and NOTHING else changes (the carried rows
+    of the logically-rewritten files filter out on the struct
+    compare); read_changes sees the files' surviving rows (post-image
+    reprocessing contract)."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_dv_cdf")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    v1 = LH.delete_where(spark, path, "o_orderkey >= 50 AND o_orderkey < 60")
+    rc = LH.read_row_changes(spark, path, "o_orderkey", 0, v1)
+    got = sorted(map(tuple, rc.collect()))
+    want = sorted(
+        tuple(r) + ("delete",)
+        for r in o.filter("o_orderkey >= 50 AND o_orderkey < 60").collect()
+    )
+    assert got == want
+    post = LH.read_changes(spark, path, 0, v1)
+    assert post.filter("o_orderkey >= 50 AND o_orderkey < 60").count() == 0
+    # post-image rows = the DV'd files' SURVIVING rows
+    assert post.count() == LH.read_version(spark, path, v1).join(
+        post.select("o_orderkey"), "o_orderkey", "left_semi"
+    ).count()
+
+
+def test_lakehouse_dv_occ_and_checkpoint(spark, sf_dir, tmp_path):
+    """delete_where commits through the same O_EXCL protocol (a
+    pre-committed target version → CommitConflictError, log intact);
+    checkpoint_log re-emits the DV map so MOR reads survive the
+    squash."""
+    import json
+    import os
+
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    from unittest import mock
+
+    path = str(tmp_path / "lh_dv_occ")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    # a no-op writer takes version 1 first; the DV writer read the
+    # table BEFORE that commit — pin its stale view of the version
+    LH._commit_log(path, 1, {"add": [], "remove": []})
+    with mock.patch.object(LH, "current_version", return_value=0):
+        with pytest.raises(LH.CommitConflictError):
+            LH.delete_where(spark, path, "o_orderkey % 3 = 1")
+    with open(os.path.join(path, "_log", "1.json")) as fh:
+        assert json.load(fh) == {"add": [], "remove": []}  # loser never corrupted it
+
+    v2 = LH.delete_where(spark, path, "o_orderkey % 3 = 1")
+    assert v2 == 2
+    want = sorted(map(tuple, o.filter("o_orderkey % 3 <> 1").collect()))
+    LH.checkpoint_log(path, v2)
+    assert LH.dvs_at_version(path, v2)  # DV map survived the squash
+    assert sorted(map(tuple, LH.read_version(spark, path, v2).collect())) == want
+
+
+def test_lakehouse_dv_on_partitioned_table(spark, sf_dir, tmp_path):
+    """Deletion vectors compose with Hive-style partitions: a
+    one-partition delete leaves other partitions' reads untouched,
+    and a pruned read applies only the pruned files' DVs."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_dv_part")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("event_date", F.to_date("ts"))
+        .select("event_id", "event_date", "event_type", "value")
+    )
+    LH.table_init(ev, path, "event_id", n_files=2, partition_by=["event_date"])
+    day = "2024-01-05"
+    v1 = LH.delete_where(
+        spark, path, f"event_date = DATE'{day}' AND event_id % 2 = 0"
+    )
+    pruned = LH.read_version(spark, path, v1, partition_filter={"event_date": day})
+    assert pruned.filter("event_id % 2 = 0").count() == 0
+    other = "2024-01-06"
+    want_other = ev.filter(F.col("event_date") == F.lit(other).cast("date")).count()
+    got_other = LH.read_version(
+        spark, path, v1, partition_filter={"event_date": other}
+    ).count()
+    assert got_other == want_other
