@@ -920,7 +920,8 @@ def _schema_adds_at(path: str, version: int) -> list[tuple[str, str]]:
 
 
 def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
-             partitions: dict | None = None) -> int:
+             partitions: dict | None = None,
+             zorder_by: list[str] | None = None) -> int:
     """OPTIMIZE (compaction) as a version: rewrite the CURRENT file
     set into `n_files` range-bucketed files with identical rows — the
     small-files pass (`sinks.compact_small_files`) lifted into the
@@ -933,9 +934,23 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     partitions' files rewrite (the streaming-ingest pattern compacts
     ONLY the day that just closed), everything else carries over by
     reference; at 100 TB an unscoped compaction of a date-partitioned
-    fact table would rewrite years of cold data for no reason."""
+    fact table would rewrite years of cold data for no reason.
+
+    `zorder_by` ([col, ...]) rewrites in MORTON (Z-order) layout —
+    Delta's `OPTIMIZE ... ZORDER BY`: rows sort by the bit-interleave
+    of the rank-normalized clustering columns (`sinks.zorder_value`),
+    so every output file covers a small hyper-rectangle of the
+    multi-column space and the logged per-file [min, max] stats
+    (`stats_cols`) prune for range predicates on ANY clustered
+    column — a plain key sort only prunes its leading column. Pair
+    with `table_init(stats_cols=zorder cols)`; unpartitioned tables
+    only (partitioned tables compact per-partition, where the
+    partition value already is the leading cluster axis)."""
     prev_v = current_version(path)
     pby = table_partition_by(path)
+    if zorder_by and pby:
+        raise ValueError("zorder_by is for unpartitioned tables; "
+                         "partitioned tables compact per-partition")
     if partitions:
         if not pby:
             raise ValueError("partitions= given but the table is unpartitioned")
@@ -963,6 +978,12 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     sub = _new_sub(new_v)
     if pby:
         _write_partitioned(snapshot, os.path.join(path, _DATA, sub), key, n_files, pby)
+    elif zorder_by:
+        from bigdata06_spark.sinks import write_zorder_parquet
+
+        write_zorder_parquet(
+            snapshot, os.path.join(path, _DATA, sub), list(zorder_by), n_files
+        )
     else:
         (
             snapshot.repartitionByRange(n_files, F.col(key))

@@ -89,7 +89,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # adaptive-chunk simhash, the canonicalized scaled-k SemDeDup,
         # the rebuilt minhash-pair agreement ensemble)
         "lakehouse_partition_pruned", "lakehouse_stats_skipping",
-        "lakehouse_delete_vectors",
+        "lakehouse_delete_vectors", "lakehouse_zorder_skipping",
         "dedup_simhash_adaptive", "dedup_semantic",
         "dedup_methods_agreement",
         # never-sampled flagships, one+ per family
@@ -109,7 +109,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "text_repetition_stats", "text_winnowing_fingerprints",
         "text_bigram_logprob", "text_rake_keywords",
         "corpus_training_manifest", "corpus_decontaminate",
-        "join_lateral_topk", "join_asof_nearest",
+        "join_lateral_topk",
         "events_funnel_steps", "cdc_scd1_merge",
         "graph_triangle_census",
         "agg_skew_salted", "multimodal_audio_windows",

@@ -348,3 +348,69 @@ def lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
         ).cast("long").alias("cents"),
     )
+
+
+def _orders_zorder_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_orders_zorder_{tag}")
+
+
+@register(
+    "lakehouse_zorder_skipping",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate <= DATE '1996-12-31'
+      AND o_custkey >= 100 AND o_custkey <= 500
+    GROUP BY o_orderpriority
+    """,
+)
+def lakehouse_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER (Delta's multi-column clustering): the orders
+    table is rewritten in Morton (bit-interleaved) order of
+    (o_orderdate, o_custkey), so every file covers a small
+    hyper-rectangle of the 2-D space and the logged per-file
+    [min, max] stats prune for range predicates on EITHER column —
+    a plain date sort would leave o_custkey stats spanning the full
+    domain in every file. This 2-D box query (one year × one custkey
+    band) reads via `stats_filter` on both columns; the test pins
+    that each single-column probe already skips files and the box
+    scans fewer than either (inputFiles). The 100 TB shape: Z-order +
+    stats skipping is the scan optimization for fact tables queried
+    along MORE THAN ONE axis, where partitioning can serve only one.
+    Integer-cents output so the oracle replays on the raw table."""
+    path = _orders_zorder_dir(sf_dir)
+    if LH.current_version(path) < 1:
+        o = load_table(spark, "orders", sf_dir)
+        if LH.current_version(path) < 0:
+            LH.table_init(
+                o, path, "o_orderkey", n_files=16,
+                stats_cols=["o_orderdate", "o_custkey"],
+            )
+        LH.optimize(
+            spark, path, "o_orderkey", n_files=16,
+            zorder_by=["o_orderdate", "o_custkey"],
+        )
+    dlo, dhi, clo, chi = "1996-01-01", "1996-12-31", 100, 500
+    df = LH.read_version(
+        spark, path, LH.current_version(path),
+        stats_filter={"o_orderdate": (dlo, dhi), "o_custkey": (clo, chi)},
+    )
+    return (
+        df.filter(
+            (F.col("o_orderdate") >= F.lit(dlo).cast("date"))
+            & (F.col("o_orderdate") <= F.lit(dhi).cast("date"))
+            & (F.col("o_custkey") >= clo)
+            & (F.col("o_custkey") <= chi)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("cents"),
+        )
+    )

@@ -34,14 +34,29 @@ from bigdata06_spark.catalog import normalize_events_ts, table_path
 
 
 def _events_stream_dir(sf_dir: str) -> str:
-    """The file stream source wants a DIRECTORY; the driver tables are
-    single read-only files. Symlink into a per-sf temp dir."""
+    """The file stream source wants a DIRECTORY of data files; the
+    driver tables are single read-only files (and probe datasets are
+    Spark-written directories of part files — which must be linked
+    file-by-file: the source lists the top level only, so one symlink
+    TO a directory reads as zero files). Symlink into a per-sf temp
+    dir."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), "bigdata06_stream", key, "events")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+    src = table_path(sf_dir, "events")
+    if os.path.isdir(src):
+        stale = os.path.join(d, "events.parquet")
+        if os.path.islink(stale):  # pre-fix dir symlink: unreadable
+            os.remove(stale)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                link = os.path.join(d, f)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 

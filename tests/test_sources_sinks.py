@@ -2581,3 +2581,87 @@ def test_lakehouse_dv_on_partitioned_table(spark, sf_dir, tmp_path):
         spark, path, v1, partition_filter={"event_date": other}
     ).count()
     assert got_other == want_other
+
+
+def test_lakehouse_optimize_zorder_prunes_both_axes(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER: after the Morton rewrite, stats skipping
+    prunes files for a range predicate on EITHER clustered column
+    (the point of Z-order over a plain sort, whose trailing column
+    spans the full domain in every file), rows are unchanged, and
+    the 2-D box scans no more files than either 1-D probe."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_z")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    LH.table_init(o, path, "o_orderkey", n_files=16,
+                  stats_cols=["o_orderdate", "o_custkey"])
+    v1 = LH.optimize(spark, path, "o_orderkey", n_files=16,
+                     zorder_by=["o_orderdate", "o_custkey"])
+    total = len(LH.files_at_version(path, v1))
+    assert total == 16
+    want = sorted(map(tuple, o.collect()))
+    assert sorted(map(tuple, LH.read_version(spark, path, v1).collect())) == want
+
+    ck = sorted(r[0] for r in o.select("o_custkey").distinct().collect())
+    cmid = ck[len(ck) // 2]
+    date_probe = LH.read_version(
+        spark, path, v1, stats_filter={"o_orderdate": ("1996-01-01", "1996-12-31")}
+    )
+    cust_probe = LH.read_version(
+        spark, path, v1, stats_filter={"o_custkey": (ck[0], cmid)}
+    )
+    box = LH.read_version(
+        spark, path, v1,
+        stats_filter={"o_orderdate": ("1996-01-01", "1996-12-31"),
+                      "o_custkey": (ck[0], cmid)},
+    )
+    n_date = len(date_probe.inputFiles())
+    n_cust = len(cust_probe.inputFiles())
+    n_box = len(box.inputFiles())
+    assert n_date < total and n_cust < total  # EITHER axis prunes
+    assert n_box <= min(n_date, n_cust)
+    # skipping is sound: the pruned read + real filter = exact rows
+    got = sorted(
+        map(tuple, box.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("date"))
+            & (F.col("o_custkey") >= ck[0]) & (F.col("o_custkey") <= cmid)
+        ).collect())
+    )
+    want_box = sorted(
+        map(tuple, o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("date"))
+            & (F.col("o_custkey") >= ck[0]) & (F.col("o_custkey") <= cmid)
+        ).collect())
+    )
+    assert got == want_box
+
+    import pytest
+
+    ppath = str(tmp_path / "lh_zp")
+    ev = o.withColumn("d", F.col("o_orderdate"))
+    LH.table_init(ev, ppath, "o_orderkey", n_files=2, partition_by=["d"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        LH.optimize(spark, ppath, "o_orderkey", zorder_by=["o_custkey"])
+
+
+def test_lakehouse_dv_read_plan_broadcast_anti_join(spark, sf_dir, tmp_path):
+    """Plan pin for MOR reads: a DV-carrying version reads through a
+    broadcast LeftAnti hash join on (file, row_index); a DV-free
+    version's plan contains NO join at all (the zero-DV path is
+    byte-identical to a plain snapshot read)."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_dv_plan")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    plan0 = LH.read_version(spark, path, 0)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan0
+    v1 = LH.delete_where(spark, path, "o_orderkey % 11 = 0")
+    plan1 = LH.read_version(spark, path, v1)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan1 and "LeftAnti" in plan1

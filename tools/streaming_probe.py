@@ -65,15 +65,24 @@ def probe_one(spark, name: str, fn, sf_dir: str, reps: int) -> dict:
     for _ in range(reps):
         rec = ProgressRecorder()
         spark.streams.addListener(rec)
-        t0 = time.time()
         try:
+            t0 = time.time()
             out = fn(spark, sf_dir)
             n_out = out.count()
+            wall = time.time() - t0
+            # the listener bus delivers progress events ASYNC — a fast
+            # run can terminate before its events arrive; wait (outside
+            # the timed window) until the event count stops growing
+            deadline = time.time() + 10
+            last = -1
+            while time.time() < deadline:
+                n = len(rec.progress)
+                if n == last and n > 0:
+                    break
+                last = n
+                time.sleep(0.2)
         finally:
-            # removeListener after the query terminates so every
-            # progress event of this run is captured
             spark.streams.removeListener(rec)
-        wall = time.time() - t0
         input_rows = sum(p["numInputRows"] for p in rec.progress)
         state: dict[str, dict] = {}
         for p in rec.progress:
