@@ -535,6 +535,38 @@ def _apply_dvs(spark: SparkSession, path: str, df: DataFrame,
     return out.drop("_dv_file", "_dv_ri")
 
 
+def _live_with_positions(spark: SparkSession, path: str, prev_v: int,
+                         rel_files: list[str],
+                         dvs: dict[str, list[str]]) -> DataFrame:
+    """The current LIVE rows (existing DVs subtracted) with their
+    (`_dv_file`, `_dv_ri`) positions materialized from the scan
+    relation — the shared front half of every MOR writer
+    (delete_where / update_where)."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in rel_files]
+    )
+    for col_name, col_type in _schema_adds_at(path, prev_v):
+        if col_name not in df.columns:
+            df = df.withColumn(col_name, F.lit(None).cast(col_type))
+    marked = df.withColumn("_dv_file", _rel_file_expr()).withColumn(
+        "_dv_ri", F.col("_metadata.row_index")
+    )
+    old_dv = _dv_files_for(dvs, rel_files)
+    if old_dv:
+        prior = (
+            spark.read.parquet(*[os.path.join(path, f) for f in old_dv])
+            .select("file", "row_index")
+            .distinct()
+        )
+        marked = marked.join(
+            F.broadcast(prior),
+            (marked["_dv_file"] == prior["file"])
+            & (marked["_dv_ri"] == prior["row_index"]),
+            "left_anti",
+        )
+    return marked
+
+
 def delete_where(spark: SparkSession, path: str, predicate,
                  n_files: int = 1) -> int:
     """DELETE via deletion vectors: mark every current row matching
@@ -558,31 +590,8 @@ def delete_where(spark: SparkSession, path: str, predicate,
     rel_files, dvs = _state_at_version(path, prev_v)
     if not rel_files:
         return prev_v
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in rel_files]
-    )
-    for col_name, col_type in _schema_adds_at(path, prev_v):
-        if col_name not in df.columns:
-            df = df.withColumn(col_name, F.lit(None).cast(col_type))
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    # materialize the position columns from the scan relation FIRST:
-    # `_metadata` resolves only there, not through the anti-join below
-    marked = df.withColumn("_dv_file", _rel_file_expr()).withColumn(
-        "_dv_ri", F.col("_metadata.row_index")
-    )
-    old_dv = _dv_files_for(dvs, rel_files)
-    if old_dv:
-        prior = (
-            spark.read.parquet(*[os.path.join(path, f) for f in old_dv])
-            .select("file", "row_index")
-            .distinct()
-        )
-        marked = marked.join(
-            F.broadcast(prior),
-            (marked["_dv_file"] == prior["file"])
-            & (marked["_dv_ri"] == prior["row_index"]),
-            "left_anti",
-        )
+    marked = _live_with_positions(spark, path, prev_v, rel_files, dvs)
     hits = marked.filter(cond).select(
         F.col("_dv_file").alias("file"), F.col("_dv_ri").alias("row_index")
     )
@@ -603,6 +612,91 @@ def delete_where(spark: SparkSession, path: str, predicate,
     _commit_log(
         path, new_v, {"add": [], "remove": [], "dv_add": {"files": affected, "dv": dv_files}}
     )
+    return new_v
+
+
+def update_where(spark: SparkSession, path: str, key: str,
+                 assignments: dict, predicate, n_files: int = 1) -> int:
+    """MERGE-ON-READ UPDATE (Delta's UPDATE with DVs): rows matching
+    `predicate` get `assignments` ({col: Column-or-SQL-expr, may
+    reference the old row's columns}) applied — implemented as ONE
+    atomic commit that (a) deletion-vectors the old positions and
+    (b) appends a new file with the updated rows. No existing data
+    file is rewritten; the version's row-level CDF pairs the old and
+    new images on `key` as update_preimage/update_postimage exactly
+    like a COW rewrite's. Returns the new version (or the current one
+    when nothing matches).
+
+    Cost shape: one predicate scan + O(matched rows) written — the
+    point-update path for a 100 TB table where COW would rewrite
+    every file a scattered predicate touches. Updated rows land
+    range-sorted on `key` (partition-dir-routed on partitioned
+    tables, so an update that changes a partition value migrates the
+    row); assignments must target existing columns (a typo'd name is
+    a loud error, not silent schema evolution — use add_column/merge
+    for evolution)."""
+    prev_v = current_version(path)
+    if prev_v < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    rel_files, dvs = _state_at_version(path, prev_v)
+    if not rel_files:
+        return prev_v
+    marked = _live_with_positions(spark, path, prev_v, rel_files, dvs)
+    data_cols = [c for c in marked.columns if c not in ("_dv_file", "_dv_ri")]
+    unknown = sorted(set(assignments) - set(data_cols))
+    if unknown:
+        raise ValueError(
+            f"assignments target columns not in the table schema {unknown}; "
+            "use add_column()/merge(merge_schema=True) to evolve the schema"
+        )
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hits = marked.filter(cond)
+
+    new_v = prev_v + 1
+    dv_sub = _new_sub(new_v) + "dv"
+    dv_dir = os.path.join(path, _DATA, dv_sub)
+    hits.select(
+        F.col("_dv_file").alias("file"), F.col("_dv_ri").alias("row_index")
+    ).repartition(max(1, n_files)).write.mode("overwrite").parquet(dv_dir)
+    affected = sorted(
+        r.file
+        for r in spark.read.parquet(dv_dir).select("file").distinct().collect()
+    )
+    if not affected:  # nothing matched: drop the empty attempt
+        import shutil
+
+        shutil.rmtree(dv_dir, ignore_errors=True)
+        return prev_v
+
+    updated = hits
+    for c, expr in assignments.items():
+        updated = updated.withColumn(
+            c, F.expr(expr) if isinstance(expr, str) else expr
+        )
+    updated = updated.select(*data_cols)
+    sub = _new_sub(new_v)
+    out_dir = os.path.join(path, _DATA, sub)
+    pby = table_partition_by(path)
+    if pby:
+        _write_partitioned(updated, out_dir, key, max(1, n_files), pby)
+    else:
+        (
+            updated.repartitionByRange(max(1, n_files), F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    adds = _list_data_files(path, sub)
+    entry: dict = {
+        "add": adds,
+        "remove": [],
+        "dv_add": {"files": affected, "dv": _list_data_files(path, dv_sub)},
+    }
+    entry.update(_entry_partition_meta(adds))
+    scols = table_stats_cols(path)
+    if scols:
+        entry["stats"] = _collect_file_stats(spark, path, adds, scols)
+    _commit_log(path, new_v, entry)
     return new_v
 
 

@@ -90,6 +90,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # the rebuilt minhash-pair agreement ensemble)
         "lakehouse_partition_pruned", "lakehouse_stats_skipping",
         "lakehouse_delete_vectors", "lakehouse_zorder_skipping",
+        "lakehouse_update_where",
         "dedup_simhash_adaptive", "dedup_semantic",
         "dedup_methods_agreement",
         # never-sampled flagships, one+ per family
@@ -97,7 +98,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "sql_defined_functions", "sort_offset_pagination",
         "scalar_variant_funcs", "scalar_url_funcs",
         "scalar_map_hof_funcs", "scalar_hash_funcs",
-        "scalar_collation_funcs",
+        "lakehouse_mv_join_incremental",
         "stream_sliding_agg", "stream_stateful_running",
         "stream_stream_full_join", "stream_tws_list_state",
         "stream_tws_map_state",
@@ -107,8 +108,8 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "knn_pq_adc_rerank", "knn_filtered", "knn_label_vote",
         "rag_hybrid_rrf", "embedding_quantize_int8",
         "text_repetition_stats", "text_winnowing_fingerprints",
-        "text_bigram_logprob", "text_rake_keywords",
-        "corpus_training_manifest", "corpus_decontaminate",
+        "text_bigram_logprob",
+        "corpus_training_manifest", "agg_kmv_sketch_setops",
         "join_lateral_topk",
         "events_funnel_steps", "cdc_scd1_merge",
         "graph_triangle_census",

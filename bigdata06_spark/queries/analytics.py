@@ -4009,3 +4009,167 @@ def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_null_returnflag long, total_qty_units long, "
         "n_discount_violations long",
     )
+
+
+@register(
+    "agg_kmv_sketch_setops",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT o_custkey AS ck, year(o_orderdate) AS yr
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    ), h AS (
+      SELECT ck, yr,
+             CAST(CAST(('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8))
+                       AS UBIGINT) AS BIGINT) AS h
+      FROM m
+    ), per_set AS (
+      SELECT yr, h, row_number() OVER (PARTITION BY yr ORDER BY h) AS r
+      FROM (SELECT DISTINCT yr, h FROM h)
+    ), set_est AS (
+      SELECT yr,
+             max(CASE WHEN r = 256 THEN h END) AS mk,
+             count(*) AS cnt
+      FROM per_set GROUP BY yr
+    ), se AS (
+      SELECT yr, CASE WHEN cnt <= 256 THEN cnt
+                      ELSE (255 * 4294967296) // mk END AS est
+      FROM set_est
+    ), uh AS (
+      SELECT h, count(DISTINCT yr) AS ns,
+             row_number() OVER (ORDER BY h) AS r,
+             count(*) OVER () AS cnt_u
+      FROM (SELECT h, yr FROM h GROUP BY h, yr)
+      GROUP BY h
+      QUALIFY true
+    ), union_est AS (
+      SELECT max(CASE WHEN r = 256 THEN h END) AS mk,
+             max(cnt_u) AS cnt_u,
+             sum(CASE WHEN r <= 256 AND ns = 2 THEN 1 ELSE 0 END) AS j
+      FROM uh
+    ), ue AS (
+      SELECT CASE WHEN cnt_u <= 256 THEN cnt_u
+                  ELSE (255 * 4294967296) // mk END AS est_union,
+             cnt_u, j
+      FROM union_est
+    ), exact AS (
+      SELECT
+        (SELECT count(DISTINCT ck) FROM m WHERE yr = 1996) AS exact_a,
+        (SELECT count(DISTINCT ck) FROM m WHERE yr = 1997) AS exact_b,
+        (SELECT count(DISTINCT ck) FROM m) AS exact_union,
+        (SELECT count(*) FROM (SELECT ck FROM m GROUP BY ck
+                               HAVING count(DISTINCT yr) = 2)) AS exact_inter
+    )
+    SELECT CAST(256 AS BIGINT) AS k,
+           CAST((SELECT est FROM se WHERE yr = 1996) AS BIGINT) AS est_a,
+           CAST((SELECT est FROM se WHERE yr = 1997) AS BIGINT) AS est_b,
+           CAST(ue.est_union AS BIGINT) AS est_union,
+           CAST(CASE WHEN ue.cnt_u <= 256 THEN ue.j
+                     ELSE (ue.j * ue.est_union) // 256 END AS BIGINT) AS est_inter,
+           CAST(exact.exact_a AS BIGINT) AS exact_a,
+           CAST(exact.exact_b AS BIGINT) AS exact_b,
+           CAST(exact.exact_union AS BIGINT) AS exact_union,
+           CAST(exact.exact_inter AS BIGINT) AS exact_inter
+    FROM ue, exact
+    """,
+)
+def agg_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) DISTINCT SKETCH with set operations —
+    the mergeable-sketch answer to "distinct users per segment AND
+    the overlap between segments" that HLL union alone can't give
+    (HLL has no intersection): keep the k smallest 32-bit md5 hashes
+    per set; est = (k-1)·2³²/h₍ₖ₎ (exact when the set fits in the
+    sketch); the UNION sketch is the k smallest of the merged streams
+    (mergeability = a min-heap merge, so per-shard sketches combine
+    associatively on a 1000-executor cluster — each sketch is k longs
+    regardless of data size); the INTERSECTION estimate is the
+    standard KMV ratio j/k of union-sketch members present in both
+    sets, scaled by the union estimate. Sets here: custkeys ordering
+    in 1996 vs 1997. Every estimator term is integer arithmetic on
+    the SAME deterministic hash both engines compute (`div` floor
+    division), so the oracle matches hash-exactly — estimates AND
+    exact counts side by side. Plan shape: one fact scan → distinct
+    (set, hash) → per-set window rank (parallel across sets) + one
+    TakeOrdered for the union; no collect."""
+    K = 256
+    o = load_table(spark, "orders", sf_dir)
+    m = (
+        o.select(
+            F.col("o_custkey").alias("ck"), F.year("o_orderdate").alias("yr")
+        )
+        .filter(F.col("yr").isin(1996, 1997))
+        .distinct()
+    )
+    h = m.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("ck").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+    )
+    per_set = h.select("yr", "h").distinct()
+    ranked = per_set.withColumn(
+        "r", F.row_number().over(Window.partitionBy("yr").orderBy("h"))
+    )
+    se = (
+        ranked.groupBy("yr")
+        .agg(
+            F.max(F.when(F.col("r") == K, F.col("h"))).alias("mk"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .withColumn(
+            "est",
+            F.when(F.col("cnt") <= K, F.col("cnt")).otherwise(
+                F.expr(f"({K - 1} * 4294967296L) div mk")
+            ),
+        )
+    )
+    ests = se.agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("yr") == 1997, F.col("est"))).alias("est_b"),
+    )
+    uh = per_set.groupBy("h").agg(F.count_distinct("yr").alias("ns"))
+    ur = uh.withColumn("r", F.row_number().over(Window.orderBy("h")))
+    ue = (
+        ur.agg(
+            F.max(F.when(F.col("r") == K, F.col("h"))).alias("mk"),
+            F.count(F.lit(1)).alias("cnt_u"),
+            F.sum(
+                ((F.col("r") <= K) & (F.col("ns") == 2)).cast("long")
+            ).alias("j"),
+        )
+        .withColumn(
+            "est_union",
+            F.when(F.col("cnt_u") <= K, F.col("cnt_u")).otherwise(
+                F.expr(f"({K - 1} * 4294967296L) div mk")
+            ),
+        )
+        .withColumn(
+            "est_inter",
+            F.when(F.col("cnt_u") <= K, F.col("j")).otherwise(
+                F.expr(f"(j * est_union) div {K}")
+            ),
+        )
+    )
+    exact = (
+        m.groupBy("ck")
+        .agg(F.count_distinct("yr").alias("nyr"), F.collect_set("yr").alias("yrs"))
+        .agg(
+            F.sum(F.array_contains("yrs", 1996).cast("long")).alias("exact_a"),
+            F.sum(F.array_contains("yrs", 1997).cast("long")).alias("exact_b"),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum((F.col("nyr") == 2).cast("long")).alias("exact_inter"),
+        )
+    )
+    return (
+        ests.crossJoin(ue.select("est_union", "est_inter"))
+        .crossJoin(exact)
+        .select(
+            F.lit(K).cast("long").alias("k"),
+            F.col("est_a").cast("long"),
+            F.col("est_b").cast("long"),
+            F.col("est_union").cast("long"),
+            F.col("est_inter").cast("long"),
+            F.col("exact_a").cast("long"),
+            F.col("exact_b").cast("long"),
+            F.col("exact_union").cast("long"),
+            F.col("exact_inter").cast("long"),
+        )
+    )

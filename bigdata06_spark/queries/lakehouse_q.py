@@ -414,3 +414,174 @@ def lakehouse_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("cents"),
         )
     )
+
+
+def _orders_upd_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_orders_upd_{tag}")
+
+
+@register(
+    "lakehouse_update_where",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(CASE WHEN o_orderkey % 13 = 5
+                                    THEN o_totalprice * 2
+                                    ELSE o_totalprice END * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE (Delta's UPDATE with deletion vectors):
+    every 13th order's price doubles via `update_where` — ONE atomic
+    commit that deletion-vectors the old positions and appends the
+    updated rows, rewriting ZERO existing files (the scattered-update
+    shape where COW would rewrite the whole table; log-pinned in
+    tests). The read reassembles current state as (files minus DV
+    positions) plus the update file; the row-level CDF pairs
+    old/new images as update_pre/postimage exactly like a COW
+    rewrite's. Integer-cents output; the oracle replays the update
+    as a CASE expression on the raw table."""
+    path = _orders_upd_dir(sf_dir)
+    if LH.current_version(path) < 1:
+        o = load_table(spark, "orders", sf_dir)
+        if LH.current_version(path) < 0:
+            LH.table_init(o, path, "o_orderkey", n_files=8)
+        LH.update_where(
+            spark, path, "o_orderkey",
+            {"o_totalprice": "o_totalprice * 2"}, "o_orderkey % 13 = 5",
+        )
+    df = LH.read_version(spark, path, LH.current_version(path))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("cents"),
+    )
+
+
+def _customer_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_customer_{tag}")
+
+
+def _build_customer_two_versions(spark: SparkSession, sf_dir: str) -> str:
+    """Customer-side lakehouse table (idempotent per SF), two
+    versions: v0 = init; v1 = reassign c_nationkey → 99 for
+    c_custkey % 10 = 7 and delete c_custkey in [50, 60)."""
+    path = _customer_dir(sf_dir)
+    if LH.current_version(path) < 1:
+        c = load_table(spark, "customer", sf_dir).select(
+            "c_custkey", "c_nationkey", "c_mktsegment"
+        )
+        LH.table_init(c, path, "c_custkey", n_files=4)
+        upd = (
+            c.filter(F.col("c_custkey") % 10 == 7)
+            .select("c_custkey")
+            .withColumn("c_nationkey", F.lit(99))
+        )
+        dele = c.filter(
+            (F.col("c_custkey") >= 50) & (F.col("c_custkey") < 60)
+        ).select("c_custkey")
+        LH.merge(spark, path, "c_custkey", updates=upd, delete_keys=dele)
+    return path
+
+
+@register(
+    "lakehouse_mv_join_incremental",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey >= 10 AND o_orderkey < 500
+                  THEN 0
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS cents
+      FROM orders
+      WHERE NOT (o_orderkey >= 600 AND o_orderkey < 700)
+    ), c1 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 7 THEN 99
+                  ELSE c_nationkey END AS c_nationkey,
+             c_mktsegment
+      FROM customer
+      WHERE NOT (c_custkey >= 50 AND c_custkey < 60)
+    )
+    SELECT o1.o_orderkey, o1.o_custkey,
+           CAST(o1.cents AS BIGINT) AS cents,
+           CAST(c1.c_nationkey AS BIGINT) AS c_nationkey,
+           c1.c_mktsegment
+    FROM o1 JOIN c1 ON o1.o_custkey = c1.c_custkey
+    """,
+)
+def lakehouse_mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL JOIN-VIEW MAINTENANCE from BOTH sides' row-level
+    CDFs — the delta-join identity Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+    applied with SIGNED rows (+post/insert images, −pre/delete
+    images), then merged into the stored view by summing signs per
+    row and keeping net-positive rows. Both base tables are lakehouse
+    tables with independent v0→v1 change sets (orders: price-zeroing
+    update + range delete; customer: nation reassignment + customer
+    deletes — the customer deletes cascade their orders OUT of the
+    inner-join view, which full recompute gets for free and naive
+    one-sided maintenance gets wrong). Cost is O(changed rows of
+    either side × matched rows), never O(|A|+|B|) — at 100 TB the
+    two CDF reads are bounded by the touched files, and each delta
+    joins the OTHER side's current snapshot with the same key-pruned
+    scan a point-merge uses. Integer/string columns only, so the
+    incremental result is hash-EQUAL to the oracle's full recompute
+    over the raw tables with both change sets applied in SQL."""
+    a_path = _build_two_versions(spark, sf_dir)
+    b_path = _build_customer_two_versions(spark, sf_dir)
+
+    def cents(col):
+        return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+    def sgn():
+        return F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    a0 = LH.read_version(spark, a_path, 0).select(
+        "o_orderkey", "o_custkey", cents(F.col("o_totalprice")).alias("cents")
+    )
+    b0 = LH.read_version(spark, b_path, 0).select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+    )
+    da = LH.read_row_changes(spark, a_path, "o_orderkey", 0, 1).select(
+        "o_orderkey", "o_custkey", cents(F.col("o_totalprice")).alias("cents"),
+        sgn().alias("sa"),
+    )
+    db = LH.read_row_changes(spark, b_path, "c_custkey", 0, 1).select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment", sgn().alias("sb"),
+    )
+    vcols = ["o_orderkey", "o_custkey", "cents", "c_nationkey", "c_mktsegment"]
+    # the stored view (in production: read from the MV's own table)
+    mv0 = (
+        a0.join(b0, a0["o_custkey"] == b0["c_custkey"])
+        .select(*vcols)
+        .withColumn("s", F.lit(1))
+    )
+    d1 = (
+        da.join(b0, da["o_custkey"] == b0["c_custkey"])
+        .select(*vcols, F.col("sa").alias("s"))
+    )
+    d2 = (
+        a0.join(db, a0["o_custkey"] == db["c_custkey"])
+        .select(*vcols, F.col("sb").alias("s"))
+    )
+    d3 = (
+        da.join(db, da["o_custkey"] == db["c_custkey"])
+        .select(*vcols, (F.col("sa") * F.col("sb")).alias("s"))
+    )
+    return (
+        mv0.unionByName(d1).unionByName(d2).unionByName(d3)
+        .groupBy(*vcols)
+        .agg(F.sum("s").alias("net"))
+        .filter(F.col("net") > 0)
+        .select(*vcols)
+    )

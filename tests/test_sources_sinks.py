@@ -2665,3 +2665,110 @@ def test_lakehouse_dv_read_plan_broadcast_anti_join(spark, sf_dir, tmp_path):
     v1 = LH.delete_where(spark, path, "o_orderkey % 11 = 0")
     plan1 = LH.read_version(spark, path, v1)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan1 and "LeftAnti" in plan1
+
+
+def test_lakehouse_update_where_mor(spark, sf_dir, tmp_path):
+    """MOR UPDATE: one commit deletion-vectors the old positions and
+    appends the updated rows — zero existing files rewritten; the
+    untouched rows are bit-identical, time travel sees the old
+    values, an unknown assignment column fails loud, and the version
+    is a no-op when nothing matches."""
+    import json
+    import os
+
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_upd")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    LH.table_init(o, path, "o_orderkey", n_files=8)
+    v1 = LH.update_where(
+        spark, path, "o_orderkey",
+        {"o_totalprice": "o_totalprice * 2", "o_orderstatus": F.lit("U")},
+        "o_orderkey % 13 = 5",
+    )
+    assert v1 == 1
+    with open(os.path.join(path, "_log", "1.json")) as fh:
+        e = json.load(fh)
+    assert e["remove"] == [] and e["add"] and e["dv_add"]["dv"]  # zero rewrite
+
+    got = LH.read_version(spark, path, 1)
+    want = o.withColumn(
+        "hit", F.col("o_orderkey") % 13 == 5
+    )
+    exp = sorted(
+        (r.o_orderkey, "U" if r.hit else r.o_orderstatus,
+         r.o_totalprice * 2 if r.hit else r.o_totalprice)
+        for r in want.collect()
+    )
+    assert sorted(map(tuple, got.collect())) == exp
+    assert sorted(map(tuple, LH.read_version(spark, path, 0).collect())) == sorted(
+        map(tuple, o.collect())
+    )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        LH.update_where(spark, path, "o_orderkey", {"nope": F.lit(1)}, "true")
+    assert LH.update_where(
+        spark, path, "o_orderkey", {"o_totalprice": F.lit(0.0)}, "o_orderkey < 0"
+    ) == 1  # nothing matched → no new version
+
+
+def test_lakehouse_update_where_row_cdf_pairs(spark, sf_dir, tmp_path):
+    """The row-level CDF of an update_where version pairs old and new
+    images on the key as update_preimage/update_postimage — exactly
+    the COW-rewrite contract, though no file was rewritten."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_upd_cdf")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    v1 = LH.update_where(
+        spark, path, "o_orderkey", {"o_totalprice": F.lit(7.5)},
+        "o_orderkey >= 40 AND o_orderkey < 50",
+    )
+    rc = LH.read_row_changes(spark, path, "o_orderkey", 0, v1)
+    keys = sorted(
+        r.o_orderkey
+        for r in o.filter("o_orderkey >= 40 AND o_orderkey < 50").collect()
+    )
+    pre = sorted(map(tuple, rc.filter("_change_type = 'update_preimage'")
+                     .select("o_orderkey", "o_totalprice").collect()))
+    post = sorted(map(tuple, rc.filter("_change_type = 'update_postimage'")
+                      .select("o_orderkey", "o_totalprice").collect()))
+    assert [k for k, _ in pre] == keys and [k for k, _ in post] == keys
+    assert all(v == 7.5 for _, v in post)
+    assert rc.filter("_change_type IN ('insert', 'delete')").count() == 0
+
+
+def test_lakehouse_update_where_partition_migration(spark, sf_dir, tmp_path):
+    """On a partitioned table, an update that CHANGES the partition
+    value routes the new row image into its new partition directory
+    (the old image is DV'd in place)."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_upd_part")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("event_date", F.to_date("ts"))
+        .select("event_id", "event_date", "event_type", "value")
+    )
+    LH.table_init(ev, path, "event_id", n_files=2, partition_by=["event_date"])
+    src, dst = "2024-01-05", "2024-01-06"
+    n_moved = ev.filter(F.col("event_date") == F.lit(src).cast("date")).count()
+    n_dst0 = ev.filter(F.col("event_date") == F.lit(dst).cast("date")).count()
+    v1 = LH.update_where(
+        spark, path, "event_id",
+        {"event_date": F.lit(dst).cast("date")},
+        f"event_date = DATE'{src}'",
+    )
+    assert LH.read_version(
+        spark, path, v1, partition_filter={"event_date": src}
+    ).count() == 0
+    assert LH.read_version(
+        spark, path, v1, partition_filter={"event_date": dst}
+    ).count() == n_dst0 + n_moved
