@@ -82,6 +82,7 @@ def _commit_log(path: str, version: int, entry: dict) -> None:
             f"version {version} of {path} was committed by a concurrent "
             "writer; re-read the table and retry"
         ) from None
+    entry.setdefault("ts", time.time())  # commit wall clock (TIMESTAMP AS OF)
     with os.fdopen(fd, "w") as fh:
         json.dump(entry, fh, indent=1)
 
@@ -396,6 +397,125 @@ def dvs_at_version(path: str, version: int) -> dict[str, list[str]]:
     return _state_at_version(path, version)[1]
 
 
+def version_at_timestamp(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF: the latest version whose commit wall clock is
+    ≤ `ts` (every commit records `ts` in its log entry). Versions
+    squashed by `checkpoint_log` resolve to the checkpoint's own
+    commit time (their history is gone by design). Raises if `ts`
+    predates the earliest surviving commit — same contract as Delta's
+    timestamp travel outside the retained window."""
+    latest = current_version(path)
+    if latest < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    best = None
+    for v in range(latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        cts = entry.get("ts", os.path.getmtime(lp))
+        if cts <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the earliest surviving commit of {path}"
+        )
+    return best
+
+
+# ---------------------------------------------------- CHECK constraints
+
+
+class ConstraintViolationError(ValueError):
+    """A CHECK constraint rejected rows a writer was about to commit
+    (or, for add_constraint, rows already in the table). The commit
+    never happens; already-written attempt files are unreferenced
+    orphans that vacuum reclaims."""
+
+
+def table_constraints(path: str, version: int | None = None) -> dict[str, str]:
+    """The CHECK constraints ({name: SQL boolean expr}) in force at
+    `version` (default: current). Constraints are log entries
+    (`constraint_add`/`constraint_drop`), replayed like every other
+    piece of table state; `checkpoint_log` re-emits the live set."""
+    latest = current_version(path)
+    v_end = latest if version is None else version
+    out: dict[str, str] = {}
+    for v in range(v_end + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if entry.get("checkpoint"):
+            out = dict(entry.get("constraints", {}))
+        ca = entry.get("constraint_add")
+        if ca:
+            out[ca["name"]] = ca["expr"]
+        cd = entry.get("constraint_drop")
+        if cd:
+            out.pop(cd, None)
+    return out
+
+
+def _validate_constraints(df: DataFrame, constraints: dict[str, str],
+                          what: str) -> None:
+    """One pass over the rows about to be written: count violations of
+    every constraint (SQL semantics: NULL passes, only FALSE
+    violates). Raises ConstraintViolationError naming the constraint
+    and its count — BEFORE any log commit, so a rejected write leaves
+    only vacuum-able orphans, never a bad version."""
+    if not constraints:
+        return
+    names = list(constraints)
+    row = df.agg(
+        *[
+            F.sum(
+                (~F.coalesce(F.expr(constraints[n]), F.lit(True))).cast("long")
+            ).alias(n)
+            for n in names
+        ]
+    ).first()
+    bad = {n: row[n] for n in names if row[n]}
+    if bad:
+        raise ConstraintViolationError(
+            f"{what} violates CHECK constraint(s) {bad} "
+            f"({ {n: constraints[n] for n in bad} })"
+        )
+
+
+def add_constraint(spark: SparkSession, path: str, name: str,
+                   expr: str) -> int:
+    """ADD a CHECK constraint as a metadata-only version. Existing
+    rows are validated FIRST (Delta's ADD CONSTRAINT contract: the
+    constraint must already hold); every subsequent writer (merge
+    legs, update_where) validates the rows it is about to write —
+    cost is one aggregate over the WRITTEN rows, never the table."""
+    prev_v = current_version(path)
+    if prev_v < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    _validate_constraints(
+        read_version(spark, path, prev_v), {name: expr}, "existing table data"
+    )
+    new_v = prev_v + 1
+    _commit_log(
+        path, new_v,
+        {"add": [], "remove": [], "constraint_add": {"name": name, "expr": expr}},
+    )
+    return new_v
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """DROP a CHECK constraint (metadata-only version)."""
+    prev_v = current_version(path)
+    if name not in table_constraints(path):
+        raise ValueError(f"no constraint {name!r} on {path}")
+    new_v = prev_v + 1
+    _commit_log(path, new_v, {"add": [], "remove": [], "constraint_drop": name})
+    return new_v
+
+
 def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
                partition_by: list[str] | None = None,
                stats_cols: list[str] | None = None) -> None:
@@ -674,6 +794,7 @@ def update_where(spark: SparkSession, path: str, key: str,
             c, F.expr(expr) if isinstance(expr, str) else expr
         )
     updated = updated.select(*data_cols)
+    _validate_constraints(updated, table_constraints(path), "update_where")
     sub = _new_sub(new_v)
     out_dir = os.path.join(path, _DATA, sub)
     pby = table_partition_by(path)
@@ -720,7 +841,10 @@ def merge(spark: SparkSession, path: str, key: str,
     snap_rel_files, snap_dvs = _state_at_version(path, prev_v)
     pby = table_partition_by(path)
 
+    constraints = table_constraints(path)
+
     def _write_insert_leg(new_rows: DataFrame, sub: str, mode: str) -> None:
+        _validate_constraints(new_rows, constraints, "merge insert leg")
         out_dir = os.path.join(path, _DATA, sub)
         if pby:
             _write_partitioned(new_rows, out_dir, key, 1, pby, mode=mode)
@@ -917,6 +1041,7 @@ def merge(spark: SparkSession, path: str, key: str,
         if c not in out.columns:
             out = out.withColumn(c, F.lit(None).cast(t))
 
+    _validate_constraints(out, constraints, "merge rewrite")
     new_v = prev_v + 1
     sub = _new_sub(new_v)
     if pby:
@@ -1317,6 +1442,7 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     pby = table_partition_by(path)
     scols_pre = table_stats_cols(path)
     stats_pre = file_stats_at(path, v) if scols_pre else {}
+    cons_pre = table_constraints(path, v)
     for old in range(v):
         old_p = os.path.join(_log_dir(path), f"{old}.json")
         if os.path.exists(old_p):
@@ -1325,12 +1451,16 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         "add": files,
         "remove": [],
         "checkpoint": True,
+        "ts": time.time(),  # squashed versions resolve here for AS-OF
         # schema adds re-emitted so _schema_adds_at survives the squash
         "schema_adds": [{"column": c, "type": t} for c, t in adds],
     }
     if dvs:
         # live deletion-vector map re-emitted so MOR reads survive too
         entry["dvs"] = dvs
+    if cons_pre:
+        # live CHECK constraints re-emitted likewise
+        entry["constraints"] = cons_pre
     if pby:
         # partition spec + per-file values re-emitted likewise
         entry["partition_by"] = pby

@@ -2545,7 +2545,9 @@ def test_lakehouse_dv_occ_and_checkpoint(spark, sf_dir, tmp_path):
         with pytest.raises(LH.CommitConflictError):
             LH.delete_where(spark, path, "o_orderkey % 3 = 1")
     with open(os.path.join(path, "_log", "1.json")) as fh:
-        assert json.load(fh) == {"add": [], "remove": []}  # loser never corrupted it
+        e = json.load(fh)
+        e.pop("ts", None)
+        assert e == {"add": [], "remove": []}  # loser never corrupted it
 
     v2 = LH.delete_where(spark, path, "o_orderkey % 3 = 1")
     assert v2 == 2
@@ -2772,3 +2774,86 @@ def test_lakehouse_update_where_partition_migration(spark, sf_dir, tmp_path):
     assert LH.read_version(
         spark, path, v1, partition_filter={"event_date": dst}
     ).count() == n_dst0 + n_moved
+
+
+def test_lakehouse_timestamp_as_of(spark, sf_dir, tmp_path):
+    """TIMESTAMP AS OF: every commit records its wall clock; a
+    timestamp between two commits resolves to the earlier version, a
+    pre-table timestamp fails loud, and a post-checkpoint query of a
+    squashed instant resolves to the checkpoint."""
+    import json
+    import os
+
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_asof")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    # pin distinct commit times without sleeping: rewrite the logged ts
+    for v, ts in ((0, 1000.0),):
+        lp = os.path.join(path, "_log", f"{v}.json")
+        e = json.load(open(lp)); e["ts"] = ts
+        json.dump(e, open(lp, "w"))
+    v1 = LH.delete_where(spark, path, "o_orderkey % 2 = 0")
+    lp = os.path.join(path, "_log", f"{v1}.json")
+    e = json.load(open(lp)); e["ts"] = 2000.0
+    json.dump(e, open(lp, "w"))
+
+    assert LH.version_at_timestamp(path, 1500.0) == 0
+    assert LH.version_at_timestamp(path, 2000.0) == v1
+    assert LH.version_at_timestamp(path, 99999.0) == v1
+    with pytest.raises(ValueError, match="predates"):
+        LH.version_at_timestamp(path, 500.0)
+    n0 = LH.read_version(spark, path, LH.version_at_timestamp(path, 1500.0)).count()
+    assert n0 == o.count()
+
+
+def test_lakehouse_check_constraints(spark, sf_dir, tmp_path):
+    """CHECK constraints: add validates existing rows first; merge
+    insert/rewrite legs and update_where validate the rows they write
+    and fail BEFORE any commit (version unchanged, table readable);
+    NULL passes (SQL CHECK semantics); drop lifts the rule;
+    checkpoint re-emits the live set."""
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_check")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    v1 = LH.add_constraint(spark, path, "price_nonneg", "o_totalprice >= 0")
+    assert LH.table_constraints(path) == {"price_nonneg": "o_totalprice >= 0"}
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.add_constraint(spark, path, "tiny", "o_totalprice < 1")
+
+    # violating insert: rejected before commit
+    bad = spark.createDataFrame([(10**9, -5.0)], "o_orderkey long, o_totalprice double")
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.merge(spark, path, "o_orderkey", inserts=bad)
+    assert LH.current_version(path) == v1
+    # violating update (merge rewrite leg)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    upd = spark.createDataFrame([(k, -1.0)], "o_orderkey long, o_totalprice double")
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.merge(spark, path, "o_orderkey", updates=upd)
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.update_where(spark, path, "o_orderkey",
+                        {"o_totalprice": F.lit(-2.0)}, f"o_orderkey = {k}")
+    assert LH.current_version(path) == v1
+
+    # a NULL result passes (SQL CHECK), a valid write passes
+    ok = spark.createDataFrame([(10**9 + 1, None)], "o_orderkey long, o_totalprice double")
+    v2 = LH.merge(spark, path, "o_orderkey", inserts=ok)
+    assert LH.read_version(spark, path, v2).filter("o_orderkey = 1000000001").count() == 1
+
+    LH.checkpoint_log(path)
+    assert LH.table_constraints(path) == {"price_nonneg": "o_totalprice >= 0"}
+    v3 = LH.drop_constraint(path, "price_nonneg")
+    v4 = LH.merge(spark, path, "o_orderkey", inserts=bad)
+    assert v4 == v3 + 1  # rule lifted
+    with pytest.raises(ValueError, match="no constraint"):
+        LH.drop_constraint(path, "nope")
