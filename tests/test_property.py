@@ -195,7 +195,8 @@ def test_allpairs_blocked_block_count_invariant(spark, n_vec, n_blocks, seed):
                                  HealthCheck.too_slow])
 @given(ops=st.lists(
     st.tuples(
-        st.sampled_from(["upsert", "delete", "insert", "optimize", "checkpoint"]),
+        st.sampled_from(["upsert", "delete", "insert", "optimize", "checkpoint",
+                         "dv_delete", "mor_update", "vacuum"]),
         st.lists(st.integers(0, 49), min_size=1, max_size=8),
         st.integers(0, 10**6),
     ),
@@ -203,12 +204,15 @@ def test_allpairs_blocked_block_count_invariant(spark, n_vec, n_blocks, seed):
 ))
 def test_lakehouse_model_based_random_op_sequences(spark, tmp_path_factory, ops):
     """MODEL-BASED check of the table format: a random sequence of
-    upsert/delete/insert/OPTIMIZE/log-checkpoint operations must leave
-    the table equal to a plain dict model applying the same ops — and
-    after every op, the CURRENT version must read back exactly the
-    model state (log replay, COW rewrites, file carry-over, compaction
-    and checkpoint squashing all composed). Keys are drawn from a
-    small domain so update/delete/insert legs constantly collide."""
+    upsert/delete/insert/OPTIMIZE/log-checkpoint operations — plus the
+    merge-on-read writers (deletion-vector delete, DV update) and
+    VACUUM — must leave the table equal to a plain dict model applying
+    the same ops, and after every op the CURRENT version must read
+    back exactly the model state (log replay, COW rewrites, DV
+    subtraction, spent-DV drop on rewrite, file carry-over, compaction
+    and checkpoint squashing, dead-file reclaim all composed). Keys
+    are drawn from a small domain so COW and MOR writers constantly
+    touch the same files."""
     from bigdata06_spark import lakehouse as LH
 
     path = str(tmp_path_factory.mktemp("lh_model") / "t")
@@ -236,10 +240,25 @@ def test_lakehouse_model_based_random_op_sequences(spark, tmp_path_factory, ops)
             LH.merge(spark, path, "k", inserts=rel)
             for k, v in rows:
                 model.setdefault(k, v)  # insert leg: existing keys untouched
+        elif op == "dv_delete":
+            klist = ", ".join(str(k) for k in keys)
+            LH.delete_where(spark, path, f"k IN ({klist})")
+            for k in keys:
+                model.pop(k, None)
+        elif op == "mor_update":
+            klist = ", ".join(str(k) for k in keys)
+            LH.update_where(
+                spark, path, "k", {"v": f"v + {val}"}, f"k IN ({klist})"
+            )
+            for k in keys:
+                if k in model:
+                    model[k] = model[k] + val
         elif op == "optimize":
             LH.optimize(spark, path, "k", n_files=2)
         elif op == "checkpoint":
             LH.checkpoint_log(path)
+        elif op == "vacuum":
+            LH.vacuum(path, keep_versions=1)
         got = {
             r.k: r.v
             for r in LH.read_version(spark, path, LH.current_version(path)).collect()
