@@ -383,6 +383,10 @@ def _state_at_version(path: str, version: int) -> tuple[list[str], dict[str, lis
                 for f in da["files"]:
                     if f in files:
                         dvs.setdefault(f, []).extend(da["dv"])
+            if "dvs_set" in entry:
+                # RESTORE: the entry pins the whole DV map (the add/
+                # remove lists above already pinned the file set)
+                dvs = {f: list(lst) for f, lst in entry["dvs_set"].items()}
     return sorted(files), dvs
 
 
@@ -503,6 +507,38 @@ def add_constraint(spark: SparkSession, path: str, name: str,
         path, new_v,
         {"add": [], "remove": [], "constraint_add": {"name": name, "expr": expr}},
     )
+    return new_v
+
+
+def restore(path: str, to_version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF (Delta's RESTORE): roll the
+    table back to `to_version`'s exact state AS A NEW COMMIT — the
+    file set, deletion-vector map, and schema all pin to the old
+    snapshot, but history is preserved (the bad versions remain
+    time-travelable until vacuum; an audit sees the mistake AND the
+    rollback). Metadata-only: no data moves; the entry lists the old
+    snapshot's files as adds and the current extras as removes, and
+    pins the DV map via `dvs_set`. Constraints are unaffected (they
+    are rules, not data). Returns the new version."""
+    prev_v = current_version(path)
+    old_files, old_dvs = _state_at_version(path, to_version)
+    cur_files, _cur_dvs = _state_at_version(path, prev_v)
+    if not old_files:
+        raise ValueError(f"version {to_version} of {path} has no files")
+    entry: dict = {
+        "add": sorted(set(old_files) - set(cur_files)),
+        "remove": sorted(set(cur_files) - set(old_files)),
+        "dvs_set": old_dvs,
+        "restore_of": to_version,
+        # schema pins too: re-emit the OLD version's schema adds so a
+        # restore past an add_column drops the column again
+        "schema_set": [
+            {"column": c, "type": t} for c, t in _schema_adds_at(path, to_version)
+        ],
+    }
+    entry.update(_entry_partition_meta(entry["add"]))
+    new_v = prev_v + 1
+    _commit_log(path, new_v, entry)
     return new_v
 
 
@@ -1130,6 +1166,8 @@ def _schema_adds_at(path: str, version: int) -> list[tuple[str, str]]:
             continue
         with open(lp) as fh:
             entry = json.load(fh)
+        if "schema_set" in entry:  # RESTORE pins the whole schema state
+            adds = [(sa["column"], sa["type"]) for sa in entry["schema_set"]]
         for sa in entry.get("schema_adds", []):
             adds.append((sa["column"], sa["type"]))
         sa = entry.get("schema_add")

@@ -2857,3 +2857,45 @@ def test_lakehouse_check_constraints(spark, sf_dir, tmp_path):
     assert v4 == v3 + 1  # rule lifted
     with pytest.raises(ValueError, match="no constraint"):
         LH.drop_constraint(path, "nope")
+
+
+def test_lakehouse_restore(spark, sf_dir, tmp_path):
+    """RESTORE: roll back to an old version AS A NEW COMMIT — file
+    set, DV map, and schema pin to the old snapshot, history stays
+    time-travelable, restore-forward works, and vacuum after restore
+    keeps the restored read intact."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_restore")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=4)
+    want_v0 = sorted(map(tuple, o.collect()))
+
+    upd = (
+        o.filter(F.col("o_orderkey") < 100).select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    LH.merge(spark, path, "o_orderkey", updates=upd)                    # v1
+    LH.delete_where(spark, path, "o_orderkey % 2 = 0")                  # v2
+    want_v2 = sorted(map(tuple, LH.read_version(spark, path, 2).collect()))
+    LH.add_column(path, "flag", "int")                                  # v3
+    assert "flag" in LH.read_version(spark, path, 3).columns
+
+    v4 = LH.restore(path, 0)
+    assert v4 == 4
+    got = LH.read_version(spark, path, v4)
+    assert "flag" not in got.columns  # schema pinned back too
+    assert sorted(map(tuple, got.collect())) == want_v0
+    # history preserved: the bad versions still read
+    assert sorted(map(tuple, LH.read_version(spark, path, 2).collect())) == want_v2
+
+    v5 = LH.restore(path, 2)  # roll FORWARD to the DV state
+    assert sorted(map(tuple, LH.read_version(spark, path, v5).collect())) == want_v2
+    # vacuum to just the restored state: read survives
+    LH.vacuum(path, keep_versions=1)
+    assert sorted(map(tuple, LH.read_version(spark, path, v5).collect())) == want_v2
+    LH.checkpoint_log(path)
+    assert sorted(
+        map(tuple, LH.read_version(spark, path, LH.current_version(path)).collect())
+    ) == want_v2
