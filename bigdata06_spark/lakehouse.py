@@ -542,6 +542,92 @@ def restore(path: str, to_version: int) -> int:
     return new_v
 
 
+def clone(src: str, dst: str, version: int | None = None) -> None:
+    """SHALLOW CLONE (Delta's CLONE): create a NEW table at `dst`
+    whose version 0 is a checkpoint entry listing the SOURCE's files
+    by absolute path — zero data copied, O(files) metadata. The clone
+    then diverges independently: its writers add files under its own
+    `data/`, its COW rewrites REPLACE source-file references with
+    native files (never touching the source), and its vacuum walks
+    only its own directory, so it can never delete source data. DV
+    map, schema adds, partition spec + per-file values, per-file
+    stats, and CHECK constraints all carry over.
+
+    The dev/test/experiment pattern at 100 TB: branch a production
+    table in milliseconds, run a destructive migration against the
+    clone, throw it away. Caveat (same as Delta's): VACUUM ON THE
+    SOURCE can reclaim files the clone still references — clones are
+    working copies inside the source's retention window, not
+    backups."""
+    v = current_version(src) if version is None else version
+    if v < 0:
+        raise ValueError(f"no lakehouse table at {src}")
+    if current_version(dst) >= 0:
+        raise ValueError(f"{dst} already has a lakehouse table")
+    files, dvs = _state_at_version(src, v)
+
+    def absf(f: str) -> str:
+        return f if os.path.isabs(f) else os.path.abspath(os.path.join(src, f))
+
+    add = [absf(f) for f in files]
+    entry: dict = {
+        "add": add,
+        "remove": [],
+        "checkpoint": True,
+        "ts": time.time(),
+        "cloned_from": {"path": os.path.abspath(src), "version": v},
+        "schema_adds": [
+            {"column": c, "type": t} for c, t in _schema_adds_at(src, v)
+        ],
+    }
+    if dvs:
+        # Deletion-vector position files are MATERIALIZED into the
+        # clone (data files stay zero-copy): their `file` column
+        # stores names AS LISTED IN THE SOURCE log, which the clone —
+        # listing by absolute path — could not match. Rewriting the
+        # positions to absolute names costs O(deleted rows), the same
+        # order as the clone's metadata itself.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = _new_sub(0) + "dv"
+        outdir = os.path.join(dst, _DATA, sub)
+        os.makedirs(outdir, exist_ok=True)
+        uniq = sorted({d for lst in dvs.values() for d in lst})
+        tables = []
+        for d in uniq:
+            t = pq.read_table(absf(d), columns=["file", "row_index"])
+            tables.append(
+                pa.table(
+                    {
+                        "file": pa.array(
+                            [absf(x) for x in t.column("file").to_pylist()],
+                            pa.string(),
+                        ),
+                        "row_index": t.column("row_index").combine_chunks(),
+                    }
+                )
+            )
+        dv_path = os.path.join(outdir, "part-clone-dv.parquet")
+        pq.write_table(pa.concat_tables(tables), dv_path)
+        rel_dv = os.path.relpath(dv_path, dst)
+        entry["dvs"] = {absf(f): [rel_dv] for f in dvs}
+    pby = table_partition_by(src)
+    if pby:
+        entry["partition_by"] = pby
+        entry.update(_entry_partition_meta(add))
+    scols = table_stats_cols(src)
+    if scols:
+        entry["stats_cols"] = scols
+        stats = file_stats_at(src, v)
+        entry["stats"] = {absf(f): st for f, st in stats.items() if f in set(files)}
+    cons = table_constraints(src, v)
+    if cons:
+        entry["constraints"] = cons
+    os.makedirs(os.path.join(dst, _DATA), exist_ok=True)
+    _commit_log(dst, 0, entry)
+
+
 def drop_constraint(path: str, name: str) -> int:
     """DROP a CHECK constraint (metadata-only version)."""
     prev_v = current_version(path)
@@ -622,7 +708,7 @@ def read_version(spark: SparkSession, path: str, version: int,
     # deletion vectors subtract BEFORE the evolved-column fill: the
     # anti-join needs the scan relation's `_metadata`; only DVs of
     # the surviving (pruned) files are loaded
-    df = _apply_dvs(spark, path, df, _dv_files_for(dvs, rel_files))
+    df = _apply_dvs(spark, path, df, rel_files, _dv_files_for(dvs, rel_files))
     for col_name, col_type in _schema_adds_at(path, version):
         if col_name not in df.columns:
             df = df.withColumn(col_name, F.lit(None).cast(col_type))
@@ -659,6 +745,29 @@ def _rel_file_expr():
     )
 
 
+def _with_listed_file(spark: SparkSession, path: str, df: DataFrame,
+                      rel_files: list[str]) -> DataFrame:
+    """Attach `_dv_file` (the file's name AS LISTED in the log — rel
+    for native files, absolute for shallow-cloned ones) and `_dv_ri`
+    (row position) to a freshly-scanned DataFrame via a broadcast
+    join against the (listed name → absolute path) mapping — one row
+    per file, the same driver scale as the file list the scanner
+    already holds. String surgery on the URI can't do this: a cloned
+    table lists SOURCE-absolute paths whose `/data/` split would
+    produce a name the log never stored."""
+    rows = [(f, os.path.abspath(os.path.join(path, f))) for f in rel_files]
+    mapping = spark.createDataFrame(rows, "_dv_file string, _abs string")
+    marked = df.withColumn(
+        "_fp", F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "/")
+    ).withColumn("_fp", F.regexp_replace(F.col("_fp"), "^//*", "/")).withColumn(
+        "_dv_ri", F.col("_metadata.row_index")
+    )
+    return (
+        marked.join(F.broadcast(mapping), marked["_fp"] == mapping["_abs"])
+        .drop("_fp", "_abs")
+    )
+
+
 def _dv_files_for(dvs: dict[str, list[str]], rel_files: list[str]) -> list[str]:
     """The distinct DV files any of `rel_files` needs subtracted."""
     out: set[str] = set()
@@ -668,11 +777,12 @@ def _dv_files_for(dvs: dict[str, list[str]], rel_files: list[str]) -> list[str]:
 
 
 def _apply_dvs(spark: SparkSession, path: str, df: DataFrame,
-               dv_files: list[str]) -> DataFrame:
+               rel_files: list[str], dv_files: list[str]) -> DataFrame:
     """Subtract deletion-vector positions from a freshly-scanned
-    DataFrame. `df` must come straight from a parquet read (the
-    `_metadata` hidden column resolves only on the scan relation).
-    No-op (and plan-identical) when the table carries no DVs."""
+    DataFrame of `rel_files`. `df` must come straight from a parquet
+    read (the `_metadata` hidden column resolves only on the scan
+    relation). No-op (and plan-identical) when the table carries no
+    DVs."""
     if not dv_files:
         return df
     dv = (
@@ -680,9 +790,7 @@ def _apply_dvs(spark: SparkSession, path: str, df: DataFrame,
         .select("file", "row_index")
         .distinct()
     )
-    marked = df.withColumn("_dv_file", _rel_file_expr()).withColumn(
-        "_dv_ri", F.col("_metadata.row_index")
-    )
+    marked = _with_listed_file(spark, path, df, rel_files)
     out = marked.join(
         F.broadcast(dv),
         (marked["_dv_file"] == dv["file"]) & (marked["_dv_ri"] == dv["row_index"]),
@@ -704,9 +812,7 @@ def _live_with_positions(spark: SparkSession, path: str, prev_v: int,
     for col_name, col_type in _schema_adds_at(path, prev_v):
         if col_name not in df.columns:
             df = df.withColumn(col_name, F.lit(None).cast(col_type))
-    marked = df.withColumn("_dv_file", _rel_file_expr()).withColumn(
-        "_dv_ri", F.col("_metadata.row_index")
-    )
+    marked = _with_listed_file(spark, path, df, rel_files)
     old_dv = _dv_files_for(dvs, rel_files)
     if old_dv:
         prior = (
@@ -965,9 +1071,20 @@ def merge(spark: SparkSession, path: str, key: str,
     prev_files = set(files_at_version(path, prev_v))
 
     def rel_of(abs_uri: str) -> str:
-        # _metadata.file_path is a file: URI; the table-relative path
-        # starts at the data/ segment (O(1) per file — no scan of the
-        # file list, which would be O(files²) at real file counts)
+        # _metadata.file_path is a file: URI; resolve to the name AS
+        # LISTED in the log: shallow-cloned files are listed by their
+        # source-absolute path, native files by their table-relative
+        # data/ suffix (O(1) per file — no scan of the file list,
+        # which would be O(files²) at real file counts)
+        p = abs_uri
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                p = p[len(pre):]
+                break
+        if not p.startswith("/"):
+            p = "/" + p
+        if p in prev_files:
+            return p
         rel = _DATA + "/" + abs_uri.split(f"/{_DATA}/", 1)[1]
         if rel not in prev_files:
             raise ValueError(f"unknown data file {abs_uri}")
@@ -1031,7 +1148,7 @@ def merge(spark: SparkSession, path: str, key: str,
     # DV-deleted rows must not resurrect through the rewrite: apply
     # the affected files' deletion vectors before the merge legs; the
     # new commit removes those files, which drops their spent DVs
-    rewrite_src = _apply_dvs(spark, path, rewrite_src, _dv_files_for(snap_dvs, affected))
+    rewrite_src = _apply_dvs(spark, path, rewrite_src, affected, _dv_files_for(snap_dvs, affected))
     # lazily-added columns (add_column) materialize into rewritten
     # files here — the "later rewrites fill real values" half of
     # additive schema evolution
@@ -1222,7 +1339,8 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
         # the DV-applied rows and the commit's remove drops the spent
         # DV references from the replayed state
         snapshot = _apply_dvs(
-            spark, path, snapshot, _dv_files_for(dvs_at_version(path, prev_v), target)
+            spark, path, snapshot, target,
+            _dv_files_for(dvs_at_version(path, prev_v), target),
         )
         for col_name, col_type in _schema_adds_at(path, prev_v):
             if col_name not in snapshot.columns:
@@ -1287,7 +1405,7 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in changed]
     )
-    df = _apply_dvs(spark, path, df, _dv_files_for(after_dvs, changed))
+    df = _apply_dvs(spark, path, df, changed, _dv_files_for(after_dvs, changed))
     for col_name, col_type in _schema_adds_at(path, to_version):
         if col_name not in df.columns:
             df = df.withColumn(col_name, F.lit(None).cast(col_type))
@@ -1343,7 +1461,7 @@ def read_row_changes(spark: SparkSession, path: str, key: str,
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(path, f) for f in rel_files]
         )
-        df = _apply_dvs(spark, path, df, _dv_files_for(dvs, rel_files))
+        df = _apply_dvs(spark, path, df, rel_files, _dv_files_for(dvs, rel_files))
         for col_name, col_type in _schema_adds_at(path, at_version):
             if col_name not in df.columns:
                 df = df.withColumn(col_name, F.lit(None).cast(col_type))

@@ -2899,3 +2899,88 @@ def test_lakehouse_restore(spark, sf_dir, tmp_path):
     assert sorted(
         map(tuple, LH.read_version(spark, path, LH.current_version(path)).collect())
     ) == want_v2
+
+
+def test_lakehouse_shallow_clone_diverges(spark, sf_dir, tmp_path):
+    """SHALLOW CLONE: zero-copy branch of a table (with live DVs and
+    stats) that reads identically, then DIVERGES — the clone's merge
+    rewrites replace source references with native files without
+    touching the source; the clone's vacuum cannot reach source
+    data; the source keeps evolving without affecting the clone."""
+    import os
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, src, "o_orderkey", n_files=4, stats_cols=["o_orderkey"])
+    LH.delete_where(spark, src, "o_orderkey % 9 = 2")  # live DVs at clone time
+    want = sorted(map(tuple, LH.read_version(spark, src, 1).collect()))
+
+    LH.clone(src, dst)
+    assert sorted(map(tuple, LH.read_version(spark, dst, 0).collect())) == want
+    # zero DATA copy: only the materialized DV position file exists
+    copied = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(dst, "data"))
+        for f in fs if f.endswith(".parquet")
+    ]
+    assert copied and all("dv" in os.path.basename(os.path.dirname(f)) for f in copied)
+
+    # clone diverges: MOR delete + COW merge on the clone only
+    LH.delete_where(spark, dst, "o_orderkey % 9 = 3")
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    upd = spark.createDataFrame([(k, 42.0)], "o_orderkey long, o_totalprice double")
+    v2 = LH.merge(spark, dst, "o_orderkey", updates=upd)
+    got = LH.read_version(spark, dst, v2)
+    assert got.filter("o_orderkey % 9 = 3").count() == 0
+    assert got.filter(F.col("o_orderkey") == k).first().o_totalprice == 42.0
+    # source untouched by everything above
+    assert sorted(map(tuple, LH.read_version(spark, src, 1).collect())) == want
+
+    # the clone's vacuum never deletes source files
+    before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(src, "data")) for f in fs
+    }
+    LH.vacuum(dst, keep_versions=1)
+    after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(src, "data")) for f in fs
+    }
+    assert before == after
+    assert got.filter(F.col("o_orderkey") == k).first().o_totalprice == 42.0
+
+    # source evolves; clone's pinned state unchanged
+    LH.delete_where(spark, src, "o_orderkey % 9 = 4")
+    assert LH.read_version(spark, dst, v2).filter("o_orderkey % 9 = 4").count() > 0
+
+
+def test_lakehouse_clone_carries_constraints_and_update(spark, sf_dir, tmp_path):
+    """The clone inherits CHECK constraints and supports MOR
+    update_where against source-referenced files."""
+    import pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    src = str(tmp_path / "src2")
+    dst = str(tmp_path / "dst2")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, src, "o_orderkey", n_files=2)
+    LH.add_constraint(spark, src, "nonneg", "o_totalprice >= 0")
+    LH.clone(src, dst)
+    assert LH.table_constraints(dst) == {"nonneg": "o_totalprice >= 0"}
+    with pytest.raises(LH.ConstraintViolationError):
+        LH.update_where(spark, dst, "o_orderkey",
+                        {"o_totalprice": F.lit(-1.0)}, "o_orderkey < 100")
+    v = LH.update_where(spark, dst, "o_orderkey",
+                        {"o_totalprice": "o_totalprice + 1"}, "o_orderkey < 100")
+    got = LH.read_version(spark, dst, v)
+    base = {r.o_orderkey: r.o_totalprice for r in o.collect()}
+    for r in got.filter("o_orderkey < 100").collect():
+        assert r.o_totalprice == base[r.o_orderkey] + 1
+    with pytest.raises(ValueError, match="already has"):
+        LH.clone(src, dst)
