@@ -2984,3 +2984,60 @@ def test_lakehouse_clone_carries_constraints_and_update(spark, sf_dir, tmp_path)
         assert r.o_totalprice == base[r.o_orderkey] + 1
     with pytest.raises(ValueError, match="already has"):
         LH.clone(src, dst)
+
+
+def test_lakehouse_medallion_with_mor_gdpr_delete(spark, sf_dir, tmp_path):
+    """End-to-end MOR composition: bronze takes a COW merge, a DV
+    GDPR-delete of one user, and a MOR update; silver is maintained
+    INCREMENTALLY — version by version, applying each row-CDF delta
+    (so DV deletes and MOR updates must surface correctly in every
+    step's feed) — and must equal a from-scratch rebuild of bronze's
+    final state; gold (per-type totals) refreshed from silver's
+    signed deltas matches the direct aggregate."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    bronze = str(tmp_path / "bronze")
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn("v_cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .drop("value")
+    )
+    LH.table_init(ev, bronze, "event_id", n_files=4)
+    gdpr_user = ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first().user_id
+    upd = (
+        ev.filter(F.col("event_id") % 11 == 3).select("event_id")
+        .withColumn("event_type", F.lit("redacted"))
+    )
+    LH.merge(spark, bronze, "event_id", updates=upd)                   # v1 COW
+    LH.delete_where(spark, bronze, f"user_id = {gdpr_user}")           # v2 DV
+    LH.update_where(spark, bronze, "event_id",
+                    {"v_cents": "v_cents + 7"}, "event_id % 13 = 2")   # v3 MOR
+    latest = LH.current_version(bronze)
+    assert latest == 3
+
+    # silver: start from v0, apply each version's row-CDF delta
+    silver = {r.event_id: (r.user_id, r.event_type, r.v_cents)
+              for r in LH.read_version(spark, bronze, 0).collect()}
+    for v in range(1, latest + 1):
+        for r in LH.read_row_changes(spark, bronze, "event_id", v - 1, v).collect():
+            if r._change_type in ("insert", "update_postimage"):
+                silver[r.event_id] = (r.user_id, r.event_type, r.v_cents)
+            elif r._change_type == "delete":
+                silver.pop(r.event_id, None)
+    want = {r.event_id: (r.user_id, r.event_type, r.v_cents)
+            for r in LH.read_version(spark, bronze, latest).collect()}
+    assert silver == want
+    assert not any(u == gdpr_user for u, _, _ in silver.values())  # GDPR held
+
+    # gold: per-type cent totals from silver == direct aggregate
+    gold = {}
+    for _, (u, t, c) in silver.items():
+        gold[t] = gold.get(t, 0) + c
+    direct = {
+        r.event_type: r.s
+        for r in LH.read_version(spark, bronze, latest)
+        .groupBy("event_type").agg(F.sum("v_cents").alias("s")).collect()
+    }
+    assert gold == direct and "redacted" in gold
