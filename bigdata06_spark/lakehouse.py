@@ -1295,7 +1295,8 @@ def _schema_adds_at(path: str, version: int) -> list[tuple[str, str]]:
 
 def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
              partitions: dict | None = None,
-             zorder_by: list[str] | None = None) -> int:
+             zorder_by: list[str] | None = None,
+             target_file_bytes: int | None = None) -> int:
     """OPTIMIZE (compaction) as a version: rewrite the CURRENT file
     set into `n_files` range-bucketed files with identical rows — the
     small-files pass (`sinks.compact_small_files`) lifted into the
@@ -1319,12 +1320,28 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     column — a plain key sort only prunes its leading column. Pair
     with `table_init(stats_cols=zorder cols)`; unpartitioned tables
     only (partitioned tables compact per-partition, where the
-    partition value already is the leading cluster axis)."""
+    partition value already is the leading cluster axis).
+
+    `target_file_bytes` derives the output file count from the CURRENT
+    compacted size instead of a fixed `n_files` — Delta's
+    size-targeted OPTIMIZE (default 1 GB files): n = ceil(current
+    bytes / target), driver cost one stat() per file (the same list
+    the planner holds). At 100 TB this is the knob that keeps file
+    count ∝ data size as the table grows, instead of files growing
+    without bound (small-files problem) or a fixed count producing
+    ever-larger files."""
     prev_v = current_version(path)
     pby = table_partition_by(path)
     if zorder_by and pby:
         raise ValueError("zorder_by is for unpartitioned tables; "
                          "partitioned tables compact per-partition")
+    if target_file_bytes is not None:
+        total = 0
+        for f in files_at_version(path, prev_v):
+            p = os.path.join(path, f)
+            if os.path.exists(p):
+                total += os.path.getsize(p)
+        n_files = max(1, -(-total // target_file_bytes))
     if partitions:
         if not pby:
             raise ValueError("partitions= given but the table is unpartitioned")
@@ -1513,11 +1530,15 @@ def read_row_changes(spark: SparkSession, path: str, key: str,
 
 
 def vacuum(path: str, keep_versions: int = 1,
-           min_file_age_seconds: float = 0.0) -> list[str]:
+           min_file_age_seconds: float = 0.0,
+           dry_run: bool = False) -> list[str]:
     """VACUUM: physically delete data files NOT referenced by any of
     the latest `keep_versions` versions (time travel inside the window
     survives, older versions become unreadable by design; same
-    contract as Delta's VACUUM). Returns the deleted file list.
+    contract as Delta's VACUUM). Returns the deleted file list;
+    `dry_run=True` returns the would-delete list WITHOUT removing
+    anything (Delta's `VACUUM ... DRY RUN` — the operator's
+    check-before-reclaim step).
 
     The dead set comes from LISTING `data/` and subtracting the
     retained versions' file sets — not from replaying "add" lists —
@@ -1572,11 +1593,13 @@ def vacuum(path: str, keep_versions: int = 1,
                 continue
             if now - os.path.getmtime(abs_p) < min_file_age_seconds:
                 continue
-            os.remove(abs_p)
+            if not dry_run:
+                os.remove(abs_p)
             dead.append(rel)
-    for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
-        if dirpath != data_root and not dirnames and not filenames:
-            os.rmdir(dirpath)
+    if not dry_run:
+        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not dirnames and not filenames:
+                os.rmdir(dirpath)
     return sorted(dead)
 
 

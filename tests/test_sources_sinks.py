@@ -3041,3 +3041,41 @@ def test_lakehouse_medallion_with_mor_gdpr_delete(spark, sf_dir, tmp_path):
         .groupBy("event_type").agg(F.sum("v_cents").alias("s")).collect()
     }
     assert gold == direct and "redacted" in gold
+
+
+def test_lakehouse_vacuum_dry_run_and_size_targeted_optimize(spark, sf_dir, tmp_path):
+    """vacuum(dry_run=True) reports the dead set without deleting;
+    optimize(target_file_bytes=...) derives the output file count
+    from the current table size (ceil(bytes/target))."""
+    import os
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_ops")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=8)
+    upd = (
+        o.filter(F.col("o_orderkey") < 50).select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    LH.merge(spark, path, "o_orderkey", updates=upd)
+
+    would = LH.vacuum(path, keep_versions=1, dry_run=True)
+    assert would  # v0's rewritten file is dead
+    assert all(os.path.exists(os.path.join(path, f)) for f in would)  # nothing removed
+    gone = LH.vacuum(path, keep_versions=1)
+    assert gone == would
+    assert not any(os.path.exists(os.path.join(path, f)) for f in gone)
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in LH.files_at_version(path, LH.current_version(path))
+    )
+    target = max(1, total // 3)
+    v = LH.optimize(spark, path, "o_orderkey", target_file_bytes=target)
+    n = len(LH.files_at_version(path, v))
+    assert n == -(-total // target)  # ceil(bytes/target)
+    assert sorted(map(tuple, LH.read_version(spark, path, v).collect())) == sorted(
+        map(tuple, LH.read_version(spark, path, v - 1).collect())
+    )
