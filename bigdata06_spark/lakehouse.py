@@ -530,11 +530,10 @@ def restore(path: str, to_version: int) -> int:
         "remove": sorted(set(cur_files) - set(old_files)),
         "dvs_set": old_dvs,
         "restore_of": to_version,
-        # schema pins too: re-emit the OLD version's schema adds so a
-        # restore past an add_column drops the column again
-        "schema_set": [
-            {"column": c, "type": t} for c, t in _schema_adds_at(path, to_version)
-        ],
+        # schema pins too: re-emit the OLD version's full schema-action
+        # history so a restore past an add_column drops the column
+        # again, and past a rename/drop reverts the mapping
+        "schema_actions_set": _schema_actions_at(path, to_version),
     }
     entry.update(_entry_partition_meta(entry["add"]))
     new_v = prev_v + 1
@@ -576,10 +575,13 @@ def clone(src: str, dst: str, version: int | None = None) -> None:
         "checkpoint": True,
         "ts": time.time(),
         "cloned_from": {"path": os.path.abspath(src), "version": v},
-        "schema_adds": [
-            {"column": c, "type": t} for c, t in _schema_adds_at(src, v)
-        ],
+        # the full action history (adds, renames, drops) carries over:
+        # the clone's zero-copy source files need the same replay
+        "schema_actions_set": _schema_actions_at(src, v),
     }
+    base_cols = _base_schema_cols(src, v)
+    if base_cols:
+        entry["schema_cols"] = base_cols
     if dvs:
         # Deletion-vector position files are MATERIALIZED into the
         # clone (data files stay zero-copy): their `file` column
@@ -663,6 +665,9 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
         )
     files = _list_data_files(path, sub)
     entry: dict = {"add": files, "remove": []}
+    # declared base column order: the anchor the schema-action replay
+    # reorders mixed-vintage scans to (see _logical_cols_at)
+    entry["schema_cols"] = list(df.columns)
     if partition_by:
         entry["partition_by"] = list(partition_by)
     entry.update(_entry_partition_meta(files))
@@ -709,10 +714,7 @@ def read_version(spark: SparkSession, path: str, version: int,
     # anti-join needs the scan relation's `_metadata`; only DVs of
     # the surviving (pruned) files are loaded
     df = _apply_dvs(spark, path, df, rel_files, _dv_files_for(dvs, rel_files))
-    for col_name, col_type in _schema_adds_at(path, version):
-        if col_name not in df.columns:
-            df = df.withColumn(col_name, F.lit(None).cast(col_type))
-    return df
+    return _replay_schema(df, path, version)
 
 
 # ------------------------------------------------- deletion vectors
@@ -809,9 +811,7 @@ def _live_with_positions(spark: SparkSession, path: str, prev_v: int,
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in rel_files]
     )
-    for col_name, col_type in _schema_adds_at(path, prev_v):
-        if col_name not in df.columns:
-            df = df.withColumn(col_name, F.lit(None).cast(col_type))
+    df = _replay_schema(df, path, prev_v)
     marked = _with_listed_file(spark, path, df, rel_files)
     old_dv = _dv_files_for(dvs, rel_files)
     if old_dv:
@@ -1014,6 +1014,14 @@ def merge(spark: SparkSession, path: str, key: str,
             f"{sorted(new_cols)}; pass merge_schema=True to evolve, or fix "
             f"the column names"
         )
+    if new_cols:
+        clash = sorted(set(new_cols) & _retired_names(path, prev_v))
+        if clash:
+            raise ValueError(
+                f"columns {clash} were retired by an earlier rename/drop; "
+                "old data files may still carry values under them — pick "
+                "fresh names (see rename_column)"
+            )
     schema_adds = [{"column": c, "type": t} for c, t in sorted(new_cols.items())]
 
     scols = table_stats_cols(path)
@@ -1056,8 +1064,21 @@ def merge(spark: SparkSession, path: str, key: str,
     raw_snapshot = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in snap_rel_files]
     )
+    # the key may have been RENAMED (column mapping): files written
+    # before the rename store it under the old physical name, so the
+    # per-file range aggregate coalesces across the rename history
+    # (types are rename-invariant; row sets per file are disjoint)
+    key_phys = [
+        c
+        for c in _physical_names_of(_schema_actions_at(path, prev_v), key)
+        if c in raw_snapshot.columns
+    ]
+    if not key_phys:
+        raise ValueError(f"merge key {key!r} not found in any data file")
+    key_read = F.coalesce(*[F.col(c) for c in key_phys]) if len(key_phys) > 1 \
+        else F.col(key_phys[0])
     per_file = raw_snapshot.groupBy(F.col("_metadata.file_path").alias("file")).agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+        F.min(key_read).alias("lo"), F.max(key_read).alias("hi")
     )
     hit = (
         per_file.join(
@@ -1149,12 +1170,11 @@ def merge(spark: SparkSession, path: str, key: str,
     # the affected files' deletion vectors before the merge legs; the
     # new commit removes those files, which drops their spent DVs
     rewrite_src = _apply_dvs(spark, path, rewrite_src, affected, _dv_files_for(snap_dvs, affected))
-    # lazily-added columns (add_column) materialize into rewritten
-    # files here — the "later rewrites fill real values" half of
-    # additive schema evolution
-    for col_name, col_type in _schema_adds_at(path, prev_v):
-        if col_name not in rewrite_src.columns:
-            rewrite_src = rewrite_src.withColumn(col_name, F.lit(None).cast(col_type))
+    # schema-action replay: lazily-added columns materialize into the
+    # rewritten files here (the "later rewrites fill real values" half
+    # of additive evolution), renamed columns physically take their
+    # new name, and dropped columns shed from the touched files
+    rewrite_src = _replay_schema(rewrite_src, path, prev_v)
     out = rewrite_src
     if delete_keys is not None:
         out = out.join(F.broadcast(delete_keys.select(key)), key, "left_anti")
@@ -1262,6 +1282,12 @@ def add_column(path: str, col_name: str, col_type: str) -> int:
     real values into whatever files they touch). Returns the new
     version."""
     prev_v = current_version(path)
+    if col_name in _retired_names(path, prev_v):
+        raise ValueError(
+            f"column name {col_name!r} was retired by an earlier "
+            "rename/drop; old data files may still carry values under it "
+            "— pick a fresh name (see rename_column)"
+        )
     new_v = prev_v + 1
     _commit_log(
         path,
@@ -1275,22 +1301,254 @@ def add_column(path: str, col_name: str, col_type: str) -> int:
     return new_v
 
 
-def _schema_adds_at(path: str, version: int) -> list[tuple[str, str]]:
-    adds = []
+def _schema_actions_at(path: str, version: int) -> list[dict]:
+    """The ORDERED schema-evolution action list up to `version`:
+    `{"kind": "add", "column", "type"}`, `{"kind": "rename", "from",
+    "to"}`, `{"kind": "drop", "column"}`. Replayed over a raw
+    mixed-vintage scan by `_apply_schema_actions`; order matters (a
+    rename applies to whatever name the column had at that point in
+    history). RESTORE / clone / checkpoint pin the whole list via
+    `schema_actions_set`; the legacy per-entry keys (`schema_add`,
+    `schema_adds`, `schema_set`) still replay for logs written before
+    column mapping existed."""
+    acts: list[dict] = []
     for v in range(version + 1):
         lp = os.path.join(_log_dir(path), f"{v}.json")
         if not os.path.exists(lp):  # squashed away by checkpoint_log
             continue
         with open(lp) as fh:
             entry = json.load(fh)
-        if "schema_set" in entry:  # RESTORE pins the whole schema state
-            adds = [(sa["column"], sa["type"]) for sa in entry["schema_set"]]
+        if "schema_actions_set" in entry:  # RESTORE/clone/checkpoint pin
+            acts = [dict(a) for a in entry["schema_actions_set"]]
+        elif "schema_set" in entry:  # legacy RESTORE pin (adds only)
+            acts = [
+                {"kind": "add", "column": sa["column"], "type": sa["type"]}
+                for sa in entry["schema_set"]
+            ]
         for sa in entry.get("schema_adds", []):
-            adds.append((sa["column"], sa["type"]))
+            acts.append({"kind": "add", "column": sa["column"], "type": sa["type"]})
         sa = entry.get("schema_add")
         if sa:
-            adds.append((sa["column"], sa["type"]))
-    return adds
+            acts.append({"kind": "add", "column": sa["column"], "type": sa["type"]})
+        rn = entry.get("schema_rename")
+        if rn:
+            acts.append({"kind": "rename", "from": rn["from"], "to": rn["to"]})
+        dr = entry.get("schema_drop")
+        if dr:
+            acts.append({"kind": "drop", "column": dr["column"]})
+    return acts
+
+
+def _schema_adds_at(path: str, version: int) -> list[tuple[str, str]]:
+    """(column, type) pairs of the add actions at `version` — the
+    additive subset of `_schema_actions_at`, for call sites that only
+    materialize lazily-added columns."""
+    return [
+        (a["column"], a["type"])
+        for a in _schema_actions_at(path, version)
+        if a["kind"] == "add"
+    ]
+
+
+def _apply_schema_actions(df: DataFrame, actions: list[dict]) -> DataFrame:
+    """Replay the schema-action history over a RAW (possibly
+    mixed-vintage, mergeSchema'd) scan so the result carries the
+    LOGICAL schema:
+
+    - add: files predating the add read the column as a typed NULL
+    - rename: files written before the rename carry the OLD physical
+      name, files after carry the new one — a mergeSchema scan shows
+      BOTH columns (each NULL where absent), so the rename coalesces
+      new-over-old and drops the old (disjoint row sets make the
+      coalesce exact); single-vintage scans just rename
+    - drop: the physical column may survive in old files; the replay
+      removes it from every read
+
+    Pure Column algebra on the scan relation — `_metadata` stays
+    addressable below these projections, so DV subtraction and
+    per-file stats keep working on replayed frames."""
+    cols = set(df.columns)
+    for a in actions:
+        if a["kind"] == "add":
+            c = a["column"]
+            if c not in cols:
+                df = df.withColumn(c, F.lit(None).cast(a["type"]))
+                cols.add(c)
+        elif a["kind"] == "rename":
+            o, n = a["from"], a["to"]
+            if o in cols and n in cols:
+                df = df.withColumn(n, F.coalesce(F.col(n), F.col(o))).drop(o)
+                cols.discard(o)
+            elif o in cols:
+                df = df.withColumnRenamed(o, n)
+                cols.discard(o)
+                cols.add(n)
+        elif a["kind"] == "drop":
+            c = a["column"]
+            if c in cols:
+                df = df.drop(c)
+                cols.discard(c)
+    return df
+
+
+def _base_schema_cols(path: str, version: int) -> list[str] | None:
+    """The declared base column order (`schema_cols`, recorded at
+    table_init and re-emitted by checkpoint/clone), or None for
+    tables created before it existed."""
+    base = None
+    for v in range(version + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if "schema_cols" in entry:
+            base = list(entry["schema_cols"])
+    return base
+
+
+def _logical_cols_at(path: str, version: int) -> list[str] | None:
+    """The table's LOGICAL column order at `version`: the declared
+    base order with the schema-action history replayed over the NAME
+    LIST (adds append, a rename keeps the column's position, drops
+    remove) — Delta's declared-schema ordering, which a mixed-vintage
+    mergeSchema scan cannot provide on its own."""
+    order = _base_schema_cols(path, version)
+    if order is None:
+        return None
+    for a in _schema_actions_at(path, version):
+        if a["kind"] == "add":
+            if a["column"] not in order:
+                order.append(a["column"])
+        elif a["kind"] == "rename":
+            if a["from"] in order:
+                order[order.index(a["from"])] = a["to"]
+        elif a["kind"] == "drop":
+            if a["column"] in order:
+                order.remove(a["column"])
+    return order
+
+
+def _replay_schema(df: DataFrame, path: str, version: int) -> DataFrame:
+    """Schema-action replay + logical column ordering: the one
+    post-processing step every raw scan goes through to present the
+    table's logical schema at `version`."""
+    df = _apply_schema_actions(df, _schema_actions_at(path, version))
+    order = _logical_cols_at(path, version)
+    if order:
+        keep = [c for c in order if c in df.columns]
+        extra = [c for c in df.columns if c not in set(keep)]
+        if df.columns != keep + extra:
+            df = df.select(*keep, *extra)
+    return df
+
+
+def _retired_names(path: str, version: int | None = None) -> set[str]:
+    """Physical names a rename or drop RETIRED: old data files may
+    still carry real values under them, so re-introducing the name
+    (add_column / merge schema evolution / rename target) would
+    resurrect stale data through the mergeSchema scan. Loud-rejected
+    at every schema-introduction point — the price of column mapping
+    without Delta's per-column physical IDs, documented in
+    rename_column."""
+    v = current_version(path) if version is None else version
+    retired: set[str] = set()
+    for a in _schema_actions_at(path, v):
+        if a["kind"] == "rename":
+            retired.add(a["from"])
+            retired.discard(a["to"])
+        elif a["kind"] == "drop":
+            retired.add(a["column"])
+        elif a["kind"] == "add":
+            retired.discard(a["column"])
+    return retired
+
+
+def _physical_names_of(actions: list[dict], logical: str) -> list[str]:
+    """Every physical name `logical` has carried across the rename
+    history, newest first — the coalesce candidates a raw
+    mixed-vintage scan needs to read the column without a full
+    replay (merge's per-file key-range aggregate uses this)."""
+    names = [logical]
+    for a in reversed(actions):
+        if a["kind"] == "rename" and a["to"] == names[-1]:
+            names.append(a["from"])
+    return names
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a zero-rewrite version (Delta's column-mapping
+    rename): no data file changes — the log records the rename and
+    every reader replays it (`_apply_schema_actions`), coalescing
+    mixed vintages where files written after the rename carry the new
+    physical name. Time travel to a pre-rename version still shows
+    the old name (the replay is version-pinned).
+
+    Loud-rejected renames (all metadata-only checks):
+    - `old` absent from, or `new` already in, the current schema
+    - `new` previously retired by a rename/drop (stale-data
+      resurrection guard — see `_retired_names`)
+    - `old` is a partition column, a stats column, or referenced by
+      an active CHECK constraint (those subsystems key on the stored
+      name; drop/re-create them around the rename instead)."""
+    prev_v = current_version(path)
+    if prev_v < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    cur_cols = read_version(spark, path, prev_v).columns
+    if old not in cur_cols:
+        raise ValueError(f"column {old!r} not in table schema {cur_cols}")
+    if new in cur_cols:
+        raise ValueError(f"column {new!r} already exists")
+    if new in _retired_names(path, prev_v):
+        raise ValueError(
+            f"column name {new!r} was retired by an earlier rename/drop; "
+            "old data files may still carry values under it — pick a fresh name"
+        )
+    _check_name_unreferenced(path, old)
+    new_v = prev_v + 1
+    _commit_log(
+        path, new_v,
+        {"add": [], "remove": [], "schema_rename": {"from": old, "to": new}},
+    )
+    return new_v
+
+
+def drop_column(spark: SparkSession, path: str, col_name: str) -> int:
+    """DROP COLUMN as a zero-rewrite version (Delta's column-mapping
+    drop): the physical column stays in existing files; every reader's
+    replay removes it, and rewrites (merge legs, OPTIMIZE) physically
+    shed it from whatever files they touch. Time travel to a pre-drop
+    version still shows the column. Same guards as rename_column."""
+    prev_v = current_version(path)
+    if prev_v < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    cur_cols = read_version(spark, path, prev_v).columns
+    if col_name not in cur_cols:
+        raise ValueError(f"column {col_name!r} not in table schema {cur_cols}")
+    _check_name_unreferenced(path, col_name)
+    new_v = prev_v + 1
+    _commit_log(
+        path, new_v,
+        {"add": [], "remove": [], "schema_drop": {"column": col_name}},
+    )
+    return new_v
+
+
+def _check_name_unreferenced(path: str, col_name: str) -> None:
+    """Reject renaming/dropping a column the table's partition spec,
+    stats spec, or an active CHECK constraint references by name."""
+    import re as _re
+
+    if col_name in table_partition_by(path):
+        raise ValueError(f"{col_name!r} is a partition column")
+    if col_name in table_stats_cols(path):
+        raise ValueError(f"{col_name!r} is a stats column")
+    for cname, expr in table_constraints(path).items():
+        if _re.search(rf"\b{_re.escape(col_name)}\b", expr):
+            raise ValueError(
+                f"{col_name!r} is referenced by CHECK constraint {cname!r} "
+                f"({expr}); drop the constraint first"
+            )
 
 
 def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
@@ -1359,9 +1617,7 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
             spark, path, snapshot, target,
             _dv_files_for(dvs_at_version(path, prev_v), target),
         )
-        for col_name, col_type in _schema_adds_at(path, prev_v):
-            if col_name not in snapshot.columns:
-                snapshot = snapshot.withColumn(col_name, F.lit(None).cast(col_type))
+        snapshot = _replay_schema(snapshot, path, prev_v)
         remove = target
     else:
         snapshot = read_version(spark, path, prev_v)
@@ -1423,10 +1679,7 @@ def read_changes(spark: SparkSession, path: str, from_version: int,
         *[os.path.join(path, f) for f in changed]
     )
     df = _apply_dvs(spark, path, df, changed, _dv_files_for(after_dvs, changed))
-    for col_name, col_type in _schema_adds_at(path, to_version):
-        if col_name not in df.columns:
-            df = df.withColumn(col_name, F.lit(None).cast(col_type))
-    return df
+    return _replay_schema(df, path, to_version)
 
 
 def read_row_changes(spark: SparkSession, path: str, key: str,
@@ -1471,21 +1724,21 @@ def read_row_changes(spark: SparkSession, path: str, key: str,
     if not removed and not added:
         return template.limit(0).withColumn("_change_type", F.lit(""))
 
-    def _load(rel_files: list[str], at_version: int,
-              dvs: dict[str, list[str]]) -> DataFrame:
+    def _load(rel_files: list[str], dvs: dict[str, list[str]]) -> DataFrame:
+        # BOTH sides replay at to_version's schema (Delta CDF presents
+        # changes in the latest schema): a column renamed inside the
+        # range maps the pre-image files' old physical name onto the
+        # new logical one, an added column reads as NULL in pre-images
         if not rel_files:
-            return read_version(spark, path, at_version).limit(0)
+            return read_version(spark, path, to_version).limit(0)
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(path, f) for f in rel_files]
         )
         df = _apply_dvs(spark, path, df, rel_files, _dv_files_for(dvs, rel_files))
-        for col_name, col_type in _schema_adds_at(path, at_version):
-            if col_name not in df.columns:
-                df = df.withColumn(col_name, F.lit(None).cast(col_type))
-        return df
+        return _replay_schema(df, path, to_version)
 
-    pre = _load(removed, from_version, before_dvs)
-    post = _load(added, to_version, after_dvs)
+    pre = _load(removed, before_dvs)
+    post = _load(added, after_dvs)
     pre_cols = [c for c in cols if c in pre.columns]
     b = pre.select(
         F.col(key).alias("_k"), F.struct(*[F.col(c) for c in pre_cols]).alias("_pre")
@@ -1616,7 +1869,8 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     if not (0 <= v <= latest):
         raise ValueError(f"version {v} not in [0, {latest}]")
     files, dvs = _state_at_version(path, v)
-    adds = _schema_adds_at(path, v)
+    acts = _schema_actions_at(path, v)
+    base_cols = _base_schema_cols(path, v)
     # resolve table metadata BEFORE deleting the entries holding it
     pby = table_partition_by(path)
     scols_pre = table_stats_cols(path)
@@ -1631,9 +1885,12 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         "remove": [],
         "checkpoint": True,
         "ts": time.time(),  # squashed versions resolve here for AS-OF
-        # schema adds re-emitted so _schema_adds_at survives the squash
-        "schema_adds": [{"column": c, "type": t} for c, t in adds],
+        # schema-action history re-emitted so the replay (adds,
+        # renames, drops) survives the squash
+        "schema_actions_set": acts,
     }
+    if base_cols:
+        entry["schema_cols"] = base_cols
     if dvs:
         # live deletion-vector map re-emitted so MOR reads survive too
         entry["dvs"] = dvs

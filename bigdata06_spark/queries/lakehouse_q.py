@@ -585,3 +585,61 @@ def lakehouse_mv_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("net") > 0)
         .select(*vcols)
     )
+
+
+def _rename_table_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_customer_colmap_{tag}")
+
+
+@register(
+    "lakehouse_rename_drop",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey < 200 THEN 0.0
+                WHEN c_custkey >= 200 AND c_custkey < 400 THEN -1.0
+                ELSE c_acctbal END AS balance_usd
+    FROM customer
+    """,
+)
+def lakehouse_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING: RENAME and DROP COLUMN as zero-rewrite
+    metadata commits (Delta's column-mapping mode; lakehouse.py
+    rename_column/drop_column). The version chain deliberately mixes
+    file vintages:
+
+    - v0 customer snapshot (physical name `c_acctbal`)
+    - v1 COW merge pre-rename (keys < 200 → 0.0, still `c_acctbal`)
+    - v2 RENAME c_acctbal → balance_usd — no data file changes
+    - v3 COW merge post-rename (keys [200, 400) → -1.0) — the
+      rewritten files physically carry `balance_usd`, untouched files
+      still carry `c_acctbal`
+    - v4 DROP c_mktsegment — again no data file changes
+
+    The final read spans both vintages, so the value-hash match
+    against the oracle proves the reader's schema-action replay
+    (coalesce new-over-old across the rename, drop projected out)
+    reconstructs the logical schema exactly. At 100 TB this is the
+    difference between an O(1) metadata commit and rewriting every
+    file to rename a column."""
+    path = _rename_table_dir(sf_dir)
+    if LH.current_version(path) < 4:
+        c = load_table(spark, "customer", sf_dir).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        )
+        LH.table_init(c, path, "c_custkey")
+        upd1 = (
+            c.filter(F.col("c_custkey") < 200)
+            .select("c_custkey")
+            .withColumn("c_acctbal", F.lit(0.0))
+        )
+        LH.merge(spark, path, "c_custkey", updates=upd1)
+        LH.rename_column(spark, path, "c_acctbal", "balance_usd")
+        upd2 = (
+            c.filter((F.col("c_custkey") >= 200) & (F.col("c_custkey") < 400))
+            .select("c_custkey")
+            .withColumn("balance_usd", F.lit(-1.0))
+        )
+        LH.merge(spark, path, "c_custkey", updates=upd2)
+        LH.drop_column(spark, path, "c_mktsegment")
+    return LH.read_version(spark, path, 4)

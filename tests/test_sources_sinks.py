@@ -4,6 +4,7 @@
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -3079,3 +3080,138 @@ def test_lakehouse_vacuum_dry_run_and_size_targeted_optimize(spark, sf_dir, tmp_
     assert sorted(map(tuple, LH.read_version(spark, path, v).collect())) == sorted(
         map(tuple, LH.read_version(spark, path, v - 1).collect())
     )
+
+
+def test_lakehouse_rename_drop_column_lifecycle(spark, tmp_path):
+    """Column mapping: rename/drop are zero-rewrite metadata commits;
+    readers replay the action history over mixed file vintages, time
+    travel shows version-contemporary names, and retired physical
+    names are loud-rejected on re-introduction."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_colmap")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("price"),
+        F.concat(F.lit("s"), F.col("id")).alias("status"),
+    )
+    LH.table_init(df, path, "k", n_files=4)
+    LH.merge(spark, path, "k",
+             updates=spark.range(10).select(F.col("id").alias("k"),
+                                            F.lit(999.0).alias("price")))
+
+    # zero-rewrite rename: file set unchanged, logical schema updated
+    files_before = LH.files_at_version(path, 1)
+    v2 = LH.rename_column(spark, path, "price", "price_usd")
+    assert LH.files_at_version(path, v2) == files_before
+    cur = LH.read_version(spark, path, v2)
+    assert cur.columns == ["k", "price_usd", "status"]
+    assert cur.filter("k=5").first().price_usd == 999.0
+
+    # merge ON the renamed column writes new-name files; the read
+    # coalesces across vintages
+    v3 = LH.merge(spark, path, "k",
+                  updates=spark.range(50, 60).select(
+                      F.col("id").alias("k"), F.lit(-1.0).alias("price_usd")))
+    r = {x.k: x.price_usd for x in LH.read_version(spark, path, v3).collect()}
+    assert r[55] == -1.0 and r[5] == 999.0 and r[80] == 160.0
+
+    # renaming the MERGE KEY: the per-file range planner coalesces
+    # the key across its physical-name history
+    LH.rename_column(spark, path, "k", "pk")
+    v5 = LH.merge(spark, path, "pk",
+                  updates=spark.range(90, 95).select(
+                      F.col("id").alias("pk"), F.lit(7.0).alias("price_usd")))
+    r = {x.pk: x.price_usd for x in LH.read_version(spark, path, v5).collect()}
+    assert r[92] == 7.0 and r[55] == -1.0 and len(r) == 100
+    assert LH.read_version(spark, path, v5).columns == ["pk", "price_usd", "status"]
+
+    # zero-rewrite drop; time travel pre-rename shows the old names
+    v6 = LH.drop_column(spark, path, "status")
+    assert LH.files_at_version(path, v6) == LH.files_at_version(path, v5)
+    assert LH.read_version(spark, path, v6).columns == ["pk", "price_usd"]
+    assert LH.read_version(spark, path, 1).columns == ["k", "price", "status"]
+
+    # retired-name guards: add_column, rename target, merge evolution
+    with pytest.raises(ValueError, match="retired"):
+        LH.add_column(path, "price", "double")
+    with pytest.raises(ValueError, match="retired"):
+        LH.rename_column(spark, path, "price_usd", "status")
+    with pytest.raises(ValueError, match="retired"):
+        LH.merge(spark, path, "pk",
+                 updates=spark.range(3).select(F.col("id").alias("pk"),
+                                               F.lit("x").alias("k")),
+                 merge_schema=True)
+
+    # row-CDF across a rename presents the LATEST schema on both sides
+    cdf = LH.read_row_changes(spark, path, "pk", 3, v5)
+    pre = {x.pk for x in cdf.filter("_change_type='update_preimage'").collect()}
+    assert pre == set(range(90, 95))
+
+    # restore past the drop re-pins the old action list
+    v7 = LH.restore(path, v5)
+    assert LH.read_version(spark, path, v7).columns == ["pk", "price_usd", "status"]
+
+    # clone carries the mapping; checkpoint + optimize survive it and
+    # optimize physically materializes the logical names
+    dst = str(tmp_path / "lh_colmap_clone")
+    LH.clone(path, dst)
+    assert LH.read_version(spark, dst, 0).columns == ["pk", "price_usd", "status"]
+    LH.checkpoint_log(path)
+    v8 = LH.optimize(spark, path, "pk", n_files=2)
+    out = LH.read_version(spark, path, v8)
+    assert out.columns == ["pk", "price_usd", "status"]
+    r = {x.pk: x.price_usd for x in out.collect()}
+    assert r[92] == 7.0 and r[5] == 999.0 and len(r) == 100
+
+
+def test_lakehouse_rename_guards_referencing_subsystems(spark, sf_dir, tmp_path):
+    """Renaming/dropping a column referenced by the partition spec,
+    stats spec, or a CHECK constraint is loud-rejected."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_guard")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    LH.table_init(o, path, "o_orderkey",
+                  partition_by=["o_orderpriority"],
+                  stats_cols=["o_totalprice"])
+    with pytest.raises(ValueError, match="partition column"):
+        LH.rename_column(spark, path, "o_orderpriority", "prio")
+    with pytest.raises(ValueError, match="stats column"):
+        LH.drop_column(spark, path, "o_totalprice")
+
+    path2 = str(tmp_path / "lh_guard2")
+    LH.table_init(o.select("o_orderkey", "o_totalprice"), path2, "o_orderkey")
+    LH.add_constraint(spark, path2, "pos", "o_totalprice >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        LH.rename_column(spark, path2, "o_totalprice", "amount")
+    LH.drop_constraint(path2, "pos")
+    v = LH.rename_column(spark, path2, "o_totalprice", "amount")
+    assert LH.read_version(spark, path2, v).columns == ["o_orderkey", "amount"]
+
+
+def test_lakehouse_rename_with_deletion_vectors(spark, tmp_path):
+    """MOR deletes and column mapping compose: DV subtraction happens
+    on the raw scan before the schema replay, so a rename between a
+    delete_where and the read changes nothing about which rows are
+    live."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_colmap_dv")
+    df = spark.range(50).select(F.col("id").alias("k"),
+                                (F.col("id") % 7).alias("grp"))
+    LH.table_init(df, path, "k", n_files=2)
+    LH.delete_where(spark, path, F.col("grp") == 3)
+    LH.rename_column(spark, path, "grp", "bucket")
+    out = LH.read_version(spark, path, LH.current_version(path))
+    assert out.columns == ["k", "bucket"]
+    vals = {x.bucket for x in out.collect()}
+    assert 3 not in vals and len(out.collect()) == 50 - len(range(3, 50, 7))
+    # update_where on the renamed column (MOR write path replays too)
+    LH.update_where(spark, path, "k", {"bucket": F.lit(99)},
+                    F.col("bucket") == 5)
+    out2 = LH.read_version(spark, path, LH.current_version(path))
+    assert {x.bucket for x in out2.collect()} == {0, 1, 2, 4, 6, 99}
