@@ -309,6 +309,159 @@ def _stats_may_match(file_stats: dict | None, stats_filter: dict) -> bool:
     return True
 
 
+# ------------------------------------------------- bloom-filter skipping
+#
+# Per-file BLOOM FILTERS for equality lookups on high-cardinality
+# NON-key columns (Delta's BLOOMFILTER INDEX / Parquet's bloom
+# pages): [min, max] stats prune range predicates on clustered
+# columns, but a point lookup on a column with no sort order (find
+# one customer's orders in a key-range-bucketed orders table) matches
+# every file's range. A k-hash bloom over the column's values in
+# each file answers "definitely absent" from the LOG alone — the
+# planner drops the file without touching it. Sound by construction:
+# a missing bloom, a NULL lookup value, or any set-bit uncertainty
+# keeps the file; only a provably-absent value prunes.
+#
+# Hashing: xxhash64(value-cast-to-string, seed i) mod m, JVM-side on
+# collection (whole-stage codegen over the just-written files) and a
+# 1-row job at lookup so both sides use the SAME hash — the string
+# canonicalization makes the lookup independent of integer width.
+# Sizing: m bits / k hashes per (file, column), default 16384/4 —
+# 2 KiB of log per file per column, the same order as Delta's
+# default bloom index, FPR < 3% at 2k distinct values per file.
+
+
+def table_bloom_meta(path: str) -> dict | None:
+    """{"cols": [...], "bits": m, "hashes": k} recorded at init /
+    re-emitted by checkpoint and clone, or None."""
+    latest = current_version(path)
+    for v in range(latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if "bloom" in entry:
+            return dict(entry["bloom"])
+    return None
+
+
+def _bloom_position_cols(col, m: int, k: int) -> list:
+    return [
+        F.pmod(F.xxhash64(col.cast("string"), F.lit(i)), F.lit(m))
+        for i in range(k)
+    ]
+
+
+def _collect_file_blooms(spark: SparkSession, path: str, files: list[str],
+                         bloom: dict) -> dict:
+    """Per-file bloom bitmaps for the configured columns over the
+    just-written `files`: one distributed pass per column (explode k
+    positions → collect_set per file — bounded by m per file), the
+    driver packs each set into a base64 bitmap. NULLs set no bits
+    (a NULL lookup keeps every file instead)."""
+    import base64
+
+    cols, m, k = bloom["cols"], bloom["bits"], bloom["hashes"]
+    full = [os.path.join(path, f) for f in files]
+    df = spark.read.option("mergeSchema", "true").parquet(*full)
+    present = [c for c in cols if c in df.columns]
+    out: dict = {}
+    for c in present:
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(
+                F.col("_metadata.file_path").alias("f"),
+                F.explode(F.array(*_bloom_position_cols(F.col(c), m, k))).alias("p"),
+            )
+            .groupBy("f")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )
+        for r in rows:
+            rel = _DATA + "/" + r["f"].split(f"/{_DATA}/", 1)[1]
+            bits = bytearray(m // 8)
+            for p in r["ps"]:
+                bits[p // 8] |= 1 << (p % 8)
+            out.setdefault(rel, {})[c] = base64.b64encode(bytes(bits)).decode()
+    return out
+
+
+def file_blooms_at(path: str, version: int) -> dict:
+    """Replay the log through `version` → per-file blooms for that
+    snapshot's surviving files (same replay shape as file_stats_at)."""
+    latest = current_version(path)
+    if version < 0 or version > latest:
+        raise ValueError(f"version {version} not in [0, {latest}]")
+    blooms: dict = {}
+    for v in range(version + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if entry.get("checkpoint"):
+            blooms = dict(entry.get("blooms", {}))
+        else:
+            for f in entry.get("remove", []):
+                blooms.pop(f, None)
+            blooms.update(entry.get("blooms", {}))
+    return blooms
+
+
+def _bloom_lookup_positions(spark: SparkSession, bloom_filter: dict,
+                            bloom: dict) -> dict:
+    """The k bit positions of each looked-up value — computed by the
+    SAME JVM expression the collection side used (one 1-row job, no
+    table data touched)."""
+    m, k = bloom["bits"], bloom["hashes"]
+    vals = {
+        c: v for c, v in bloom_filter.items()
+        if v is not None and c in bloom["cols"]
+    }
+    if not vals:
+        return {}
+    exprs = []
+    for c, v in vals.items():
+        for i, pc in enumerate(_bloom_position_cols(F.lit(v), m, k)):
+            exprs.append(pc.alias(f"{c}__{i}"))
+    row = spark.range(1).select(*exprs).first()
+    return {c: [row[f"{c}__{i}"] for i in range(k)] for c in vals}
+
+
+def _bloom_may_match(file_blooms: dict | None, positions: dict) -> bool:
+    """True unless some looked-up value's k bits are provably not all
+    set in the file's bloom. Missing blooms keep the file (sound)."""
+    import base64
+
+    if not file_blooms:
+        return True
+    for c, pos in positions.items():
+        b64 = file_blooms.get(c)
+        if b64 is None:
+            continue
+        bits = base64.b64decode(b64)
+        if not all(bits[p // 8] & (1 << (p % 8)) for p in pos):
+            return False
+    return True
+
+
+def _entry_stats_blooms(spark: SparkSession, path: str,
+                        adds: list[str]) -> dict:
+    """The per-file stats + bloom additions every file-adding commit
+    records (merge legs, OPTIMIZE, MOR appends)."""
+    out: dict = {}
+    if not adds:
+        return out
+    scols = table_stats_cols(path)
+    if scols:
+        out["stats"] = _collect_file_stats(spark, path, adds, scols)
+    bloom = table_bloom_meta(path)
+    if bloom:
+        out["blooms"] = _collect_file_blooms(spark, path, adds, bloom)
+    return out
+
+
 def _matches_partition(rel_path: str, partition_filter: dict) -> bool:
     vals = _pvals_of_rel(rel_path)
     for k, want in partition_filter.items():
@@ -623,6 +776,13 @@ def clone(src: str, dst: str, version: int | None = None) -> None:
         entry["stats_cols"] = scols
         stats = file_stats_at(src, v)
         entry["stats"] = {absf(f): st for f, st in stats.items() if f in set(files)}
+    bloom = table_bloom_meta(src)
+    if bloom:
+        entry["bloom"] = bloom
+        blooms = file_blooms_at(src, v)
+        entry["blooms"] = {
+            absf(f): b for f, b in blooms.items() if f in set(files)
+        }
     cons = table_constraints(src, v)
     if cons:
         entry["constraints"] = cons
@@ -642,7 +802,9 @@ def drop_constraint(path: str, name: str) -> int:
 
 def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
                partition_by: list[str] | None = None,
-               stats_cols: list[str] | None = None) -> None:
+               stats_cols: list[str] | None = None,
+               bloom_cols: list[str] | None = None,
+               bloom_bits: int = 16384, bloom_hashes: int = 4) -> None:
     """Version 0: range-bucket + sort on `key` so every data file
     covers a narrow, non-overlapping key range (parquet min/max stats
     make the COW planner exact). With `partition_by`, files land in
@@ -651,7 +813,12 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
     them (see the partition-columns comment above). With
     `stats_cols`, every commit records per-file [min, max] for those
     columns and `read_version(stats_filter=...)` skips files at the
-    planner (see the data-skipping comment above)."""
+    planner (see the data-skipping comment above). With `bloom_cols`,
+    every commit additionally records a per-file bloom filter
+    (`bloom_bits` bits, `bloom_hashes` hashes) and
+    `read_version(bloom_filter={col: value})` skips files that
+    provably don't contain the value — the point-lookup axis for
+    columns with no sort order (see the bloom comment above)."""
     sub = _new_sub(0)
     out = os.path.join(path, _DATA, sub)
     if partition_by:
@@ -676,12 +843,20 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
         entry["stats"] = _collect_file_stats(
             df.sparkSession, path, files, list(stats_cols)
         )
+    if bloom_cols:
+        bloom = {"cols": list(bloom_cols), "bits": bloom_bits,
+                 "hashes": bloom_hashes}
+        entry["bloom"] = bloom
+        entry["blooms"] = _collect_file_blooms(
+            df.sparkSession, path, files, bloom
+        )
     _commit_log(path, 0, entry)
 
 
 def read_version(spark: SparkSession, path: str, version: int,
                  partition_filter: dict | None = None,
-                 stats_filter: dict | None = None) -> DataFrame:
+                 stats_filter: dict | None = None,
+                 bloom_filter: dict | None = None) -> DataFrame:
     """Version-pinned read. mergeSchema=true because versions may mix
     file vintages after `add_column` schema evolution — carried-over
     files simply lack the new column and read as NULL (Delta/Iceberg's
@@ -697,7 +872,13 @@ def read_version(spark: SparkSession, path: str, version: int,
     `stats_filter` ({col: (lo, hi)}, either bound None) additionally
     skips files whose logged [min, max] for the column cannot
     intersect the interval — SOUND pruning only (missing stats keep
-    the file); the caller still applies the real row filter."""
+    the file); the caller still applies the real row filter.
+
+    `bloom_filter` ({col: value}) skips files whose logged bloom
+    filter proves the value absent — the point-lookup axis on
+    unsorted high-cardinality columns; same soundness contract
+    (missing blooms / NULL values keep the file, the caller still
+    applies the real equality filter)."""
     rel_files, dvs = _state_at_version(path, version)
     if partition_filter:
         rel_files = [f for f in rel_files if _matches_partition(f, partition_filter)]
@@ -706,7 +887,17 @@ def read_version(spark: SparkSession, path: str, version: int,
         rel_files = [
             f for f in rel_files if _stats_may_match(stats.get(f), stats_filter)
         ]
-    if (partition_filter or stats_filter) and not rel_files:
+    if bloom_filter:
+        bloom = table_bloom_meta(path)
+        if bloom:
+            positions = _bloom_lookup_positions(spark, bloom_filter, bloom)
+            if positions:
+                blooms = file_blooms_at(path, version)
+                rel_files = [
+                    f for f in rel_files
+                    if _bloom_may_match(blooms.get(f), positions)
+                ]
+    if (partition_filter or stats_filter or bloom_filter) and not rel_files:
         return read_version(spark, path, version).limit(0)
     files = [os.path.join(path, f) for f in rel_files]
     df = spark.read.option("mergeSchema", "true").parquet(*files)
@@ -956,9 +1147,7 @@ def update_where(spark: SparkSession, path: str, key: str,
         "dv_add": {"files": affected, "dv": _list_data_files(path, dv_sub)},
     }
     entry.update(_entry_partition_meta(adds))
-    scols = table_stats_cols(path)
-    if scols:
-        entry["stats"] = _collect_file_stats(spark, path, adds, scols)
+    entry.update(_entry_stats_blooms(spark, path, adds))
     _commit_log(path, new_v, entry)
     return new_v
 
@@ -1024,15 +1213,12 @@ def merge(spark: SparkSession, path: str, key: str,
             )
     schema_adds = [{"column": c, "type": t} for c, t in sorted(new_cols.items())]
 
-    scols = table_stats_cols(path)
-
     def _commit(version: int, add: list[str], remove: list[str]) -> None:
         entry: dict = {"add": sorted(add), "remove": sorted(remove)}
         if schema_adds:
             entry["schema_adds"] = schema_adds
         entry.update(_entry_partition_meta(add))
-        if scols and add:
-            entry["stats"] = _collect_file_stats(spark, path, sorted(add), scols)
+        entry.update(_entry_stats_blooms(spark, path, sorted(add)))
         _commit_log(path, version, entry)
 
     touched = None
@@ -1543,6 +1729,9 @@ def _check_name_unreferenced(path: str, col_name: str) -> None:
         raise ValueError(f"{col_name!r} is a partition column")
     if col_name in table_stats_cols(path):
         raise ValueError(f"{col_name!r} is a stats column")
+    bloom = table_bloom_meta(path)
+    if bloom and col_name in bloom["cols"]:
+        raise ValueError(f"{col_name!r} is a bloom-filter column")
     for cname, expr in table_constraints(path).items():
         if _re.search(rf"\b{_re.escape(col_name)}\b", expr):
             raise ValueError(
@@ -1642,9 +1831,7 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     adds = _list_data_files(path, sub)
     entry: dict = {"add": adds, "remove": remove}
     entry.update(_entry_partition_meta(adds))
-    scols = table_stats_cols(path)
-    if scols:
-        entry["stats"] = _collect_file_stats(spark, path, adds, scols)
+    entry.update(_entry_stats_blooms(spark, path, adds))
     _commit_log(path, new_v, entry)
     return new_v
 
@@ -1875,6 +2062,8 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     pby = table_partition_by(path)
     scols_pre = table_stats_cols(path)
     stats_pre = file_stats_at(path, v) if scols_pre else {}
+    bloom_pre = table_bloom_meta(path)
+    blooms_pre = file_blooms_at(path, v) if bloom_pre else {}
     cons_pre = table_constraints(path, v)
     for old in range(v):
         old_p = os.path.join(_log_dir(path), f"{old}.json")
@@ -1905,6 +2094,10 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         # stats spec + surviving files' stats survive the squash too
         entry["stats_cols"] = scols_pre
         entry["stats"] = stats_pre
+    if bloom_pre:
+        # bloom spec + surviving files' blooms likewise
+        entry["bloom"] = bloom_pre
+        entry["blooms"] = blooms_pre
     # ATOMIC replace (write-temp + rename), not an in-place overwrite:
     # checkpoint deliberately REPLACES an existing committed entry
     # (squash-in-place), so O_EXCL doesn't apply — but a reader

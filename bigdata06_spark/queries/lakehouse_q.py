@@ -643,3 +643,48 @@ def lakehouse_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         LH.merge(spark, path, "c_custkey", updates=upd2)
         LH.drop_column(spark, path, "c_mktsegment")
     return LH.read_version(spark, path, 4)
+
+
+def _bloom_table_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_orders_bloom_{tag}")
+
+
+@register(
+    "lakehouse_bloom_skipping",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+    """,
+)
+def lakehouse_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER DATA SKIPPING (Delta's BLOOMFILTER INDEX): a
+    point lookup on `o_custkey` — a high-cardinality column with NO
+    sort order in a table range-bucketed on `o_orderkey`, so [min,
+    max] stats are useless (every file's custkey range spans nearly
+    everything). Each commit logs a per-file bloom (16384 bits / 4
+    xxhash64 probes, ~2 KiB of log per file); the planner drops files
+    whose bloom proves the customer absent WITHOUT touching them
+    (file-count pruning asserted in tests). Pruning is sound, never
+    assumed exact: the query still applies the real equality filter,
+    so the result value-hashes against the raw-parquet oracle
+    regardless of false positives. At 100 TB this is the needle-in-
+    haystack path: O(files) 2 KiB bloom probes at the planner instead
+    of a full-table scan."""
+    path = _bloom_table_dir(sf_dir)
+    if LH.current_version(path) < 0:
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        LH.table_init(o, path, "o_orderkey", n_files=16,
+                      bloom_cols=["o_custkey"])
+    target = (
+        load_table(spark, "orders", sf_dir)
+        .agg(F.min("o_custkey").alias("m")).first().m
+    )
+    return (
+        LH.read_version(spark, path, 0, bloom_filter={"o_custkey": int(target)})
+        .filter(F.col("o_custkey") == int(target))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -3215,3 +3215,57 @@ def test_lakehouse_rename_with_deletion_vectors(spark, tmp_path):
                     F.col("bucket") == 5)
     out2 = LH.read_version(spark, path, LH.current_version(path))
     assert {x.bucket for x in out2.collect()} == {0, 1, 2, 4, 6, 99}
+
+
+def test_lakehouse_bloom_filter_skipping(spark, tmp_path):
+    """Per-file blooms prune point lookups on unsorted columns:
+    lookups stay exact across merge vintages, optimize re-collects,
+    checkpoint and clone carry the bitmaps, and pruning is sound
+    (never drops a file containing the value)."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_bloom")
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(5000)).alias("cust"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    LH.table_init(df, path, "k", n_files=10, bloom_cols=["cust"])
+    target = int(df.filter("k = 123").first().cust)
+    truth = df.filter(F.col("cust") == target).count()
+
+    pruned = LH.read_version(spark, path, 0, bloom_filter={"cust": target})
+    assert pruned.filter(F.col("cust") == target).count() == truth
+    assert len(pruned.inputFiles()) < len(LH.files_at_version(path, 0))
+
+    # merge writes new files WITH blooms; a merged-only value is
+    # findable and prunes to the new file(s)
+    upd = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(7777777).alias("cust"),
+        F.lit(0.0).alias("val"))
+    v1 = LH.merge(spark, path, "k", updates=upd)
+    r = LH.read_version(spark, path, v1, bloom_filter={"cust": 7777777})
+    assert r.filter("cust = 7777777").count() == 10
+    assert len(r.inputFiles()) < len(LH.files_at_version(path, v1))
+
+    # checkpoint + clone carry the bitmaps
+    LH.checkpoint_log(path)
+    r2 = LH.read_version(spark, path, v1, bloom_filter={"cust": 7777777})
+    assert r2.filter("cust = 7777777").count() == 10
+    dst = str(tmp_path / "lh_bloom_clone")
+    LH.clone(path, dst)
+    rc = LH.read_version(spark, dst, 0, bloom_filter={"cust": 7777777})
+    assert rc.filter("cust = 7777777").count() == 10
+
+    # optimize re-collects blooms for the compacted files
+    v2 = LH.optimize(spark, path, "k", n_files=3)
+    r3 = LH.read_version(spark, path, v2, bloom_filter={"cust": target})
+    assert r3.filter(F.col("cust") == target).count() == truth
+
+    # soundness: missing bloom for a col / NULL value keep all files
+    keep_all = LH.read_version(spark, path, v2, bloom_filter={"cust": None})
+    assert len(keep_all.inputFiles()) == len(LH.files_at_version(path, v2))
+
+    # bloom columns can't be renamed away
+    with pytest.raises(ValueError, match="bloom"):
+        LH.rename_column(spark, path, "cust", "customer")
