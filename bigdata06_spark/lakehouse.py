@@ -309,6 +309,76 @@ def _stats_may_match(file_stats: dict | None, stats_filter: dict) -> bool:
     return True
 
 
+# ------------------------------------------------- generated columns
+#
+# GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS (expr)`), built for
+# the one pattern that matters at 100 TB: a fact table partitioned by
+# a DERIVED time grain (`event_date = to_date(ts)`). The generation
+# expression is table metadata (`"generated": {col: expr}` in the
+# log); every writer RECOMPUTES the column from its expression before
+# writing (table_init, both merge legs, update_where, OPTIMIZE), so
+# change relations never need to carry it, it can never drift from
+# its source, and an update that moves the source value migrates the
+# row to its new partition. `generated_partition_filter` then turns
+# a SOURCE-column range predicate into a partition filter — the
+# automatic partition pruning Delta derives for date-truncation
+# generation expressions.
+
+
+def table_generated_cols(path: str) -> dict:
+    """{col: generation SQL expr} recorded at init / re-emitted by
+    checkpoint and clone ({} when none)."""
+    latest = current_version(path)
+    for v in range(latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if "generated" in entry:
+            return dict(entry["generated"])
+    return {}
+
+
+def _apply_generated(df: DataFrame, generated: dict) -> DataFrame:
+    """Recompute every generated column from its expression —
+    GENERATED ALWAYS semantics: the stored value is definitionally
+    the expression's value, so writers overwrite whatever the change
+    relation carried (or didn't)."""
+    for c, expr in generated.items():
+        df = df.withColumn(c, F.expr(expr))
+    return df
+
+
+def generated_partition_filter(spark: SparkSession, path: str, pcol: str,
+                               source_col: str, lo, hi) -> dict:
+    """Derive the partition filter a SOURCE-column range predicate
+    implies through a generated partition column: evaluate the
+    generation expression on the two bounds (a 2-row job, no table
+    data), then keep the LOGGED partition values inside [f(lo),
+    f(hi)] — sound exactly when the expression is MONOTONE
+    non-decreasing in the source column and its string/path encoding
+    preserves that order (true for the date-truncation family:
+    to_date, date_trunc, year/month/day prefixes in ISO form).
+    Returns {pcol: [values]} for read_version(partition_filter=);
+    the caller still applies the real source predicate."""
+    generated = table_generated_cols(path)
+    if pcol not in generated:
+        raise ValueError(f"{pcol!r} is not a generated column of {path}")
+    if pcol not in table_partition_by(path):
+        raise ValueError(f"{pcol!r} is not a partition column of {path}")
+    bdf = spark.createDataFrame([(lo,), (hi,)], [source_col])
+    vals = [str(r.v) for r in bdf.select(F.expr(generated[pcol]).alias("v")).collect()]
+    f_lo, f_hi = min(vals), max(vals)
+    logged: set[str] = set()
+    for f in files_at_version(path, current_version(path)):
+        pv = _pvals_of_rel(f).get(pcol)
+        if pv is not None:
+            logged.add(pv)
+    keep = sorted(v for v in logged if f_lo <= v <= f_hi)
+    return {pcol: keep}
+
+
 # ------------------------------------------------- bloom-filter skipping
 #
 # Per-file BLOOM FILTERS for equality lookups on high-cardinality
@@ -783,6 +853,9 @@ def clone(src: str, dst: str, version: int | None = None) -> None:
         entry["blooms"] = {
             absf(f): b for f, b in blooms.items() if f in set(files)
         }
+    generated = table_generated_cols(src)
+    if generated:
+        entry["generated"] = generated
     cons = table_constraints(src, v)
     if cons:
         entry["constraints"] = cons
@@ -804,7 +877,8 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
                partition_by: list[str] | None = None,
                stats_cols: list[str] | None = None,
                bloom_cols: list[str] | None = None,
-               bloom_bits: int = 16384, bloom_hashes: int = 4) -> None:
+               bloom_bits: int = 16384, bloom_hashes: int = 4,
+               generated_cols: dict | None = None) -> None:
     """Version 0: range-bucket + sort on `key` so every data file
     covers a narrow, non-overlapping key range (parquet min/max stats
     make the COW planner exact). With `partition_by`, files land in
@@ -818,7 +892,13 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
     (`bloom_bits` bits, `bloom_hashes` hashes) and
     `read_version(bloom_filter={col: value})` skips files that
     provably don't contain the value — the point-lookup axis for
-    columns with no sort order (see the bloom comment above)."""
+    columns with no sort order (see the bloom comment above). With
+    `generated_cols` ({col: SQL expr}), the columns are COMPUTED from
+    their expressions here and recomputed by every writer (GENERATED
+    ALWAYS — see the generated-columns comment above); name one in
+    `partition_by` to get derived-time-grain partitioning."""
+    if generated_cols:
+        df = _apply_generated(df, dict(generated_cols))
     sub = _new_sub(0)
     out = os.path.join(path, _DATA, sub)
     if partition_by:
@@ -850,6 +930,8 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
         entry["blooms"] = _collect_file_blooms(
             df.sparkSession, path, files, bloom
         )
+    if generated_cols:
+        entry["generated"] = dict(generated_cols)
     _commit_log(path, 0, entry)
 
 
@@ -1127,6 +1209,7 @@ def update_where(spark: SparkSession, path: str, key: str,
             c, F.expr(expr) if isinstance(expr, str) else expr
         )
     updated = updated.select(*data_cols)
+    updated = _apply_generated(updated, table_generated_cols(path))
     _validate_constraints(updated, table_constraints(path), "update_where")
     sub = _new_sub(new_v)
     out_dir = os.path.join(path, _DATA, sub)
@@ -1173,8 +1256,12 @@ def merge(spark: SparkSession, path: str, key: str,
     pby = table_partition_by(path)
 
     constraints = table_constraints(path)
+    generated = table_generated_cols(path)
 
     def _write_insert_leg(new_rows: DataFrame, sub: str, mode: str) -> None:
+        # GENERATED ALWAYS: inserts never need to carry generated
+        # columns — they recompute from their expressions here
+        new_rows = _apply_generated(new_rows, generated)
         _validate_constraints(new_rows, constraints, "merge insert leg")
         out_dir = os.path.join(path, _DATA, sub)
         if pby:
@@ -1400,6 +1487,9 @@ def merge(spark: SparkSession, path: str, key: str,
         if c not in out.columns:
             out = out.withColumn(c, F.lit(None).cast(t))
 
+    # GENERATED ALWAYS: recompute after updates apply, so an update
+    # that moves the source value migrates the row's partition
+    out = _apply_generated(out, generated)
     _validate_constraints(out, constraints, "merge rewrite")
     new_v = prev_v + 1
     sub = _new_sub(new_v)
@@ -1732,6 +1822,14 @@ def _check_name_unreferenced(path: str, col_name: str) -> None:
     bloom = table_bloom_meta(path)
     if bloom and col_name in bloom["cols"]:
         raise ValueError(f"{col_name!r} is a bloom-filter column")
+    for gcol, gexpr in table_generated_cols(path).items():
+        if col_name == gcol:
+            raise ValueError(f"{col_name!r} is a generated column")
+        if _re.search(rf"\b{_re.escape(col_name)}\b", gexpr):
+            raise ValueError(
+                f"{col_name!r} is referenced by generated column {gcol!r} "
+                f"({gexpr})"
+            )
     for cname, expr in table_constraints(path).items():
         if _re.search(rf"\b{_re.escape(col_name)}\b", expr):
             raise ValueError(
@@ -1811,6 +1909,7 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     else:
         snapshot = read_version(spark, path, prev_v)
         remove = files_at_version(path, prev_v)
+    snapshot = _apply_generated(snapshot, table_generated_cols(path))
     new_v = prev_v + 1
     sub = _new_sub(new_v)
     if pby:
@@ -2064,6 +2163,7 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     stats_pre = file_stats_at(path, v) if scols_pre else {}
     bloom_pre = table_bloom_meta(path)
     blooms_pre = file_blooms_at(path, v) if bloom_pre else {}
+    gen_pre = table_generated_cols(path)
     cons_pre = table_constraints(path, v)
     for old in range(v):
         old_p = os.path.join(_log_dir(path), f"{old}.json")
@@ -2098,6 +2198,9 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         # bloom spec + surviving files' blooms likewise
         entry["bloom"] = bloom_pre
         entry["blooms"] = blooms_pre
+    if gen_pre:
+        # generated-column expressions likewise
+        entry["generated"] = gen_pre
     # ATOMIC replace (write-temp + rename), not an in-place overwrite:
     # checkpoint deliberately REPLACES an existing committed entry
     # (squash-in-place), so O_EXCL doesn't apply — but a reader

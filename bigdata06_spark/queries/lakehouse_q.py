@@ -688,3 +688,72 @@ def lakehouse_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey") == int(target))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+def _gen_events_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_events_gen_{tag}")
+
+
+@register(
+    "lakehouse_generated_partition",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_id % 4 = 0 OR value = 0.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zeroed,
+           CAST(min(event_id) AS BIGINT) AS first_id,
+           CAST(max(event_id) AS BIGINT) AS last_id
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'
+    GROUP BY event_type
+    """,
+)
+def lakehouse_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED PARTITION COLUMNS (Delta's GENERATED ALWAYS AS +
+    derived partition pruning): the events table declares
+    `event_date = to_date(ts)` as table metadata — the SOURCE FRAME
+    NEVER CARRIES THE COLUMN; table_init computes it, and the v1
+    merge's change relation ships only (event_id, value) while the
+    rewrite recomputes event_date from each row's stored ts. The
+    read then turns the TIMESTAMP-range predicate into a partition
+    filter via `generated_partition_filter` (a 2-row expression
+    evaluation + the log's partition values — no table data touched)
+    and scans only the three matching days' files (inputFiles-pinned
+    in tests). This is Delta's automatic partition pruning for
+    date-truncation generation expressions — at 100 TB, the
+    difference between a 3-day scan and a full-history scan for
+    every dashboard's time-range query, without requiring writers to
+    know the partitioning scheme exists."""
+    path = _gen_events_dir(sf_dir)
+    if LH.current_version(path) < 1:
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "ts", "event_type", "value"
+        )
+        LH.table_init(ev, path, "event_id", n_files=4,
+                      partition_by=["event_date"],
+                      generated_cols={"event_date": "to_date(ts)"})
+        upd = (
+            ev.filter(F.col("event_id") % 4 == 0)
+            .select("event_id")
+            .withColumn("value", F.lit(0.0))
+        )
+        LH.merge(spark, path, "event_id", updates=upd)
+    import datetime
+
+    pf = LH.generated_partition_filter(
+        spark, path, "event_date", "ts",
+        datetime.datetime(2024, 1, 2), datetime.datetime(2024, 1, 4, 23, 59, 59),
+    )
+    rng = LH.read_version(
+        spark, path, LH.current_version(path), partition_filter=pf
+    ).filter(
+        (F.col("ts") >= F.lit("2024-01-02").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+    )
+    return rng.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("value") == 0.0).cast("long")).cast("long").alias("n_zeroed"),
+        F.min("event_id").cast("long").alias("first_id"),
+        F.max("event_id").cast("long").alias("last_id"),
+    )

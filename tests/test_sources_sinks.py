@@ -3269,3 +3269,75 @@ def test_lakehouse_bloom_filter_skipping(spark, tmp_path):
     # bloom columns can't be renamed away
     with pytest.raises(ValueError, match="bloom"):
         LH.rename_column(spark, path, "cust", "customer")
+
+
+def test_lakehouse_generated_partition_columns(spark, tmp_path):
+    """GENERATED ALWAYS columns: computed at init, recomputed by every
+    writer (merge update moves the row's partition when the source
+    moves; inserts and update_where never carry the column), derived
+    partition pruning from a source-column range, rename/drop guards,
+    clone/checkpoint carry the expressions."""
+    import datetime
+
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_gen")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.lit(datetime.datetime(2024, 3, 1))
+         + F.make_interval(hours=F.col("id") % 240)).alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    LH.table_init(df, path, "k", n_files=2,
+                  partition_by=["event_date"],
+                  generated_cols={"event_date": "to_date(ts)"})
+    v0 = LH.read_version(spark, path, 0)
+    assert "event_date" in v0.columns
+
+    pf = LH.generated_partition_filter(
+        spark, path, "event_date", "ts",
+        datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 4, 23, 59))
+    assert pf == {"event_date": ["2024-03-02", "2024-03-03", "2024-03-04"]}
+    pruned = LH.read_version(spark, path, 0, partition_filter=pf)
+    assert len(pruned.inputFiles()) < len(LH.files_at_version(path, 0))
+    got = pruned.filter(
+        (F.col("ts") >= "2024-03-02") & (F.col("ts") < "2024-03-05")).count()
+    assert got == df.filter(
+        (F.col("ts") >= "2024-03-02") & (F.col("ts") < "2024-03-05")).count() > 0
+
+    # update that moves ts migrates the row's partition
+    v1 = LH.merge(spark, path, "k",
+                  updates=spark.range(5).select(
+                      F.col("id").alias("k"),
+                      F.lit(datetime.datetime(2024, 3, 9, 12)).alias("ts")))
+    mf = LH.read_version(spark, path, v1,
+                         partition_filter={"event_date": "2024-03-09"})
+    assert mf.filter("k < 5").count() == 5
+
+    # insert leg computes the column it never carried
+    v2 = LH.merge(spark, path, "k",
+                  inserts=spark.range(5000, 5003).select(
+                      F.col("id").alias("k"),
+                      F.lit(datetime.datetime(2024, 3, 15)).alias("ts"),
+                      F.lit(0.0).alias("value")))
+    assert LH.read_version(
+        spark, path, v2,
+        partition_filter={"event_date": "2024-03-15"}).count() == 3
+
+    # update_where recomputes too
+    v3 = LH.update_where(spark, path, "k",
+                         {"ts": F.lit(datetime.datetime(2024, 3, 20))},
+                         F.col("k") == 10)
+    assert str(LH.read_version(spark, path, v3)
+               .filter("k = 10").first().event_date) == "2024-03-20"
+
+    with pytest.raises(ValueError, match="partition column|generated column"):
+        LH.rename_column(spark, path, "event_date", "d")
+    with pytest.raises(ValueError, match="referenced by generated"):
+        LH.drop_column(spark, path, "ts")
+
+    dst = str(tmp_path / "lh_gen_clone")
+    LH.clone(path, dst)
+    assert LH.table_generated_cols(dst) == {"event_date": "to_date(ts)"}
+    LH.checkpoint_log(path)
+    assert LH.table_generated_cols(path) == {"event_date": "to_date(ts)"}
