@@ -728,7 +728,8 @@ def add_constraint(spark: SparkSession, path: str, name: str,
     new_v = prev_v + 1
     _commit_log(
         path, new_v,
-        {"add": [], "remove": [], "constraint_add": {"name": name, "expr": expr}},
+        {"add": [], "remove": [], "op": "ADD CONSTRAINT",
+         "constraint_add": {"name": name, "expr": expr}},
     )
     return new_v
 
@@ -759,6 +760,7 @@ def restore(path: str, to_version: int) -> int:
         "schema_actions_set": _schema_actions_at(path, to_version),
     }
     entry.update(_entry_partition_meta(entry["add"]))
+    entry["op"] = "RESTORE"
     new_v = prev_v + 1
     _commit_log(path, new_v, entry)
     return new_v
@@ -859,6 +861,7 @@ def clone(src: str, dst: str, version: int | None = None) -> None:
     cons = table_constraints(src, v)
     if cons:
         entry["constraints"] = cons
+    entry["op"] = "CLONE"
     os.makedirs(os.path.join(dst, _DATA), exist_ok=True)
     _commit_log(dst, 0, entry)
 
@@ -869,7 +872,9 @@ def drop_constraint(path: str, name: str) -> int:
     if name not in table_constraints(path):
         raise ValueError(f"no constraint {name!r} on {path}")
     new_v = prev_v + 1
-    _commit_log(path, new_v, {"add": [], "remove": [], "constraint_drop": name})
+    _commit_log(path, new_v, {"add": [], "remove": [],
+                              "op": "DROP CONSTRAINT",
+                              "constraint_drop": name})
     return new_v
 
 
@@ -932,6 +937,7 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
         )
     if generated_cols:
         entry["generated"] = dict(generated_cols)
+    entry["op"] = "WRITE"
     _commit_log(path, 0, entry)
 
 
@@ -1145,7 +1151,9 @@ def delete_where(spark: SparkSession, path: str, predicate,
         shutil.rmtree(out_dir, ignore_errors=True)
         return prev_v
     _commit_log(
-        path, new_v, {"add": [], "remove": [], "dv_add": {"files": affected, "dv": dv_files}}
+        path, new_v,
+        {"add": [], "remove": [], "op": "DELETE",
+         "dv_add": {"files": affected, "dv": dv_files}},
     )
     return new_v
 
@@ -1231,6 +1239,7 @@ def update_where(spark: SparkSession, path: str, key: str,
     }
     entry.update(_entry_partition_meta(adds))
     entry.update(_entry_stats_blooms(spark, path, adds))
+    entry["op"] = "UPDATE" if "dv_add" in entry else "OPTIMIZE"
     _commit_log(path, new_v, entry)
     return new_v
 
@@ -1306,6 +1315,7 @@ def merge(spark: SparkSession, path: str, key: str,
             entry["schema_adds"] = schema_adds
         entry.update(_entry_partition_meta(add))
         entry.update(_entry_stats_blooms(spark, path, sorted(add)))
+        entry["op"] = "MERGE"
         _commit_log(path, version, entry)
 
     touched = None
@@ -1572,6 +1582,7 @@ def add_column(path: str, col_name: str, col_type: str) -> int:
             "add": [],
             "remove": [],
             "schema_add": {"column": col_name, "type": col_type},
+            "op": "ADD COLUMN",
         },
     )
     return new_v
@@ -1784,7 +1795,8 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> int:
     new_v = prev_v + 1
     _commit_log(
         path, new_v,
-        {"add": [], "remove": [], "schema_rename": {"from": old, "to": new}},
+        {"add": [], "remove": [], "op": "RENAME COLUMN",
+         "schema_rename": {"from": old, "to": new}},
     )
     return new_v
 
@@ -1805,7 +1817,8 @@ def drop_column(spark: SparkSession, path: str, col_name: str) -> int:
     new_v = prev_v + 1
     _commit_log(
         path, new_v,
-        {"add": [], "remove": [], "schema_drop": {"column": col_name}},
+        {"add": [], "remove": [], "op": "DROP COLUMN",
+         "schema_drop": {"column": col_name}},
     )
     return new_v
 
@@ -1931,6 +1944,7 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     entry: dict = {"add": adds, "remove": remove}
     entry.update(_entry_partition_meta(adds))
     entry.update(_entry_stats_blooms(spark, path, adds))
+    entry["op"] = "UPDATE" if "dv_add" in entry else "OPTIMIZE"
     _commit_log(path, new_v, entry)
     return new_v
 
@@ -2173,6 +2187,7 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         "add": files,
         "remove": [],
         "checkpoint": True,
+        "op": "CHECKPOINT",
         "ts": time.time(),  # squashed versions resolve here for AS-OF
         # schema-action history re-emitted so the replay (adds,
         # renames, drops) survives the squash
@@ -2213,3 +2228,192 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         json.dump(entry, fh, indent=1)
     os.replace(tmp, target)
     return v
+
+
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY (Delta's operation audit log): one row per
+    surviving log entry — version, commit timestamp, operation name,
+    files added/removed, and the operation's detail payload as a JSON
+    string. Reads ONLY the log (O(versions since checkpoint), no data
+    files); entries written before operation tagging existed infer
+    their operation from the entry's signature keys. Newest first,
+    like Delta."""
+    latest = current_version(path)
+    if latest < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    rows = []
+    for v in range(latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):  # squashed away
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        op = entry.get("op")
+        if op is None:  # legacy entry: infer from signature keys
+            if "cloned_from" in entry:
+                op = "CLONE"
+            elif "restore_of" in entry:
+                op = "RESTORE"
+            elif entry.get("checkpoint"):
+                op = "CHECKPOINT"
+            elif "dv_add" in entry:
+                op = "UPDATE" if entry.get("add") else "DELETE"
+            elif "schema_add" in entry:
+                op = "ADD COLUMN"
+            elif "schema_rename" in entry:
+                op = "RENAME COLUMN"
+            elif "schema_drop" in entry:
+                op = "DROP COLUMN"
+            elif "constraint_add" in entry:
+                op = "ADD CONSTRAINT"
+            elif "constraint_drop" in entry:
+                op = "DROP CONSTRAINT"
+            elif v == 0:
+                op = "WRITE"
+            else:
+                op = "MERGE"
+        detail = {
+            k: entry[k]
+            for k in ("restore_of", "cloned_from", "schema_add",
+                      "schema_rename", "schema_drop", "constraint_add",
+                      "constraint_drop", "partition_by")
+            if k in entry
+        }
+        rows.append((
+            v,
+            float(entry.get("ts", 0.0)),
+            op,
+            len(entry.get("add", [])),
+            len(entry.get("remove", [])),
+            json.dumps(detail, sort_keys=True) if detail else None,
+        ))
+    rows.sort(key=lambda r: -r[0])
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp double, operation string, "
+        "n_added long, n_removed long, operation_details string",
+    )
+
+
+def overwrite_where(spark: SparkSession, path: str, key: str,
+                    data: DataFrame, predicate=None,
+                    partitions: dict | None = None,
+                    n_files: int = 1) -> int:
+    """REPLACE WHERE (Delta's `replaceWhere` overwrite): atomically
+    swap the rows matching `predicate` (or the files of the named
+    `partitions`) with `data`, in ONE commit — the backfill primitive
+    for partitioned fact tables (recompute one day, swap it in; the
+    table never shows a half-replaced state, and time travel keeps
+    the old day).
+
+    Two region shapes:
+    - `partitions={col: value-or-values}` — O(partition): the removed
+      set comes from the LOG's partition values, no data scanned
+      beyond validating+writing `data`.
+    - `predicate` (Column or SQL string, on the logical schema) — the
+      general form: one per-file any-match scan finds the affected
+      files, their non-matching rows carry into the rewrite
+      (replaced region = rows where the predicate is TRUE; NULL
+      evaluations keep the row, same as Delta).
+
+    `data` must fall entirely INSIDE the region (loud error
+    otherwise — Delta's replaceWhere constraint check). Generated
+    columns recompute on `data`; CHECK constraints validate; stats/
+    blooms collect for the new files; spent DVs of replaced files
+    drop with them. Returns the new version."""
+    if (predicate is None) == (partitions is None):
+        raise ValueError("pass exactly one of predicate= or partitions=")
+    prev_v = current_version(path)
+    if prev_v < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    rel_files, dvs = _state_at_version(path, prev_v)
+    pby = table_partition_by(path)
+    generated = table_generated_cols(path)
+    data = _apply_generated(data, generated)
+    constraints = table_constraints(path)
+    new_v = prev_v + 1
+    sub = _new_sub(new_v)
+    out_dir = os.path.join(path, _DATA, sub)
+
+    if partitions is not None:
+        if not pby:
+            raise ValueError("partitions= given but the table is unpartitioned")
+        removed = [f for f in rel_files if _matches_partition(f, partitions)]
+        # Delta's replaceWhere constraint: data must lie inside the region
+        vals = {
+            c: {v} if not isinstance(v, (list, tuple, set)) else {str(x) for x in v}
+            for c, v in partitions.items()
+        }
+        outside = data
+        for c, vs in vals.items():
+            outside = outside.filter(~F.col(c).cast("string").isin([str(x) for x in vs]))
+        n_out = outside.limit(1).count()
+        if n_out:
+            raise ValueError(
+                f"data contains rows outside the replaced partitions "
+                f"{partitions} (replaceWhere constraint)"
+            )
+        keep = None
+    else:
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        n_out = data.filter(~F.coalesce(cond, F.lit(False))).limit(1).count()
+        if n_out:
+            raise ValueError(
+                "data contains rows outside the replaced predicate region "
+                "(replaceWhere constraint)"
+            )
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in rel_files]
+        )
+        raw = _replay_schema(raw, path, prev_v)
+        hit = (
+            raw.groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(F.max(F.coalesce(cond, F.lit(False)).cast("int")).alias("any"))
+            .filter("any = 1")
+            .collect()
+        )
+        prev_set = set(rel_files)
+
+        def rel_of(abs_uri: str) -> str:
+            p = abs_uri
+            for pre in ("file://", "file:"):
+                if p.startswith(pre):
+                    p = p[len(pre):]
+                    break
+            if not p.startswith("/"):
+                p = "/" + p
+            if p in prev_set:
+                return p
+            return _DATA + "/" + abs_uri.split(f"/{_DATA}/", 1)[1]
+
+        removed = sorted(rel_of(r.f) for r in hit)
+        if removed:
+            kdf = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, f) for f in removed]
+            )
+            kdf = _apply_dvs(spark, path, kdf, removed,
+                             _dv_files_for(dvs, removed))
+            kdf = _replay_schema(kdf, path, prev_v)
+            keep = kdf.filter(~F.coalesce(cond, F.lit(False)))
+        else:
+            keep = None
+
+    out = data if keep is None else keep.unionByName(
+        data, allowMissingColumns=True
+    )
+    _validate_constraints(out, constraints, "overwrite_where")
+    if pby:
+        _write_partitioned(out, out_dir, key, max(1, n_files), pby)
+    else:
+        (
+            out.repartitionByRange(max(1, n_files), F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    adds = _list_data_files(path, sub)
+    entry: dict = {"add": adds, "remove": removed, "op": "REPLACE WHERE"}
+    entry.update(_entry_partition_meta(adds))
+    entry.update(_entry_stats_blooms(spark, path, adds))
+    _commit_log(path, new_v, entry)
+    return new_v

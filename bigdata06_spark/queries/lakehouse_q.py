@@ -757,3 +757,52 @@ def lakehouse_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("event_id").cast("long").alias("first_id"),
         F.max("event_id").cast("long").alias("last_id"),
     )
+
+
+def _replace_events_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_events_rw_{tag}")
+
+
+@register(
+    "lakehouse_replace_where",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03'
+                THEN -value ELSE value END AS value
+    FROM events
+    """,
+)
+def lakehouse_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLACE WHERE (Delta's replaceWhere overwrite — the backfill
+    primitive): the events table is date-partitioned via a GENERATED
+    event_date, and one commit atomically swaps 2024-01-03's files
+    with a corrected recompute of that day (values negated) — no
+    other partition is touched (the removed set comes from the LOG's
+    partition values, O(partition) not O(table)), the backfill
+    relation never carries the partition column (generated), rows
+    outside the region are loud-rejected, and time travel still
+    shows the bad day at v0. The whole-table value-hash against the
+    CASE-expression oracle proves the swap replaced exactly the
+    region. At 100 TB this is how a day is recomputed in place: swap
+    one partition under snapshot isolation instead of rewriting or
+    double-reading the table."""
+    path = _replace_events_dir(sf_dir)
+    if LH.current_version(path) < 1:
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "ts", "event_type", "value"
+        )
+        LH.table_init(ev, path, "event_id", n_files=4,
+                      partition_by=["event_date"],
+                      generated_cols={"event_date": "to_date(ts)"})
+        fix = (
+            ev.filter(F.to_date("ts") == F.lit("2024-01-03").cast("date"))
+            .select("event_id", "ts", "event_type", (-F.col("value")).alias("value"))
+        )
+        LH.overwrite_where(spark, path, "event_id", fix,
+                           partitions={"event_date": "2024-01-03"})
+    return (
+        LH.read_version(spark, path, LH.current_version(path))
+        .select(F.col("event_id").cast("long").alias("event_id"),
+                "event_type", "value")
+    )

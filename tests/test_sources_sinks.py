@@ -3341,3 +3341,79 @@ def test_lakehouse_generated_partition_columns(spark, tmp_path):
     assert LH.table_generated_cols(dst) == {"event_date": "to_date(ts)"}
     LH.checkpoint_log(path)
     assert LH.table_generated_cols(path) == {"event_date": "to_date(ts)"}
+
+
+def test_lakehouse_describe_history(spark, tmp_path):
+    """DESCRIBE HISTORY: one row per log entry, newest first, with
+    the operation name every commit now records (legacy entries infer
+    from signature keys)."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_hist")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.0).alias("v"))
+    LH.table_init(df, path, "k", n_files=2)
+    LH.merge(spark, path, "k",
+             updates=spark.range(5).select(F.col("id").alias("k"),
+                                           F.lit(0.0).alias("v")))
+    LH.delete_where(spark, path, F.col("k") == 50)
+    LH.update_where(spark, path, "k", {"v": F.lit(9.0)}, F.col("k") == 60)
+    LH.add_column(path, "extra", "string")
+    LH.rename_column(spark, path, "v", "val")
+    LH.optimize(spark, path, "k", n_files=1)
+    LH.restore(path, 2)
+    h = LH.describe_history(spark, path)
+    assert [r.operation for r in h.collect()] == [
+        "RESTORE", "OPTIMIZE", "RENAME COLUMN", "ADD COLUMN",
+        "UPDATE", "DELETE", "MERGE", "WRITE",
+    ]
+    assert h.filter("operation = 'RENAME COLUMN'").first().operation_details
+
+
+def test_lakehouse_overwrite_where(spark, tmp_path):
+    """replaceWhere: partition-scoped swap is O(partition) and atomic;
+    predicate-scoped swap carries non-matching rows of affected files
+    (DV-applied, so deleted rows don't resurrect); out-of-region data
+    is loud-rejected; generated columns recompute on the backfill."""
+    import datetime
+
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_rw")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.lit(datetime.datetime(2024, 3, 1))
+         + F.make_interval(hours=F.col("id") % 96)).alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    LH.table_init(df, path, "k", n_files=2, partition_by=["event_date"],
+                  generated_cols={"event_date": "to_date(ts)"})
+    day = df.filter("to_date(ts) = date'2024-03-02'")
+    fix = day.select("k", "ts", (-F.col("value")).alias("value"))
+    v1 = LH.overwrite_where(spark, path, "k", fix,
+                            partitions={"event_date": "2024-03-02"})
+    out = LH.read_version(spark, path, v1)
+    assert out.count() == 1000
+    assert out.filter("event_date = date'2024-03-02' and value > 0").count() == 0
+    assert out.filter("event_date = date'2024-03-01' and value < 0").count() == 0
+    assert LH.read_version(spark, path, 0).filter(
+        "event_date = date'2024-03-02' and value > 0").count() > 0
+    with pytest.raises(ValueError, match="outside"):
+        LH.overwrite_where(spark, path, "k", df.limit(10),
+                           partitions={"event_date": "2024-03-02"})
+
+    p2 = str(tmp_path / "lh_rw2")
+    df2 = spark.range(500).select(F.col("id").alias("k"),
+                                  (F.col("id") % 10).alias("g"),
+                                  (F.col("id") * 1.0).alias("v"))
+    LH.table_init(df2, p2, "k", n_files=4)
+    LH.delete_where(spark, p2, F.col("k") == 7)
+    repl = spark.range(100).select(F.col("id").alias("k"), F.lit(3).alias("g"),
+                                   F.lit(-1.0).alias("v")).filter("k % 10 = 3")
+    v = LH.overwrite_where(spark, p2, "k", repl, predicate="g = 3")
+    cur = LH.read_version(spark, p2, v)
+    assert cur.filter("g = 3").count() == 10
+    assert cur.filter("g = 3 and v != -1.0").count() == 0
+    assert cur.filter("k = 7").count() == 0
+    assert cur.count() == 459
+    assert LH.describe_history(spark, p2).first().operation == "REPLACE WHERE"
