@@ -379,6 +379,62 @@ def generated_partition_filter(spark: SparkSession, path: str, pcol: str,
     return {pcol: keep}
 
 
+# ------------------------------------------------- identity columns
+#
+# IDENTITY COLUMNS (Delta's `GENERATED ALWAYS AS IDENTITY`): the
+# table allocates surrogate keys itself — writers may never supply
+# the column (loud error, exactly Delta's ALWAYS semantics), insert
+# legs assign `high + step·row_number(ORDER BY key)` and the commit
+# entry advances the high watermark, so ids are unique and increasing
+# across the table's whole history, including through OCC retries
+# (a losing writer re-reads the newer high before its retry, and a
+# stale allocation can never become visible because the log commit
+# itself is the atomic create-if-absent). Within one batch the
+# ordering is by the table key, which makes assignment DETERMINISTIC
+# — testable against a row_number() oracle. The global row_number is
+# one extra shuffle of the INSERT BATCH (never the table); at real
+# scale writers would reserve per-partition id ranges off the same
+# watermark (Delta reserves ranges per transaction the same way).
+
+
+def table_identity(path: str) -> dict | None:
+    """Latest identity state {"col", "start", "step", "high"}, or
+    None. The most recent entry carrying the key wins (each
+    allocating commit re-emits it with the advanced watermark)."""
+    latest = current_version(path)
+    state = None
+    for v in range(latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if "identity" in entry:
+            state = dict(entry["identity"])
+    return state
+
+
+def _assign_identity(df: DataFrame, ident: dict, key: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.orderBy(F.col(key)))
+    return df.withColumn(
+        ident["col"],
+        (F.lit(ident["high"]) + F.lit(ident["step"]) * rn).cast("long"),
+    )
+
+
+def _reject_identity_col(ident: dict | None, rels: list, what: str) -> None:
+    if not ident:
+        return
+    for rel in rels:
+        if rel is not None and ident["col"] in rel.columns:
+            raise ValueError(
+                f"{ident['col']!r} is GENERATED ALWAYS AS IDENTITY; "
+                f"{what} may not supply it — the table allocates it"
+            )
+
+
 # ------------------------------------------------- bloom-filter skipping
 #
 # Per-file BLOOM FILTERS for equality lookups on high-cardinality
@@ -858,6 +914,9 @@ def clone(src: str, dst: str, version: int | None = None) -> None:
     generated = table_generated_cols(src)
     if generated:
         entry["generated"] = generated
+    ident = table_identity(src)
+    if ident:
+        entry["identity"] = ident
     cons = table_constraints(src, v)
     if cons:
         entry["constraints"] = cons
@@ -883,7 +942,9 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
                stats_cols: list[str] | None = None,
                bloom_cols: list[str] | None = None,
                bloom_bits: int = 16384, bloom_hashes: int = 4,
-               generated_cols: dict | None = None) -> None:
+               generated_cols: dict | None = None,
+               identity_col: str | None = None,
+               identity_start: int = 1, identity_step: int = 1) -> None:
     """Version 0: range-bucket + sort on `key` so every data file
     covers a narrow, non-overlapping key range (parquet min/max stats
     make the COW planner exact). With `partition_by`, files land in
@@ -901,9 +962,32 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
     `generated_cols` ({col: SQL expr}), the columns are COMPUTED from
     their expressions here and recomputed by every writer (GENERATED
     ALWAYS — see the generated-columns comment above); name one in
-    `partition_by` to get derived-time-grain partitioning."""
+    `partition_by` to get derived-time-grain partitioning. With
+    `identity_col`, the table allocates that surrogate-key column
+    itself (GENERATED ALWAYS AS IDENTITY — see the identity comment
+    above); the source frame must not carry it."""
     if generated_cols:
         df = _apply_generated(df, dict(generated_cols))
+    ident = None
+    if identity_col:
+        if identity_col in df.columns:
+            raise ValueError(
+                f"{identity_col!r} is GENERATED ALWAYS AS IDENTITY; the "
+                "initial frame may not supply it"
+            )
+        if identity_col == key:
+            raise ValueError(
+                "the identity column cannot be the merge key: change "
+                "relations address rows BY the key, which GENERATED "
+                "ALWAYS forbids them to carry — key on the business key"
+            )
+        n0 = df.count()
+        ident = {"col": identity_col, "start": identity_start,
+                 "step": identity_step,
+                 "high": identity_start - identity_step}
+        df = _assign_identity(df, ident, key)
+        ident["high"] = identity_start + identity_step * (n0 - 1) if n0 else \
+            identity_start - identity_step
     sub = _new_sub(0)
     out = os.path.join(path, _DATA, sub)
     if partition_by:
@@ -937,6 +1021,8 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
         )
     if generated_cols:
         entry["generated"] = dict(generated_cols)
+    if ident:
+        entry["identity"] = ident
     entry["op"] = "WRITE"
     _commit_log(path, 0, entry)
 
@@ -1192,6 +1278,12 @@ def update_where(spark: SparkSession, path: str, key: str,
             f"assignments target columns not in the table schema {unknown}; "
             "use add_column()/merge(merge_schema=True) to evolve the schema"
         )
+    ident = table_identity(path)
+    if ident and ident["col"] in assignments:
+        raise ValueError(
+            f"{ident['col']!r} is GENERATED ALWAYS AS IDENTITY; "
+            "update_where may not assign it"
+        )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     hits = marked.filter(cond)
 
@@ -1266,11 +1358,21 @@ def merge(spark: SparkSession, path: str, key: str,
 
     constraints = table_constraints(path)
     generated = table_generated_cols(path)
+    ident = table_identity(path)
+    _reject_identity_col(ident, [updates, inserts], "merge change relations")
+    ident_assigned = [0]  # inserted-row count, for the watermark advance
 
     def _write_insert_leg(new_rows: DataFrame, sub: str, mode: str) -> None:
         # GENERATED ALWAYS: inserts never need to carry generated
         # columns — they recompute from their expressions here
         new_rows = _apply_generated(new_rows, generated)
+        if ident:
+            # IDENTITY allocation: ids from the current high watermark,
+            # deterministic within the batch (ordered by the table key)
+            new_rows = new_rows.drop(ident["col"])
+            n_new = new_rows.count()
+            new_rows = _assign_identity(new_rows, ident, key)
+            ident_assigned[0] += n_new
         _validate_constraints(new_rows, constraints, "merge insert leg")
         out_dir = os.path.join(path, _DATA, sub)
         if pby:
@@ -1315,6 +1417,11 @@ def merge(spark: SparkSession, path: str, key: str,
             entry["schema_adds"] = schema_adds
         entry.update(_entry_partition_meta(add))
         entry.update(_entry_stats_blooms(spark, path, sorted(add)))
+        if ident and ident_assigned[0]:
+            entry["identity"] = {
+                **ident,
+                "high": ident["high"] + ident["step"] * ident_assigned[0],
+            }
         entry["op"] = "MERGE"
         _commit_log(path, version, entry)
 
@@ -1835,6 +1942,9 @@ def _check_name_unreferenced(path: str, col_name: str) -> None:
     bloom = table_bloom_meta(path)
     if bloom and col_name in bloom["cols"]:
         raise ValueError(f"{col_name!r} is a bloom-filter column")
+    ident = table_identity(path)
+    if ident and col_name == ident["col"]:
+        raise ValueError(f"{col_name!r} is an identity column")
     for gcol, gexpr in table_generated_cols(path).items():
         if col_name == gcol:
             raise ValueError(f"{col_name!r} is a generated column")
@@ -2178,6 +2288,7 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     bloom_pre = table_bloom_meta(path)
     blooms_pre = file_blooms_at(path, v) if bloom_pre else {}
     gen_pre = table_generated_cols(path)
+    ident_pre = table_identity(path)
     cons_pre = table_constraints(path, v)
     for old in range(v):
         old_p = os.path.join(_log_dir(path), f"{old}.json")
@@ -2216,6 +2327,9 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     if gen_pre:
         # generated-column expressions likewise
         entry["generated"] = gen_pre
+    if ident_pre:
+        # identity spec + high watermark likewise
+        entry["identity"] = ident_pre
     # ATOMIC replace (write-temp + rename), not an in-place overwrite:
     # checkpoint deliberately REPLACES an existing committed entry
     # (squash-in-place), so O_EXCL doesn't apply — but a reader
@@ -2330,6 +2444,8 @@ def overwrite_where(spark: SparkSession, path: str, key: str,
     pby = table_partition_by(path)
     generated = table_generated_cols(path)
     data = _apply_generated(data, generated)
+    ident = table_identity(path)
+    _reject_identity_col(ident, [data], "replacement data")
     constraints = table_constraints(path)
     new_v = prev_v + 1
     sub = _new_sub(new_v)
@@ -2398,6 +2514,10 @@ def overwrite_where(spark: SparkSession, path: str, key: str,
         else:
             keep = None
 
+    n_data = 0
+    if ident:
+        n_data = data.count()
+        data = _assign_identity(data, ident, key)
     out = data if keep is None else keep.unionByName(
         data, allowMissingColumns=True
     )
@@ -2415,5 +2535,9 @@ def overwrite_where(spark: SparkSession, path: str, key: str,
     entry: dict = {"add": adds, "remove": removed, "op": "REPLACE WHERE"}
     entry.update(_entry_partition_meta(adds))
     entry.update(_entry_stats_blooms(spark, path, adds))
+    if ident and n_data:
+        entry["identity"] = {
+            **ident, "high": ident["high"] + ident["step"] * n_data,
+        }
     _commit_log(path, new_v, entry)
     return new_v

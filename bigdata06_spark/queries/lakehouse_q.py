@@ -806,3 +806,55 @@ def lakehouse_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_id").cast("long").alias("event_id"),
                 "event_type", "value")
     )
+
+
+def _identity_table_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_customer_ident_{tag}")
+
+
+@register(
+    "lakehouse_identity_column",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+             row_number() OVER (ORDER BY c_custkey) AS row_id
+      FROM customer
+    ), ins_src AS (
+      SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 10
+    ), ins AS (
+      SELECT CAST(c_custkey + 10000000 AS BIGINT) AS c_custkey, c_name,
+             (SELECT count(*) FROM customer)
+               + row_number() OVER (ORDER BY c_custkey) AS row_id
+      FROM ins_src
+    )
+    SELECT c_custkey, c_name, CAST(row_id AS BIGINT) AS row_id FROM base
+    UNION ALL
+    SELECT c_custkey, c_name, CAST(row_id AS BIGINT) AS row_id FROM ins
+    """,
+)
+def lakehouse_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY): the
+    table allocates the surrogate key `row_id` itself — the initial
+    load gets 1..N (ordered by the business key, so assignment is
+    deterministic and oracle-able), a later insert batch continues
+    from the logged HIGH WATERMARK (N+1..N+10), and change relations
+    that try to supply the column are loud-rejected. The watermark
+    advances inside the same atomic commit as the data, so ids stay
+    unique across OCC retries and table history. The value-hash
+    match against a row_number() oracle proves allocation is exactly
+    the declared order with no gaps or reuse."""
+    path = _identity_table_dir(sf_dir)
+    if LH.current_version(path) < 1:
+        c = load_table(spark, "customer", sf_dir).select(
+            F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
+        )
+        LH.table_init(c, path, "c_custkey", identity_col="row_id")
+        ins = (
+            c.orderBy("c_custkey").limit(10)
+            .select((F.col("c_custkey") + 10000000).alias("c_custkey"), "c_name")
+        )
+        LH.merge(spark, path, "c_custkey", inserts=ins)
+    return LH.read_version(spark, path, 1).select(
+        "c_custkey", "c_name", F.col("row_id").cast("long").alias("row_id")
+    )

@@ -3417,3 +3417,56 @@ def test_lakehouse_overwrite_where(spark, tmp_path):
     assert cur.filter("k = 7").count() == 0
     assert cur.count() == 459
     assert LH.describe_history(spark, p2).first().operation == "REPLACE WHERE"
+
+
+def test_lakehouse_identity_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: init assigns start..N ordered by
+    the key, inserts/replaceWhere allocate from the logged high
+    watermark, updates keep ids, writers supplying the column are
+    loud-rejected, checkpoint/clone carry the watermark."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_ident")
+    df = spark.range(0, 200, 2).select(F.col("id").alias("k"),
+                                       (F.col("id") * 1.0).alias("v"))
+    LH.table_init(df, path, "k", n_files=3, identity_col="row_id")
+    ids = {r.k: r.row_id for r in LH.read_version(spark, path, 0).collect()}
+    assert ids[0] == 1 and ids[198] == 100
+    assert LH.table_identity(path)["high"] == 100
+
+    ins = spark.createDataFrame([(501, 1.0), (301, 2.0)], "k long, v double")
+    v1 = LH.merge(spark, path, "k", inserts=ins)
+    ids = {r.k: r.row_id for r in LH.read_version(spark, path, v1).collect()}
+    assert ids[301] == 101 and ids[501] == 102  # key-ordered allocation
+
+    v2 = LH.merge(spark, path, "k",
+                  updates=spark.createDataFrame([(0, -1.0)], "k long, v double"))
+    assert {r.k: r.row_id
+            for r in LH.read_version(spark, path, v2).collect()}[0] == 1
+
+    with pytest.raises(ValueError, match="IDENTITY"):
+        LH.merge(spark, path, "k",
+                 updates=spark.createDataFrame([(0, 5)], "k long, row_id long"))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        LH.update_where(spark, path, "k", {"row_id": F.lit(0)}, F.col("k") == 0)
+    with pytest.raises(ValueError, match="identity column"):
+        LH.drop_column(spark, path, "row_id")
+
+    # replaceWhere allocates fresh ids for the swapped region
+    repl = spark.createDataFrame([(10, 0.0), (12, 0.0)], "k long, v double")
+    v4 = LH.overwrite_where(spark, path, "k", repl, predicate="k in (10, 12)")
+    ids4 = {r.k: r.row_id for r in LH.read_version(spark, path, v4).collect()}
+    assert ids4[10] == 103 and ids4[12] == 104
+
+    LH.checkpoint_log(path)
+    assert LH.table_identity(path)["high"] == 104
+    dst = str(tmp_path / "lh_ident_clone")
+    LH.clone(path, dst)
+    v5 = LH.merge(spark, dst, "k",
+                  inserts=spark.createDataFrame([(999, 1.0)], "k long, v double"))
+    assert {r.k: r.row_id
+            for r in LH.read_version(spark, dst, v5).collect()}[999] == 105
+
+    with pytest.raises(ValueError, match="identity column cannot be the merge key"):
+        LH.table_init(spark.range(3).select(F.col("id").alias("k")),
+                      str(tmp_path / "bad"), "rid", identity_col="rid")
