@@ -3470,3 +3470,49 @@ def test_lakehouse_identity_columns(spark, tmp_path):
     with pytest.raises(ValueError, match="identity column cannot be the merge key"):
         LH.table_init(spark.range(3).select(F.col("id").alias("k")),
                       str(tmp_path / "bad"), "rid", identity_col="rid")
+
+
+def test_streaming_cdc_into_generated_partition_table(spark, tmp_path):
+    """Round-5 composition: streaming CDC micro-batches upsert into a
+    lakehouse table whose partition column is GENERATED — the CDC
+    rows never carry event_date; every micro-batch merge recomputes
+    it, an update that moves ts migrates the row's partition, and the
+    result equals the batch-applied equivalent."""
+    import datetime
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.streaming.sinks import foreach_batch_lakehouse_merge
+
+    path = str(tmp_path / "lh_stream_gen")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.lit(datetime.datetime(2024, 5, 1))
+         + F.make_interval(hours=F.col("id") % 72)).alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    LH.table_init(base, path, "k", n_files=2, partition_by=["event_date"],
+                  generated_cols={"event_date": "to_date(ts)"})
+
+    # CDC stream: an update moving k=5 to a NEW day + two inserts
+    src_dir = str(tmp_path / "cdc_src")
+    changes = spark.createDataFrame(
+        [(5, datetime.datetime(2024, 5, 9, 8), -5.0),
+         (1000, datetime.datetime(2024, 5, 9, 9), 1.0),
+         (1001, datetime.datetime(2024, 5, 1, 3), 2.0)],
+        "k long, ts timestamp, value double")
+    changes.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(changes.schema).parquet(src_dir)
+    q = foreach_batch_lakehouse_merge(
+        stream, path, "k", checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    cur = LH.read_version(spark, path, LH.current_version(path))
+    assert cur.count() == 102
+    moved = cur.filter("k = 5").first()
+    assert str(moved.event_date) == "2024-05-09" and moved.value == -5.0
+    # partition filter finds the migrated + inserted rows via pruning
+    day9 = LH.read_version(spark, path, LH.current_version(path),
+                           partition_filter={"event_date": "2024-05-09"})
+    assert {r.k for r in day9.collect()} == {5, 1000}
+    assert len(day9.inputFiles()) < len(
+        LH.files_at_version(path, LH.current_version(path)))
