@@ -1336,11 +1336,53 @@ def update_where(spark: SparkSession, path: str, key: str,
     return new_v
 
 
+def last_txn_version(path: str, app: str) -> int:
+    """The highest idempotent-transaction version recorded for `app`
+    (-1 when none) — Delta's txnAppId/txnVersion ledger, replayed
+    from the log (checkpoint entries re-emit the whole map)."""
+    latest = current_version(path)
+    high = -1
+    for v in range(latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if entry.get("checkpoint"):
+            high = max(high, int(entry.get("txns", {}).get(app, -1)))
+        t = entry.get("txn")
+        if t and t["app"] == app:
+            high = max(high, int(t["version"]))
+    return high
+
+
+def table_txns(path: str, version: int | None = None) -> dict:
+    """{app: highest txn version} across the whole log — what
+    checkpoint_log re-emits so idempotence survives the squash."""
+    latest = current_version(path)
+    v_hi = latest if version is None else version
+    txns: dict = {}
+    for v in range(v_hi + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if entry.get("checkpoint"):
+            for a, n in entry.get("txns", {}).items():
+                txns[a] = max(txns.get(a, -1), int(n))
+        t = entry.get("txn")
+        if t:
+            txns[t["app"]] = max(txns.get(t["app"], -1), int(t["version"]))
+    return txns
+
+
 def merge(spark: SparkSession, path: str, key: str,
           updates: DataFrame | None = None,
           delete_keys: DataFrame | None = None,
           inserts: DataFrame | None = None,
-          merge_schema: bool = False) -> int:
+          merge_schema: bool = False,
+          txn: tuple | None = None) -> int:
     """Copy-on-write MERGE: apply column updates (matched by `key`)
     and/or deletes, producing a new version. Only data files whose
     [min, max] range of `key` overlaps a touched key are rewritten;
@@ -1350,7 +1392,20 @@ def merge(spark: SparkSession, path: str, key: str,
     The touched-key bounds come from one tiny aggregate over the
     update/delete relations; per-file ranges from a distributed
     `_metadata` groupBy — the driver only ever holds (file, lo, hi)
-    triples and the file lists it must hand the scanner anyway."""
+    triples and the file lists it must hand the scanner anyway.
+
+    `txn=(app_id, txn_version)` makes the merge IDEMPOTENT (Delta's
+    txnAppId/txnVersion): if the log already records a version ≥
+    txn_version for app_id, the merge is SKIPPED entirely — the
+    replayed-micro-batch / re-run-job case becomes a true no-op
+    instead of a duplicate apply. The ledger entry commits atomically
+    WITH the data, so a crash between data write and commit leaves no
+    recorded txn and the retry applies cleanly; under OCC the losing
+    writer's retry re-reads the ledger and skips if its twin won."""
+    if txn is not None:
+        app, tv = txn
+        if int(tv) <= last_txn_version(path, str(app)):
+            return current_version(path)
     prev_v = current_version(path)
     snapshot = read_version(spark, path, prev_v)  # DV-applied: the live rows
     snap_rel_files, snap_dvs = _state_at_version(path, prev_v)
@@ -1422,6 +1477,8 @@ def merge(spark: SparkSession, path: str, key: str,
                 **ident,
                 "high": ident["high"] + ident["step"] * ident_assigned[0],
             }
+        if txn is not None:
+            entry["txn"] = {"app": str(txn[0]), "version": int(txn[1])}
         entry["op"] = "MERGE"
         _commit_log(path, version, entry)
 
@@ -1645,6 +1702,7 @@ def merge_with_retry(spark: SparkSession, path: str, key: str,
                      delete_keys: DataFrame | None = None,
                      inserts: DataFrame | None = None,
                      merge_schema: bool = False,
+                     txn: tuple | None = None,
                      max_retries: int = 3) -> int:
     """MERGE under optimistic concurrency with bounded retry: on
     CommitConflictError, re-read the (now newer) snapshot and re-apply
@@ -1660,7 +1718,7 @@ def merge_with_retry(spark: SparkSession, path: str, key: str,
         try:
             return merge(spark, path, key, updates=updates,
                          delete_keys=delete_keys, inserts=inserts,
-                         merge_schema=merge_schema)
+                         merge_schema=merge_schema, txn=txn)
         except CommitConflictError as e:
             last = e
     raise last
@@ -2289,6 +2347,7 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     blooms_pre = file_blooms_at(path, v) if bloom_pre else {}
     gen_pre = table_generated_cols(path)
     ident_pre = table_identity(path)
+    txns_pre = table_txns(path, v)
     cons_pre = table_constraints(path, v)
     for old in range(v):
         old_p = os.path.join(_log_dir(path), f"{old}.json")
@@ -2330,6 +2389,9 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     if ident_pre:
         # identity spec + high watermark likewise
         entry["identity"] = ident_pre
+    if txns_pre:
+        # idempotent-transaction ledger likewise
+        entry["txns"] = txns_pre
     # ATOMIC replace (write-temp + rename), not an in-place overwrite:
     # checkpoint deliberately REPLACES an existing committed entry
     # (squash-in-place), so O_EXCL doesn't apply — but a reader

@@ -59,10 +59,12 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
     take the batch's column values (COW rewrite of overlapping files
     only), new keys append as fresh files. One table version per
     micro-batch, so the table's log doubles as the stream's apply
-    history, and `read_version` time-travels through the ingest. The
-    insert leg's snapshot anti-join plus deterministic batch→version
-    mapping make a replayed batch a no-op-shaped update (same values
-    again), preserving effective exactly-once on parquet.
+    history, and `read_version` time-travels through the ingest.
+    Every merge carries `txn=(checkpoint, batch_id)` — the table's
+    idempotent-transaction ledger (Delta's txnAppId/txnVersion) — so
+    a REPLAYED batch (post-crash restart re-delivers the last
+    uncommitted epoch) is SKIPPED outright: true exactly-once, not
+    just a no-op-shaped re-apply, and no spurious table version.
 
     A micro-batch may carry SEVERAL ops for one key (d then u, u then
     u): applying them as independent delete/upsert legs is wrong —
@@ -95,7 +97,9 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
             )
         if op_col is None:
             LH.merge(
-                batch_df.sparkSession, path, key, updates=batch_df, inserts=batch_df
+                batch_df.sparkSession, path, key,
+                updates=batch_df, inserts=batch_df,
+                txn=(checkpoint, batch_id),
             )
             return
         if seq_col is None:
@@ -118,6 +122,7 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
             updates=upserts if not upserts.isEmpty() else None,
             inserts=upserts if not upserts.isEmpty() else None,
             delete_keys=deletes if not deletes.isEmpty() else None,
+            txn=(checkpoint, batch_id),
         )
 
     return (

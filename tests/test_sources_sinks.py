@@ -3516,3 +3516,32 @@ def test_streaming_cdc_into_generated_partition_table(spark, tmp_path):
     assert {r.k for r in day9.collect()} == {5, 1000}
     assert len(day9.inputFiles()) < len(
         LH.files_at_version(path, LH.current_version(path)))
+
+
+def test_lakehouse_idempotent_txn_writes(spark, tmp_path):
+    """txn=(app, version) makes merge idempotent (Delta's txnAppId/
+    txnVersion): a replayed transaction is skipped outright — no new
+    table version — the ledger is per-app, survives checkpoint
+    squash, and the CDC sink stamps every micro-batch with
+    (checkpoint, batch_id) so a re-delivered epoch is a true no-op."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_txn")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.0).alias("v"))
+    LH.table_init(df, path, "k", n_files=2)
+    u = spark.createDataFrame([(1, -1.0)], "k long, v double")
+    v1 = LH.merge(spark, path, "k", updates=u, txn=("app1", 0))
+    assert LH.merge(spark, path, "k", updates=u, txn=("app1", 0)) == v1
+    assert LH.current_version(path) == v1  # replay committed nothing
+    v2 = LH.merge(spark, path, "k",
+                  updates=spark.createDataFrame([(2, -2.0)], "k long, v double"),
+                  txn=("app1", 1))
+    assert v2 == v1 + 1
+    v3 = LH.merge(spark, path, "k",
+                  updates=spark.createDataFrame([(3, -3.0)], "k long, v double"),
+                  txn=("app2", 0))  # apps are independent ledgers
+    assert v3 == v2 + 1
+    LH.checkpoint_log(path)
+    assert LH.last_txn_version(path, "app1") == 1
+    assert LH.merge(spark, path, "k", updates=u, txn=("app1", 1)) == v3
