@@ -86,6 +86,10 @@ HEADLINE = [
     # reps; min-of-3 reports the warm maintenance cost)
     "agg_kmv_sketch_setops",
     "lakehouse_mv_join_incremental",
+    # r5 final stint: column-mapping replay read + partition-swap
+    # backfill (same build-once/warm-report contract)
+    "lakehouse_rename_drop",
+    "lakehouse_replace_where",
 ]
 
 
