@@ -858,3 +858,43 @@ def lakehouse_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LH.read_version(spark, path, 1).select(
         "c_custkey", "c_name", F.col("row_id").cast("long").alias("row_id")
     )
+
+
+@register(
+    "lakehouse_datasource_read",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CASE WHEN o_orderkey >= 10 AND o_orderkey < 500
+                THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey >= 10 AND o_orderkey < 500
+                THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           o_orderpriority
+    FROM orders
+    WHERE NOT (o_orderkey >= 600 AND o_orderkey < 700)
+    """,
+)
+def lakehouse_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse table as a SPARK DATASOURCE: `spark.read.format(
+    "lakehouse").load(path)` — the format("delta")-style reader
+    surface (sources/lakehouse_datasource.py), so the table is
+    readable through the DataFrame reader API and SQL temp views
+    without importing the library. One InputPartition per data file
+    (N-way parallel), deletion vectors subtracted and the
+    column-mapping replay applied ARROW-SIDE per file, versionAsOf /
+    timestampAsOf options for time travel. Reads the SAME
+    two-version merged orders table as lakehouse_merge_current and
+    must value-hash identically to it — the DataSource path and the
+    library path are interchangeable by construction."""
+    from bigdata06_spark.sources.lakehouse_datasource import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    path = _build_two_versions(spark, sf_dir)
+    return (
+        spark.read.format("lakehouse").option("versionAsOf", 1).load(path)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")
+    )

@@ -3545,3 +3545,51 @@ def test_lakehouse_idempotent_txn_writes(spark, tmp_path):
     LH.checkpoint_log(path)
     assert LH.last_txn_version(path, "app1") == 1
     assert LH.merge(spark, path, "k", updates=u, txn=("app1", 1)) == v3
+
+
+def test_lakehouse_datasource_matches_library_reader(spark, tmp_path):
+    """format('lakehouse') reads — DV subtraction, column-mapping
+    replay, versionAsOf/timestampAsOf — match lakehouse.read_version
+    row-for-row and column-for-column on a table exercising every
+    feature at once."""
+    import json as _json
+    import os as _os
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "lh_ds")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("price"),
+        F.concat(F.lit("s"), F.col("id")).alias("status"))
+    LH.table_init(df, path, "k", n_files=3)
+    LH.merge(spark, path, "k",
+             updates=spark.range(10).select(F.col("id").alias("k"),
+                                            F.lit(999.0).alias("price")))
+    LH.delete_where(spark, path, F.col("k") == 50)
+    LH.rename_column(spark, path, "price", "price_usd")
+    LH.merge(spark, path, "k",
+             updates=spark.range(60, 65).select(F.col("id").alias("k"),
+                                                F.lit(-1.0).alias("price_usd")))
+    LH.add_column(path, "note", "string")
+    LH.drop_column(spark, path, "status")
+
+    lib = LH.read_version(spark, path, LH.current_version(path))
+    ds = spark.read.format("lakehouse").load(path)
+    assert ds.columns == lib.columns
+    assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, lib.collect()))
+
+    ds0 = spark.read.format("lakehouse").option("versionAsOf", 1).load(path)
+    lib0 = LH.read_version(spark, path, 1)
+    assert ds0.columns == lib0.columns  # pre-rename names
+    assert sorted(map(tuple, ds0.collect())) == sorted(map(tuple, lib0.collect()))
+
+    ts1 = _json.load(open(_os.path.join(path, "_log", "1.json")))["ts"]
+    dst = spark.read.format("lakehouse").option(
+        "timestampAsOf", ts1 + 0.001).load(path)
+    assert sorted(map(tuple, dst.collect())) == sorted(map(tuple, lib0.collect()))
+
+    ds.createOrReplaceTempView("lh_ds_t")
+    assert spark.sql(
+        "SELECT count(*) AS n FROM lh_ds_t WHERE price_usd = -1.0").first().n == 5
