@@ -898,3 +898,33 @@ def lakehouse_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                 "o_orderdate", "o_orderpriority")
     )
+
+
+def _ds_write_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_dsw_{tag}")
+
+
+@register(
+    "lakehouse_datasource_write_roundtrip",
+    oracle="SELECT * FROM customer",
+)
+def lakehouse_datasource_write_roundtrip(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """The DataSource WRITE half: `df.write.format("lakehouse")`
+    creates the table through the same OCC protocol the library
+    writers use (per-attempt data dir, atomic O_EXCL log commit,
+    abort removes orphans), and the read half must return the rows
+    byte-for-byte — proving the format's reader and writer are a
+    closed loop through the public DataFrame API alone, no library
+    imports in the user's code path."""
+    from bigdata06_spark.sources.lakehouse_datasource import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    path = _ds_write_dir(sf_dir)
+    if LH.current_version(path) < 0:
+        c = load_table(spark, "customer", sf_dir)
+        c.coalesce(4).write.format("lakehouse").mode("append").save(path)
+    return spark.read.format("lakehouse").load(path)

@@ -34,7 +34,13 @@ import json
 import os
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from bigdata06_spark import lakehouse as LH
 
@@ -232,6 +238,135 @@ class LakehouseDataSource(DataSource):
         v = _resolve_version(path, self.options)
         return LakehouseReader(path, v, schema)
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return LakehouseWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(LakehouseDataSource)
+
+
+# ------------------------------------------------------------- writer
+
+
+class LakehouseCommit(WriterCommitMessage):
+    def __init__(self, rel_files: list[str]):
+        self.rel_files = rel_files
+
+
+class LakehouseWriter(DataSourceWriter):
+    """`df.write.format("lakehouse").mode("append"|"overwrite")` —
+    the write half of the DataSource surface, mapped 1:1 onto the
+    format's OCC protocol: tasks write parquet under a per-attempt
+    unique subdirectory, `commit()` is the single atomic
+    create-if-absent log write (a lost race raises, Spark aborts,
+    `abort()` removes the orphaned files — the same lifecycle the
+    library writers follow).
+
+    Semantics: append = blind file append (rows are NOT key-deduped —
+    that's `merge`'s job — and the appended files are unclustered
+    until OPTIMIZE); overwrite = replace the table's contents as a
+    new version (history stays time-travelable). Tables whose
+    invariants need Spark-side evaluation at write time — generated /
+    identity columns, CHECK constraints, Hive partition layout,
+    stats/bloom collection — are LOUD-REJECTED here: the Python
+    commit hook has no SparkSession, and silently skipping the
+    recompute/validation would corrupt the table's contract. Use the
+    library writers (merge / overwrite_where) for those tables."""
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("format('lakehouse') needs .save(<table path>)")
+        self.overwrite = overwrite
+        self.schema_json = schema.json()
+        v = LH.current_version(self.path)
+        if v >= 0:
+            for what, got in (
+                ("generated columns", LH.table_generated_cols(self.path)),
+                ("an identity column", LH.table_identity(self.path)),
+                ("CHECK constraints", LH.table_constraints(self.path)),
+                ("partition columns", LH.table_partition_by(self.path)),
+                ("stats columns", LH.table_stats_cols(self.path)),
+                ("bloom columns", LH.table_bloom_meta(self.path)),
+            ):
+                if got:
+                    raise ValueError(
+                        f"table has {what}; the format('lakehouse') writer "
+                        "cannot maintain them (no Spark session in the "
+                        "commit hook) — use the library writers"
+                    )
+            retired = LH._retired_names(self.path, v)
+            clash = sorted(set(f.name for f in schema.fields) & retired)
+            if clash:
+                raise ValueError(
+                    f"columns {clash} were retired by an earlier rename/"
+                    "drop; writing them would resurrect stale data"
+                )
+        self.sub = LH._new_sub(v + 1)
+        os.makedirs(os.path.join(self.path, LH._DATA, self.sub), exist_ok=True)
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        arrow_schema = pa.schema(
+            [(f.name, _arrow_type_of(f.dataType)) for f in schema.fields]
+        )
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(self.path, LH._DATA, self.sub,
+                           f"part-{pid:05d}.parquet")
+        writer = None
+        n = 0
+        batch: list = []
+        def flush():
+            nonlocal writer, n
+            if not batch:
+                return
+            cols = list(zip(*batch))
+            tbl = pa.table(
+                {f.name: pa.array(list(c), type=arrow_schema.field(f.name).type)
+                 for f, c in zip(schema.fields, cols)},
+                schema=arrow_schema,
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(out, arrow_schema)
+            writer.write_table(tbl)
+            n += len(batch)
+            batch.clear()
+        for row in iterator:
+            batch.append(tuple(row))
+            if len(batch) >= 65536:
+                flush()
+        flush()
+        if writer is not None:
+            writer.close()
+            rel = os.path.relpath(out, self.path)
+            return LakehouseCommit([rel])
+        return LakehouseCommit([])
+
+    def commit(self, messages):
+        adds = sorted(f for m in messages if m for f in m.rel_files)
+        prev_v = LH.current_version(self.path)
+        new_v = prev_v + 1
+        if self.overwrite and prev_v >= 0:
+            remove = LH.files_at_version(self.path, prev_v)
+        else:
+            remove = []
+        entry = {"add": adds, "remove": remove,
+                 "op": "WRITE" if (self.overwrite or prev_v < 0) else "APPEND"}
+        if prev_v < 0:
+            # new table: declare the base column order for the replay
+            entry["schema_cols"] = [
+                f.name
+                for f in T.StructType.fromJson(json.loads(self.schema_json)).fields
+            ]
+        LH._commit_log(self.path, new_v, entry)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, LH._DATA, self.sub),
+                      ignore_errors=True)

@@ -3593,3 +3593,43 @@ def test_lakehouse_datasource_matches_library_reader(spark, tmp_path):
     ds.createOrReplaceTempView("lh_ds_t")
     assert spark.sql(
         "SELECT count(*) AS n FROM lh_ds_t WHERE price_usd = -1.0").first().n == 5
+
+
+def test_lakehouse_datasource_writer(spark, tmp_path):
+    """format('lakehouse') writes: append/overwrite commit through
+    the OCC protocol, compose with library merges and time travel,
+    and tables whose invariants need Spark-side evaluation loud-
+    reject the format writer."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "lh_dsw")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.0).alias("v"))
+    df.coalesce(3).write.format("lakehouse").mode("append").save(path)
+    assert LH.current_version(path) == 0
+    assert LH.read_version(spark, path, 0).count() == 100
+
+    spark.range(100, 120).select(F.col("id").alias("k"),
+                                 F.lit(0.0).alias("v")) \
+        .coalesce(1).write.format("lakehouse").mode("append").save(path)
+    assert LH.read_version(spark, path, 1).count() == 120
+    LH.merge(spark, path, "k",
+             updates=spark.createDataFrame([(5, -5.0)], "k long, v double"))
+    assert LH.read_version(spark, path, 2).filter("k=5").first().v == -5.0
+
+    spark.range(7).select(F.col("id").alias("k"), F.lit(9.0).alias("v")) \
+        .coalesce(1).write.format("lakehouse").mode("overwrite").save(path)
+    assert LH.read_version(spark, path, 3).count() == 7
+    assert LH.read_version(spark, path, 1).count() == 120  # history intact
+    assert [r.operation for r in LH.describe_history(spark, path).collect()] \
+        == ["WRITE", "MERGE", "APPEND", "WRITE"]
+    rt = spark.read.format("lakehouse").load(path)
+    assert sorted(map(tuple, rt.collect())) == sorted(
+        map(tuple, LH.read_version(spark, path, 3).collect()))
+
+    p2 = str(tmp_path / "lh_dsw2")
+    LH.table_init(df, p2, "k", stats_cols=["v"])
+    with pytest.raises(Exception, match="stats columns"):
+        df.write.format("lakehouse").mode("append").save(p2)
