@@ -726,11 +726,27 @@ def pq_adc_rerank_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int =
     )
 
 
-def ivfpq_query(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
-                nprobe: int = 2, n_cells: int = 8, n_subspaces: int = 4,
-                codebook_k: int = 16, shortlist: int = 20,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """END-TO-END IVF-PQ retrieval — the composed billion-scale ANN
+def ivfpq_fit(corpus: DataFrame, n_cells: int = 8, n_subspaces: int = 4,
+              codebook_k: int = 16, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """The IVF-PQ INDEX as three persistable relations — (codebook,
+    cells, codes): the M per-subspace PQ codebooks (m, cell, cq), the
+    coarse cell assignment (vec_id, cluster), and the per-vector PQ
+    codes (vec_id, code_0..M-1, sq_err). Everything integer-exact, so
+    an index written to parquet and read back serves IDENTICAL
+    results to an in-session fit — the "fit once, serve many"
+    production ANN pattern (ivfpq_serve consumes these relations;
+    ivfpq_query composes the two for the single-session path). Fit
+    cost is the fused single-pipeline kmeans documented below; at
+    100 TB the fit runs once per index build, not per query batch."""
+    return _ivfpq_fit_impl(corpus, n_cells, n_subspaces, codebook_k,
+                           id_col, vec_col)
+
+
+def _ivfpq_fit_impl(corpus: DataFrame, n_cells: int, n_subspaces: int,
+                    codebook_k: int, id_col: str, vec_col: str):
+    """The fused IVF-PQ fit (see ivfpq_fit / ivfpq_query). Docs below
+    describe the composed END-TO-END retrieval this fit anchors — the composed billion-scale ANN
     design (Jégou et al. 2011; the FAISS IVFPQ index), every stage of
     which is exact-integer and therefore value-hash replayable:
 
@@ -804,6 +820,40 @@ def ivfpq_query(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
         F.sum("dist").cast("long").alias("sq_err"),
     )
     codebook = cents_fit.filter(F.col("m") >= 0)
+    return codebook, cells, codes
+
+
+def ivfpq_query(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
+                nprobe: int = 2, n_cells: int = 8, n_subspaces: int = 4,
+                codebook_k: int = 16, shortlist: int = 20,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """END-TO-END IVF-PQ retrieval — ivfpq_fit composed with
+    ivfpq_serve in one session (the FAISS IVFPQ index; Jégou et al.
+    2011). Every stage integer-exact and value-hash replayable; see
+    _ivfpq_fit_impl for the fused-fit plan notes and ivfpq_serve for
+    the probe/ADC/rerank serving path."""
+    codebook, cells, codes = _ivfpq_fit_impl(
+        corpus, n_cells, n_subspaces, codebook_k, id_col, vec_col
+    )
+    return ivfpq_serve(queries, corpus, codebook, cells, codes,
+                       k_neighbors=k_neighbors, nprobe=nprobe,
+                       shortlist=shortlist, n_subspaces=n_subspaces,
+                       id_col=id_col, vec_col=vec_col)
+
+
+def ivfpq_serve(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+                cells: DataFrame, codes: DataFrame, k_neighbors: int = 3,
+                nprobe: int = 2, shortlist: int = 20, n_subspaces: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Serve IVF-PQ retrieval from MATERIALIZED index relations (see
+    ivfpq_fit): probe nprobe cells, ADC over the stored codes inside
+    probed cells, exact rerank of the shortlist. The index relations
+    may come straight from ivfpq_fit or from parquet round-tripped
+    storage — the math is integer-exact either way."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub_dim = dim // n_subspaces
     qv = queries.selectExpr(f"{id_col} AS vec_id", f"{_quantize_sql(vec_col)} AS xq")
     # final centroids: recompute from the assignment (same relation the
     # last kmeans round used — floor(mean) per dim over members)

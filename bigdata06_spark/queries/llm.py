@@ -1344,6 +1344,40 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_query(e.filter(F.col("vec_id") < 10), e, k_neighbors=3)
 
 
+@register("knn_ivfpq_persisted", oracle=_ivfpq_oracle())
+def knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-INDEX IVF-PQ — the production "fit once, serve many"
+    split: ivfpq_fit's three index relations (PQ codebooks, coarse
+    cell assignment, per-vector codes) are WRITTEN TO PARQUET once
+    per corpus and every query batch serves from the stored index
+    (operators/similarity.py:ivfpq_fit/ivfpq_serve). Because the fit
+    is integer-exact, the round-tripped index serves results
+    IDENTICAL to the in-session fit — same oracle as knn_ivfpq, which
+    is the point: index persistence must not change a single
+    neighbor. At 100 TB the fit (the expensive kmeans pass) runs at
+    index-build cadence while serving touches only codebook-broadcast
+    joins over nprobe cells."""
+    import os
+    import tempfile
+
+    e = load_table(spark, "embeddings", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"ivfpq_index_{tag}")
+    parts = {n: os.path.join(root, n) for n in ("codebook", "cells", "codes")}
+    if not all(os.path.exists(p) for p in parts.values()):
+        codebook, cells, codes = S.ivfpq_fit(e)
+        codebook.write.mode("overwrite").parquet(parts["codebook"])
+        cells.write.mode("overwrite").parquet(parts["cells"])
+        codes.write.mode("overwrite").parquet(parts["codes"])
+    return S.ivfpq_serve(
+        e.filter(F.col("vec_id") < 10), e,
+        spark.read.parquet(parts["codebook"]),
+        spark.read.parquet(parts["cells"]),
+        spark.read.parquet(parts["codes"]),
+        k_neighbors=3,
+    )
+
+
 @register("knn_pq_adc_rerank", oracle=_pq_adc_rerank_oracle())
 def knn_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage IVF-PQ retrieval: ADC shortlist-50 (codes only, O(M)

@@ -594,3 +594,29 @@ def test_minhash_seed_families_are_independent(spark, sf_dir):
     pa = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b").collect()))
     pb = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5, seed_offset=101).select("doc_a", "doc_b").collect()))
     assert pa == pb  # verified output identical despite disjoint seeds
+
+
+def test_ivfpq_persisted_index_serves_identical_results(spark, sf_dir, tmp_path):
+    """ivfpq_fit's index relations round-trip through parquet and
+    serve results identical to the in-session fit+serve composition
+    (integer-exact fit => persistence cannot change a neighbor)."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators import similarity as S
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    direct = sorted(map(tuple, S.ivfpq_query(q, e, k_neighbors=3).collect()))
+
+    codebook, cells, codes = S.ivfpq_fit(e)
+    root = tmp_path / "idx"
+    codebook.write.parquet(str(root / "codebook"))
+    cells.write.parquet(str(root / "cells"))
+    codes.write.parquet(str(root / "codes"))
+    served = S.ivfpq_serve(
+        q, e,
+        spark.read.parquet(str(root / "codebook")),
+        spark.read.parquet(str(root / "cells")),
+        spark.read.parquet(str(root / "codes")),
+        k_neighbors=3,
+    )
+    assert sorted(map(tuple, served.collect())) == direct
