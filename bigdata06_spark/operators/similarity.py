@@ -819,8 +819,11 @@ def _ivfpq_fit_impl(corpus: DataFrame, n_cells: int, n_subspaces: int,
         ],
         F.sum("dist").cast("long").alias("sq_err"),
     )
-    codebook = cents_fit.filter(F.col("m") >= 0)
-    return codebook, cells, codes
+    # the returned codebook keeps BOTH quantizers: m = -1 rows are the
+    # coarse (IVF) quantizer, m >= 0 the PQ codebooks — everything an
+    # append-time encoder needs (serve's LUT join keys on m 0..M-1,
+    # so the coarse rows pass through it inertly)
+    return cents_fit, cells, codes
 
 
 def ivfpq_query(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
@@ -839,6 +842,47 @@ def ivfpq_query(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
                        k_neighbors=k_neighbors, nprobe=nprobe,
                        shortlist=shortlist, n_subspaces=n_subspaces,
                        id_col=id_col, vec_col=vec_col)
+
+
+def ivfpq_encode(new_vecs: DataFrame, codebook: DataFrame,
+                 n_subspaces: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """INCREMENTAL INDEX MAINTENANCE — encode NEW vectors against a
+    FROZEN index (the fit-time quantizers), no refit: coarse cell =
+    argmin against the stored coarse quantizer (codebook's m = -1
+    rows), PQ codes = per-subspace argmin against the stored
+    codebooks — byte-identical math to the fit's own final
+    assignment pass, so (cells ∪ cells_new, codes ∪ codes_new) is
+    exactly the index the fit would have produced had the new
+    vectors been present at assignment time. This is the FAISS add()
+    path: between refits, appends cost one broadcast-codebook
+    assignment over the NEW rows only — at 100 TB, O(batch), never
+    O(corpus). Returns (cells_new, codes_new)."""
+    dim = len(new_vecs.select(vec_col).first()[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub_dim = dim // n_subspaces
+    structs = ", ".join(
+        [f"struct(CAST(-1 AS INT) AS m, {_quantize_sql(vec_col)} AS xq)"]
+        + [
+            f"struct(CAST({m} AS INT) AS m, "
+            f"{_quantize_sql(f'slice({vec_col}, {m * sub_dim + 1}, {sub_dim})')} AS xq)"
+            for m in range(n_subspaces)
+        ]
+    )
+    sub = new_vecs.selectExpr(f"{id_col} AS vec_id", f"inline(array({structs}))")
+    assign = _assign_cells_m(sub, codebook, with_dist=True)
+    cells_new = assign.filter(F.col("m") < 0).select(
+        "vec_id", F.col("cell").alias("cluster")
+    )
+    codes_new = assign.filter(F.col("m") >= 0).groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("cell"))).alias(f"code_{m}")
+            for m in range(n_subspaces)
+        ],
+        F.sum("dist").cast("long").alias("sq_err"),
+    )
+    return cells_new, codes_new
 
 
 def ivfpq_serve(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,

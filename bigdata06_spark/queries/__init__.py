@@ -94,7 +94,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "lakehouse_bloom_skipping", "lakehouse_generated_partition",
         "lakehouse_replace_where", "lakehouse_identity_column",
         "lakehouse_datasource_read", "lakehouse_datasource_write_roundtrip",
-        "knn_ivfpq_persisted",
+        "knn_ivfpq_persisted", "knn_ivfpq_incremental",
         "dedup_simhash_adaptive", "dedup_semantic",
         "dedup_methods_agreement",
         # never-sampled flagships, one+ per family

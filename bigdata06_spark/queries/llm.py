@@ -1344,6 +1344,186 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_query(e.filter(F.col("vec_id") < 10), e, k_neighbors=3)
 
 
+def _ivfpq_incr_oracle(n_queries: int = 10, nprobe: int = 2,
+                       n_subspaces: int = 4, k_cells: int = 8,
+                       k_codes: int = 16, sub_dim: int = 16,
+                       shortlist: int = 20, topk: int = 3) -> str:
+    """Incremental-index oracle: every FIT CTE (seeds, round-1
+    assignment, refinement) is restricted to the EVEN vec_ids (the
+    fit corpus), while the FINAL assignments (a2 / a2_m — what the
+    index stores) run over ALL vectors against the frozen even-fit
+    quantizers — exactly the ivfpq_fit(evens) + ivfpq_encode(odds)
+    composition. The serve tail is the base oracle's unchanged."""
+    fit = "vec_id % 2 = 0"
+    coarse = f"""q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+      FROM embeddings
+    ),
+    qf AS (SELECT * FROM q WHERE {fit}),
+    c0 AS (SELECT vec_id AS cell, pos, x AS cx FROM qf WHERE vec_id < {k_cells}),
+    d1 AS (
+      SELECT q.vec_id, c.cell, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist
+      FROM qf q JOIN c0 c USING (pos) GROUP BY q.vec_id, c.cell
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cell, q.pos,
+             CAST(floor(CAST(sum(q.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      FROM qf q JOIN a1 USING (vec_id) GROUP BY a1.cell, q.pos
+    ),
+    d2 AS (
+      SELECT q.vec_id, c.cell, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist
+      FROM q JOIN c1 c USING (pos) GROUP BY q.vec_id, c.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2) WHERE rn = 1
+    )"""
+    pq_ctes = ["""qall AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+      FROM embeddings
+    )"""]
+    for m in range(n_subspaces):
+        lo, hi = m * sub_dim, (m + 1) * sub_dim
+        pq_ctes.append(f"""q{m} AS (
+      SELECT vec_id, pos - {lo} AS pos, x FROM qall WHERE pos > {lo} AND pos <= {hi}
+    ),
+    qf{m} AS (SELECT * FROM q{m} WHERE {fit}),
+    c0_{m} AS (SELECT vec_id AS cell, pos, x AS cx FROM qf{m} WHERE vec_id < {k_codes}),
+    d1_{m} AS (
+      SELECT q.vec_id, c.cell, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist
+      FROM qf{m} q JOIN c0_{m} c USING (pos) GROUP BY q.vec_id, c.cell
+    ),
+    a1_{m} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d1_{m}) WHERE rn = 1
+    ),
+    c1_{m} AS (
+      SELECT a.cell, q.pos,
+             CAST(floor(CAST(sum(q.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      FROM qf{m} q JOIN a1_{m} a USING (vec_id) GROUP BY a.cell, q.pos
+    ),
+    d2_{m} AS (
+      SELECT q.vec_id, c.cell, CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist
+      FROM q{m} q JOIN c1_{m} c USING (pos) GROUP BY q.vec_id, c.cell
+    ),
+    a2_{m} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d2_{m}) WHERE rn = 1
+    )""")
+    luts = ", ".join(
+        f"""lut{m} AS (
+      SELECT q.vec_id AS query_id, c.cell,
+             CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS t
+      FROM q{m} q JOIN c1_{m} c USING (pos)
+      WHERE q.vec_id < {n_queries}
+      GROUP BY q.vec_id, c.cell
+    )"""
+        for m in range(n_subspaces)
+    )
+    code_cols = ", ".join(f"a2_{m}.cell AS code_{m}" for m in range(n_subspaces))
+    codes_joins = " ".join(f"JOIN a2_{m} USING (vec_id)" for m in range(1, n_subspaces))
+    lut_joins = " ".join(
+        f"JOIN lut{m} ON lut{m}.query_id = probes.query_id AND lut{m}.cell = codes.code_{m}"
+        for m in range(n_subspaces)
+    )
+    adc = " + ".join(f"lut{m}.t" for m in range(n_subspaces))
+    return f"""
+    WITH {coarse},
+    {",".join(pq_ctes)},
+    c2 AS (
+      SELECT a2.cell, q.pos,
+             CAST(floor(CAST(sum(q.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      FROM q JOIN a2 USING (vec_id) GROUP BY a2.cell, q.pos
+    ),
+    qc AS (
+      SELECT q.vec_id AS query_id, c.cell,
+             CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS cdist
+      FROM q JOIN c2 c USING (pos)
+      WHERE q.vec_id < {n_queries}
+      GROUP BY q.vec_id, c.cell
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cdist ASC, cell ASC) AS rn
+        FROM qc) WHERE rn <= {nprobe}
+    ),
+    codes AS (SELECT vec_id, {code_cols} FROM a2_0 {codes_joins}),
+    {luts},
+    cand AS (
+      SELECT probes.query_id, codes.vec_id AS neighbor_id,
+             CAST({adc} AS BIGINT) AS adc
+      FROM probes
+        JOIN a2 mem ON mem.cell = probes.cell
+        JOIN codes ON codes.vec_id = mem.vec_id
+        {lut_joins}
+      WHERE probes.query_id <> codes.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, neighbor_id ASC) AS rn
+        FROM cand) WHERE rn <= {shortlist}
+    ),
+    rr AS (
+      SELECT s.query_id, s.neighbor_id,
+             floor(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          en.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM short s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings en ON en.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM rr) WHERE rn <= {topk}
+    """
+
+
+@register("knn_ivfpq_incremental", oracle=_ivfpq_incr_oracle())
+def knn_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL INDEX MAINTENANCE: the index fits on HALF the
+    corpus (even vec_ids), the other half APPENDS via ivfpq_encode —
+    assignment against the frozen fit-time quantizers, no refit —
+    and serving runs over the unioned index. The FAISS add() path:
+    between refits, ingest costs one broadcast-codebook assignment
+    over the new batch only (O(batch), never O(corpus) — at 100 TB
+    the refit is a scheduled rebuild, not a per-ingest tax). The
+    whole lifecycle (subset fit, frozen-quantizer encode, merged
+    serve) sits under one generated value-hash oracle whose fit CTEs
+    are even-restricted and whose stored assignments span all rows."""
+    e = load_table(spark, "embeddings", sf_dir)
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    codebook, cells, codes = S.ivfpq_fit(old)
+    cells_new, codes_new = S.ivfpq_encode(new, codebook)
+    return S.ivfpq_serve(
+        e.filter(F.col("vec_id") < 10), e,
+        codebook,
+        cells.unionByName(cells_new),
+        codes.unionByName(codes_new),
+        k_neighbors=3,
+    )
+
+
 @register("knn_ivfpq_persisted", oracle=_ivfpq_oracle())
 def knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED-INDEX IVF-PQ — the production "fit once, serve many"

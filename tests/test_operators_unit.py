@@ -620,3 +620,24 @@ def test_ivfpq_persisted_index_serves_identical_results(spark, sf_dir, tmp_path)
         k_neighbors=3,
     )
     assert sorted(map(tuple, served.collect())) == direct
+
+
+def test_ivfpq_incremental_append_equals_full_assignment(spark, sf_dir):
+    """ivfpq_encode against the frozen fit-time quantizers produces
+    exactly the assignment the fit's own final pass would have given
+    the appended rows: encode(evens-fit, odds) unioned with the fit's
+    cells/codes equals a direct frozen-quantizer assignment of ALL
+    rows."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators import similarity as S
+
+    e = load_table(spark, "embeddings", sf_dir)
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    codebook, cells, codes = S.ivfpq_fit(old)
+    cells_new, codes_new = S.ivfpq_encode(new, codebook)
+    all_cells, all_codes = S.ivfpq_encode(e, codebook)
+    assert sorted(map(tuple, cells.unionByName(cells_new).collect())) == \
+        sorted(map(tuple, all_cells.collect()))
+    assert sorted(map(tuple, codes.unionByName(codes_new).collect())) == \
+        sorted(map(tuple, all_codes.collect()))
