@@ -159,10 +159,25 @@ class LakehouseFilePartition(InputPartition):
 
 
 class LakehouseReader(DataSourceReader):
-    def __init__(self, path: str, version: int, schema: T.StructType):
+    def __init__(self, path: str, version: int, schema: T.StructType,
+                 change_feed_from: int | None = None):
         self.path = path
         self.schema_json = schema.json()
         rel_files, dvs = LH._state_at_version(path, version)
+        if change_feed_from is not None:
+            # BATCH CHANGE FEED (Delta's readChangeFeed): only the
+            # files ADDED in (startingVersion, endingVersion] — plus
+            # files whose DV set changed (logically rewritten) — scan;
+            # the same changed-file set lakehouse.read_changes plans,
+            # so the two paths return identical rows (unit-pinned)
+            before_files, before_dvs = LH._state_at_version(
+                path, change_feed_from)
+            before = set(before_files)
+            rel_files = [
+                f for f in rel_files
+                if f not in before
+                or before_dvs.get(f, []) != dvs.get(f, [])
+            ]
         self._parts = [
             LakehouseFilePartition(
                 f, _abs(path, f), [_abs(path, d) for d in dvs.get(f, [])]
@@ -238,6 +253,12 @@ class LakehouseDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         path = self._path()
+        if str(self.options.get("readChangeFeed", "")).lower() in ("true", "1"):
+            lo = int(self.options.get("startingVersion", 0))
+            hi = int(self.options.get(
+                "endingVersion", LH.current_version(path)))
+            return LakehouseReader(path, hi, schema,
+                                   change_feed_from=lo)
         v = _resolve_version(path, self.options)
         return LakehouseReader(path, v, schema)
 

@@ -3633,3 +3633,35 @@ def test_lakehouse_datasource_writer(spark, tmp_path):
     LH.table_init(df, p2, "k", stats_cols=["v"])
     with pytest.raises(Exception, match="stats columns"):
         df.write.format("lakehouse").mode("append").save(p2)
+
+
+def test_lakehouse_datasource_batch_change_feed(spark, tmp_path):
+    """format('lakehouse').option('readChangeFeed', 'true') returns
+    exactly lakehouse.read_changes' rows for the same version range —
+    the Delta batch-CDF surface through the DataFrame reader API."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "lh_ds_cdf")
+    df = spark.range(200).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.0).alias("v"))
+    LH.table_init(df, path, "k", n_files=4)
+    LH.merge(spark, path, "k",
+             updates=spark.range(10).select(F.col("id").alias("k"),
+                                            F.lit(0.0).alias("v")),
+             inserts=spark.range(500, 505).select(F.col("id").alias("k"),
+                                                  (F.col("id") * 2.0).alias("v")))
+    LH.delete_where(spark, path, F.col("k") == 100)  # DV change = v2
+
+    for lo, hi in [(0, 1), (0, 2), (1, 2)]:
+        lib = LH.read_changes(spark, path, lo, hi)
+        ds = (
+            spark.read.format("lakehouse")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", lo)
+            .option("endingVersion", hi)
+            .load(path)
+        )
+        assert sorted(map(tuple, ds.collect())) == \
+            sorted(map(tuple, lib.collect())), (lo, hi)
