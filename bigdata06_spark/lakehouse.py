@@ -121,6 +121,20 @@ def _write_log(path: str, version: int, add: list[str], remove: list[str]) -> No
 _PTMP = "__p_"
 
 
+def _iter_log_entries(path: str, version: int | None = None):
+    """Yield (version, entry) for every surviving log entry up to
+    `version` (latest when None) — the one loop behind every
+    metadata lookup (checkpoint-squashed versions skip naturally)."""
+    latest = current_version(path)
+    v_hi = latest if version is None else version
+    for v in range(v_hi + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            yield v, json.load(fh)
+
+
 def _pvals_of_rel(rel_path: str) -> dict[str, str]:
     """Partition values encoded in a table-relative file path
     (`data/v0-x/col=val/file.parquet` → {'col': 'val'})."""
@@ -151,6 +165,27 @@ def table_partition_by(path: str) -> list[str]:
         if "partition_by" in entry:
             return list(entry["partition_by"])
     return []
+
+
+def _rel_of_uri(abs_uri: str, prev_files: set[str]) -> str:
+    """Resolve a scanner file URI to the name AS LISTED in the log:
+    shallow-cloned files are listed by their source-absolute path,
+    native files by their table-relative data/ suffix. O(1) per file;
+    an unresolvable path is a loud error (protocol corruption), never
+    a fabricated name."""
+    p = abs_uri
+    for pre in ("file://", "file:"):
+        if p.startswith(pre):
+            p = p[len(pre):]
+            break
+    if not p.startswith("/"):
+        p = "/" + p
+    if p in prev_files:
+        return p
+    rel = _DATA + "/" + abs_uri.split(f"/{_DATA}/", 1)[1]
+    if rel not in prev_files:
+        raise ValueError(f"unknown data file {abs_uri}")
+    return rel
 
 
 def _merge_move(src: str, dst: str) -> None:
@@ -328,13 +363,7 @@ def _stats_may_match(file_stats: dict | None, stats_filter: dict) -> bool:
 def table_generated_cols(path: str) -> dict:
     """{col: generation SQL expr} recorded at init / re-emitted by
     checkpoint and clone ({} when none)."""
-    latest = current_version(path)
-    for v in range(latest + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
-            continue
-        with open(lp) as fh:
-            entry = json.load(fh)
+    for _v, entry in _iter_log_entries(path):
         if "generated" in entry:
             return dict(entry["generated"])
     return {}
@@ -351,7 +380,8 @@ def _apply_generated(df: DataFrame, generated: dict) -> DataFrame:
 
 
 def generated_partition_filter(spark: SparkSession, path: str, pcol: str,
-                               source_col: str, lo, hi) -> dict:
+                               source_col: str, lo, hi,
+                               version: int | None = None) -> dict:
     """Derive the partition filter a SOURCE-column range predicate
     implies through a generated partition column: evaluate the
     generation expression on the two bounds (a 2-row job, no table
@@ -361,7 +391,10 @@ def generated_partition_filter(spark: SparkSession, path: str, pcol: str,
     preserves that order (true for the date-truncation family:
     to_date, date_trunc, year/month/day prefixes in ISO form).
     Returns {pcol: [values]} for read_version(partition_filter=);
-    the caller still applies the real source predicate."""
+    the caller still applies the real source predicate. Pass
+    `version` when the subsequent read is time travel — the keep-set
+    comes from THAT version's logged partition values (the current
+    version's values would wrongly prune partitions removed since)."""
     generated = table_generated_cols(path)
     if pcol not in generated:
         raise ValueError(f"{pcol!r} is not a generated column of {path}")
@@ -371,7 +404,8 @@ def generated_partition_filter(spark: SparkSession, path: str, pcol: str,
     vals = [str(r.v) for r in bdf.select(F.expr(generated[pcol]).alias("v")).collect()]
     f_lo, f_hi = min(vals), max(vals)
     logged: set[str] = set()
-    for f in files_at_version(path, current_version(path)):
+    v = current_version(path) if version is None else version
+    for f in files_at_version(path, v):
         pv = _pvals_of_rel(f).get(pcol)
         if pv is not None:
             logged.add(pv)
@@ -401,14 +435,8 @@ def table_identity(path: str) -> dict | None:
     """Latest identity state {"col", "start", "step", "high"}, or
     None. The most recent entry carrying the key wins (each
     allocating commit re-emits it with the advanced watermark)."""
-    latest = current_version(path)
     state = None
-    for v in range(latest + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
-            continue
-        with open(lp) as fh:
-            entry = json.load(fh)
+    for _v, entry in _iter_log_entries(path):
         if "identity" in entry:
             state = dict(entry["identity"])
     return state
@@ -460,13 +488,7 @@ def _reject_identity_col(ident: dict | None, rels: list, what: str) -> None:
 def table_bloom_meta(path: str) -> dict | None:
     """{"cols": [...], "bits": m, "hashes": k} recorded at init /
     re-emitted by checkpoint and clone, or None."""
-    latest = current_version(path)
-    for v in range(latest + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
-            continue
-        with open(lp) as fh:
-            entry = json.load(fh)
+    for _v, entry in _iter_log_entries(path):
         if "bloom" in entry:
             return dict(entry["bloom"])
     return None
@@ -547,9 +569,13 @@ def _bloom_lookup_positions(spark: SparkSession, bloom_filter: dict,
     }
     if not vals:
         return {}
+    types = bloom.get("types", {})
     exprs = []
     for c, v in vals.items():
-        for i, pc in enumerate(_bloom_position_cols(F.lit(v), m, k)):
+        lit = F.lit(v)
+        if c in types:
+            lit = lit.cast(types[c])
+        for i, pc in enumerate(_bloom_position_cols(lit, m, k)):
             exprs.append(pc.alias(f"{c}__{i}"))
     row = spark.range(1).select(*exprs).first()
     return {c: [row[f"{c}__{i}"] for i in range(k)] for c in vals}
@@ -1013,8 +1039,16 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
             df.sparkSession, path, files, list(stats_cols)
         )
     if bloom_cols:
+        # the per-column NATIVE type travels with the spec: lookups
+        # cast the probe value through it before the string
+        # canonicalization, so bloom_filter={"amount": 5} probes the
+        # same bits a stored 5.0 set (int-vs-float string forms
+        # differ; hashing the column-typed rendering restores the
+        # sound-pruning contract)
+        dtypes = dict(df.dtypes)
         bloom = {"cols": list(bloom_cols), "bits": bloom_bits,
-                 "hashes": bloom_hashes}
+                 "hashes": bloom_hashes,
+                 "types": {c: dtypes[c] for c in bloom_cols if c in dtypes}}
         entry["bloom"] = bloom
         entry["blooms"] = _collect_file_blooms(
             df.sparkSession, path, files, bloom
@@ -1331,7 +1365,7 @@ def update_where(spark: SparkSession, path: str, key: str,
     }
     entry.update(_entry_partition_meta(adds))
     entry.update(_entry_stats_blooms(spark, path, adds))
-    entry["op"] = "UPDATE" if "dv_add" in entry else "OPTIMIZE"
+    entry["op"] = "UPDATE"
     _commit_log(path, new_v, entry)
     return new_v
 
@@ -1340,14 +1374,8 @@ def last_txn_version(path: str, app: str) -> int:
     """The highest idempotent-transaction version recorded for `app`
     (-1 when none) — Delta's txnAppId/txnVersion ledger, replayed
     from the log (checkpoint entries re-emit the whole map)."""
-    latest = current_version(path)
     high = -1
-    for v in range(latest + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
-            continue
-        with open(lp) as fh:
-            entry = json.load(fh)
+    for _v, entry in _iter_log_entries(path):
         if entry.get("checkpoint"):
             high = max(high, int(entry.get("txns", {}).get(app, -1)))
         t = entry.get("txn")
@@ -1359,15 +1387,8 @@ def last_txn_version(path: str, app: str) -> int:
 def table_txns(path: str, version: int | None = None) -> dict:
     """{app: highest txn version} across the whole log — what
     checkpoint_log re-emits so idempotence survives the squash."""
-    latest = current_version(path)
-    v_hi = latest if version is None else version
     txns: dict = {}
-    for v in range(v_hi + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
-            continue
-        with open(lp) as fh:
-            entry = json.load(fh)
+    for _v, entry in _iter_log_entries(path, version):
         if entry.get("checkpoint"):
             for a, n in entry.get("txns", {}).items():
                 txns[a] = max(txns.get(a, -1), int(n))
@@ -1537,28 +1558,7 @@ def merge(spark: SparkSession, path: str, key: str,
         .collect()
     )
     prev_files = set(files_at_version(path, prev_v))
-
-    def rel_of(abs_uri: str) -> str:
-        # _metadata.file_path is a file: URI; resolve to the name AS
-        # LISTED in the log: shallow-cloned files are listed by their
-        # source-absolute path, native files by their table-relative
-        # data/ suffix (O(1) per file — no scan of the file list,
-        # which would be O(files²) at real file counts)
-        p = abs_uri
-        for pre in ("file://", "file:"):
-            if p.startswith(pre):
-                p = p[len(pre):]
-                break
-        if not p.startswith("/"):
-            p = "/" + p
-        if p in prev_files:
-            return p
-        rel = _DATA + "/" + abs_uri.split(f"/{_DATA}/", 1)[1]
-        if rel not in prev_files:
-            raise ValueError(f"unknown data file {abs_uri}")
-        return rel
-
-    affected = [rel_of(r.file) for r in hit]
+    affected = [_rel_of_uri(r.file, prev_files) for r in hit]
     # PARTITION CONFINEMENT (VERDICT r4 #3): when the table is
     # partitioned AND every change relation carries the partition
     # columns, the rewrite set shrinks to files in the TOUCHED
@@ -1848,12 +1848,7 @@ def _base_schema_cols(path: str, version: int) -> list[str] | None:
     table_init and re-emitted by checkpoint/clone), or None for
     tables created before it existed."""
     base = None
-    for v in range(version + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
-            continue
-        with open(lp) as fh:
-            entry = json.load(fh)
+    for _v, entry in _iter_log_entries(path, version):
         if "schema_cols" in entry:
             base = list(entry["schema_cols"])
     return base
@@ -2112,7 +2107,7 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     entry: dict = {"add": adds, "remove": remove}
     entry.update(_entry_partition_meta(adds))
     entry.update(_entry_stats_blooms(spark, path, adds))
-    entry["op"] = "UPDATE" if "dv_add" in entry else "OPTIMIZE"
+    entry["op"] = "OPTIMIZE"
     _commit_log(path, new_v, entry)
     return new_v
 
@@ -2508,6 +2503,25 @@ def overwrite_where(spark: SparkSession, path: str, key: str,
     data = _apply_generated(data, generated)
     ident = table_identity(path)
     _reject_identity_col(ident, [data], "replacement data")
+    # same schema discipline as merge: unknown columns are a loud
+    # error (replaceWhere does not evolve the schema), and RETIRED
+    # physical names may not be re-written — old files still carry
+    # values under them, and the rename replay would coalesce the
+    # resurrected column into the live one
+    cur_cols = set(read_version(spark, path, prev_v).columns)
+    unknown = sorted(set(data.columns) - cur_cols)
+    if unknown:
+        raise ValueError(
+            f"replacement data carries columns not in the table schema "
+            f"{unknown}; replaceWhere does not evolve the schema — use "
+            "merge(merge_schema=True)"
+        )
+    clash = sorted(set(data.columns) & _retired_names(path, prev_v))
+    if clash:
+        raise ValueError(
+            f"columns {clash} were retired by an earlier rename/drop; "
+            "writing them would resurrect stale data"
+        )
     constraints = table_constraints(path)
     new_v = prev_v + 1
     sub = _new_sub(new_v)
@@ -2551,20 +2565,7 @@ def overwrite_where(spark: SparkSession, path: str, key: str,
             .collect()
         )
         prev_set = set(rel_files)
-
-        def rel_of(abs_uri: str) -> str:
-            p = abs_uri
-            for pre in ("file://", "file:"):
-                if p.startswith(pre):
-                    p = p[len(pre):]
-                    break
-            if not p.startswith("/"):
-                p = "/" + p
-            if p in prev_set:
-                return p
-            return _DATA + "/" + abs_uri.split(f"/{_DATA}/", 1)[1]
-
-        removed = sorted(rel_of(r.f) for r in hit)
+        removed = sorted(_rel_of_uri(r.f, prev_set) for r in hit)
         if removed:
             kdf = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(path, f) for f in removed]

@@ -857,8 +857,22 @@ def ivfpq_encode(new_vecs: DataFrame, codebook: DataFrame,
     vectors been present at assignment time. This is the FAISS add()
     path: between refits, appends cost one broadcast-codebook
     assignment over the NEW rows only — at 100 TB, O(batch), never
-    O(corpus). Returns (cells_new, codes_new)."""
-    dim = len(new_vecs.select(vec_col).first()[0])
+    O(corpus). Returns (cells_new, codes_new); an EMPTY batch (the
+    idle micro-batch case) returns empty frames of the right shape."""
+    first = new_vecs.select(vec_col).first()
+    if first is None:
+        empty = new_vecs.limit(0)
+        cells_new = empty.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0).cast("long").alias("cluster"),
+        )
+        codes_new = empty.select(
+            F.col(id_col).alias("vec_id"),
+            *[F.lit(0).cast("long").alias(f"code_{m}") for m in range(n_subspaces)],
+            F.lit(0).cast("long").alias("sq_err"),
+        )
+        return cells_new, codes_new
+    dim = len(first[0])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
     sub_dim = dim // n_subspaces
@@ -885,22 +899,14 @@ def ivfpq_encode(new_vecs: DataFrame, codebook: DataFrame,
     return cells_new, codes_new
 
 
-def ivfpq_serve(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
-                cells: DataFrame, codes: DataFrame, k_neighbors: int = 3,
-                nprobe: int = 2, shortlist: int = 20, n_subspaces: int = 4,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Serve IVF-PQ retrieval from MATERIALIZED index relations (see
-    ivfpq_fit): probe nprobe cells, ADC over the stored codes inside
-    probed cells, exact rerank of the shortlist. The index relations
-    may come straight from ivfpq_fit or from parquet round-tripped
-    storage — the math is integer-exact either way."""
-    dim = len(corpus.select(vec_col).first()[0])
-    if dim % n_subspaces:
-        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
-    sub_dim = dim // n_subspaces
-    qv = queries.selectExpr(f"{id_col} AS vec_id", f"{_quantize_sql(vec_col)} AS xq")
-    # final centroids: recompute from the assignment (same relation the
-    # last kmeans round used — floor(mean) per dim over members)
+def ivfpq_coarse_centroids(corpus: DataFrame, cells: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """The serving coarse centroids: floor-mean per dimension over
+    each cell's members (one corpus pass). Persist this alongside the
+    fit's three relations and hand it to ivfpq_serve(cents=...) so
+    serving never rescans the corpus to rebuild a quantizer that only
+    changes when the index does."""
     corpus_q = corpus.selectExpr(f"{id_col} AS vec_id", f"{_quantize_sql(vec_col)} AS xq")
     per_dim = (
         corpus_q.join(cells.select(F.col("vec_id"), F.col("cluster").alias("cell")), "vec_id")
@@ -908,11 +914,38 @@ def ivfpq_serve(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
         .groupBy("cell", "pos")
         .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cx"))
     )
-    cents = per_dim.groupBy("cell").agg(
+    return per_dim.groupBy("cell").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
         ).alias("cq")
-    )  # single-use broadcast; lineage is already the checkpointed cells
+    )
+
+
+def ivfpq_serve(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+                cells: DataFrame, codes: DataFrame, k_neighbors: int = 3,
+                nprobe: int = 2, shortlist: int = 20, n_subspaces: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                cents: DataFrame | None = None) -> DataFrame:
+    """Serve IVF-PQ retrieval from MATERIALIZED index relations (see
+    ivfpq_fit): probe nprobe cells, ADC over the stored codes inside
+    probed cells, exact rerank of the shortlist. The index relations
+    may come straight from ivfpq_fit or from parquet round-tripped
+    storage — the math is integer-exact either way. Pass the
+    PERSISTED coarse centroids via `cents` (ivfpq_coarse_centroids)
+    to skip the per-call O(corpus·dim) rescan that otherwise rebuilds
+    them; omitted, they recompute from (corpus, cells) — identical
+    values, extra work."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub_dim = dim // n_subspaces
+    qv = queries.selectExpr(f"{id_col} AS vec_id", f"{_quantize_sql(vec_col)} AS xq")
+    if cents is None:
+        # recompute the serving centroids from the assignment (same
+        # relation the last kmeans round used — floor(mean) per dim
+        # over members); single-use broadcast, lineage is already the
+        # checkpointed cells
+        cents = ivfpq_coarse_centroids(corpus, cells, id_col, vec_col)
     qcell = qv.crossJoin(F.broadcast(cents)).select(
         F.col("vec_id").alias("query_id"), "cell",
         F.expr(_sq_l2_sql("xq", "cq")).alias("cdist"),

@@ -1543,18 +1543,27 @@ def knn_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
     root = os.path.join(tempfile.gettempdir(), f"ivfpq_index_{tag}")
-    parts = {n: os.path.join(root, n) for n in ("codebook", "cells", "codes")}
+    parts = {
+        n: os.path.join(root, n)
+        for n in ("codebook", "cells", "codes", "cents")
+    }
     if not all(os.path.exists(p) for p in parts.values()):
         codebook, cells, codes = S.ivfpq_fit(e)
         codebook.write.mode("overwrite").parquet(parts["codebook"])
         cells.write.mode("overwrite").parquet(parts["cells"])
         codes.write.mode("overwrite").parquet(parts["codes"])
+        # the serving coarse centroids persist WITH the index, so a
+        # query batch never rescans the corpus to rebuild them
+        S.ivfpq_coarse_centroids(
+            e, spark.read.parquet(parts["cells"])
+        ).write.mode("overwrite").parquet(parts["cents"])
     return S.ivfpq_serve(
         e.filter(F.col("vec_id") < 10), e,
         spark.read.parquet(parts["codebook"]),
         spark.read.parquet(parts["cells"]),
         spark.read.parquet(parts["codes"]),
         k_neighbors=3,
+        cents=spark.read.parquet(parts["cents"]),
     )
 
 

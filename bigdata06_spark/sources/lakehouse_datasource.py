@@ -151,6 +151,21 @@ def _abs(path: str, f: str) -> str:
     return f if os.path.isabs(f) else os.path.join(path, f)
 
 
+def _apply_actions_arrow(tbl, actions: list[dict]):
+    """Arrow-side schema-action replay for ONE file (single vintage:
+    rename-if-present / drop / ignore) — shared by the batch reader
+    and the streaming CDF source."""
+    for a in actions:
+        names = tbl.schema.names
+        if a["kind"] == "rename" and a["from"] in names:
+            tbl = tbl.rename_columns(
+                [a["to"] if c == a["from"] else c for c in names]
+            )
+        elif a["kind"] == "drop" and a["column"] in names:
+            tbl = tbl.drop_columns([a["column"]])
+    return tbl
+
+
 class LakehouseFilePartition(InputPartition):
     def __init__(self, listed_name: str, abs_file: str, dv_files: list[str]):
         self.listed_name = listed_name
@@ -210,15 +225,7 @@ class LakehouseReader(DataSourceReader):
                 keep[np.fromiter(dead, dtype=np.int64)] = False
                 tbl = tbl.filter(pa.array(keep))
 
-        # schema-action replay (single vintage: rename/drop/ignore)
-        for a in self.actions:
-            names = tbl.schema.names
-            if a["kind"] == "rename" and a["from"] in names:
-                tbl = tbl.rename_columns(
-                    [a["to"] if c == a["from"] else c for c in names]
-                )
-            elif a["kind"] == "drop" and a["column"] in names:
-                tbl = tbl.drop_columns([a["column"]])
+        tbl = _apply_actions_arrow(tbl, self.actions)
 
         # project to the logical schema: null-fill missing columns,
         # cast present ones to the declared (merged) type, order
@@ -245,20 +252,30 @@ class LakehouseDataSource(DataSource):
             raise ValueError("format('lakehouse') needs .load(<table path>)")
         return p
 
+    def _cdf_range(self, path: str) -> tuple[int, int] | None:
+        if str(self.options.get("readChangeFeed", "")).lower() not in ("true", "1"):
+            return None
+        lo = int(self.options.get("startingVersion", 0))
+        hi = int(self.options.get("endingVersion", LH.current_version(path)))
+        return lo, hi
+
     def schema(self) -> T.StructType:
         path = self._path()
-        v = _resolve_version(path, self.options)
+        rng = self._cdf_range(path)
+        # a change-feed read resolves its schema at endingVersion —
+        # resolving at latest while the reader replays at
+        # endingVersion would null out columns renamed/added after
+        # the range (schema/replay version skew)
+        v = rng[1] if rng else _resolve_version(path, self.options)
         rel_files, _dvs = LH._state_at_version(path, v)
         return _logical_schema(path, v, rel_files)
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         path = self._path()
-        if str(self.options.get("readChangeFeed", "")).lower() in ("true", "1"):
-            lo = int(self.options.get("startingVersion", 0))
-            hi = int(self.options.get(
-                "endingVersion", LH.current_version(path)))
-            return LakehouseReader(path, hi, schema,
-                                   change_feed_from=lo)
+        rng = self._cdf_range(path)
+        if rng:
+            return LakehouseReader(path, rng[1], schema,
+                                   change_feed_from=rng[0])
         v = _resolve_version(path, self.options)
         return LakehouseReader(path, v, schema)
 
@@ -277,53 +294,16 @@ class LakehouseDataSource(DataSource):
 # simple stream reader runs on the driver; the log IS driver-visible
 # state); the downstream query is normal distributed Spark.
 
-_ARROW_TO_SPARK = {
-    "int64": T.LongType(),
-    "int32": T.IntegerType(),
-    "int16": T.ShortType(),
-    "int8": T.ByteType(),
-    "double": T.DoubleType(),
-    "float": T.FloatType(),
-    "string": T.StringType(),
-    "large_string": T.StringType(),
-    "bool": T.BooleanType(),
-    "date32[day]": T.DateType(),
-    "binary": T.BinaryType(),
-    "large_binary": T.BinaryType(),
-}
-
-
-def _arrow_field_to_spark(field) -> T.DataType:
-    name = str(field.type)
-    if name in _ARROW_TO_SPARK:
-        return _ARROW_TO_SPARK[name]
-    if name.startswith("timestamp"):
-        return T.TimestampType()
-    if name.startswith("decimal"):
-        import re
-
-        m = re.match(r"decimal\d*\((\d+),\s*(\d+)\)", name)
-        if m:
-            return T.DecimalType(int(m.group(1)), int(m.group(2)))
-    raise ValueError(f"lakehouse_cdf: no Spark mapping for arrow type {name}")
-
-
 def table_stream_schema(path: str) -> T.StructType:
-    """Schema of the CDF stream: latest version's parquet schema +
-    any logged schema_adds + the `_commit_version` lineage column."""
+    """Schema of the CDF stream: the table's LOGICAL schema at the
+    latest version (footers + the full schema-action replay — adds,
+    renames, drops) + the `_commit_version` lineage column."""
     latest = LH.current_version(path)
     if latest < 0:
         raise ValueError(f"no lakehouse table at {path}")
     files = LH.files_at_version(path, latest)
-    sch = _pq.read_schema(os.path.join(path, files[0]))
-    fields = [
-        T.StructField(f.name, _arrow_field_to_spark(f), True) for f in sch
-    ]
-    names = {f.name for f in fields}
-    for col, typ in LH._schema_adds_at(path, latest):
-        if col not in names:
-            fields.append(T.StructField(col, _ddl_to_spark(typ), True))
-            names.add(col)
+    logical = _logical_schema(path, latest, files)
+    fields = list(logical.fields)
     fields.append(T.StructField("_commit_version", T.LongType(), False))
     return T.StructType(fields)
 
@@ -354,10 +334,14 @@ class LakehouseCDFStreamReader(SimpleDataSourceStreamReader):
         # the returned iterator for replay, which only list/tuple
         # iterators support
         cols = [f.name for f in self.spark_schema.fields[:-1]]
+        actions = LH._schema_actions_at(self.path, LH.current_version(self.path))
         rows: list[tuple] = []
         for v in range(lo, hi + 1):
             for rel in self._added_files(v):
                 tbl = _pq.read_table(os.path.join(self.path, rel))
+                # column-mapping replay: pre-rename vintages map their
+                # physical names onto the stream's logical schema
+                tbl = _apply_actions_arrow(tbl, actions)
                 for rec in tbl.to_pylist():
                     rows.append(tuple(rec.get(c) for c in cols) + (v,))
         return rows

@@ -3665,3 +3665,91 @@ def test_lakehouse_datasource_batch_change_feed(spark, tmp_path):
         )
         assert sorted(map(tuple, ds.collect())) == \
             sorted(map(tuple, lib.collect())), (lo, hi)
+
+
+def test_lakehouse_bloom_sound_across_numeric_widths(spark, tmp_path):
+    """An int probe against a double bloom column must NOT prune the
+    file holding the equal double value (the probe casts through the
+    column's recorded native type before hashing)."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_bloom_t")
+    df = spark.range(1000).select(F.col("id").alias("k"),
+                                  (F.col("id") * 1.0).alias("amount"))
+    LH.table_init(df, path, "k", n_files=4, bloom_cols=["amount"])
+    r = LH.read_version(spark, path, 0, bloom_filter={"amount": 5})
+    assert r.filter(F.col("amount") == 5).count() == 1
+
+
+def test_lakehouse_datasource_cdf_schema_version_skew(spark, tmp_path):
+    """A batch change-feed read whose endingVersion predates a later
+    rename must return the range's REAL values under the range-time
+    schema, not NULLs under the latest schema."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "lh_ds_skew")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.0).alias("price"))
+    LH.table_init(df, path, "k", n_files=2)
+    LH.merge(spark, path, "k",
+             updates=spark.range(5).select(F.col("id").alias("k"),
+                                           F.lit(0.0).alias("price")))
+    LH.rename_column(spark, path, "price", "price_usd")  # v2, after the range
+    ds = (
+        spark.read.format("lakehouse")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0).option("endingVersion", 1)
+        .load(path)
+    )
+    assert "price" in ds.columns  # range-time schema
+    lib = LH.read_changes(spark, path, 0, 1)
+    assert sorted(map(tuple, ds.collect())) == sorted(map(tuple, lib.collect()))
+    assert ds.filter("price IS NULL").count() == 0
+
+
+def test_lakehouse_cdf_stream_across_rename(spark, tmp_path):
+    """The streaming CDF source replays column mapping: versions
+    written before a rename stream their values under the CURRENT
+    logical name, not as NULLs."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources import lakehouse_datasource as LDS
+
+    LDS.register(spark)
+    path = str(tmp_path / "lh_cdf_ren")
+    df = spark.range(50).select(F.col("id").alias("k"),
+                                (F.col("id") * 1.0).alias("price"))
+    LH.table_init(df, path, "k", n_files=2)
+    LH.rename_column(spark, path, "price", "price_usd")
+    LH.merge(spark, path, "k",
+             updates=spark.range(3).select(F.col("id").alias("k"),
+                                           F.lit(-1.0).alias("price_usd")))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("lakehouse_cdf").option("path", path).load()
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert "price_usd" in got.columns
+    assert got.filter("price_usd IS NULL").count() == 0
+    v0_rows = got.filter("_commit_version = 0")
+    assert v0_rows.count() == 50
+    assert v0_rows.filter("k = 10").first().price_usd == 10.0
+
+
+def test_ivfpq_encode_empty_batch(spark, sf_dir):
+    """An empty append batch returns empty, well-typed frames that
+    union cleanly with the fit's relations."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators import similarity as S
+
+    e = load_table(spark, "embeddings", sf_dir)
+    codebook, cells, codes = S.ivfpq_fit(e.filter("vec_id < 40"))
+    cn, qn = S.ivfpq_encode(e.filter("vec_id < 0"), codebook)
+    assert cn.count() == 0 and qn.count() == 0
+    assert cells.unionByName(cn).count() == cells.count()
+    assert codes.unionByName(qn).count() == codes.count()
