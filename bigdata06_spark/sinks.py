@@ -96,6 +96,29 @@ def zorder_value(cols: list[str], bits: int = 16) -> "Column":
     return F.expr(" + ".join(terms))
 
 
+def _zorder_surrogate(dtype: str, c: str):
+    """Numeric surrogate expression for a clustering column, so bin
+    edges can come from `approxQuantile` (numeric-only). Dates map to
+    days-since-epoch, timestamps to epoch seconds — both order-
+    preserving, so quantile bins in surrogate space are quantile bins
+    in column space."""
+    if dtype == "date":
+        return F.unix_date(F.col(c)).cast("double")
+    if dtype.startswith("timestamp"):
+        # TIMESTAMP_NTZ has no direct double cast; the tz-applying
+        # hop is monotonic, which is all binning needs.
+        return F.col(c).cast("timestamp").cast("double")
+    if dtype == "boolean":
+        return F.col(c).cast("int").cast("double")
+    if dtype.startswith(("tinyint", "smallint", "int", "bigint", "float",
+                         "double", "decimal", "long", "short", "byte")):
+        return F.col(c).cast("double")
+    raise ValueError(
+        f"zorder column {c!r} has non-rangeable type {dtype}; "
+        "provide a numeric/date/timestamp projection to cluster on"
+    )
+
+
 def write_zorder_parquet(
     df: DataFrame, path: str, cols: list[str], n_files: int = 16, bits: int = 16,
     mode: str = "overwrite",
@@ -109,31 +132,63 @@ def write_zorder_parquet(
     cardinality). This is the layout behind lakehouse `OPTIMIZE
     ZORDER`, built from public Morton-code mechanics.
 
-    Rank normalization (percent_rank → `bits`-bit grid) makes the
-    interleave robust to skewed/arbitrary-ranged numeric columns: each
-    dimension contributes uniformly regardless of its distribution.
-    Cost: one global-order window per dimension — at 100 TB replace
-    with approxQuantile-derived bin edges broadcast into the same grid
-    expression (no global window); the file-layout contract is
-    identical.
+    Rank normalization onto a `bits`-bit grid makes the interleave
+    robust to skewed/arbitrary-ranged columns: each dimension
+    contributes uniformly regardless of its distribution. The grid
+    coordinate is the row's quantile bin — edges come from ONE
+    distributed `approxQuantile` pass (Greenwald-Khanna sketch, no
+    global window/sort anywhere in the build), broadcast into a
+    codegen'd `aggregate()` counting expression. At 100 TB the build
+    is therefore embarrassingly parallel: a sketch pass + a map-side
+    binning pass + `repartitionByRange` on the Morton key.
     """
-    from pyspark.sql import Window
-
-    grid = df
-    rank_cols = []
-    for c in cols:
-        rc = f"_zr_{c}"
-        rank = F.percent_rank().over(Window.orderBy(F.col(c)))
-        grid = grid.withColumn(rc, F.least(F.floor(rank * (1 << bits)), F.lit((1 << bits) - 1)).cast("long"))
-        rank_cols.append(rc)
-    z = grid.withColumn("_z", zorder_value(rank_cols, bits))
+    z, helper_cols = zorder_grid(df, cols, bits)
     (
         z.repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
-        .drop("_z", *rank_cols)
+        .drop("_z", *helper_cols)
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_grid(df: DataFrame, cols: list[str], bits: int = 16):
+    """Attach the Morton key `_z` to `df` (plus helper columns, both
+    returned so the caller can drop them). Windowless by construction
+    — exposed separately so tests can assert the build plan has no
+    WindowExec."""
+    q = min(1 << bits, 1024)
+    surro = []
+    dtypes = dict(df.dtypes)
+    for i, c in enumerate(cols):
+        surro.append((f"_zs_{i}", _zorder_surrogate(dtypes[c], c)))
+    tmp = df.select("*", *[e.alias(n) for n, e in surro])
+    probs = [i / q for i in range(1, q)]
+    all_edges = tmp.stat.approxQuantile([n for n, _ in surro], probs, 1.0 / (4 * q))
+
+    grid = tmp
+    rank_cols = []
+    for (name, _), edges in zip(surro, all_edges):
+        # dedupe: skewed data repeats quantile values; empty edges
+        # (all-null column) degrade to a single bin.
+        uniq = sorted({float(e) for e in edges if e is not None})
+        n_e = max(len(uniq), 1)
+        arr = F.array(*[F.lit(e) for e in uniq]) if uniq else F.array(F.lit(0.0))
+        # bin = #edges <= value; NULL value → comparisons NULL → bin 0
+        # (matches the old window's NULLS FIRST rank-0 placement).
+        bin_ = F.aggregate(
+            arr, F.lit(0).cast("long"),
+            lambda acc, e: acc + F.when(e <= F.col(name), 1).otherwise(0),
+        )
+        rc = f"_zr_{name}"
+        grid = grid.withColumn(
+            rc,
+            F.least(F.floor(bin_ * ((1 << bits) - 1) / n_e),
+                    F.lit((1 << bits) - 1)).cast("long"),
+        )
+        rank_cols.append(rc)
+    z = grid.withColumn("_z", zorder_value(rank_cols, bits))
+    return z, rank_cols + [n for n, _ in surro]
 
 
 def compact_small_files(spark, path: str, out_path: str,

@@ -717,6 +717,35 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == 40000
 
 
+def test_zorder_build_has_no_global_window(spark):
+    """The Z-order build must not contain a WindowExec: the grid
+    coordinate comes from broadcast approxQuantile bin edges, not a
+    percent_rank over a no-partition window (which would funnel the
+    whole table through one task at scale). Also pins date surrogate
+    support and null placement."""
+    from bigdata06_spark.sinks import zorder_grid
+
+    df = spark.range(0, 5000).selectExpr(
+        "CAST(id * 48271 % 5000 AS BIGINT) AS x",
+        "date_add(DATE'2020-01-01', CAST(id % 365 AS INT)) AS d",
+    )
+    z, helpers = zorder_grid(df, ["x", "d"], bits=8)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, f"zorder build contains a window:\n{plan}"
+    # monotone binning: higher x ⇒ grid coordinate never decreases
+    rows = z.select("x", "_zr__zs_0").orderBy("x").collect()
+    grids = [r[1] for r in rows]
+    xs = [r[0] for r in rows]
+    for (x1, g1), (x2, g2) in zip(zip(xs, grids), zip(xs[1:], grids[1:])):
+        assert x1 > x2 or g1 <= g2
+    assert min(grids) >= 0 and max(grids) <= 255
+    # null clustering column lands in bin 0 (old NULLS FIRST contract)
+    nul = spark.createDataFrame([(None,), (10.0,)], "v double")
+    zn, _ = zorder_grid(nul, ["v"], bits=8)
+    got = {r["v"]: r["_zr__zs_0"] for r in zn.collect()}
+    assert got[None] == 0
+
+
 def test_ivf_partition_pruning(spark, sf_dir, tmp_path):
     """IVF layout contract: cell-partitioned parquet + literal cell
     filter = static partition pruning — the scan lists only the probed
