@@ -425,10 +425,11 @@ def generated_partition_filter(spark: SparkSession, path: str, pcol: str,
 # stale allocation can never become visible because the log commit
 # itself is the atomic create-if-absent). Within one batch the
 # ordering is by the table key, which makes assignment DETERMINISTIC
-# — testable against a row_number() oracle. The global row_number is
-# one extra shuffle of the INSERT BATCH (never the table); at real
-# scale writers would reserve per-partition id ranges off the same
-# watermark (Delta reserves ranges per transaction the same way).
+# — testable against a row_number() oracle. Allocation is two passes
+# over the INSERT BATCH (never the table) with per-bin windows only —
+# see `_assign_identity`; at real scale writers would additionally
+# reserve per-partition id ranges off the same watermark (Delta
+# reserves ranges per transaction the same way).
 
 
 def table_identity(path: str) -> dict | None:
@@ -443,13 +444,53 @@ def table_identity(path: str) -> dict | None:
 
 
 def _assign_identity(df: DataFrame, ident: dict, key: str) -> DataFrame:
+    """Allocate `high + step·rank(key)` ids WITHOUT a global window.
+
+    Two passes, deterministic: (1) sample up to 1024 key values (a
+    hash-ordered limit — one parallel TakeOrdered pass, no full sort)
+    whose sorted distinct values become range-bin edges, embedded as
+    literals; (2) count rows per bin → cumulative offsets on the
+    driver (≤1025 numbers); the id is offset[bin] + row_number() over
+    a PER-BIN window. Every window has a partition key, so a large
+    backfill parallelizes across ~1k bins instead of serializing the
+    whole batch through one task (the old no-partition row_number).
+    Edges are literals, so recomputation cannot move a row between
+    bins, and the total order (bin, key) equals the old global ORDER
+    BY key — same deterministic key-ordered allocation contract."""
     from pyspark.sql.window import Window
 
-    rn = F.row_number().over(Window.orderBy(F.col(key)))
-    return df.withColumn(
+    edges = sorted({
+        r[0]
+        for r in df.select(key).where(F.col(key).isNotNull())
+        .orderBy(F.xxhash64(F.col(key))).limit(1024).collect()
+    })
+    if edges:
+        arr = F.array(*[F.lit(e) for e in edges])
+        # bin = #edges <= key; NULL keys → bin 0 (NULLS FIRST, the
+        # same placement the old global window gave them)
+        bin_ = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, e: acc + F.when(e <= F.col(key), 1).otherwise(0),
+        )
+    else:
+        bin_ = F.lit(0)
+    b = df.withColumn("_ibin", bin_)
+    counts = {
+        r["_ibin"]: r["n"]
+        for r in b.groupBy("_ibin").agg(F.count("*").alias("n")).collect()
+    }
+    acc = 0
+    pairs: list = []
+    for i in sorted(counts):
+        pairs += [F.lit(i), F.lit(acc)]
+        acc += counts[i]
+    om = F.create_map(*pairs) if pairs else F.create_map(F.lit(0), F.lit(0))
+    rn = F.row_number().over(Window.partitionBy("_ibin").orderBy(F.col(key)))
+    return b.withColumn(
         ident["col"],
-        (F.lit(ident["high"]) + F.lit(ident["step"]) * rn).cast("long"),
-    )
+        (F.lit(ident["high"])
+         + F.lit(ident["step"]) * (om[F.col("_ibin")] + rn)).cast("long"),
+    ).drop("_ibin")
 
 
 def _reject_identity_col(ident: dict | None, rels: list, what: str) -> None:

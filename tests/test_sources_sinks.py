@@ -3501,6 +3501,45 @@ def test_lakehouse_identity_columns(spark, tmp_path):
                       str(tmp_path / "bad"), "rid", identity_col="rid")
 
 
+def test_identity_allocation_has_no_global_window(spark):
+    """Identity backfill must not serialize through one task: every
+    window in the allocation plan is partitioned (per-bin), and the
+    assigned ids still equal the global row_number-by-key oracle —
+    including null keys (NULLS FIRST) and duplicate keys (dense
+    contiguous ids)."""
+    import re
+
+    from bigdata06_spark.lakehouse import _assign_identity
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") * 7919 % 17000).alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    ident = {"col": "rid", "start": 5, "step": 3, "high": 2}
+    out = _assign_identity(df, ident, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, "expected the per-bin row_number window in the plan"
+    assert all("_ibin" in s for s in specs), \
+        f"found a window without a partition spec:\n{plan}"
+
+    rows = out.orderBy("rid").collect()
+    assert len(rows) == 20000
+    # ids are exactly high + step·rank(key): contiguous arithmetic
+    # sequence, and key order is non-decreasing along it
+    assert rows[0]["rid"] == 5 and rows[-1]["rid"] == 2 + 3 * 20000
+    ks = [r["k"] for r in rows]
+    assert ks == sorted(ks)
+
+    # null keys allocate first (the old window's NULLS FIRST contract)
+    nul = spark.createDataFrame([(None, 1.0), (7, 1.0), (3, 1.0)],
+                                "k int, v double")
+    got = _assign_identity(nul, {"col": "rid", "start": 1, "step": 1,
+                                 "high": 0}, "k")
+    by_id = {r["rid"]: r["k"] for r in got.collect()}
+    assert by_id == {1: None, 2: 3, 3: 7}
+
+
 def test_streaming_cdc_into_generated_partition_table(spark, tmp_path):
     """Round-5 composition: streaming CDC micro-batches upsert into a
     lakehouse table whose partition column is GENERATED — the CDC
