@@ -1,0 +1,477 @@
+"""SQL statement surface for lakehouse tables — `MERGE INTO`,
+`UPDATE`, `DELETE FROM`, `VACUUM`, `OPTIMIZE ... ZORDER BY`,
+`DESCRIBE HISTORY`, `RESTORE TABLE`, and `CREATE TABLE ... USING
+lakehouse`, the statements a Delta user types — dispatched onto the
+library writers (`lakehouse.merge` / `update_where` / `delete_where`
+/ ...), with everything else passed through to `spark.sql`.
+
+Why a front end instead of the session catalog: Spark 4.x drops a
+Python DataSource's options between CREATE TABLE and the scan —
+`PythonTable` keeps only (source, name, schema), so a catalog
+`SELECT` re-instantiates the source with EMPTY options and the table
+path is unrecoverable (verified against the shipped
+`PythonDataSourceV2.getTable`; file-backed JVM sources smuggle the
+path inside the Table instance, which the Python bridge does not).
+`entry_points.sql()` therefore owns statement routing: lakehouse DDL
+registers the table as a temp view + a name→(path, key) registry
+entry, so subsequent plain-`spark.sql` SELECTs — and this module's
+DML — address it by name. Views are re-registered after every DML
+statement, so a reader never sees a stale snapshot through the name.
+
+Grammar (the documented subset; anything outside it raises):
+
+    CREATE [OR REPLACE] TABLE <name> USING lakehouse
+        [TBLPROPERTIES ('key' [=] '<keycol>')]
+        LOCATION '<path>'
+        [AS <query>]                       -- CTAS via table_init
+    MERGE INTO <tbl> [AS] <t> USING <name | (subquery)> [AS] <s>
+        ON <t>.<k> = <s>.<k>
+        { WHEN MATCHED [AND <cond>] THEN { UPDATE SET * |
+                                           UPDATE SET c = expr, ... |
+                                           DELETE } } ...
+        [ WHEN NOT MATCHED [AND <cond>] THEN INSERT * ]
+    UPDATE <tbl> SET c = expr, ... [WHERE <cond>]
+    DELETE FROM <tbl> [WHERE <cond>]
+    VACUUM <tbl> [RETAIN <n> VERSIONS]
+    OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)]
+    DESCRIBE HISTORY <tbl>
+    RESTORE TABLE <tbl> TO VERSION AS OF <n>
+
+`<tbl>` is a registry name (from CREATE TABLE here) or an inline
+``lakehouse.`/path/to/table` `` reference. MERGE follows Delta's
+clause semantics: clauses apply first-match-wins, `UPDATE SET *` /
+`INSERT *` map columns by name. The MATCHED classification is plain
+DataFrame algebra over the current snapshot (semi/anti joins on the
+key), then ONE `lakehouse.merge` commit applies all legs atomically.
+
+Reference parity: the reference has no SQL layer at all (its
+"queries" are pandas method chains, 01_TestingPy/Spotify_API.py:
+42-165); this module exists for Spark-side parity with the Delta
+Lake statement surface its users would expect.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata06_spark import lakehouse as LH
+
+# name (lowercased) -> {"path": str, "key": str | None}
+_TABLES: dict[str, dict] = {}
+
+
+def _version_df(spark: SparkSession, version: int) -> DataFrame:
+    return spark.createDataFrame([(int(version),)], "version long")
+
+
+def register_table(spark: SparkSession, name: str, path: str,
+                   key: str | None = None) -> None:
+    """Bind `name` to a lakehouse table path (+ its clustering key,
+    needed by MERGE/UPDATE/OPTIMIZE) and (re-)register the temp view
+    over the CURRENT version."""
+    _TABLES[name.lower()] = {"path": path, "key": key}
+    _refresh_view(spark, name)
+
+
+def _refresh_view(spark: SparkSession, name: str) -> None:
+    ent = _TABLES[name.lower()]
+    v = LH.current_version(ent["path"])
+    if v >= 0:
+        LH.read_version(spark, ent["path"], v).createOrReplaceTempView(name)
+
+
+def _resolve(ref: str) -> tuple[str, str | None, str | None]:
+    """Table reference → (path, key-or-None, registry-name-or-None).
+    Accepts a registry name or ``lakehouse.`/path```."""
+    ref = ref.strip()
+    m = re.fullmatch(r"lakehouse\.`([^`]+)`", ref, re.IGNORECASE)
+    if m:
+        return m.group(1), None, None
+    ent = _TABLES.get(ref.strip("`").lower())
+    if ent is None:
+        raise ValueError(
+            f"unknown lakehouse table {ref!r}: CREATE TABLE ... USING "
+            "lakehouse LOCATION it first (or use lakehouse.`/path`)"
+        )
+    return ent["path"], ent["key"], ref.strip("`").lower()
+
+
+def _need_key(key: str | None, ref: str, what: str) -> str:
+    if not key:
+        raise ValueError(
+            f"{what} needs the table's clustering key; declare it at CREATE "
+            f"time — TBLPROPERTIES ('key' '<col>') — for {ref!r}"
+        )
+    return key
+
+
+def _kw_at_depth0(s: str, pattern: str) -> list[int]:
+    """Start offsets of regex `pattern` occurrences at paren depth 0
+    and outside quoted strings — keyword-splitting that doesn't get
+    fooled by subqueries or literals."""
+    out: list[int] = []
+    depth = 0
+    quote: str | None = None
+    i = 0
+    rx = re.compile(pattern, re.IGNORECASE)
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(s, i)
+            if m:
+                out.append(i)
+                i = m.end()
+                continue
+        i += 1
+    return out
+
+
+def _split_clauses(s: str, pattern: str) -> list[str]:
+    offs = _kw_at_depth0(s, pattern) + [len(s)]
+    return [s[a:b].strip() for a, b in zip(offs, offs[1:])]
+
+
+def _parse_assignments(s: str) -> dict[str, str]:
+    """`a = expr, b = expr` → {col: expr-sql}; splits on depth-0
+    commas so expressions may contain function calls."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    start = 0
+    for i, c in enumerate(s):
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    out: dict[str, str] = {}
+    for p in parts:
+        col, _, expr = p.partition("=")
+        col = col.strip().strip("`")
+        # strip an alias qualifier (t.col = ...): SET targets the row
+        col = col.split(".")[-1]
+        if not col or not expr.strip():
+            raise ValueError(f"malformed SET assignment {p.strip()!r}")
+        out[col] = expr.strip()
+    return out
+
+
+# --------------------------------------------------------------- MERGE
+
+_MERGE_RX = re.compile(
+    r"MERGE\s+INTO\s+(?P<target>\S+(?:\s*`[^`]+`)?)"
+    r"(?:\s+AS)?\s+(?P<talias>[A-Za-z_]\w*)\s+USING\s+",
+    re.IGNORECASE,
+)
+
+
+def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
+    m = _MERGE_RX.match(stmt)
+    if not m:
+        raise ValueError(
+            "MERGE INTO requires explicit target and source aliases: "
+            "MERGE INTO <tbl> t USING <src> s ON t.k = s.k ..."
+        )
+    target_ref, talias = m.group("target"), m.group("talias")
+    rest = stmt[m.end():]
+
+    on_off = _kw_at_depth0(rest, r"\bON\b")
+    if not on_off:
+        raise ValueError("MERGE INTO is missing its ON clause")
+    src_part, on_rest = rest[: on_off[0]].strip(), rest[on_off[0] + 2:]
+
+    sm = re.fullmatch(r"(?P<src>\(.*\)|\S+)(?:\s+AS)?\s+(?P<salias>[A-Za-z_]\w*)",
+                      src_part, re.IGNORECASE | re.DOTALL)
+    if not sm:
+        raise ValueError(f"cannot parse MERGE source {src_part!r}")
+    src_sql, salias = sm.group("src"), sm.group("salias")
+
+    when_off = _kw_at_depth0(on_rest, r"\bWHEN\b")
+    if not when_off:
+        raise ValueError("MERGE INTO has no WHEN clauses")
+    on_cond = on_rest[: when_off[0]].strip()
+    om = re.fullmatch(
+        rf"{talias}\.`?(?P<k1>\w+)`?\s*=\s*{salias}\.`?(?P<k2>\w+)`?"
+        rf"|{salias}\.`?(?P<k3>\w+)`?\s*=\s*{talias}\.`?(?P<k4>\w+)`?",
+        on_cond, re.IGNORECASE,
+    )
+    if not om or (om.group("k1") or om.group("k4")) != (om.group("k2") or om.group("k3")):
+        raise ValueError(
+            f"MERGE ON must be a single-key equality t.k = s.k, got {on_cond!r}"
+        )
+    key = om.group("k1") or om.group("k4")
+
+    path, reg_key, reg_name = _resolve(target_ref)
+    if reg_key and reg_key != key:
+        raise ValueError(
+            f"MERGE keys on {key!r} but the table's clustering key is "
+            f"{reg_key!r}; the library merge rewrites by clustering key"
+        )
+
+    clauses = _split_clauses(on_rest[when_off[0]:], r"\bWHEN\b")
+    matched: list[tuple[str | None, str, dict | None]] = []  # (cond, kind, sets)
+    insert_clause: tuple[str | None] | None = None
+    for cl in clauses:
+        cm = re.fullmatch(
+            r"WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*THEN\s+"
+            r"INSERT\s+\*",
+            cl, re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            if insert_clause is not None:
+                raise ValueError("only one WHEN NOT MATCHED clause is supported")
+            insert_clause = (cm.group("cond"),)
+            continue
+        cm = re.fullmatch(
+            r"WHEN\s+MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*THEN\s+"
+            r"(?:(?P<del>DELETE)|UPDATE\s+SET\s+(?P<sets>.*))",
+            cl, re.IGNORECASE | re.DOTALL,
+        )
+        if not cm:
+            raise ValueError(f"cannot parse MERGE clause {cl!r}")
+        sets = None
+        if not cm.group("del"):
+            s = cm.group("sets").strip()
+            sets = {} if s == "*" else _parse_assignments(s)
+        matched.append((cm.group("cond"),
+                        "delete" if cm.group("del") else "update", sets))
+
+    prev_v = LH.current_version(path)
+    tgt = LH.read_version(spark, path, prev_v).alias(talias)
+    src = (spark.sql(f"SELECT * FROM {src_sql} __lh_src" if src_sql.startswith("(")
+                     else f"SELECT * FROM {src_sql}")).alias(salias)
+
+    joined = src.join(tgt, F.col(f"{salias}.{key}") == F.col(f"{talias}.{key}"),
+                      "inner")
+    tgt_cols = tgt.columns
+
+    updates = None
+    delete_keys = None
+    remaining = F.lit(True)  # first-match-wins across MATCHED clauses
+    for cond, kind, sets in matched:
+        claim = remaining
+        if cond is not None:
+            claim = claim & F.coalesce(F.expr(cond), F.lit(False))
+        hit = joined.filter(claim)
+        if kind == "delete":
+            d = hit.select(F.col(f"{salias}.{key}").alias(key))
+            delete_keys = d if delete_keys is None else delete_keys.unionAll(d)
+        else:
+            if sets == {}:  # UPDATE SET *: source row wins, by name
+                cols = [
+                    (F.col(f"{salias}.{c}") if c in src.columns
+                     else F.col(f"{talias}.{c}")).alias(c)
+                    for c in tgt_cols
+                ]
+            else:
+                cols = [
+                    (F.expr(sets[c]) if c in sets
+                     else F.col(f"{talias}.{c}")).alias(c)
+                    for c in tgt_cols
+                ]
+                unknown = sorted(set(sets) - set(tgt_cols))
+                if unknown:
+                    raise ValueError(f"UPDATE SET targets unknown columns "
+                                     f"{unknown}")
+            u = hit.select(*cols)
+            updates = u if updates is None else updates.unionByName(u)
+        if cond is not None:
+            remaining = remaining & ~F.coalesce(F.expr(cond), F.lit(False))
+        else:
+            remaining = F.lit(False)
+
+    inserts = None
+    if insert_clause is not None:
+        inserts = src.join(tgt.select(F.col(f"{talias}.{key}").alias(key)),
+                           key, "left_anti")
+        if insert_clause[0] is not None:
+            inserts = inserts.filter(
+                F.coalesce(F.expr(insert_clause[0]), F.lit(False)))
+
+    new_v = LH.merge(spark, path, key, updates=updates,
+                     delete_keys=delete_keys, inserts=inserts)
+    if reg_name:
+        _refresh_view(spark, reg_name)
+    return _version_df(spark, new_v)
+
+
+# ----------------------------------------------------- other statements
+
+
+def _sql_create(spark: SparkSession, stmt: str) -> DataFrame:
+    m = re.fullmatch(
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?P<name>[\w`.]+)\s+"
+        r"USING\s+lakehouse\s*"
+        r"(?:TBLPROPERTIES\s*\(\s*'key'\s*=?\s*'(?P<key>\w+)'\s*\)\s*)?"
+        r"LOCATION\s+'(?P<path>[^']+)'\s*"
+        r"(?:TBLPROPERTIES\s*\(\s*'key'\s*=?\s*'(?P<key2>\w+)'\s*\)\s*)?"
+        r"(?:AS\s+(?P<query>.+))?",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "cannot parse CREATE TABLE; expected: CREATE TABLE <name> USING "
+            "lakehouse [TBLPROPERTIES ('key' '<col>')] LOCATION '<path>' "
+            "[AS <query>]"
+        )
+    name = m.group("name").strip("`")
+    path = m.group("path")
+    key = m.group("key") or m.group("key2")
+    query = m.group("query")
+    if query:
+        df = spark.sql(query)
+        key = key or df.columns[0]
+        LH.table_init(df, path, key)
+    elif LH.current_version(path) < 0:
+        raise ValueError(
+            f"no lakehouse table at {path!r}; add AS <query> to create one"
+        )
+    register_table(spark, name, path, key)
+    return _version_df(spark, LH.current_version(path))
+
+
+def _sql_update(spark: SparkSession, stmt: str) -> DataFrame:
+    m = re.fullmatch(
+        r"UPDATE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+SET\s+(?P<sets>.+?)"
+        r"(?:\s+WHERE\s+(?P<cond>.+))?",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse UPDATE statement {stmt!r}")
+    path, key, name = _resolve(m.group("tbl"))
+    key = _need_key(key, m.group("tbl"), "UPDATE")
+    sets = {c: F.expr(e) for c, e in _parse_assignments(m.group("sets")).items()}
+    pred = m.group("cond") if m.group("cond") else F.lit(True)
+    v = LH.update_where(spark, path, key, sets, pred)
+    if name:
+        _refresh_view(spark, name)
+    return _version_df(spark, v)
+
+
+def _sql_delete(spark: SparkSession, stmt: str) -> DataFrame:
+    m = re.fullmatch(
+        r"DELETE\s+FROM\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)"
+        r"(?:\s+WHERE\s+(?P<cond>.+))?",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse DELETE statement {stmt!r}")
+    path, _key, name = _resolve(m.group("tbl"))
+    pred = m.group("cond") if m.group("cond") else F.lit(True)
+    v = LH.delete_where(spark, path, pred)
+    if name:
+        _refresh_view(spark, name)
+    return _version_df(spark, v)
+
+
+def _sql_vacuum(spark: SparkSession, stmt: str) -> DataFrame:
+    m = re.fullmatch(
+        r"VACUUM\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)"
+        r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?",
+        stmt, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse VACUUM statement {stmt!r}")
+    path, _key, _name = _resolve(m.group("tbl"))
+    removed = LH.vacuum(path, keep_versions=int(m.group("n") or 1))
+    return spark.createDataFrame(
+        [(int(len(removed) if hasattr(removed, "__len__") else removed),)],
+        "files_removed long",
+    )
+
+
+def _sql_optimize(spark: SparkSession, stmt: str) -> DataFrame:
+    m = re.fullmatch(
+        r"OPTIMIZE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)"
+        r"(?:\s+ZORDER\s+BY\s+\(\s*(?P<cols>[^)]+)\))?",
+        stmt, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse OPTIMIZE statement {stmt!r}")
+    path, key, name = _resolve(m.group("tbl"))
+    key = _need_key(key, m.group("tbl"), "OPTIMIZE")
+    zo = None
+    if m.group("cols"):
+        zo = [c.strip().strip("`") for c in m.group("cols").split(",")]
+    v = LH.optimize(spark, path, key, zorder_by=zo)
+    if name:
+        _refresh_view(spark, name)
+    return _version_df(spark, v)
+
+
+def _sql_history(spark: SparkSession, stmt: str) -> DataFrame:
+    m = re.fullmatch(r"DESCRIBE\s+HISTORY\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)",
+                     stmt, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse DESCRIBE HISTORY {stmt!r}")
+    path, _key, _name = _resolve(m.group("tbl"))
+    return LH.describe_history(spark, path)
+
+
+def _sql_restore(spark: SparkSession, stmt: str) -> DataFrame:
+    m = re.fullmatch(
+        r"RESTORE\s+TABLE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+"
+        r"TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)",
+        stmt, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse RESTORE statement {stmt!r}")
+    path, _key, name = _resolve(m.group("tbl"))
+    v = LH.restore(path, int(m.group("v")))
+    if name:
+        _refresh_view(spark, name)
+    return _version_df(spark, v)
+
+
+_DISPATCH = [
+    (re.compile(r"\s*MERGE\s+INTO\b", re.IGNORECASE), _sql_merge),
+    (re.compile(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b.*\bUSING\s+lakehouse\b",
+                re.IGNORECASE | re.DOTALL), _sql_create),
+    (re.compile(r"\s*UPDATE\s+(?!.*\bSET\b.*\bFROM\b)", re.IGNORECASE), _sql_update),
+    (re.compile(r"\s*DELETE\s+FROM\b", re.IGNORECASE), _sql_delete),
+    (re.compile(r"\s*VACUUM\b", re.IGNORECASE), _sql_vacuum),
+    (re.compile(r"\s*OPTIMIZE\b", re.IGNORECASE), _sql_optimize),
+    (re.compile(r"\s*DESCRIBE\s+HISTORY\b", re.IGNORECASE), _sql_history),
+    (re.compile(r"\s*RESTORE\s+TABLE\b", re.IGNORECASE), _sql_restore),
+]
+
+
+def sql(spark: SparkSession, statement: str) -> DataFrame:
+    """Execute one statement: lakehouse DDL/DML routes to the library
+    writers; everything else falls through to `spark.sql` (where the
+    temp views this module registers resolve by name)."""
+    stmt = statement.strip().rstrip(";").strip()
+    for rx, fn in _DISPATCH:
+        if rx.match(stmt):
+            # UPDATE/DELETE against non-lakehouse relations still fall
+            # through: only registered names / lakehouse.`path` refs
+            # dispatch here
+            if fn in (_sql_update, _sql_delete):
+                tbl = stmt.split()[1 if fn is _sql_update else 2]
+                if (not re.match(r"lakehouse\.`", tbl, re.IGNORECASE)
+                        and tbl.strip("`").lower() not in _TABLES):
+                    break
+            return fn(spark, stmt)
+    return spark.sql(statement)

@@ -928,3 +928,145 @@ def lakehouse_datasource_write_roundtrip(spark: SparkSession,
         c = load_table(spark, "customer", sf_dir)
         c.coalesce(4).write.format("lakehouse").mode("append").save(path)
     return spark.read.format("lakehouse").load(path)
+
+
+def _sqlmerge_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_sqlmerge_{tag}")
+
+
+@register(
+    "lakehouse_sql_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    chg AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM base WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + 100000000, CAST(-1 AS BIGINT), 7.77
+      FROM base WHERE o_orderkey % 1000 = 1
+    ),
+    merged AS (
+      SELECT b.o_orderkey,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM base b LEFT JOIN chg c ON b.o_orderkey = c.o_orderkey
+      WHERE c.o_orderkey IS NULL OR c.o_totalprice <= 300000.0
+      UNION ALL
+      SELECT c.o_orderkey, c.o_totalprice
+      FROM chg c LEFT JOIN base b ON c.o_orderkey = b.o_orderkey
+      WHERE b.o_orderkey IS NULL
+    )
+    SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM merged GROUP BY bucket
+    """,
+)
+def lakehouse_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the SQL statement surface
+    (`lakehouse_sql.sql`): the whole journey is SQL strings — CREATE
+    TABLE ... USING lakehouse binds the name, then one MERGE INTO
+    with THREE clauses (first-match-wins, Delta's clause semantics):
+    matched rows whose doubled price exceeds 300k DELETE, remaining
+    matches UPDATE SET *, unmatched source rows INSERT *. The front
+    end classifies via semi/anti joins on the key and applies all
+    legs as ONE lakehouse.merge commit; the oracle replays the same
+    merge relationally in DuckDB. Scale shape: identical to merge's —
+    only key-range-overlapping files rewrite, inserts append."""
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = _sqlmerge_dir(sf_dir)
+    base = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    if LH.current_version(path) < 0:
+        LH.table_init(base, path, KEY, n_files=8)
+    LSQL.sql(spark, f"CREATE TABLE sqlm_orders USING lakehouse "
+                    f"TBLPROPERTIES ('key' '{KEY}') LOCATION '{path}'")
+    if LH.current_version(path) < 1:
+        upd = base.filter(F.col(KEY) % 10 == 3).select(
+            KEY, "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        ins = base.filter(F.col(KEY) % 1000 == 1).select(
+            (F.col(KEY) + 100000000).alias(KEY),
+            F.lit(-1).cast("long").alias("o_custkey"),
+            F.lit(7.77).alias("o_totalprice"),
+        )
+        upd.unionByName(ins).createOrReplaceTempView("sqlm_chg")
+        LSQL.sql(spark, """
+            MERGE INTO sqlm_orders t USING sqlm_chg s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.o_totalprice > 300000.0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        LSQL.register_table(spark, "sqlm_orders", path, KEY)
+    return LSQL.sql(spark, """
+        SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM sqlm_orders GROUP BY bucket
+    """)
+
+
+def _sqldml_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_sqldml_{tag}")
+
+
+@register(
+    "lakehouse_sql_update_delete",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 5 = 2 THEN c_acctbal + 1000
+                  ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(floor(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM upd
+    WHERE NOT (c_custkey % 7 = 0 AND bal < 0)
+    GROUP BY c_mktsegment
+    """,
+)
+def lakehouse_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE / DELETE statements through the SQL surface: CREATE
+    TABLE AS SELECT builds the table (CTAS → table_init), UPDATE adds
+    1000 to every 5th customer's balance (merge-on-read: DV + delta
+    file, zero rewrites), DELETE drops negative-balance multiples of
+    7 (pure deletion vectors), and the final SELECT resolves by name
+    through the refreshed temp view. One statement surface end to
+    end — the Delta user's muscle memory on this engine's tables."""
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = _sqldml_dir(sf_dir)
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("sqld_seed")
+    if LH.current_version(path) < 0:
+        LSQL.sql(spark, f"""
+            CREATE TABLE sqld_cust USING lakehouse
+            TBLPROPERTIES ('key' 'c_custkey') LOCATION '{path}'
+            AS SELECT c_custkey, c_mktsegment, c_acctbal FROM sqld_seed
+        """)
+        LSQL.sql(spark, "UPDATE sqld_cust SET c_acctbal = c_acctbal + 1000 "
+                        "WHERE c_custkey % 5 = 2")
+        LSQL.sql(spark, "DELETE FROM sqld_cust "
+                        "WHERE c_custkey % 7 = 0 AND c_acctbal < 0")
+    else:
+        LSQL.sql(spark, f"CREATE TABLE sqld_cust USING lakehouse "
+                        f"TBLPROPERTIES ('key' 'c_custkey') LOCATION '{path}'")
+    return LSQL.sql(spark, """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM sqld_cust GROUP BY c_mktsegment
+    """)

@@ -1,8 +1,18 @@
 """`lakehouse` — the lakehouse table format as a Spark Python
 DataSource: `spark.read.format("lakehouse").load(path)`, with
 `versionAsOf` / `timestampAsOf` options — the `format("delta")`-style
-reader surface, so the table plugs into the DataFrame reader API and
-`CREATE TABLE ... USING` SQL without importing the library.
+reader surface, so the table plugs into the DataFrame reader API
+without importing the library.
+
+SQL note: `CREATE TABLE ... USING lakehouse` PARSES against this
+registration, but vanilla Spark 4.x drops a Python DataSource's
+options between CREATE and scan (`PythonTable` keeps only
+(source, name, schema); the path never reaches the reader), so the
+catalog round trip cannot work for any path-addressed Python source.
+The SQL statement surface lives in `bigdata06_spark.lakehouse_sql`
+instead: CREATE TABLE / MERGE INTO / UPDATE / DELETE / VACUUM /
+OPTIMIZE ZORDER / DESCRIBE HISTORY / RESTORE, dispatched onto the
+library writers with temp-view-backed name resolution.
 
 Everything the library reader (`lakehouse.read_version`) resolves on
 the JVM scan, this source resolves Arrow-side, one InputPartition per
@@ -151,6 +161,20 @@ def _abs(path: str, f: str) -> str:
     return f if os.path.isabs(f) else os.path.join(path, f)
 
 
+def _local_path(p: str) -> str:
+    """Normalize a `file:` URI to a plain local path — SQL surfaces
+    (`CREATE TABLE ... USING lakehouse LOCATION ...`) hand the source
+    a qualified URI, while the library addresses tables by plain
+    path. Non-file schemes pass through untouched (the log reader
+    would fail loudly on them anyway)."""
+    if p.startswith("file:"):
+        from urllib.parse import urlparse, unquote
+
+        parsed = urlparse(p)
+        return unquote(parsed.path) or p
+    return p
+
+
 def _apply_actions_arrow(tbl, actions: list[dict]):
     """Arrow-side schema-action replay for ONE file (single vintage:
     rename-if-present / drop / ignore) — shared by the batch reader
@@ -250,7 +274,7 @@ class LakehouseDataSource(DataSource):
         p = self.options.get("path")
         if not p:
             raise ValueError("format('lakehouse') needs .load(<table path>)")
-        return p
+        return _local_path(p)
 
     def _cdf_range(self, path: str) -> tuple[int, int] | None:
         if str(self.options.get("readChangeFeed", "")).lower() not in ("true", "1"):
@@ -310,7 +334,7 @@ def table_stream_schema(path: str) -> T.StructType:
 
 class LakehouseCDFStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options, schema: T.StructType):
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path") or "")
         if not self.path:
             raise ValueError("lakehouse_cdf requires a path option")
         start = options.get("startingversion", options.get("startingVersion", "0"))
@@ -363,7 +387,7 @@ class LakehouseCDFDataSource(DataSource):
         return "lakehouse_cdf"
 
     def schema(self):
-        return table_stream_schema(self.options.get("path"))
+        return table_stream_schema(_local_path(self.options.get("path") or ""))
 
     def simpleStreamReader(self, schema):
         return LakehouseCDFStreamReader(self.options, schema)
@@ -403,7 +427,7 @@ class LakehouseWriter(DataSourceWriter):
     library writers (merge / overwrite_where) for those tables."""
 
     def __init__(self, options, schema: T.StructType, overwrite: bool):
-        self.path = options.get("path")
+        self.path = _local_path(options.get("path") or "")
         if not self.path:
             raise ValueError("format('lakehouse') needs .save(<table path>)")
         self.overwrite = overwrite

@@ -3821,3 +3821,118 @@ def test_ivfpq_encode_empty_batch(spark, sf_dir):
     assert cn.count() == 0 and qn.count() == 0
     assert cells.unionByName(cn).count() == cells.count()
     assert codes.unionByName(qn).count() == codes.count()
+
+
+# ------------------------------------------------- lakehouse SQL surface
+
+
+def test_lakehouse_sql_statement_surface(spark, tmp_path):
+    """The Delta-style statement surface (lakehouse_sql.sql): CTAS,
+    SELECT by name, MERGE with first-match-wins clauses, UPDATE,
+    DELETE, OPTIMIZE ZORDER, DESCRIBE HISTORY, RESTORE, VACUUM — one
+    SQL string journey, no library calls in the user path."""
+    from bigdata06_spark.lakehouse_sql import sql
+
+    path = str(tmp_path / "lh_sql")
+    spark.range(10).selectExpr("id AS k", "CAST(id * 2.0 AS DOUBLE) AS v") \
+        .createOrReplaceTempView("sql_seed")
+    sql(spark, f"CREATE TABLE sqt USING lakehouse TBLPROPERTIES "
+               f"('key' 'k') LOCATION '{path}' AS SELECT * FROM sql_seed")
+    assert sql(spark, "SELECT count(*) AS n FROM sqt").first()["n"] == 10
+
+    spark.createDataFrame([(3, 100.0), (5, 200.0), (77, 1.0)],
+                          "k long, v double").createOrReplaceTempView("sql_chg")
+    sql(spark, """
+        MERGE INTO sqt t USING sql_chg s ON t.k = s.k
+        WHEN MATCHED AND s.v > 150 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.k: r.v for r in sql(spark, "SELECT * FROM sqt").collect()}
+    assert got[3] == 100.0          # second clause (first no-match)
+    assert 5 not in got             # first clause wins
+    assert got[77] == 1.0           # insert leg
+    assert len(got) == 10
+
+    sql(spark, "UPDATE sqt SET v = v + 0.5 WHERE k = 0")
+    sql(spark, "DELETE FROM sqt WHERE k >= 8")
+    got = {r.k: r.v for r in sql(spark, "SELECT * FROM sqt").collect()}
+    assert got[0] == 0.5 and 8 not in got and 9 not in got
+
+    v_before = sql(spark, "OPTIMIZE sqt ZORDER BY (k, v)").first()["version"]
+    hist = sql(spark, "DESCRIBE HISTORY sqt")
+    assert hist.count() == v_before + 1
+
+    sql(spark, "RESTORE TABLE sqt TO VERSION AS OF 0")
+    assert sql(spark, "SELECT count(*) AS n FROM sqt").first()["n"] == 10
+    sql(spark, "VACUUM sqt RETAIN 1 VERSIONS")  # keeps the restored head
+    assert sql(spark, "SELECT count(*) AS n FROM sqt").first()["n"] == 10
+
+    # non-lakehouse statements fall through to spark.sql untouched
+    assert sql(spark, "SELECT 1 AS one").first()["one"] == 1
+
+
+def test_lakehouse_sql_inline_path_and_errors(spark, tmp_path):
+    """Inline lakehouse.`/path` references work without CREATE; the
+    loud-error contract: unknown names, key-less OPTIMIZE, malformed
+    MERGE, ON-key vs clustering-key mismatch."""
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.lakehouse_sql import sql
+
+    path = str(tmp_path / "lh_inline")
+    df = spark.range(6).selectExpr("id AS k", "id * 1.0 AS v")
+    LH.table_init(df, path, "k", n_files=2)
+
+    sql(spark, f"DELETE FROM lakehouse.`{path}` WHERE k = 4")
+    assert LH.read_version(spark, path, LH.current_version(path)).count() == 5
+    assert sql(spark, f"DESCRIBE HISTORY lakehouse.`{path}`").count() == 2
+
+    # unregistered names fall through to spark.sql, which raises its
+    # own TABLE_OR_VIEW_NOT_FOUND — no silent no-ops either way
+    with _pytest.raises(Exception, match="nonesuch_tbl"):
+        sql(spark, "DELETE FROM nonesuch_tbl WHERE 1=1")
+    with _pytest.raises(Exception, match="nonesuch_tbl"):
+        sql(spark, "UPDATE nonesuch_tbl SET x = 1")
+
+    with _pytest.raises(ValueError, match="clustering key"):
+        sql(spark, f"OPTIMIZE lakehouse.`{path}`")
+
+    spark.createDataFrame([(1, 9.0)], "k long, v double") \
+        .createOrReplaceTempView("inline_chg")
+    with _pytest.raises(ValueError, match="single-key equality"):
+        sql(spark, f"MERGE INTO lakehouse.`{path}` t USING inline_chg s "
+                   f"ON t.k = s.k AND t.v = s.v "
+                   f"WHEN MATCHED THEN UPDATE SET *")
+
+
+def test_lakehouse_sql_merge_set_assignments(spark, tmp_path):
+    """MERGE ... UPDATE SET c = expr (not SET *): assignments may mix
+    source and target references; unassigned columns keep the target
+    value; unknown SET targets are loud."""
+    import pytest as _pytest
+
+    from bigdata06_spark.lakehouse_sql import sql
+
+    path = str(tmp_path / "lh_sets")
+    spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS a",
+                              "CAST(id * 10 AS DOUBLE) AS b") \
+        .createOrReplaceTempView("sets_seed")
+    sql(spark, f"CREATE TABLE sqs USING lakehouse TBLPROPERTIES "
+               f"('key' 'k') LOCATION '{path}' AS SELECT * FROM sets_seed")
+    spark.createDataFrame([(2, 100.0)], "k long, a double") \
+        .createOrReplaceTempView("sets_chg")
+    sql(spark, """
+        MERGE INTO sqs t USING sets_chg s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET a = s.a + t.b, b = t.b * 2
+    """)
+    row = {r.k: (r.a, r.b) for r in sql(spark, "SELECT * FROM sqs").collect()}
+    assert row[2] == (120.0, 40.0)
+    assert row[1] == (1.0, 10.0)
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        sql(spark, """
+            MERGE INTO sqs t USING sets_chg s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET nope = 1
+        """)
