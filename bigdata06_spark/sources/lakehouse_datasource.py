@@ -217,16 +217,99 @@ class LakehouseReader(DataSourceReader):
                 if f not in before
                 or before_dvs.get(f, []) != dvs.get(f, [])
             ]
-        self._parts = [
-            LakehouseFilePartition(
-                f, _abs(path, f), [_abs(path, d) for d in dvs.get(f, [])]
-            )
-            for f in rel_files
-        ]
+        self._rel_files = rel_files
+        self._dvs = dvs
         self.actions = LH._schema_actions_at(path, version)
+        # pushdown metadata — ALL from the log (planning is
+        # session-less): Hive partition values + per-file [min, max]
+        # stats. Blooms stay library-only: their probe positions come
+        # from JVM xxhash64, unavailable here.
+        self._pby = set(LH.table_partition_by(path))
+        self._stats = LH.file_stats_at(path, version)
+        self._part_allowed: dict[str, set] = {}
+        self._intervals: dict[str, list] = {}
+
+    def _narrow(self, col: str, lo, hi) -> None:
+        cur = self._intervals.setdefault(col, [None, None])
+        try:
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+        except TypeError:
+            pass  # incomparable across filters → keep wider bound
+
+    def pushFilters(self, filters):  # noqa: N802 — Spark API name
+        """FILE-level pruning from pushed predicates: partition-value
+        equality/IN prunes Hive partitions, range/equality predicates
+        on stats columns prune via the logged [min, max] — the same
+        sound-skipping rules the library reader's partition_filter /
+        stats_filter apply. Every filter is returned as unsupported:
+        pruning drops whole files, never rows, so Spark must keep
+        re-evaluating the predicates post-scan."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In,
+            LessThan, LessThanOrEqual,
+        )
+
+        out = list(filters)
+        for f in out:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if isinstance(f, EqualTo) and col in self._pby:
+                allowed = {str(f.value)}
+                prev = self._part_allowed.get(col)
+                self._part_allowed[col] = allowed if prev is None \
+                    else prev & allowed
+            elif isinstance(f, In) and col in self._pby:
+                allowed = {str(v) for v in f.value}
+                prev = self._part_allowed.get(col)
+                self._part_allowed[col] = allowed if prev is None \
+                    else prev & allowed
+            if col in self._stats_cols():
+                if isinstance(f, EqualTo):
+                    self._narrow(col, f.value, f.value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self._narrow(col, f.value, None)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self._narrow(col, None, f.value)
+                elif isinstance(f, In) and f.value:
+                    try:
+                        self._narrow(col, min(f.value), max(f.value))
+                    except TypeError:
+                        pass
+        return out
+
+    def _stats_cols(self) -> set:
+        return {c for st in self._stats.values() for c in st}
 
     def partitions(self):
-        return self._parts
+        files = self._rel_files
+        if self._part_allowed:
+            flt = {c: sorted(v) for c, v in self._part_allowed.items()}
+            kept = []
+            for f in files:
+                try:
+                    if LH._matches_partition(f, flt):
+                        kept.append(f)
+                except ValueError:
+                    kept.append(f)  # no partition value → keep (sound)
+            files = kept
+        if self._intervals:
+            flt = {c: tuple(v) for c, v in self._intervals.items()}
+            files = [
+                f for f in files
+                if LH._stats_may_match(self._stats.get(f), flt)
+            ]
+        return [
+            LakehouseFilePartition(
+                f, _abs(self.path, f),
+                [_abs(self.path, d) for d in self._dvs.get(f, [])],
+            )
+            for f in files
+        ]
 
     def read(self, partition: LakehouseFilePartition):
         import numpy as np
@@ -234,7 +317,20 @@ class LakehouseReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         schema = T.StructType.fromJson(json.loads(self.schema_json))
-        tbl = pq.read_table(partition.abs_file)
+        # COLUMN PROJECTION: decode only the parquet columns that can
+        # feed the logical schema — each logical name plus every
+        # physical name it carried across the rename history
+        phys: set[str] = set()
+        for field in schema.fields:
+            phys.update(LH._physical_names_of(self.actions, field.name))
+        fsch = pq.read_schema(partition.abs_file)
+        cols_to_read = [c for c in fsch.names if c in phys]
+        if cols_to_read:
+            tbl = pq.read_table(partition.abs_file, columns=cols_to_read)
+            n = tbl.num_rows
+        else:  # file predates every requested column: null rows only
+            tbl = None
+            n = pq.ParquetFile(partition.abs_file).metadata.num_rows
 
         # deletion vectors: subtract this file's listed positions
         if partition.dv_files:
@@ -245,22 +341,25 @@ class LakehouseReader(DataSourceReader):
                                         pa.scalar(partition.listed_name))
                 dead.update(dv.filter(mask).column("row_index").to_pylist())
             if dead:
-                keep = np.ones(tbl.num_rows, dtype=bool)
+                keep = np.ones(n, dtype=bool)
                 keep[np.fromiter(dead, dtype=np.int64)] = False
-                tbl = tbl.filter(pa.array(keep))
+                if tbl is not None:
+                    tbl = tbl.filter(pa.array(keep))
+                n = int(keep.sum())
 
-        tbl = _apply_actions_arrow(tbl, self.actions)
+        if tbl is not None:
+            tbl = _apply_actions_arrow(tbl, self.actions)
 
         # project to the logical schema: null-fill missing columns,
         # cast present ones to the declared (merged) type, order
         cols = []
-        names = set(tbl.schema.names)
+        names = set(tbl.schema.names) if tbl is not None else set()
         for field in schema.fields:
             at = _arrow_type_of(field.dataType)
             if field.name in names:
                 cols.append(tbl.column(field.name).cast(at))
             else:
-                cols.append(pa.nulls(tbl.num_rows, type=at))
+                cols.append(pa.nulls(n, type=at))
         out = pa.table({f.name: c for f, c in zip(schema.fields, cols)})
         yield from out.to_batches(max_chunksize=1 << 16)
 
@@ -292,7 +391,23 @@ class LakehouseDataSource(DataSource):
         # the range (schema/replay version skew)
         v = rng[1] if rng else _resolve_version(path, self.options)
         rel_files, _dvs = LH._state_at_version(path, v)
-        return _logical_schema(path, v, rel_files)
+        full = _logical_schema(path, v, rel_files)
+        want = self.options.get("columns")
+        if want:
+            # explicit projection (.option("columns", "a,b")): the
+            # Python DataSource API has no requiredSchema hook, so
+            # this is the column-pruning handle — read() then decodes
+            # ONLY these columns' parquet pages
+            names = [c.strip() for c in want.split(",") if c.strip()]
+            unknown = [c for c in names if c not in full.fieldNames()]
+            if unknown:
+                raise ValueError(
+                    f"columns option names unknown columns {unknown}; "
+                    f"table has {full.fieldNames()}"
+                )
+            keep = set(names)
+            full = T.StructType([f for f in full.fields if f.name in keep])
+        return full
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         path = self._path()
@@ -394,6 +509,10 @@ class LakehouseCDFDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # Python-source filter pushdown ships disabled by default and a
+    # reader implementing pushFilters errors under a session that
+    # leaves it off — same activation the spotify source performs
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakehouseDataSource)
     spark.dataSource.register(LakehouseCDFDataSource)
 

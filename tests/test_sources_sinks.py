@@ -3936,3 +3936,86 @@ def test_lakehouse_sql_merge_set_assignments(spark, tmp_path):
             MERGE INTO sqs t USING sets_chg s ON t.k = s.k
             WHEN MATCHED THEN UPDATE SET nope = 1
         """)
+
+
+def test_lakehouse_datasource_pushdown_prunes_files(spark, tmp_path):
+    """format("lakehouse") filter pushdown: partition-value equality
+    and stats-range predicates drop whole files at PLAN time (the
+    log's partition values + [min, max] stats), while every filter is
+    handed back to Spark for row-level re-evaluation — results equal
+    the unpruned read. The reader is also probed directly so the test
+    pins the pruned InputPartition count, not just the row values."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import (
+        LakehouseReader, register as register_ds,
+    )
+
+    register_ds(spark)
+
+    # partitioned table: one Hive partition per grp value
+    ppath = str(tmp_path / "lh_pushdown_part")
+    df = spark.range(400).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS grp", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, ppath, "k", n_files=2, partition_by=["grp"])
+    v = LH.current_version(ppath)
+    sch = spark.read.format("lakehouse").load(ppath).schema
+
+    rdr = LakehouseReader(ppath, v, sch)
+    n_all = len(rdr.partitions())
+    leftover = list(rdr.pushFilters([EqualTo(("grp",), 2)]))
+    assert len(leftover) == 1          # handed back for re-evaluation
+    n_pruned = len(rdr.partitions())
+    assert 0 < n_pruned < n_all
+    got = spark.read.format("lakehouse").load(ppath).filter("grp = 2")
+    assert got.count() == 100 and got.agg({"k": "min"}).first()[0] == 2
+
+    # stats table: range predicate on the clustered key
+    spath = str(tmp_path / "lh_pushdown_stats")
+    LH.table_init(df.drop("grp"), spath, "k", n_files=8, stats_cols=["k"])
+    v = LH.current_version(spath)
+    sch = spark.read.format("lakehouse").load(spath).schema
+    rdr = LakehouseReader(spath, v, sch)
+    n_all = len(rdr.partitions())
+    list(rdr.pushFilters([GreaterThanOrEqual(("k",), 300),
+                          LessThan(("k",), 350)]))
+    assert len(rdr.partitions()) < n_all
+    got = spark.read.format("lakehouse").load(spath) \
+        .filter("k >= 300 AND k < 350")
+    assert got.count() == 50
+
+
+def test_lakehouse_datasource_columns_projection(spark, tmp_path):
+    """.option("columns", ...): the schema narrows to the requested
+    fields and read() decodes only those parquet columns (the Python
+    DataSource API has no requiredSchema hook, so this option is the
+    column-pruning handle); unknown names are loud; projection
+    composes with rename replay (requesting the NEW name reads files
+    that store the OLD physical name)."""
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    path = str(tmp_path / "lh_cols")
+    df = spark.range(50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v",
+                                    "CAST(id % 3 AS INT) AS tag")
+    LH.table_init(df, path, "k", n_files=2)
+    got = spark.read.format("lakehouse").option("columns", "k,tag").load(path)
+    assert got.columns == ["k", "tag"]
+    assert got.count() == 50 and got.agg({"tag": "max"}).first()[0] == 2
+
+    with _pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("lakehouse").option("columns", "nope").load(path) \
+            .count()
+
+    # rename, then project the new name: old-vintage files feed it
+    LH.rename_column(spark, path, "v", "score")
+    got = spark.read.format("lakehouse").option("columns", "score") \
+        .load(path)
+    assert got.columns == ["score"]
+    assert got.agg({"score": "sum"}).first()[0] == sum(range(50))
