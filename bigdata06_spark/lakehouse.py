@@ -1269,8 +1269,37 @@ def _live_with_positions(spark: SparkSession, path: str, prev_v: int,
     return marked
 
 
+def _prune_files_for_dml(path: str, version: int, rel_files: list[str],
+                         partition_filter: dict | None,
+                         stats_filter: dict | None) -> list[str]:
+    """Planner-side file pruning for the MOR writers — the same
+    partition-value / [min, max]-stats rules `read_version` applies,
+    so a predicate-scoped DELETE/UPDATE on a 100 TB table scans only
+    the files that can contain matches instead of the whole snapshot.
+    SOUNDNESS CONTRACT (caller's): the filters must be implied by the
+    predicate — a file the filters drop is a file the writer never
+    inspects, exactly like read_version's pruning aids."""
+    if partition_filter:
+        kept = []
+        for f in rel_files:
+            try:
+                if _matches_partition(f, partition_filter):
+                    kept.append(f)
+            except ValueError:
+                kept.append(f)  # no partition value recorded → keep
+        rel_files = kept
+    if stats_filter and rel_files:
+        st = file_stats_at(path, version)
+        rel_files = [
+            f for f in rel_files if _stats_may_match(st.get(f), stats_filter)
+        ]
+    return rel_files
+
+
 def delete_where(spark: SparkSession, path: str, predicate,
-                 n_files: int = 1) -> int:
+                 n_files: int = 1,
+                 partition_filter: dict | None = None,
+                 stats_filter: dict | None = None) -> int:
     """DELETE via deletion vectors: mark every current row matching
     `predicate` (SQL string or Column) deleted WITHOUT rewriting any
     data file. Writes one small parquet of (file, row_index)
@@ -1285,11 +1314,16 @@ def delete_where(spark: SparkSession, path: str, predicate,
     scan a COW delete needs to FIND the rows) + a write of O(matched
     rows) positions; zero data-file rewrite. The scan excludes
     already-deleted positions, so re-running the same predicate is a
-    no-op, not a DV that grows without bound."""
+    no-op, not a DV that grows without bound. `partition_filter` /
+    `stats_filter` (same shapes as read_version's) prune the
+    predicate scan to the files that can contain matches — the
+    filters MUST be implied by the predicate."""
     prev_v = current_version(path)
     if prev_v < 0:
         raise ValueError(f"no lakehouse table at {path}")
     rel_files, dvs = _state_at_version(path, prev_v)
+    rel_files = _prune_files_for_dml(path, prev_v, rel_files,
+                                     partition_filter, stats_filter)
     if not rel_files:
         return prev_v
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1320,7 +1354,9 @@ def delete_where(spark: SparkSession, path: str, predicate,
 
 
 def update_where(spark: SparkSession, path: str, key: str,
-                 assignments: dict, predicate, n_files: int = 1) -> int:
+                 assignments: dict, predicate, n_files: int = 1,
+                 partition_filter: dict | None = None,
+                 stats_filter: dict | None = None) -> int:
     """MERGE-ON-READ UPDATE (Delta's UPDATE with DVs): rows matching
     `predicate` get `assignments` ({col: Column-or-SQL-expr, may
     reference the old row's columns}) applied — implemented as ONE
@@ -1338,11 +1374,15 @@ def update_where(spark: SparkSession, path: str, key: str,
     tables, so an update that changes a partition value migrates the
     row); assignments must target existing columns (a typo'd name is
     a loud error, not silent schema evolution — use add_column/merge
-    for evolution)."""
+    for evolution). `partition_filter` / `stats_filter` (read_version
+    shapes, MUST be implied by the predicate) prune the scan to the
+    files that can contain matches."""
     prev_v = current_version(path)
     if prev_v < 0:
         raise ValueError(f"no lakehouse table at {path}")
     rel_files, dvs = _state_at_version(path, prev_v)
+    rel_files = _prune_files_for_dml(path, prev_v, rel_files,
+                                     partition_filter, stats_filter)
     if not rel_files:
         return prev_v
     marked = _live_with_positions(spark, path, prev_v, rel_files, dvs)

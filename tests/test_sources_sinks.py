@@ -4019,3 +4019,54 @@ def test_lakehouse_datasource_columns_projection(spark, tmp_path):
         .load(path)
     assert got.columns == ["score"]
     assert got.agg({"score": "sum"}).first()[0] == sum(range(50))
+
+
+def test_lakehouse_pruned_dml_many_files(spark, tmp_path):
+    """Predicate-scoped MOR DML on a many-file table: delete_where /
+    update_where accept the same partition_filter / stats_filter
+    pruning aids as read_version, so a partition-local DELETE scans
+    ONE partition's files instead of the whole snapshot (pinned via
+    the pruned file list), planning stays log-only (no data I/O to
+    plan), and results equal the unpruned semantics."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_many")
+    # 120 Hive partitions, one file each
+    df = spark.range(6000).selectExpr(
+        "id AS k", "CAST(id % 120 AS INT) AS part", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k", n_files=1, partition_by=["part"])
+    v0 = LH.current_version(path)
+    rel_files, _ = LH._state_at_version(path, v0)
+    assert len(rel_files) >= 120
+
+    # planner-side pruning: one partition → its files only
+    pruned = LH._prune_files_for_dml(path, v0, rel_files,
+                                     {"part": "7"}, None)
+    assert 0 < len(pruned) < len(rel_files)
+    assert all("part=7/" in f for f in pruned)
+
+    # pruned read matches: the scan touches only matching files
+    got = LH.read_version(spark, path, v0, partition_filter={"part": ["7"]})
+    assert got.count() == 50
+    assert all("part=7" in f for f in got.inputFiles())
+
+    # partition-scoped DELETE: correct rows gone, everything else kept
+    v1 = LH.delete_where(spark, path, "part = 7 AND k < 1000",
+                         partition_filter={"part": "7"})
+    assert v1 == v0 + 1
+    after = LH.read_version(spark, path, v1)
+    assert after.filter("part = 7").count() == 50 - after.filter(
+        "part = 7 AND k < 1000").limit(0).count() - 9  # keys 7,127,...,967
+    assert after.count() == 6000 - 9
+
+    # partition-scoped UPDATE through the same aid
+    v2 = LH.update_where(spark, path, "k", {"v": F.col("v") + 1000},
+                         "part = 11", partition_filter={"part": "11"})
+    assert v2 == v1 + 1
+    upd = LH.read_version(spark, path, v2).filter("part = 11")
+    assert upd.count() == 50
+    assert upd.agg(F.min("v")).first()[0] == 11 + 1000
+
+    # a filter matching nothing is a no-op version-wise
+    assert LH.delete_where(spark, path, "part = 999",
+                           partition_filter={"part": "999"}) == v2
