@@ -68,26 +68,77 @@ def load_all_queries() -> dict[str, QuerySpec]:
         lakehouse_q,
     )
 
-    # Family-crossing head order (VERDICT r2 #8, rotated per round —
-    # VERDICT r4 #7): external samplers take the FIRST 50 registry
-    # entries (CORRECTNESS_r04 sampled exactly head[0:50] in order).
-    # Round 4 validated 50 queries externally; rotating the head each
-    # round puts 50 NEVER-YET-SAMPLED queries in the window, so
-    # external validation accumulates across rounds instead of
-    # re-checking the same flagships. Round-5 head: the six
-    # verdict-named never-sampled queries first, then the round-5
-    # newcomers, then one never-sampled flagship per family (names
-    # only — zero semantic change; the r1-r4-sampled flagships follow
-    # immediately after position 50 and remain in the registry).
+    # Family-crossing head order (VERDICT r2 #8), rotated per round
+    # (VERDICT r4 #7, r5 #8): external samplers take the FIRST 50
+    # registry entries, so each round puts 50 never-yet-sampled
+    # queries in that window — external validation accumulates across
+    # rounds instead of re-checking the same flagships. Names only;
+    # zero semantic change; everything stays in the registry.
     flagship_head = [
-        # VERDICT r4 #7: green in the internal sweep since r4 but
-        # never in a CORRECTNESS_r*.json sample
+        # ---- round-6 head: 50 NEVER-SAMPLED entries (disjoint from
+        # every CORRECTNESS_r1-r5 sample; VERDICT r5 #8). Leads with
+        # the round-6 newcomers (the SQL statement surface), then the
+        # r5-head stragglers that fell past position 50, then the
+        # mid-registry window/join/events/agg/scalar families.
+        "lakehouse_sql_merge", "lakehouse_sql_update_delete",
+        "text_bigram_logprob", "corpus_training_manifest",
+        "agg_kmv_sketch_setops", "join_lateral_topk",
+        "events_funnel_steps", "cdc_scd1_merge",
+        "graph_triangle_census", "agg_skew_salted",
+        "multimodal_audio_windows", "source_avro_roundtrip",
+        "join_null_safe", "join_fuzzy_entity_resolution",
+        "window_lag_lead", "window_running_sum", "window_distribution",
+        "setop_union_distinct", "setop_intersect_all",
+        "join_range_events", "join_asof_nearest",
+        "session_window_dynamic_gap",
+        "events_gapfill_locf", "events_zscore_outliers",
+        "events_transition_matrix", "events_retention_daily",
+        "events_trending_decay", "events_activity_heatmap",
+        "events_lateness_profile", "events_anomaly_mad",
+        "events_cumulative_distinct", "events_concurrency_profile",
+        "agg_histogram", "agg_freq_items_sketch", "agg_median_mode",
+        "agg_hll_sketch_rollup", "agg_corr_moments",
+        "agg_percentile_disc", "agg_bitmap_exact_distinct",
+        "agg_listagg", "agg_transpose_crosstab", "agg_boolean_argmax",
+        "agg_grouping_id", "agg_pivot_multi", "mv_incremental_refresh",
+        "scalar_generator_funcs", "scalar_math_funcs",
+        "scalar_array_funcs", "scalar_conditional", "scalar_map_funcs",
+        # ---- position 51+: remaining never-sampled entries queue up
+        # for the round-7 rotation, ahead of the validated flagships
+        "scalar_bitwise_funcs", "scalar_explode_outer",
+        "scalar_xml_funcs", "scalar_collation_funcs",
+        "scalar_string_funcs2", "scalar_date_funcs2",
+        "scalar_math_funcs2", "scalar_array_funcs2",
+        "orders_dow_seasonality", "customer_cohort_ltv",
+        "events_path_analysis", "orders_abc_pareto",
+        "orders_forecast_ses", "orders_trend_ols",
+        "stats_ab_welch_ttest", "stats_bootstrap_ci",
+        "supplier_affinity_graph", "feature_quantile_bins",
+        "encode_categoricals", "feature_bins_lookup",
+        "orders_rfm_segments", "nest_order_documents",
+        "dedup_ngram_jaccard", "dedup_components", "dedup_keep_canonical",
+        "dedup_semantic_fixed_k", "rag_context_assembly",
+        "embedding_pq_codes", "knn_pq_adc", "embedding_power_iteration",
+        "tfidf_top_terms", "text_lang_id", "text_fingerprint",
+        "text_vocabulary", "text_unigram_logprob", "text_bpe_tokenize",
+        "text_bpe_train_tokenize", "text_c4_filters",
+        "text_rake_keywords", "text_redact_pii",
+        "corpus_curation_funnel", "corpus_chunk_windows",
+        "corpus_ngram_novelty", "corpus_decontaminate",
+        "corpus_mixture_report", "corpus_source_kl",
+        "corpus_temperature_sample", "corpus_epoch_upsample",
+        "corpus_diversity_metrics",
+        "multimodal_resize", "multimodal_frame_sample",
+        "multimodal_features",
+        "stream_dedup_counts", "stream_static_join",
+        "stream_watermark_append", "stream_stream_left_join",
+        "sample_systematic", "sample_weighted",
+        "sample_bernoulli_certified", "lakehouse_merge_current",
+        "knn_lsh_ann", "knn_ivf_ann",
+        # ---- then the r1-r5-validated flagships, per family
         "forecast_exp_smoothing", "inventory_clamped_running_sum",
         "text_classifier_train", "text_classifier_eval",
         "sql_pipe_syntax", "dq_observed_metrics",
-        # round-5 newcomers (partition pruning, stats skipping, the
-        # adaptive-chunk simhash, the canonicalized scaled-k SemDeDup,
-        # the rebuilt minhash-pair agreement ensemble)
         "lakehouse_partition_pruned", "lakehouse_stats_skipping",
         "lakehouse_delete_vectors", "lakehouse_zorder_skipping",
         "lakehouse_update_where", "lakehouse_rename_drop",
@@ -97,7 +148,6 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "knn_ivfpq_persisted", "knn_ivfpq_incremental",
         "dedup_simhash_adaptive", "dedup_semantic",
         "dedup_methods_agreement",
-        # never-sampled flagships, one+ per family
         "sql_scripting_block", "sql_parameterized",
         "sql_defined_functions", "sort_offset_pagination",
         "scalar_variant_funcs", "scalar_url_funcs",
@@ -112,14 +162,6 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "knn_pq_adc_rerank", "knn_filtered", "knn_label_vote",
         "rag_hybrid_rrf", "embedding_quantize_int8",
         "text_repetition_stats", "text_winnowing_fingerprints",
-        "text_bigram_logprob",
-        "corpus_training_manifest", "agg_kmv_sketch_setops",
-        "join_lateral_topk",
-        "events_funnel_steps", "cdc_scd1_merge",
-        "graph_triangle_census",
-        "agg_skew_salted", "multimodal_audio_windows",
-        # ---- position 51+: the r1-r4-validated flagships ----
-        # families never driver-sampled in rounds 1-2
         "window_ranking", "window_range_frame", "window_ignore_nulls",
         "topk_per_group", "sessionize_events",
         "setop_intersect", "setop_except_all",
@@ -137,24 +179,18 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "sample_stratified",
         "graph_pagerank", "cdc_scd2_history", "events_hypertable_rollup",
         "sql_interface", "sql_recursive_cte",
-        # round-3 new families — one flagship each inside the sampled
-        # window (lakehouse, composed IVF-PQ, DQ audit, BPE training)
         "lakehouse_time_travel", "knn_ivfpq", "dq_expectations",
         "text_bpe_train",
-        # round-4 new: the skew-capped / sampled 100 TB shapes, the
-        # row-level CDF, and the Avro decimal logical type
         "supplier_affinity_graph_capped", "knn_label_vote_sampled",
         "lakehouse_row_cdf", "source_avro_decimal_roundtrip",
         "lakehouse_mv_incremental",
-        # previously-sampled families keep flagship representation
         "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
         "q18_large_volume_customers",
         "ref_dedup_first_wins", "ref_enrichment_join",
-        "source_spotify_datasource", "source_avro_roundtrip",
-        "join_inner", "join_asof", "join_null_safe", "join_lateral_topk",
+        "source_spotify_datasource",
+        "join_inner", "join_asof",
         "agg_grouping_sets", "agg_percentiles", "agg_approx_distinct",
-        "agg_skew_salted", "agg_pivot", "ref_flatten_json",
-        "join_fuzzy_entity_resolution", "graph_triangle_census",
+        "agg_pivot", "ref_flatten_json",
     ]
     missing = [n for n in flagship_head if n not in REGISTRY]
     if missing:
