@@ -459,21 +459,16 @@ def _assign_identity(df: DataFrame, ident: dict, key: str) -> DataFrame:
     BY key — same deterministic key-ordered allocation contract."""
     from pyspark.sql.window import Window
 
+    from bigdata06_spark.sinks import range_bin_expr
+
     edges = sorted({
         r[0]
         for r in df.select(key).where(F.col(key).isNotNull())
         .orderBy(F.xxhash64(F.col(key))).limit(1024).collect()
     })
-    if edges:
-        arr = F.array(*[F.lit(e) for e in edges])
-        # bin = #edges <= key; NULL keys → bin 0 (NULLS FIRST, the
-        # same placement the old global window gave them)
-        bin_ = F.aggregate(
-            arr, F.lit(0),
-            lambda acc, e: acc + F.when(e <= F.col(key), 1).otherwise(0),
-        )
-    else:
-        bin_ = F.lit(0)
+    # bin = #edges <= key, codegen'd binary search; NULL keys → bin 0
+    # (NULLS FIRST, the same placement the old global window gave)
+    bin_ = range_bin_expr(edges, F.col(key)) if edges else F.lit(0)
     b = df.withColumn("_ibin", bin_)
     counts = {
         r["_ibin"]: r["n"]

@@ -119,6 +119,24 @@ def _zorder_surrogate(dtype: str, c: str):
     )
 
 
+def range_bin_expr(edges: list, col) -> "Column":
+    """bin(col) = #edges ≤ col, as a BALANCED NESTED-WHEN BINARY
+    SEARCH over the sorted literal edges — log₂(n) comparisons per
+    row, all inside whole-stage codegen. (The obvious
+    `aggregate(edges, ..)` higher-order function is CodegenFallback:
+    interpreted per row × per edge, ~50× slower at 256+ edges.)
+    NULL col: every comparison is NULL → each WHEN falls through to
+    its otherwise → bin 0, the NULLS FIRST placement."""
+    def build(lo: int, hi: int):
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2  # bin > mid ⇔ edges[mid] ≤ col
+        return F.when(F.lit(edges[mid]) <= col,
+                      build(mid + 1, hi)).otherwise(build(lo, mid))
+
+    return build(0, len(edges))
+
+
 def write_zorder_parquet(
     df: DataFrame, path: str, cols: list[str], n_files: int = 16, bits: int = 16,
     mode: str = "overwrite",
@@ -157,14 +175,17 @@ def zorder_grid(df: DataFrame, cols: list[str], bits: int = 16):
     returned so the caller can drop them). Windowless by construction
     — exposed separately so tests can assert the build plan has no
     WindowExec."""
-    q = min(1 << bits, 1024)
+    # 256 bins per dimension saturate file-level clustering (files ≪
+    # bins); sketch error of half a bin keeps the G-K summary cheap —
+    # a tighter error multiplies sketch size for no layout gain
+    q = min(1 << bits, 256)
     surro = []
     dtypes = dict(df.dtypes)
     for i, c in enumerate(cols):
         surro.append((f"_zs_{i}", _zorder_surrogate(dtypes[c], c)))
     tmp = df.select("*", *[e.alias(n) for n, e in surro])
     probs = [i / q for i in range(1, q)]
-    all_edges = tmp.stat.approxQuantile([n for n, _ in surro], probs, 1.0 / (4 * q))
+    all_edges = tmp.stat.approxQuantile([n for n, _ in surro], probs, 1.0 / (2 * q))
 
     grid = tmp
     rank_cols = []
@@ -173,13 +194,7 @@ def zorder_grid(df: DataFrame, cols: list[str], bits: int = 16):
         # (all-null column) degrade to a single bin.
         uniq = sorted({float(e) for e in edges if e is not None})
         n_e = max(len(uniq), 1)
-        arr = F.array(*[F.lit(e) for e in uniq]) if uniq else F.array(F.lit(0.0))
-        # bin = #edges <= value; NULL value → comparisons NULL → bin 0
-        # (matches the old window's NULLS FIRST rank-0 placement).
-        bin_ = F.aggregate(
-            arr, F.lit(0).cast("long"),
-            lambda acc, e: acc + F.when(e <= F.col(name), 1).otherwise(0),
-        )
+        bin_ = range_bin_expr(uniq, F.col(name)).cast("long")
         rc = f"_zr_{name}"
         grid = grid.withColumn(
             rc,
