@@ -290,9 +290,22 @@ def _collect_file_stats(spark: SparkSession, path: str, files: list[str],
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("f")).agg(*aggs).collect()
     )
+    # exact abs-path → listed-name mapping (files may be data/-rel,
+    # CONVERT-adopted abs, or clone-source abs — suffix surgery can't
+    # cover all three)
+    abs_to_listed = {
+        os.path.abspath(os.path.join(path, f)): f for f in files
+    }
     out = {}
     for r in rows:
-        rel = _DATA + "/" + r["f"].split(f"/{_DATA}/", 1)[1]
+        p = r["f"]
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                p = p[len(pre):]
+                break
+        if not p.startswith("/"):
+            p = "/" + p
+        rel = abs_to_listed[os.path.abspath(p)]
         out[rel] = {
             c: [_json_scalar(r[f"_mn_{c}"]), _json_scalar(r[f"_mx_{c}"])]
             for c in present
@@ -1095,6 +1108,108 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
         entry["identity"] = ident
     entry["op"] = "WRITE"
     _commit_log(path, 0, entry)
+
+
+def append(spark: SparkSession, path: str, key: str, df: DataFrame,
+           n_files: int = 1) -> int:
+    """Blind APPEND as a version (SQL INSERT INTO's engine): new
+    range-sorted files only, nothing rewritten, duplicates allowed —
+    key-dedup is merge's job. Unlike the session-less DataSource
+    writer, this maintains EVERY table invariant: generated columns
+    recompute, identity ids allocate from the watermark, CHECK
+    constraints validate, partitioned tables dir-route, and the
+    commit records the new files' stats/blooms. Returns the new
+    version (or the current one for an empty batch)."""
+    prev_v = current_version(path)
+    if prev_v < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    constraints = table_constraints(path)
+    generated = table_generated_cols(path)
+    ident = table_identity(path)
+    pby = table_partition_by(path)
+    _reject_identity_col(ident, [df], "append")
+    clash = sorted(set(df.columns) & _retired_names(path, prev_v))
+    if clash:
+        raise ValueError(
+            f"columns {clash} were retired by an earlier rename/drop; "
+            "appending them would resurrect stale data"
+        )
+    df = _apply_generated(df, generated)
+    n_new = 0
+    if ident:
+        n_new = df.count()
+        if not n_new:
+            return prev_v
+        df = _assign_identity(df, ident, key)
+    _validate_constraints(df, constraints, "append")
+    new_v = prev_v + 1
+    sub = _new_sub(new_v)
+    out = os.path.join(path, _DATA, sub)
+    if pby:
+        _write_partitioned(df, out, key, max(1, n_files), pby)
+    else:
+        (
+            df.repartitionByRange(max(1, n_files), F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    files = _list_data_files(path, sub)
+    if not files:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        return prev_v
+    entry: dict = {"add": files, "remove": [], "op": "APPEND"}
+    entry.update(_entry_partition_meta(files))
+    entry.update(_entry_stats_blooms(spark, path, files))
+    if ident and n_new:
+        entry["identity"] = {
+            **ident, "high": ident["high"] + ident["step"] * n_new,
+        }
+    _commit_log(path, new_v, entry)
+    return new_v
+
+
+def convert_to_lakehouse(spark: SparkSession, path: str,
+                         stats_cols: list[str] | None = None) -> int:
+    """CONVERT TO DELTA equivalent: adopt an existing directory of
+    plain parquet files as lakehouse version 0 IN PLACE — zero copy,
+    zero rewrite. The log simply lists the directory's `*.parquet`
+    files as version 0's file set (the same by-name listing every
+    other commit uses; adopted files sit beside `data/`, and later
+    merges/OPTIMIZE rewrite them into managed range-bucketed files
+    and drop the adopted names from the live set). `stats_cols`
+    records per-file [min, max] at conversion so stats skipping works
+    from version 0 — one distributed footer-cheap aggregate, still no
+    rewrite. This is the onboarding path for a 100 TB raw-parquet
+    lake: O(files) metadata, not O(bytes) data movement.
+
+    The adopted layout has whatever clustering the source had — a
+    subsequent OPTIMIZE (or key-range merge) is the usual next step,
+    exactly like Delta's CONVERT-then-OPTIMIZE runbook."""
+    import glob as _glob
+
+    if current_version(path) >= 0:
+        raise ValueError(f"{path} is already a lakehouse table")
+    # adopted files are listed by ABSOLUTE path — the shallow-CLONE
+    # listing convention, so every reader/rewriter resolves them
+    # through the same machinery cloned files already use
+    files = sorted(
+        os.path.abspath(f)
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    if not files:
+        raise ValueError(f"no parquet files to adopt in {path}")
+    entry: dict = {"add": files, "remove": [], "op": "CONVERT"}
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    entry["schema_cols"] = list(df.columns)
+    if stats_cols:
+        entry["stats_cols"] = list(stats_cols)
+        entry["stats"] = _collect_file_stats(spark, path, files,
+                                             list(stats_cols))
+    _commit_log(path, 0, entry)
+    return 0
 
 
 def read_version(spark: SparkSession, path: str, version: int,

@@ -32,10 +32,13 @@ Grammar (the documented subset; anything outside it raises):
         [ WHEN NOT MATCHED [AND <cond>] THEN INSERT * ]
     UPDATE <tbl> SET c = expr, ... [WHERE <cond>]
     DELETE FROM <tbl> [WHERE <cond>]
+    INSERT INTO <tbl> [(c1, ...)] { VALUES ... | SELECT ... }
     VACUUM <tbl> [RETAIN <n> VERSIONS]
     OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)]
     DESCRIBE HISTORY <tbl>
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
+    CONVERT TO LAKEHOUSE parquet.`/dir` [STATS (c1, ...)]
+                                       -- zero-copy in-place adoption
 
 `<tbl>` is a registry name (from CREATE TABLE here) or an inline
 ``lakehouse.`/path/to/table` `` reference. MERGE follows Delta's
@@ -386,6 +389,64 @@ def _sql_delete(spark: SparkSession, stmt: str) -> DataFrame:
     return _version_df(spark, v)
 
 
+def _sql_insert(spark: SparkSession, stmt: str) -> DataFrame:
+    """INSERT INTO <tbl> [(cols)] VALUES ... | SELECT ... — Delta's
+    blind append (duplicates allowed; dedup is MERGE's job). With a
+    registered clustering key the rows go through `lakehouse.append`,
+    which maintains every table invariant session-side (generated /
+    identity / constraints / partition layout / stats / blooms); an
+    inline key-less reference falls back to the DataSource writer and
+    inherits its loud-reject contract for such tables. Values bind
+    positionally; named column lists null-fill the rest; extra or
+    unknown columns are loud."""
+    m = re.fullmatch(
+        r"INSERT\s+INTO\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s*"
+        r"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s*)?"
+        r"(?P<body>(?:VALUES|SELECT)\s*.+)",
+        stmt, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse INSERT statement {stmt!r}")
+    path, key, name = _resolve(m.group("tbl"))
+    from bigdata06_spark.sources.lakehouse_datasource import (
+        register as _register_ds,
+    )
+
+    _register_ds(spark)
+    df = spark.sql(m.group("body"))
+    tgt = spark.read.format("lakehouse").load(path).schema
+    ident = LH.table_identity(path)
+    if ident:
+        # the table allocates its identity column; INSERT may not
+        # bind it (positionally or by name) — drop it from the target
+        tgt = type(tgt)([f for f in tgt.fields if f.name != ident["col"]])
+    if m.group("cols"):
+        names = [c.strip().strip("`") for c in m.group("cols").split(",")]
+    else:
+        names = tgt.fieldNames()
+    unknown = [c for c in names if c not in tgt.fieldNames()]
+    if unknown:
+        raise ValueError(f"INSERT names unknown columns {unknown}")
+    if len(df.columns) != len(names):
+        raise ValueError(
+            f"INSERT provides {len(df.columns)} values for {len(names)} "
+            f"columns {names}"
+        )
+    bound = df.toDF(*names)
+    out = bound.select(*[
+        (F.col(f.name) if f.name in names
+         else F.lit(None)).cast(f.dataType).alias(f.name)
+        for f in tgt.fields
+    ])
+    if key:
+        LH.append(spark, path, key, out)
+    else:
+        out.write.format("lakehouse").mode("append").save(path)
+    if name:
+        _refresh_view(spark, name)
+    return _version_df(spark, LH.current_version(path))
+
+
 def _sql_vacuum(spark: SparkSession, stmt: str) -> DataFrame:
     m = re.fullmatch(
         r"VACUUM\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)"
@@ -430,6 +491,21 @@ def _sql_history(spark: SparkSession, stmt: str) -> DataFrame:
     return LH.describe_history(spark, path)
 
 
+def _sql_convert(spark: SparkSession, stmt: str) -> DataFrame:
+    m = re.fullmatch(
+        r"CONVERT\s+TO\s+LAKEHOUSE\s+(?:parquet\.)?`(?P<path>[^`]+)`"
+        r"(?:\s+STATS\s+\(\s*(?P<cols>[^)]+)\))?",
+        stmt, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse CONVERT statement {stmt!r}")
+    cols = None
+    if m.group("cols"):
+        cols = [c.strip().strip("`") for c in m.group("cols").split(",")]
+    v = LH.convert_to_lakehouse(spark, m.group("path"), stats_cols=cols)
+    return _version_df(spark, v)
+
+
 def _sql_restore(spark: SparkSession, stmt: str) -> DataFrame:
     m = re.fullmatch(
         r"RESTORE\s+TABLE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+"
@@ -451,10 +527,12 @@ _DISPATCH = [
                 re.IGNORECASE | re.DOTALL), _sql_create),
     (re.compile(r"\s*UPDATE\s+(?!.*\bSET\b.*\bFROM\b)", re.IGNORECASE), _sql_update),
     (re.compile(r"\s*DELETE\s+FROM\b", re.IGNORECASE), _sql_delete),
+    (re.compile(r"\s*INSERT\s+INTO\b", re.IGNORECASE), _sql_insert),
     (re.compile(r"\s*VACUUM\b", re.IGNORECASE), _sql_vacuum),
     (re.compile(r"\s*OPTIMIZE\b", re.IGNORECASE), _sql_optimize),
     (re.compile(r"\s*DESCRIBE\s+HISTORY\b", re.IGNORECASE), _sql_history),
     (re.compile(r"\s*RESTORE\s+TABLE\b", re.IGNORECASE), _sql_restore),
+    (re.compile(r"\s*CONVERT\s+TO\s+LAKEHOUSE\b", re.IGNORECASE), _sql_convert),
 ]
 
 
@@ -468,8 +546,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             # UPDATE/DELETE against non-lakehouse relations still fall
             # through: only registered names / lakehouse.`path` refs
             # dispatch here
-            if fn in (_sql_update, _sql_delete):
+            if fn in (_sql_update, _sql_delete, _sql_insert):
                 tbl = stmt.split()[1 if fn is _sql_update else 2]
+                tbl = tbl.split("(")[0]  # INSERT INTO t(... tight form
                 if (not re.match(r"lakehouse\.`", tbl, re.IGNORECASE)
                         and tbl.strip("`").lower() not in _TABLES):
                     break

@@ -1070,3 +1070,55 @@ def lakehouse_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS cents
         FROM sqld_cust GROUP BY c_mktsegment
     """)
+
+
+def _convert_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_convert_{tag}")
+
+
+@register(
+    "lakehouse_convert_insert",
+    oracle="""
+    WITH adopted AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      UNION ALL VALUES (900000001, -7, 11.5), (900000002, -7, 22.5)
+    )
+    SELECT CAST(o_custkey = -7 AS BOOLEAN) AS is_manual,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM adopted GROUP BY is_manual
+    """,
+)
+def lakehouse_convert_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO LAKEHOUSE + INSERT INTO through the SQL surface:
+    a directory of PLAIN parquet becomes version 0 with zero data
+    movement (files adopted by absolute name — the clone listing
+    convention — with [min, max] stats recorded at conversion), then
+    an INSERT appends rows through the DataSource writer's OCC
+    commit. The onboarding path for an existing raw-parquet lake:
+    O(files) metadata, no O(bytes) rewrite, and every lakehouse
+    feature (time travel, stats skipping, merge) active from v0."""
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = _convert_dir(sf_dir)
+    if LH.current_version(path) < 0:
+        base = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        base.repartitionByRange(4, KEY).sortWithinPartitions(KEY) \
+            .write.mode("overwrite").parquet(path)
+        LSQL.sql(spark, f"CONVERT TO LAKEHOUSE parquet.`{path}` "
+                        f"STATS ({KEY})")
+    LSQL.register_table(spark, "conv_orders", path, KEY)
+    if LH.current_version(path) < 1:
+        LSQL.sql(spark, "INSERT INTO conv_orders VALUES "
+                        "(900000001, -7, 11.5), (900000002, -7, 22.5)")
+    return LSQL.sql(spark, """
+        SELECT CAST(o_custkey = -7 AS BOOLEAN) AS is_manual,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM conv_orders GROUP BY is_manual
+    """)

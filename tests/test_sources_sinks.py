@@ -4070,3 +4070,99 @@ def test_lakehouse_pruned_dml_many_files(spark, tmp_path):
     # a filter matching nothing is a no-op version-wise
     assert LH.delete_where(spark, path, "part = 999",
                            partition_filter={"part": "999"}) == v2
+
+
+def test_lakehouse_sql_insert_into(spark, tmp_path):
+    """INSERT INTO through the SQL surface: blind append (duplicates
+    allowed — dedup is MERGE's job) via the DataSource writer's OCC
+    commit; positional VALUES, named column lists null-fill, arity
+    and unknown-column errors are loud."""
+    import pytest as _pytest
+
+    from bigdata06_spark.lakehouse_sql import sql
+
+    path = str(tmp_path / "lh_ins")
+    spark.range(3).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v",
+                              "CAST(id AS STRING) AS tag") \
+        .createOrReplaceTempView("ins_seed")
+    sql(spark, f"CREATE TABLE sqi USING lakehouse TBLPROPERTIES "
+               f"('key' 'k') LOCATION '{path}' AS SELECT * FROM ins_seed")
+
+    sql(spark, "INSERT INTO sqi VALUES (10, 1.5, 'x'), (11, 2.5, 'y')")
+    assert sql(spark, "SELECT count(*) AS n FROM sqi").first()["n"] == 5
+
+    # named subset: v/tag null-fill; duplicates of an existing key append
+    sql(spark, "INSERT INTO sqi (k) VALUES (0)")
+    rows = sql(spark, "SELECT * FROM sqi WHERE k = 0").collect()
+    assert len(rows) == 2 and any(r.v is None for r in rows)
+
+    # INSERT ... SELECT
+    sql(spark, "INSERT INTO sqi SELECT k + 100, v, tag FROM ins_seed")
+    assert sql(spark, "SELECT count(*) AS n FROM sqi").first()["n"] == 9
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        sql(spark, "INSERT INTO sqi (nope) VALUES (1)")
+    with _pytest.raises(ValueError, match="values for"):
+        sql(spark, "INSERT INTO sqi VALUES (1, 2.0)")
+    # non-lakehouse INSERT falls through to spark.sql
+    with _pytest.raises(Exception, match="nonesuch"):
+        sql(spark, "INSERT INTO nonesuch_t VALUES (1)")
+
+    # identity table: INSERT binds only the visible columns; ids
+    # allocate from the watermark (lakehouse.append has the session
+    # the DataSource writer lacks)
+    from bigdata06_spark import lakehouse as LH
+
+    ipath = str(tmp_path / "lh_ins_ident")
+    base = spark.range(3).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(base, ipath, "k", identity_col="rid")
+    from bigdata06_spark.lakehouse_sql import register_table
+    register_table(spark, "sqident", ipath, "k")
+    sql(spark, "INSERT INTO sqident VALUES (20, 5.0), (10, 4.0)")
+    got = {r.k: r.rid for r in sql(spark, "SELECT * FROM sqident").collect()}
+    assert got[10] == 4 and got[20] == 5  # key-ordered continuation
+
+
+def test_lakehouse_convert_in_place(spark, tmp_path):
+    """CONVERT TO LAKEHOUSE: adopt a directory of plain parquet as
+    version 0 with ZERO data movement (files listed absolutely, the
+    clone convention); stats recorded at conversion prune from v0; a
+    later merge rewrites only overlapping adopted files and time
+    travel back to v0 still reads the originals."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.lakehouse_sql import sql
+
+    path = str(tmp_path / "plain_parquet")
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df.repartitionByRange(4, "k").sortWithinPartitions("k") \
+        .write.parquet(path)
+    before = sorted(_glob.glob(path + "/*.parquet"))
+
+    sql(spark, f"CONVERT TO LAKEHOUSE parquet.`{path}` STATS (k)")
+    assert LH.current_version(path) == 0
+    assert sorted(_glob.glob(path + "/*.parquet")) == before  # zero copy
+
+    # reads resolve the absolute-listed adopted files
+    v0 = LH.read_version(spark, path, 0)
+    assert v0.count() == 1000
+    # stats skipping works from v0
+    pruned = LH.read_version(spark, path, 0, stats_filter={"k": (0, 10)})
+    assert len(pruned.inputFiles()) < 4 and pruned.filter("k <= 10").count() == 11
+
+    # a key-local merge rewrites only the overlapping adopted file(s)
+    upd = spark.createDataFrame([(5, -1.0)], "k long, v double")
+    v1 = LH.merge(spark, path, "k", updates=upd)
+    after = LH.read_version(spark, path, v1)
+    assert after.count() == 1000
+    assert after.filter("k = 5").first()["v"] == -1.0
+    carried = set(LH.files_at_version(path, v1)) & set(before)
+    assert len(carried) == 3  # 3 of 4 adopted files carry over untouched
+    # time travel to the pre-convert snapshot
+    assert LH.read_version(spark, path, 0).filter("k = 5").first()["v"] == 5.0
+
+    with _pytest.raises(ValueError, match="already a lakehouse"):
+        LH.convert_to_lakehouse(spark, path)
