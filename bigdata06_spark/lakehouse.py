@@ -298,6 +298,8 @@ def _collect_file_stats(spark: SparkSession, path: str, files: list[str],
     }
     out = {}
     for r in rows:
+        from urllib.parse import unquote
+
         p = r["f"]
         for pre in ("file://", "file:"):
             if p.startswith(pre):
@@ -305,7 +307,9 @@ def _collect_file_stats(spark: SparkSession, path: str, files: list[str],
                 break
         if not p.startswith("/"):
             p = "/" + p
-        rel = abs_to_listed[os.path.abspath(p)]
+        # scanner URIs percent-escape partition-dir characters
+        # (`col=NOT%20SPECIFIED`); listed names store them literally
+        rel = abs_to_listed[os.path.abspath(unquote(p))]
         out[rel] = {
             c: [_json_scalar(r[f"_mn_{c}"]), _json_scalar(r[f"_mx_{c}"])]
             for c in present

@@ -30,6 +30,8 @@ Grammar (the documented subset; anything outside it raises):
                                            UPDATE SET c = expr, ... |
                                            DELETE } } ...
         [ WHEN NOT MATCHED [AND <cond>] THEN INSERT * ]
+        { WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+              { DELETE | UPDATE SET c = expr, ... } } ...
     UPDATE <tbl> SET c = expr, ... [WHERE <cond>]
     DELETE FROM <tbl> [WHERE <cond>]
     INSERT INTO <tbl> [(c1, ...)] { VALUES ... | SELECT ... }
@@ -235,8 +237,27 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
 
     clauses = _split_clauses(on_rest[when_off[0]:], r"\bWHEN\b")
     matched: list[tuple[str | None, str, dict | None]] = []  # (cond, kind, sets)
+    by_source: list[tuple[str | None, str, dict | None]] = []
     insert_clause: tuple[str | None] | None = None
     for cl in clauses:
+        cm = re.fullmatch(
+            r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(?P<cond>.*?))?"
+            r"\s*THEN\s+(?:(?P<del>DELETE)|UPDATE\s+SET\s+(?P<sets>.*))",
+            cl, re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            sets = None
+            if not cm.group("del"):
+                s = cm.group("sets").strip()
+                if s == "*":
+                    raise ValueError(
+                        "NOT MATCHED BY SOURCE has no source row; "
+                        "UPDATE SET * is meaningless — name the assignments"
+                    )
+                sets = _parse_assignments(s)
+            by_source.append((cm.group("cond"),
+                              "delete" if cm.group("del") else "update", sets))
+            continue
         cm = re.fullmatch(
             r"WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*THEN\s+"
             r"INSERT\s+\*",
@@ -305,6 +326,39 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
         else:
             remaining = F.lit(False)
 
+    # NOT MATCHED BY SOURCE (Delta): target rows with no source match;
+    # conditions/assignments see only the target row. Same
+    # first-match-wins discipline within the clause family.
+    if by_source:
+        unmatched = tgt.join(
+            src.select(F.col(f"{salias}.{key}").alias(key)), key, "left_anti"
+        )
+        remaining_bs = F.lit(True)
+        for cond, kind, sets in by_source:
+            claim = remaining_bs
+            if cond is not None:
+                claim = claim & F.coalesce(F.expr(cond), F.lit(False))
+            hit = unmatched.filter(claim)
+            if kind == "delete":
+                d = hit.select(F.col(key))
+                delete_keys = d if delete_keys is None \
+                    else delete_keys.unionAll(d)
+            else:
+                unknown = sorted(set(sets) - set(tgt_cols))
+                if unknown:
+                    raise ValueError(
+                        f"UPDATE SET targets unknown columns {unknown}")
+                u = hit.select(*[
+                    (F.expr(sets[c]) if c in sets else F.col(c)).alias(c)
+                    for c in tgt_cols
+                ])
+                updates = u if updates is None else updates.unionByName(u)
+            if cond is not None:
+                remaining_bs = remaining_bs & ~F.coalesce(F.expr(cond),
+                                                          F.lit(False))
+            else:
+                remaining_bs = F.lit(False)
+
     inserts = None
     if insert_clause is not None:
         inserts = src.join(tgt.select(F.col(f"{talias}.{key}").alias(key)),
@@ -325,7 +379,7 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
 
 def _sql_create(spark: SparkSession, stmt: str) -> DataFrame:
     m = re.fullmatch(
-        r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?P<name>[\w`.]+)\s+"
+        r"CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TABLE\s+(?P<name>[\w`.]+)\s+"
         r"USING\s+lakehouse\s*"
         r"(?:TBLPROPERTIES\s*\(\s*'key'\s*=?\s*'(?P<key>\w+)'\s*\)\s*)?"
         r"LOCATION\s+'(?P<path>[^']+)'\s*"
@@ -346,7 +400,17 @@ def _sql_create(spark: SparkSession, stmt: str) -> DataFrame:
     if query:
         df = spark.sql(query)
         key = key or df.columns[0]
-        LH.table_init(df, path, key)
+        if LH.current_version(path) >= 0:
+            if not m.group("replace"):
+                raise ValueError(
+                    f"table already exists at {path!r}; use CREATE OR "
+                    "REPLACE to swap its contents as a new version"
+                )
+            # OR REPLACE = Delta's replace-as-a-version: contents swap,
+            # history stays time-travelable
+            LH.overwrite_where(spark, path, key, df, predicate="true")
+        else:
+            LH.table_init(df, path, key)
     elif LH.current_version(path) < 0:
         raise ValueError(
             f"no lakehouse table at {path!r}; add AS <query> to create one"

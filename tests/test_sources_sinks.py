@@ -4166,3 +4166,94 @@ def test_lakehouse_convert_in_place(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already a lakehouse"):
         LH.convert_to_lakehouse(spark, path)
+
+
+def test_lakehouse_sql_merge_not_matched_by_source(spark, tmp_path):
+    """Delta's WHEN NOT MATCHED BY SOURCE: target rows absent from the
+    source delete or update (full-sync semantics — the source IS the
+    desired state); conditions see only the target row; first-match-
+    wins within the clause family; SET * is loud (no source row)."""
+    import pytest as _pytest
+
+    from bigdata06_spark.lakehouse_sql import sql
+
+    path = str(tmp_path / "lh_bysrc")
+    spark.range(6).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v") \
+        .createOrReplaceTempView("bs_seed")
+    sql(spark, f"CREATE TABLE sqbs USING lakehouse TBLPROPERTIES "
+               f"('key' 'k') LOCATION '{path}' AS SELECT * FROM bs_seed")
+    spark.createDataFrame([(1, 100.0), (9, 9.0)], "k long, v double") \
+        .createOrReplaceTempView("bs_chg")
+    sql(spark, """
+        MERGE INTO sqbs t USING bs_chg s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.k >= 4 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = v * -1
+    """)
+    got = {r.k: r.v for r in sql(spark, "SELECT * FROM sqbs").collect()}
+    assert got[1] == 100.0 and got[9] == 9.0     # matched update + insert
+    assert 4 not in got and 5 not in got          # by-source delete (k>=4)
+    assert got[2] == -2.0 and got[3] == -3.0      # by-source update (rest)
+    assert got[0] == 0.0                          # -0.0 == 0.0
+
+    with _pytest.raises(ValueError, match="meaningless"):
+        sql(spark, """
+            MERGE INTO sqbs t USING bs_chg s ON t.k = s.k
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *
+        """)
+
+
+def test_lakehouse_append_occ_race(spark, tmp_path):
+    """append participates in the same OCC protocol as every writer:
+    two appends that both computed current_version()+1 race on the
+    log's O_EXCL create — exactly one wins, the loser raises with the
+    table unchanged by its attempt, and the orphaned files are
+    invisible (vacuum food)."""
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_append_race")
+    df = spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k")
+    # simulate the race: steal the version the second writer computed
+    batch = spark.createDataFrame([(100, 1.0)], "k long, v double")
+    v1 = LH.append(spark, path, "k", batch)
+    assert v1 == 1
+    # a writer that staged files against v1 loses the commit
+    LH._commit_log(path, 2, {"add": [], "remove": [], "op": "WRITE"})
+    with _pytest.raises(LH.CommitConflictError):
+        LH._commit_log(path, 2, {"add": [], "remove": [], "op": "APPEND"})
+    # the real append recomputes and lands cleanly after
+    v3 = LH.append(spark, path, "k",
+                   spark.createDataFrame([(101, 2.0)], "k long, v double"))
+    assert v3 == 3
+    live = LH.read_version(spark, path, v3)
+    assert live.count() == 12
+
+
+def test_lakehouse_sql_create_or_replace(spark, tmp_path):
+    """CREATE OR REPLACE ... AS swaps the table's contents as a NEW
+    version (history stays time-travelable); plain CREATE ... AS on
+    an existing table is loud."""
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.lakehouse_sql import sql
+
+    path = str(tmp_path / "lh_cor")
+    spark.range(4).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v") \
+        .createOrReplaceTempView("cor_seed")
+    sql(spark, f"CREATE TABLE sqcor USING lakehouse TBLPROPERTIES "
+               f"('key' 'k') LOCATION '{path}' AS SELECT * FROM cor_seed")
+    with _pytest.raises(ValueError, match="already exists"):
+        sql(spark, f"CREATE TABLE sqcor USING lakehouse TBLPROPERTIES "
+                   f"('key' 'k') LOCATION '{path}' AS SELECT * FROM cor_seed")
+    sql(spark, f"CREATE OR REPLACE TABLE sqcor USING lakehouse "
+               f"TBLPROPERTIES ('key' 'k') LOCATION '{path}' "
+               f"AS SELECT k, v * 10 AS v FROM cor_seed")
+    got = {r.k: r.v for r in sql(spark, "SELECT * FROM sqcor").collect()}
+    assert got == {0: 0.0, 1: 10.0, 2: 20.0, 3: 30.0}
+    # the pre-replace snapshot is still readable
+    assert LH.read_version(spark, path, 0).agg({"v": "max"}).first()[0] == 3.0
