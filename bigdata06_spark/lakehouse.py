@@ -2283,12 +2283,13 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     snapshot = _apply_generated(snapshot, table_generated_cols(path))
     new_v = prev_v + 1
     sub = _new_sub(new_v)
+    z_edges = None
     if pby:
         _write_partitioned(snapshot, os.path.join(path, _DATA, sub), key, n_files, pby)
     elif zorder_by:
         from bigdata06_spark.sinks import write_zorder_parquet
 
-        write_zorder_parquet(
+        z_edges = write_zorder_parquet(
             snapshot, os.path.join(path, _DATA, sub), list(zorder_by), n_files
         )
     else:
@@ -2302,7 +2303,75 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     entry: dict = {"add": adds, "remove": remove}
     entry.update(_entry_partition_meta(adds))
     entry.update(_entry_stats_blooms(spark, path, adds))
+    if z_edges is not None:
+        # FROZEN grid metadata: later incremental clustering bins new
+        # files into the same hyper-rectangles (no re-sketch, no
+        # rewrite of already-clustered files) — Delta liquid
+        # clustering's incremental contract
+        entry["zorder"] = {"cols": list(zorder_by), "bits": 16,
+                           "edges": z_edges, "clustered": adds}
     entry["op"] = "OPTIMIZE"
+    _commit_log(path, new_v, entry)
+    return new_v
+
+
+def table_zorder_meta(path: str) -> dict | None:
+    """Latest Z-order grid state ({"cols", "bits", "edges",
+    "clustered"}) or None — the most recent OPTIMIZE ZORDER /
+    incremental-clustering commit wins (each re-emits the meta with
+    its updated clustered-file set)."""
+    meta = None
+    for _v, entry in _iter_log_entries(path):
+        if "zorder" in entry:
+            meta = dict(entry["zorder"])
+    return meta
+
+
+def optimize_zorder_incremental(spark: SparkSession, path: str,
+                                n_files: int = 2) -> int:
+    """INCREMENTAL CLUSTERING (Delta liquid clustering's core
+    promise): cluster ONLY the files added since the last OPTIMIZE
+    ZORDER into the layout's FROZEN quantile grid — already-clustered
+    files carry over by reference, so the cost is O(new data), never
+    O(table). New files bin with the stored edges (same
+    hyper-rectangles), so per-file [min, max] stats prune the mixed
+    old+new layout exactly as they pruned the original. The steady
+    state at 100 TB: appends land unclustered, a periodic incremental
+    pass folds them in, and a full re-sketch is only ever needed when
+    the data distribution drifts far from the frozen grid (then run
+    OPTIMIZE ZORDER again — it re-sketches and resets `clustered`).
+    Returns the new version, or the current one when nothing new."""
+    prev_v = current_version(path)
+    meta = table_zorder_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"{path} has no Z-order layout; run optimize(zorder_by=...) "
+            "first — incremental clustering folds into an existing grid"
+        )
+    live, dvs = _state_at_version(path, prev_v)
+    clustered = [f for f in meta["clustered"] if f in set(live)]
+    new_files = [f for f in live if f not in set(clustered)]
+    if not new_files:
+        return prev_v
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in new_files]
+    )
+    df = _apply_dvs(spark, path, df, new_files,
+                    _dv_files_for(dvs, new_files))
+    df = _replay_schema(df, path, prev_v)
+    from bigdata06_spark.sinks import write_zorder_parquet
+
+    new_v = prev_v + 1
+    sub = _new_sub(new_v)
+    write_zorder_parquet(
+        df, os.path.join(path, _DATA, sub), list(meta["cols"]),
+        n_files, bits=int(meta["bits"]), edges=meta["edges"],
+    )
+    adds = _list_data_files(path, sub)
+    entry: dict = {"add": adds, "remove": new_files, "op": "OPTIMIZE"}
+    entry.update(_entry_partition_meta(adds))
+    entry.update(_entry_stats_blooms(spark, path, adds))
+    entry["zorder"] = {**meta, "clustered": sorted(clustered + adds)}
     _commit_log(path, new_v, entry)
     return new_v
 
@@ -2539,6 +2608,7 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     ident_pre = table_identity(path)
     txns_pre = table_txns(path, v)
     cons_pre = table_constraints(path, v)
+    zmeta_pre = table_zorder_meta(path)
     for old in range(v):
         old_p = os.path.join(_log_dir(path), f"{old}.json")
         if os.path.exists(old_p):
@@ -2579,6 +2649,13 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     if ident_pre:
         # identity spec + high watermark likewise
         entry["identity"] = ident_pre
+    if zmeta_pre:
+        # frozen clustering grid + live clustered set likewise
+        entry["zorder"] = {
+            **zmeta_pre,
+            "clustered": [f for f in zmeta_pre["clustered"]
+                          if f in set(files)],
+        }
     if txns_pre:
         # idempotent-transaction ledger likewise
         entry["txns"] = txns_pre

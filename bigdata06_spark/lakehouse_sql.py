@@ -36,7 +36,7 @@ Grammar (the documented subset; anything outside it raises):
     DELETE FROM <tbl> [WHERE <cond>]
     INSERT INTO <tbl> [(c1, ...)] { VALUES ... | SELECT ... }
     VACUUM <tbl> [RETAIN <n> VERSIONS]
-    OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...)]
+    OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...) | INCREMENTAL]
     DESCRIBE HISTORY <tbl>
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
     CONVERT TO LAKEHOUSE parquet.`/dir` [STATS (c1, ...)]
@@ -530,17 +530,23 @@ def _sql_vacuum(spark: SparkSession, stmt: str) -> DataFrame:
 def _sql_optimize(spark: SparkSession, stmt: str) -> DataFrame:
     m = re.fullmatch(
         r"OPTIMIZE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)"
-        r"(?:\s+ZORDER\s+BY\s+\(\s*(?P<cols>[^)]+)\))?",
+        r"(?:\s+ZORDER\s+BY\s+\(\s*(?P<cols>[^)]+)\)"
+        r"|\s+(?P<inc>INCREMENTAL))?",
         stmt, re.IGNORECASE,
     )
     if not m:
         raise ValueError(f"cannot parse OPTIMIZE statement {stmt!r}")
     path, key, name = _resolve(m.group("tbl"))
-    key = _need_key(key, m.group("tbl"), "OPTIMIZE")
-    zo = None
-    if m.group("cols"):
-        zo = [c.strip().strip("`") for c in m.group("cols").split(",")]
-    v = LH.optimize(spark, path, key, zorder_by=zo)
+    if m.group("inc"):
+        # incremental clustering: fold post-OPTIMIZE files into the
+        # frozen grid; no key needed (the grid is the layout)
+        v = LH.optimize_zorder_incremental(spark, path)
+    else:
+        key = _need_key(key, m.group("tbl"), "OPTIMIZE")
+        zo = None
+        if m.group("cols"):
+            zo = [c.strip().strip("`") for c in m.group("cols").split(",")]
+        v = LH.optimize(spark, path, key, zorder_by=zo)
     if name:
         _refresh_view(spark, name)
     return _version_df(spark, v)

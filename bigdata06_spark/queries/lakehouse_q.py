@@ -1122,3 +1122,77 @@ def lakehouse_convert_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS cents
         FROM conv_orders GROUP BY is_manual
     """)
+
+
+def _liquid_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_liquid_{tag}")
+
+
+@register(
+    "lakehouse_zorder_incremental",
+    oracle="""
+    WITH combined AS (
+      SELECT o_custkey, o_orderdate, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_custkey, o_orderdate, o_totalprice FROM orders
+      WHERE o_orderkey % 3 = 0
+    )
+    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM combined
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND o_custkey BETWEEN 100 AND 500
+    GROUP BY month
+    """,
+)
+def lakehouse_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CLUSTERING (Delta liquid clustering's contract):
+    OPTIMIZE ZORDER freezes a quantile grid in the log; appended
+    files later fold into that grid via `optimize_zorder_incremental`
+    — already-clustered files carry over by reference (cost = O(new
+    data), never O(table)) and the mixed layout prunes a 2-D box on
+    the logged [min, max] stats exactly like the original. This is
+    the steady state at 100 TB: appends land unclustered, a periodic
+    incremental pass folds them in, and a full re-sketch happens only
+    when the distribution drifts off the frozen grid."""
+    path = _liquid_dir(sf_dir)
+    base = load_table(spark, "orders", sf_dir).select(
+        KEY, "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    if LH.current_version(path) < 0:
+        LH.table_init(base, path, KEY, n_files=8,
+                      stats_cols=["o_orderdate", "o_custkey"])
+    if LH.current_version(path) < 1:
+        LH.optimize(spark, path, KEY, n_files=16,
+                    zorder_by=["o_orderdate", "o_custkey"])
+    if LH.current_version(path) < 2:
+        extra = base.filter(F.col(KEY) % 3 == 0).select(
+            (F.col(KEY) + 200000000).alias(KEY),
+            "o_custkey", "o_totalprice", "o_orderdate",
+        )
+        LH.append(spark, path, KEY, extra, n_files=3)
+    if LH.current_version(path) < 3:
+        LH.optimize_zorder_incremental(spark, path, n_files=4)
+    dlo, dhi, clo, chi = "1996-01-01", "1997-01-01", 100, 500
+    df = LH.read_version(
+        spark, path, LH.current_version(path),
+        stats_filter={"o_orderdate": (dlo, dhi), "o_custkey": (clo, chi)},
+    )
+    return (
+        df.filter(
+            (F.col("o_orderdate") >= F.lit(dlo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(dhi).cast("timestamp"))
+            & (F.col("o_custkey") >= clo) & (F.col("o_custkey") <= chi)
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("cents"),
+        )
+    )

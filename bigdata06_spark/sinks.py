@@ -139,8 +139,8 @@ def range_bin_expr(edges: list, col) -> "Column":
 
 def write_zorder_parquet(
     df: DataFrame, path: str, cols: list[str], n_files: int = 16, bits: int = 16,
-    mode: str = "overwrite",
-) -> None:
+    mode: str = "overwrite", edges: dict | None = None,
+) -> dict:
     """Z-order-clustered parquet: rows are sorted by the Morton
     interleaving of the (rank-normalized) clustering columns, then
     range-split into `n_files` — so every output file covers a small
@@ -159,8 +159,15 @@ def write_zorder_parquet(
     codegen'd `aggregate()` counting expression. At 100 TB the build
     is therefore embarrassingly parallel: a sketch pass + a map-side
     binning pass + `repartitionByRange` on the Morton key.
+
+    `edges` ({col: sorted floats in surrogate space}, e.g. a prior
+    build's return value) REUSES a frozen grid instead of
+    re-sketching — the incremental-clustering path: new files bin
+    into the SAME hyper-rectangles the existing layout uses, so they
+    coexist prunably without rewriting old files. Returns the edges
+    used (JSON-safe; persist them to enable that reuse).
     """
-    z, helper_cols = zorder_grid(df, cols, bits)
+    z, helper_cols, edges_used = zorder_grid(df, cols, bits, edges=edges)
     (
         z.repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
@@ -168,13 +175,16 @@ def write_zorder_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+    return edges_used
 
 
-def zorder_grid(df: DataFrame, cols: list[str], bits: int = 16):
-    """Attach the Morton key `_z` to `df` (plus helper columns, both
-    returned so the caller can drop them). Windowless by construction
-    — exposed separately so tests can assert the build plan has no
-    WindowExec."""
+def zorder_grid(df: DataFrame, cols: list[str], bits: int = 16,
+                edges: dict | None = None):
+    """Attach the Morton key `_z` to `df`. Returns (grid_df,
+    helper_cols_to_drop, edges_map). Windowless by construction —
+    exposed separately so tests can assert the build plan has no
+    WindowExec. Pass `edges` to bin against a FROZEN grid (no
+    quantile pass — see write_zorder_parquet)."""
     # 256 bins per dimension saturate file-level clustering (files ≪
     # bins); sketch error of half a bin keeps the G-K summary cheap —
     # a tighter error multiplies sketch size for no layout gain
@@ -184,15 +194,20 @@ def zorder_grid(df: DataFrame, cols: list[str], bits: int = 16):
     for i, c in enumerate(cols):
         surro.append((f"_zs_{i}", _zorder_surrogate(dtypes[c], c)))
     tmp = df.select("*", *[e.alias(n) for n, e in surro])
-    probs = [i / q for i in range(1, q)]
-    all_edges = tmp.stat.approxQuantile([n for n, _ in surro], probs, 1.0 / (2 * q))
-
-    grid = tmp
-    rank_cols = []
-    for (name, _), edges in zip(surro, all_edges):
+    if edges is None:
+        probs = [i / q for i in range(1, q)]
+        all_edges = tmp.stat.approxQuantile(
+            [n for n, _ in surro], probs, 1.0 / (2 * q))
         # dedupe: skewed data repeats quantile values; empty edges
         # (all-null column) degrade to a single bin.
-        uniq = sorted({float(e) for e in edges if e is not None})
+        edges = {
+            c: sorted({float(e) for e in es if e is not None})
+            for c, es in zip(cols, all_edges)
+        }
+    grid = tmp
+    rank_cols = []
+    for (name, _), c in zip(surro, cols):
+        uniq = [float(e) for e in edges[c]]
         n_e = max(len(uniq), 1)
         bin_ = range_bin_expr(uniq, F.col(name)).cast("long")
         rc = f"_zr_{name}"
@@ -203,7 +218,7 @@ def zorder_grid(df: DataFrame, cols: list[str], bits: int = 16):
         )
         rank_cols.append(rc)
     z = grid.withColumn("_z", zorder_value(rank_cols, bits))
-    return z, rank_cols + [n for n, _ in surro]
+    return z, rank_cols + [n for n, _ in surro], edges
 
 
 def compact_small_files(spark, path: str, out_path: str,

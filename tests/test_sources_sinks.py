@@ -729,7 +729,7 @@ def test_zorder_build_has_no_global_window(spark):
         "CAST(id * 48271 % 5000 AS BIGINT) AS x",
         "date_add(DATE'2020-01-01', CAST(id % 365 AS INT)) AS d",
     )
-    z, helpers = zorder_grid(df, ["x", "d"], bits=8)
+    z, helpers, _edges = zorder_grid(df, ["x", "d"], bits=8)
     plan = z._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, f"zorder build contains a window:\n{plan}"
     # monotone binning: higher x ⇒ grid coordinate never decreases
@@ -741,7 +741,7 @@ def test_zorder_build_has_no_global_window(spark):
     assert min(grids) >= 0 and max(grids) <= 255
     # null clustering column lands in bin 0 (old NULLS FIRST contract)
     nul = spark.createDataFrame([(None,), (10.0,)], "v double")
-    zn, _ = zorder_grid(nul, ["v"], bits=8)
+    zn, _, _ = zorder_grid(nul, ["v"], bits=8)
     got = {r["v"]: r["_zr__zs_0"] for r in zn.collect()}
     assert got[None] == 0
 
@@ -4257,3 +4257,59 @@ def test_lakehouse_sql_create_or_replace(spark, tmp_path):
     assert got == {0: 0.0, 1: 10.0, 2: 20.0, 3: 30.0}
     # the pre-replace snapshot is still readable
     assert LH.read_version(spark, path, 0).agg({"v": "max"}).first()[0] == 3.0
+
+
+def test_lakehouse_incremental_zorder_clustering(spark, tmp_path):
+    """Incremental clustering (the liquid-clustering contract):
+    appended files fold into the FROZEN quantile grid — clustered
+    files carry over by reference (cost O(new data)), the mixed
+    layout prunes on both clustered axes, checkpoint preserves the
+    grid, and running it with nothing new is a no-op version-wise."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_liquid")
+    df = spark.range(0, 40000).selectExpr(
+        "id AS k",
+        "CAST(id * 48271 % 40000 AS BIGINT) AS x",
+        "CAST(id * 16807 % 40000 AS BIGINT) AS y",
+    )
+    LH.table_init(df, path, "k", n_files=4, stats_cols=["x", "y"])
+    v1 = LH.optimize(spark, path, "k", n_files=16, zorder_by=["x", "y"])
+    meta = LH.table_zorder_meta(path)
+    assert meta and meta["cols"] == ["x", "y"] and len(meta["clustered"]) == 16
+
+    # new data arrives unclustered
+    extra = spark.range(40000, 60000).selectExpr(
+        "id AS k",
+        "CAST(id * 48271 % 40000 AS BIGINT) AS x",
+        "CAST(id * 16807 % 40000 AS BIGINT) AS y",
+    )
+    v2 = LH.append(spark, path, "k", extra, n_files=3)
+    clustered_before = set(LH.table_zorder_meta(path)["clustered"])
+
+    v3 = LH.optimize_zorder_incremental(spark, path, n_files=4)
+    assert v3 == v2 + 1
+    live = set(LH.files_at_version(path, v3))
+    # every originally-clustered file carried over by reference
+    assert clustered_before <= live
+    # only the appended files were rewritten (3 removed, ≤4 added)
+    import json as _json
+    entry = _json.load(open(f"{path}/_log/{v3}.json"))
+    assert len(entry["remove"]) == 3 and 1 <= len(entry["add"]) <= 4
+    # the grid froze: same edges object
+    assert LH.table_zorder_meta(path)["edges"] == meta["edges"]
+
+    # the mixed layout still prunes a y-band on file stats
+    pruned = LH.read_version(spark, path, v3, stats_filter={"y": (0, 4000)})
+    assert len(pruned.inputFiles()) < len(live)
+    assert pruned.filter("y <= 4000").count() == \
+        LH.read_version(spark, path, v3).filter("y <= 4000").count()
+    assert LH.read_version(spark, path, v3).count() == 60000
+
+    # idempotent when nothing new; grid survives a checkpoint squash
+    assert LH.optimize_zorder_incremental(spark, path) == v3
+    LH.checkpoint_log(path)
+    meta2 = LH.table_zorder_meta(path)
+    assert meta2["edges"] == meta["edges"]
+    assert set(meta2["clustered"]) <= set(LH.files_at_version(
+        path, LH.current_version(path)))
