@@ -4313,3 +4313,127 @@ def test_lakehouse_incremental_zorder_clustering(spark, tmp_path):
     assert meta2["edges"] == meta["edges"]
     assert set(meta2["clustered"]) <= set(LH.files_at_version(
         path, LH.current_version(path)))
+
+
+def test_lakehouse_manifest_full_and_incremental(spark, tmp_path):
+    """Relational snapshot manifest (lakehouse_manifest): the parquet
+    mirror of one version's per-file metadata. Full rebuild matches
+    the driver replay exactly (files, partition values, stats bounds,
+    DV lists); a merge + MOR delete then folds INCREMENTALLY — the
+    driver parses only the delta entries, the old file list never
+    leaves parquet — and matches the replay again; checkpoint/RESTORE
+    entries in the delta window force a full rebuild."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = str(tmp_path / "lh_mf")
+    df = spark.range(6000).selectExpr(
+        "id AS k", "CAST(id % 12 AS INT) AS part", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k", n_files=3, partition_by=["part"],
+                  stats_cols=["k", "v"])
+    r = M.refresh_manifest(spark, path)
+    assert r["mode"] == "full" and r["version"] == 0
+
+    files0, _ = LH._state_at_version(path, 0)
+    st0 = LH.file_stats_at(path, 0)
+    rows = {x["file"]: x for x in M.manifest_df(spark, path).collect()}
+    assert sorted(rows) == files0
+    for f, row in rows.items():
+        assert row["p_part"] == LH._pvals_of_rel(f).get("part")
+        s = st0.get(f, {})
+        if "k" in s:
+            assert row["mnn_k"] == float(s["k"][0])
+            assert row["mxn_k"] == float(s["k"][1])
+        assert row["dv"] == []
+
+    # mutate: COW merge + MOR delete; fold must be incremental
+    o = LH.read_version(spark, path, 0)
+    upd = o.filter("k < 100").select("k", "part").withColumn("v", F.lit(0.0))
+    LH.merge(spark, path, "k", updates=upd)
+    LH.delete_where(spark, path, "k >= 5000 AND k < 5100")
+    r = M.refresh_manifest(spark, path)
+    assert r["mode"] == "incremental"
+    vN = LH.current_version(path)
+    filesN, dvsN = LH._state_at_version(path, vN)
+    rows = {x["file"]: x for x in M.manifest_df(spark, path).collect()}
+    assert sorted(rows) == filesN
+    for f, lst in dvsN.items():
+        assert sorted(rows[f]["dv"]) == sorted(lst)
+    stN = LH.file_stats_at(path, vN)
+    for f, row in rows.items():
+        s = stN.get(f, {})
+        if "v" in s and s["v"][0] is not None:
+            assert row["mnn_v"] == float(s["v"][0])
+
+    # refresh at same version: noop
+    assert M.refresh_manifest(spark, path)["mode"] == "noop"
+
+    # a checkpoint inside the delta window resets state -> full
+    LH.append(spark, path, "k",
+              spark.range(6000, 6100).selectExpr(
+                  "id AS k", "CAST(id % 12 AS INT) AS part",
+                  "CAST(id AS DOUBLE) AS v"))
+    LH.checkpoint_log(path)
+    LH.append(spark, path, "k",
+              spark.range(6100, 6200).selectExpr(
+                  "id AS k", "CAST(id % 12 AS INT) AS part",
+                  "CAST(id AS DOUBLE) AS v"))
+    r = M.refresh_manifest(spark, path)
+    assert r["mode"] == "full"
+    vF = LH.current_version(path)
+    assert sorted(
+        x["file"] for x in M.manifest_df(spark, path).collect()
+    ) == LH.files_at_version(path, vF)
+
+
+def test_lakehouse_manifest_planning_parity(spark, tmp_path):
+    """plan_files / read_at_manifest vs read_version: the manifest's
+    relational pruning (partition + stats, numeric and string-typed
+    bounds) picks the same file sets and reads the same bytes; the
+    plan itself collects only surviving rows."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = str(tmp_path / "lh_mfplan")
+    df = spark.range(4800).selectExpr(
+        "id AS k", "CAST(id % 8 AS INT) AS part",
+        "CAST(id AS DOUBLE) AS v",
+        "concat('u', lpad(CAST(id AS STRING), 6, '0')) AS tag")
+    LH.table_init(df, path, "k", n_files=4, partition_by=["part"],
+                  stats_cols=["k", "tag"])
+    LH.delete_where(spark, path, "k % 97 = 0")  # scatter some DVs
+    M.refresh_manifest(spark, path)
+    vN = LH.current_version(path)
+
+    # partition pruning parity
+    _, pf, pdv = M.plan_files(spark, path, partition_filter={"part": "3"})
+    assert pf and all("part=3/" in f for f in pf)
+    ref = LH.read_version(spark, path, vN, partition_filter={"part": ["3"]})
+    got = M.read_at_manifest(spark, path, partition_filter={"part": "3"})
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+
+    # numeric stats bound
+    _, pf2, _ = M.plan_files(spark, path, stats_filter={"k": (100, 220)})
+    allf = LH.files_at_version(path, vN)
+    assert 0 < len(pf2) < len(allf)
+    got2 = M.read_at_manifest(spark, path, stats_filter={"k": (100, 220)})
+    ref2 = LH.read_version(spark, path, vN, stats_filter={"k": (100, 220)})
+    assert got2.filter("k BETWEEN 100 AND 220").count() == \
+        ref2.filter("k BETWEEN 100 AND 220").count()
+
+    # string-typed bound prunes on the lexicographic columns
+    _, pf3, _ = M.plan_files(
+        spark, path, stats_filter={"tag": ("u000100", "u000220")})
+    assert 0 < len(pf3) < len(allf)
+    got3 = M.read_at_manifest(
+        spark, path, stats_filter={"tag": ("u000100", "u000220")})
+    assert got3.filter("tag BETWEEN 'u000100' AND 'u000220'").count() == \
+        ref2.filter("tag BETWEEN 'u000100' AND 'u000220'").count()
+
+    # unknown columns are loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not partitioned"):
+        M.plan_files(spark, path, partition_filter={"nope": "1"})
+    with _pytest.raises(ValueError, match="no stats"):
+        M.plan_files(spark, path, stats_filter={"v": (0, 1)})
