@@ -378,3 +378,60 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return SO.run_to_table(
         SO.watermarked_dedup_counts(SO.stream_events(spark, sf_dir)), "complete"
     )
+
+
+@register(
+    "stream_lakehouse_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           CAST(min(event_id) AS BIGINT) AS first_id,
+           CAST(max(event_id) AS BIGINT) AS last_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING LAKEHOUSE SINK: the events stream written via
+    `writeStream.format("lakehouse")` — every micro-batch commits as
+    one OCC APPEND version with an idempotence ledger entry
+    (txnAppId, batchId), i.e. Delta's exactly-once streaming-sink
+    design: a batch replayed after a crash between the sink's log
+    commit and Spark's checkpoint commit is a true no-op. The query
+    then reads the TABLE back (read_version at latest) and
+    aggregates — matching the batch oracle proves the sink wrote
+    exactly the stream, no duplicated and no dropped batches. The
+    checkpoint + table persist per SF: reruns re-drain zero files
+    and commit zero versions (idempotent build)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import (
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    tbl = _os.path.join(_tempfile.gettempdir(), f"lakehouse_stream_sink_{tag}")
+    ckpt = _os.path.join(
+        _tempfile.gettempdir(), f"lakehouse_stream_sink_ckpt_{tag}")
+    q = (
+        SO.stream_events(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .writeStream.format("lakehouse")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("txnAppId", f"events-sink-{tag}")
+        .trigger(availableNow=True)
+        .start(tbl)
+    )
+    q.awaitTermination()
+    t = LH.read_version(spark, tbl, LH.current_version(tbl))
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.min("event_id").cast("long").alias("first_id"),
+        F.max("event_id").cast("long").alias("last_id"),
+    )

@@ -49,6 +49,7 @@ import pyarrow.parquet as _pq
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -421,6 +422,9 @@ class LakehouseDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool):
         return LakehouseWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return LakehouseStreamWriter(self.options, schema, overwrite)
+
 
 # ------------------------------------------------- streaming CDF source
 #
@@ -525,6 +529,82 @@ class LakehouseCommit(WriterCommitMessage):
         self.rel_files = rel_files
 
 
+def _writable_table_guard(path: str, schema: T.StructType) -> int:
+    """Shared batch/stream writer precondition: tables whose
+    invariants need Spark-side evaluation at write time — generated /
+    identity columns, CHECK constraints, Hive partition layout,
+    stats/bloom collection — are LOUD-REJECTED (the Python commit
+    hook has no SparkSession; silently skipping the recompute/
+    validation would corrupt the table's contract), as is writing a
+    column name retired by a rename/drop. Returns the current
+    version."""
+    v = LH.current_version(path)
+    if v >= 0:
+        for what, got in (
+            ("generated columns", LH.table_generated_cols(path)),
+            ("an identity column", LH.table_identity(path)),
+            ("CHECK constraints", LH.table_constraints(path)),
+            ("partition columns", LH.table_partition_by(path)),
+            ("stats columns", LH.table_stats_cols(path)),
+            ("bloom columns", LH.table_bloom_meta(path)),
+        ):
+            if got:
+                raise ValueError(
+                    f"table has {what}; the format('lakehouse') writer "
+                    "cannot maintain them (no Spark session in the "
+                    "commit hook) — use the library writers"
+                )
+        retired = LH._retired_names(path, v)
+        clash = sorted(set(f.name for f in schema.fields) & retired)
+        if clash:
+            raise ValueError(
+                f"columns {clash} were retired by an earlier rename/"
+                "drop; writing them would resurrect stale data"
+            )
+    return v
+
+
+def _write_task_parquet(iterator, schema_json: str, out: str):
+    """One task's rows → one parquet file at `out` (Arrow-batched,
+    64k-row flushes). Returns the row count; writes nothing (and
+    returns 0) for an empty iterator."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    arrow_schema = pa.schema(
+        [(f.name, _arrow_type_of(f.dataType)) for f in schema.fields]
+    )
+    writer = None
+    n = 0
+    batch: list = []
+
+    def flush():
+        nonlocal writer, n
+        if not batch:
+            return
+        cols = list(zip(*batch))
+        tbl = pa.table(
+            {f.name: pa.array(list(c), type=arrow_schema.field(f.name).type)
+             for f, c in zip(schema.fields, cols)},
+            schema=arrow_schema,
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(out, arrow_schema)
+        writer.write_table(tbl)
+        n += len(batch)
+        batch.clear()
+
+    for row in iterator:
+        batch.append(tuple(row))
+        if len(batch) >= 65536:
+            flush()
+    flush()
+    if writer is not None:
+        writer.close()
+    return n
+
+
 class LakehouseWriter(DataSourceWriter):
     """`df.write.format("lakehouse").mode("append"|"overwrite")` —
     the write half of the DataSource surface, mapped 1:1 onto the
@@ -551,71 +631,19 @@ class LakehouseWriter(DataSourceWriter):
             raise ValueError("format('lakehouse') needs .save(<table path>)")
         self.overwrite = overwrite
         self.schema_json = schema.json()
-        v = LH.current_version(self.path)
-        if v >= 0:
-            for what, got in (
-                ("generated columns", LH.table_generated_cols(self.path)),
-                ("an identity column", LH.table_identity(self.path)),
-                ("CHECK constraints", LH.table_constraints(self.path)),
-                ("partition columns", LH.table_partition_by(self.path)),
-                ("stats columns", LH.table_stats_cols(self.path)),
-                ("bloom columns", LH.table_bloom_meta(self.path)),
-            ):
-                if got:
-                    raise ValueError(
-                        f"table has {what}; the format('lakehouse') writer "
-                        "cannot maintain them (no Spark session in the "
-                        "commit hook) — use the library writers"
-                    )
-            retired = LH._retired_names(self.path, v)
-            clash = sorted(set(f.name for f in schema.fields) & retired)
-            if clash:
-                raise ValueError(
-                    f"columns {clash} were retired by an earlier rename/"
-                    "drop; writing them would resurrect stale data"
-                )
+        v = _writable_table_guard(self.path, schema)
         self.sub = LH._new_sub(v + 1)
         os.makedirs(os.path.join(self.path, LH._DATA, self.sub), exist_ok=True)
 
     def write(self, iterator):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        schema = T.StructType.fromJson(json.loads(self.schema_json))
-        arrow_schema = pa.schema(
-            [(f.name, _arrow_type_of(f.dataType)) for f in schema.fields]
-        )
         pid = TaskContext.get().partitionId()
         out = os.path.join(self.path, LH._DATA, self.sub,
                            f"part-{pid:05d}.parquet")
-        writer = None
-        n = 0
-        batch: list = []
-        def flush():
-            nonlocal writer, n
-            if not batch:
-                return
-            cols = list(zip(*batch))
-            tbl = pa.table(
-                {f.name: pa.array(list(c), type=arrow_schema.field(f.name).type)
-                 for f, c in zip(schema.fields, cols)},
-                schema=arrow_schema,
-            )
-            if writer is None:
-                writer = pq.ParquetWriter(out, arrow_schema)
-            writer.write_table(tbl)
-            n += len(batch)
-            batch.clear()
-        for row in iterator:
-            batch.append(tuple(row))
-            if len(batch) >= 65536:
-                flush()
-        flush()
-        if writer is not None:
-            writer.close()
-            rel = os.path.relpath(out, self.path)
-            return LakehouseCommit([rel])
+        n = _write_task_parquet(iterator, self.schema_json, out)
+        if n:
+            return LakehouseCommit([os.path.relpath(out, self.path)])
         return LakehouseCommit([])
 
     def commit(self, messages):
@@ -641,3 +669,100 @@ class LakehouseWriter(DataSourceWriter):
 
         shutil.rmtree(os.path.join(self.path, LH._DATA, self.sub),
                       ignore_errors=True)
+
+
+# ------------------------------------------------- streaming sink
+#
+# `df.writeStream.format("lakehouse")` — each micro-batch commits as
+# one APPEND version through the same OCC log protocol as the batch
+# writer (tasks write parquet first, the atomic create-if-absent log
+# write decides visibility), composing with everything downstream of
+# the log: time travel per batch, CDF/`lakehouse_cdf` streaming reads
+# of the sink's own output, OPTIMIZE/VACUUM, manifest folds.
+#
+# EXACTLY-ONCE: with `.option("txnAppId", ...)` each commit carries
+# `txn = (appId, batchId)` — Delta's idempotent-writes ledger. A
+# batch replayed after a crash between the sink's log commit and
+# Spark's checkpoint commit (the classic at-least-once window) finds
+# `batchId <= last_txn_version(appId)` and SKIPS; its freshly-written
+# files are unreferenced orphans that VACUUM reclaims. Without the
+# option the sink is at-least-once across crash recovery, like any
+# non-transactional file sink. Task data dirs are per-task-attempt
+# unique (`stream-<uuid>/`), so speculative/retried attempts never
+# collide; their orphans are reclaimed by vacuum's age guard
+# (`min_file_age_seconds` — the same retention contract Delta's
+# VACUUM relies on for in-flight streaming writers).
+
+
+class LakehouseStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "format('lakehouse') streaming sink supports append "
+                "output mode only (complete/update would rewrite the "
+                "table every micro-batch)"
+            )
+        self.path = _local_path(options.get("path") or "")
+        if not self.path:
+            raise ValueError(
+                "writeStream.format('lakehouse') needs .start(<table path>)"
+            )
+        self.schema_json = schema.json()
+        self.txn_app = options.get("txnAppId") or None
+        _writable_table_guard(self.path, schema)
+        self.schema_cols = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        sub = f"stream-{_uuid.uuid4().hex[:12]}"
+        d = os.path.join(self.path, LH._DATA, sub)
+        os.makedirs(d, exist_ok=True)
+        out = os.path.join(d, "part-0.parquet")
+        n = _write_task_parquet(iterator, self.schema_json, out)
+        if n:
+            return LakehouseCommit([os.path.relpath(out, self.path)])
+        os.rmdir(d)
+        return LakehouseCommit([])
+
+    def commit(self, messages, batchId: int):
+        adds = sorted(f for m in messages if m for f in m.rel_files)
+        if self.txn_app is not None and \
+                batchId <= LH.last_txn_version(self.path, self.txn_app):
+            # replayed micro-batch (crash between sink commit and
+            # checkpoint commit): true no-op; the re-written files
+            # are unreferenced and vacuum reclaims them
+            return
+        entry: dict = {"add": adds, "remove": [], "op": "STREAMING APPEND"}
+        if self.txn_app is not None:
+            entry["txn"] = {"app": self.txn_app, "version": int(batchId)}
+        for _attempt in range(64):
+            prev_v = LH.current_version(self.path)
+            if prev_v < 0:
+                entry["schema_cols"] = list(self.schema_cols)
+            else:
+                entry.pop("schema_cols", None)
+            try:
+                LH._commit_log(self.path, prev_v + 1, entry)
+                return
+            except LH.CommitConflictError:
+                # concurrent writer won this version; an APPEND never
+                # conflicts semantically — re-read and retry (the
+                # ledger re-check guards a racing twin of THIS batch)
+                if self.txn_app is not None and batchId <= \
+                        LH.last_txn_version(self.path, self.txn_app):
+                    return
+        raise LH.CommitConflictError(
+            f"gave up committing micro-batch {batchId} to {self.path} "
+            "after 64 OCC retries"
+        )
+
+    def abort(self, messages, batchId: int):
+        import shutil
+
+        for m in messages:
+            if not m:
+                continue
+            for rel in m.rel_files:
+                shutil.rmtree(os.path.dirname(os.path.join(self.path, rel)),
+                              ignore_errors=True)

@@ -843,3 +843,120 @@ def test_foreach_batch_plain_upsert_with_seq_col(spark, sf_dir, tmp_path):
     cur = LH.read_version(spark, table, LH.current_version(table))
     assert "seq" not in cur.columns  # ordering column never lands in the table
     assert cur.filter(F.col(key) == k).first().o_totalprice == 250.0
+
+
+def test_lakehouse_stream_sink_exactly_once(spark, tmp_path):
+    """`writeStream.format("lakehouse")`: each micro-batch = one OCC
+    APPEND version carrying a (txnAppId, batchId) ledger entry.
+    Two-file source + maxFilesPerTrigger=1 → one version per batch;
+    snapshot equals the input; a REPLAYED batchId is a true no-op
+    (the crash-between-sink-commit-and-checkpoint window); restart
+    with the same checkpoint commits nothing; a new file commits
+    exactly one more version."""
+    import json as _json
+    import os as _os
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import (
+        LakehouseCommit,
+        LakehouseStreamWriter,
+        register as register_ds,
+    )
+
+    register_ds(spark)
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    a = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    b = spark.range(100, 250).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    a.coalesce(1).write.parquet(str(tmp_path / "a"))
+    b.coalesce(1).write.parquet(str(tmp_path / "b"))
+    import glob as _glob
+    import shutil as _shutil
+
+    for i, f in enumerate(sorted(
+            _glob.glob(str(tmp_path / "[ab]" / "part-*.parquet")))):
+        _shutil.copy(f, f"{src}/f{i}.parquet")
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .writeStream.format("lakehouse").outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("txnAppId", "t-sink")
+            .trigger(availableNow=True).start(tbl)
+        )
+        q.awaitTermination(120)
+
+    run()
+    v = LH.current_version(tbl)
+    assert v == 1  # two files, one batch each → versions 0 and 1
+    got = LH.read_version(spark, tbl, v)
+    assert got.count() == 250
+    assert got.agg(F.sum("k")).first()[0] == sum(range(250))
+    # per-version commits carry the op tag and the ledger entry
+    entry = _json.load(open(f"{tbl}/_log/1.json"))
+    assert entry["op"] == "STREAMING APPEND"
+    assert entry["txn"] == {"app": "t-sink", "version": 1}
+    assert LH.table_txns(tbl) == {"t-sink": 1}
+
+    # restart on the same checkpoint: no data, no commits
+    run()
+    assert LH.current_version(tbl) == v
+
+    # direct replay of a stale batchId: ledger makes it a no-op
+    w = LakehouseStreamWriter(
+        {"path": tbl, "txnAppId": "t-sink"}, got.schema, False)
+    w.commit([LakehouseCommit(["data/phantom.parquet"])], batchId=0)
+    assert LH.current_version(tbl) == v
+    # and the phantom file was NOT logged
+    assert "data/phantom.parquet" not in LH.files_at_version(tbl, v)
+
+    # one new file → exactly one more version
+    c = spark.range(250, 300).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    c.coalesce(1).write.parquet(str(tmp_path / "c"))
+    _shutil.copy(_glob.glob(str(tmp_path / "c" / "part-*.parquet"))[0],
+                 f"{src}/f9.parquet")
+    run()
+    assert LH.current_version(tbl) == v + 1
+    assert LH.read_version(spark, tbl, v + 1).count() == 300
+
+    # time travel composes with the sink's versions (the file source
+    # doesn't promise batch order, so v0 is one of the two files)
+    assert LH.read_version(spark, tbl, 0).count() in (100, 150)
+
+
+def test_lakehouse_stream_sink_guards(spark, tmp_path):
+    """Sink guards: complete output mode is rejected (append-only
+    sink); a table with Spark-side invariants (partition columns) is
+    loud-rejected; abort removes the batch's files."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import (
+        LakehouseCommit,
+        LakehouseStreamWriter,
+    )
+
+    df = spark.range(50).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS part", "CAST(id AS DOUBLE) AS v")
+    with _pytest.raises(ValueError, match="append"):
+        LakehouseStreamWriter({"path": str(tmp_path / "x")}, df.schema, True)
+
+    part_tbl = str(tmp_path / "pt")
+    LH.table_init(df, part_tbl, "k", n_files=1, partition_by=["part"])
+    with _pytest.raises(ValueError, match="partition columns"):
+        LakehouseStreamWriter({"path": part_tbl}, df.schema, False)
+
+    tbl = str(tmp_path / "t2")
+    w = LakehouseStreamWriter({"path": tbl}, df.schema, False)
+    d = _os.path.join(tbl, "data", "stream-dead")
+    _os.makedirs(d)
+    open(_os.path.join(d, "part-0.parquet"), "wb").close()
+    w.abort([LakehouseCommit(["data/stream-dead/part-0.parquet"])], batchId=0)
+    assert not _os.path.exists(d)
