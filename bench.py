@@ -90,6 +90,13 @@ HEADLINE = [
     # backfill (same build-once/warm-report contract)
     "lakehouse_rename_drop",
     "lakehouse_replace_where",
+    # r6: SQL-surface merge, frozen-grid incremental clustering,
+    # manifest-planned pruned read, and the exactly-once streaming
+    # sink (warm reps re-drain zero files — the steady-state cost)
+    "lakehouse_sql_merge",
+    "lakehouse_zorder_incremental",
+    "lakehouse_manifest_planning",
+    "stream_lakehouse_sink",
 ]
 
 

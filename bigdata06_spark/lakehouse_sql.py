@@ -591,6 +591,116 @@ def _sql_restore(spark: SparkSession, stmt: str) -> DataFrame:
     return _version_df(spark, v)
 
 
+def _sql_alter(spark: SparkSession, stmt: str) -> DataFrame:
+    """ALTER TABLE — the Delta schema-evolution statement set, each
+    form a ZERO-REWRITE metadata version via the library's
+    schema-action log:
+      ALTER TABLE t ADD COLUMN[S] (name type[, ...])   | one version
+      ALTER TABLE t RENAME COLUMN a TO b               | per action
+      ALTER TABLE t DROP COLUMN c
+      ALTER TABLE t ADD CONSTRAINT n CHECK (expr)
+      ALTER TABLE t DROP CONSTRAINT n"""
+    m = re.match(r"ALTER\s+TABLE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+(?P<rest>.+)",
+                 stmt, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"cannot parse ALTER TABLE statement {stmt!r}")
+    path, _key, name = _resolve(m.group("tbl"))
+    rest = m.group("rest").strip()
+
+    v = None
+    am = re.fullmatch(
+        r"ADD\s+COLUMNS?\s*\(?\s*(?P<cols>.+?)\s*\)?", rest,
+        re.IGNORECASE | re.DOTALL)
+    rm = re.fullmatch(
+        r"RENAME\s+COLUMN\s+`?(?P<old>\w+)`?\s+TO\s+`?(?P<new>\w+)`?",
+        rest, re.IGNORECASE)
+    dm = re.fullmatch(r"DROP\s+COLUMN\s+`?(?P<col>\w+)`?", rest, re.IGNORECASE)
+    acm = re.fullmatch(
+        r"ADD\s+CONSTRAINT\s+`?(?P<name>\w+)`?\s+CHECK\s*\((?P<expr>.+)\)",
+        rest, re.IGNORECASE | re.DOTALL)
+    dcm = re.fullmatch(r"DROP\s+CONSTRAINT\s+`?(?P<name>\w+)`?",
+                       rest, re.IGNORECASE)
+    if rm:
+        v = LH.rename_column(spark, path, rm.group("old"), rm.group("new"))
+    elif dm:
+        v = LH.drop_column(spark, path, dm.group("col"))
+    elif acm:
+        v = LH.add_constraint(spark, path, acm.group("name"),
+                              acm.group("expr").strip())
+    elif dcm:
+        v = LH.drop_constraint(path, dcm.group("name"))
+    elif am:
+        for part in _split_top_level_commas(am.group("cols")):
+            cm = re.fullmatch(r"`?(?P<col>\w+)`?\s+(?P<type>.+)", part.strip(),
+                              re.DOTALL)
+            if not cm:
+                raise ValueError(f"cannot parse ADD COLUMN spec {part!r}")
+            v = LH.add_column(path, cm.group("col"), cm.group("type").strip())
+    else:
+        raise ValueError(f"unsupported ALTER TABLE action {rest!r}")
+    if name:
+        _refresh_view(spark, name)
+    return _version_df(spark, v)
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """'a int, b decimal(10,2)' → ['a int', 'b decimal(10,2)'] —
+    commas inside parens (decimal precision) don't split."""
+    out, depth, cur = [], 0, []
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
+def _sql_detail(spark: SparkSession, stmt: str) -> DataFrame:
+    """DESCRIBE DETAIL — Delta's one-row table-metadata summary:
+    format, location, current version, file count and byte size,
+    partition columns, live deletion-vector count, clustering key,
+    stats/bloom columns. Metadata-only (log + file sizes; no data
+    I/O)."""
+    import os as _os
+
+    m = re.fullmatch(r"DESCRIBE\s+DETAIL\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)",
+                     stmt, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse DESCRIBE DETAIL {stmt!r}")
+    path, key, _name = _resolve(m.group("tbl"))
+    v = LH.current_version(path)
+    if v < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    files, dvs = LH._state_at_version(path, v)
+    size = 0
+    for f in files:
+        p = f if _os.path.isabs(f) else _os.path.join(path, f)
+        try:
+            size += _os.path.getsize(p)
+        except OSError:
+            pass
+    row = (
+        "lakehouse", path, int(v), len(files), int(size),
+        ",".join(LH.table_partition_by(path)),
+        sum(len(x) for x in dvs.values()),
+        key or "", ",".join(LH.table_stats_cols(path)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, location string, version int, numFiles int, "
+        "sizeInBytes bigint, partitionColumns string, "
+        "numDeletionVectorFiles int, clusteringKey string, "
+        "statsColumns string",
+    )
+
+
 _DISPATCH = [
     (re.compile(r"\s*MERGE\s+INTO\b", re.IGNORECASE), _sql_merge),
     (re.compile(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b.*\bUSING\s+lakehouse\b",
@@ -601,6 +711,8 @@ _DISPATCH = [
     (re.compile(r"\s*VACUUM\b", re.IGNORECASE), _sql_vacuum),
     (re.compile(r"\s*OPTIMIZE\b", re.IGNORECASE), _sql_optimize),
     (re.compile(r"\s*DESCRIBE\s+HISTORY\b", re.IGNORECASE), _sql_history),
+    (re.compile(r"\s*DESCRIBE\s+DETAIL\b", re.IGNORECASE), _sql_detail),
+    (re.compile(r"\s*ALTER\s+TABLE\b", re.IGNORECASE), _sql_alter),
     (re.compile(r"\s*RESTORE\s+TABLE\b", re.IGNORECASE), _sql_restore),
     (re.compile(r"\s*CONVERT\s+TO\s+LAKEHOUSE\b", re.IGNORECASE), _sql_convert),
 ]
@@ -616,7 +728,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             # UPDATE/DELETE against non-lakehouse relations still fall
             # through: only registered names / lakehouse.`path` refs
             # dispatch here
-            if fn in (_sql_update, _sql_delete, _sql_insert):
+            if fn in (_sql_update, _sql_delete, _sql_insert,
+                      _sql_alter, _sql_detail):
                 tbl = stmt.split()[1 if fn is _sql_update else 2]
                 tbl = tbl.split("(")[0]  # INSERT INTO t(... tight form
                 if (not re.match(r"lakehouse\.`", tbl, re.IGNORECASE)

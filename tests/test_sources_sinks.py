@@ -4437,3 +4437,54 @@ def test_lakehouse_manifest_planning_parity(spark, tmp_path):
         M.plan_files(spark, path, partition_filter={"nope": "1"})
     with _pytest.raises(ValueError, match="no stats"):
         M.plan_files(spark, path, stats_filter={"v": (0, 1)})
+
+
+def test_lakehouse_sql_alter_and_detail(spark, tmp_path):
+    """SQL ALTER TABLE surface: ADD COLUMN(S) (incl. decimal with
+    embedded comma), RENAME COLUMN, DROP COLUMN, ADD/DROP CONSTRAINT
+    — each a zero-rewrite metadata version dispatched onto the
+    library's schema-action log; DESCRIBE DETAIL returns the one-row
+    Delta-style metadata summary; non-lakehouse ALTERs fall through
+    to spark.sql."""
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k", n_files=2)
+    LSQL.register_table(spark, "t_alter", path, "k")
+
+    files_before = LH.files_at_version(path, LH.current_version(path))
+    LSQL.sql(spark,
+             "ALTER TABLE t_alter ADD COLUMNS (tag string, amt decimal(10,2))")
+    assert LSQL.sql(spark, "SELECT * FROM t_alter").columns == \
+        ["k", "v", "tag", "amt"]
+    LSQL.sql(spark, "ALTER TABLE t_alter RENAME COLUMN v TO score")
+    LSQL.sql(spark, "ALTER TABLE t_alter DROP COLUMN tag")
+    got = LSQL.sql(spark, "SELECT * FROM t_alter")
+    assert got.columns == ["k", "score", "amt"]
+    assert got.agg(F.sum("score")).first()[0] == sum(range(100))
+    # all four actions were metadata-only: same data files
+    assert LH.files_at_version(path, LH.current_version(path)) == files_before
+
+    LSQL.sql(spark, "ALTER TABLE t_alter ADD CONSTRAINT pos CHECK (k >= 0)")
+    assert LH.table_constraints(path) == {"pos": "k >= 0"}
+    with _pytest.raises(LH.ConstraintViolationError):
+        LH.merge(spark, path, "k", inserts=spark.range(-5, -1).selectExpr(
+            "id AS k", "CAST(0 AS DOUBLE) AS score",
+            "CAST(NULL AS DECIMAL(10,2)) AS amt"))
+    LSQL.sql(spark, "ALTER TABLE t_alter DROP CONSTRAINT pos")
+    assert LH.table_constraints(path) == {}
+
+    d = LSQL.sql(spark, "DESCRIBE DETAIL t_alter").first()
+    assert d["format"] == "lakehouse" and d["numFiles"] == 2
+    assert d["clusteringKey"] == "k" and d["sizeInBytes"] > 0
+    assert d["version"] == LH.current_version(path)
+
+    # unparseable action / unknown table are loud
+    with _pytest.raises(ValueError, match="unsupported ALTER"):
+        LSQL.sql(spark, "ALTER TABLE t_alter SET TBLPROPERTIES ('a'='b')")
+    with _pytest.raises(Exception):
+        LSQL.sql(spark, "ALTER TABLE not_registered ADD COLUMN x int")
