@@ -81,6 +81,8 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # r5-head stragglers that fell past position 50, then the
         # mid-registry window/join/events/agg/scalar families.
         "lakehouse_sql_merge", "lakehouse_sql_update_delete",
+        "lakehouse_convert_insert", "lakehouse_zorder_incremental",
+        "lakehouse_manifest_planning", "stream_lakehouse_sink",
         "text_bigram_logprob", "corpus_training_manifest",
         "agg_kmv_sketch_setops", "join_lateral_topk",
         "events_funnel_steps", "cdc_scd1_merge",
@@ -101,10 +103,11 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "agg_percentile_disc", "agg_bitmap_exact_distinct",
         "agg_listagg", "agg_transpose_crosstab", "agg_boolean_argmax",
         "agg_grouping_id", "agg_pivot_multi", "mv_incremental_refresh",
-        "scalar_generator_funcs", "scalar_math_funcs",
-        "scalar_array_funcs", "scalar_conditional", "scalar_map_funcs",
+        "scalar_generator_funcs",
         # ---- position 51+: remaining never-sampled entries queue up
         # for the round-7 rotation, ahead of the validated flagships
+        "scalar_math_funcs",
+        "scalar_array_funcs", "scalar_conditional", "scalar_map_funcs",
         "scalar_bitwise_funcs", "scalar_explode_outer",
         "scalar_xml_funcs", "scalar_collation_funcs",
         "scalar_string_funcs2", "scalar_date_funcs2",
