@@ -228,7 +228,16 @@ def refresh_manifest(spark: SparkSession, path: str,
             )
         cur.write.mode("overwrite").parquet(out_dir)
 
-    new_meta = {"version": v, "dir": out_dir}
+    # partition/stats specs + schema replay are cached IN the meta so
+    # planning and manifest reads never re-parse the JSON log (at
+    # 200k files the log is tens of MB; a plan that re-loads it per
+    # metadata lookup would pay seconds of driver JSON parse —
+    # measured — for a handful of small lists)
+    new_meta = {
+        "version": v, "dir": out_dir, "pby": pby, "scols": scols,
+        "acts": LH._schema_actions_at(path, v),
+        "logical_cols": LH._logical_cols_at(path, v),
+    }
     _swap_meta(path, new_meta)
     if meta is not None and os.path.isdir(meta.get("dir", "")):
         import shutil
@@ -237,12 +246,19 @@ def refresh_manifest(spark: SparkSession, path: str,
     return {**new_meta, "mode": mode}
 
 
+def _meta_specs(path: str, meta: dict) -> tuple[list[str], list[str]]:
+    """(partition_by, stats_cols) from the manifest meta — one tiny
+    JSON read; falls back to the log only for pre-spec manifests."""
+    if "pby" in meta:
+        return list(meta["pby"]), list(meta["scols"])
+    return LH.table_partition_by(path), LH.table_stats_cols(path)
+
+
 def manifest_df(spark: SparkSession, path: str) -> DataFrame:
     meta = manifest_meta(path)
     if meta is None:
         raise ValueError(f"no manifest for {path}; run refresh_manifest")
-    pby = LH.table_partition_by(path)
-    scols = LH.table_stats_cols(path)
+    pby, scols = _meta_specs(path, meta)
     return spark.read.schema(_manifest_schema(pby, scols)).parquet(meta["dir"])
 
 
@@ -294,10 +310,9 @@ def plan_files(spark: SparkSession, path: str,
     meta = manifest_meta(path)
     if meta is None:
         raise ValueError(f"no manifest for {path}; run refresh_manifest")
-    pby = LH.table_partition_by(path)
-    scols = LH.table_stats_cols(path)
+    pby, scols = _meta_specs(path, meta)
     picked = (
-        manifest_df(spark, path)
+        spark.read.schema(_manifest_schema(pby, scols)).parquet(meta["dir"])
         .filter(_prune_expr(pby, scols, partition_filter, stats_filter))
         .select("file", "dv")
         .collect()
@@ -322,4 +337,16 @@ def read_at_manifest(spark: SparkSession, path: str,
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     df = LH._apply_dvs(spark, path, df, rel_files,
                        LH._dv_files_for(dvs, rel_files))
+    meta = manifest_meta(path)
+    if meta is not None and "acts" in meta:
+        # schema replay from the meta cache — same transform as
+        # _replay_schema, without re-walking the log
+        df = LH._apply_schema_actions(df, meta["acts"])
+        order = meta.get("logical_cols") or []
+        if order:
+            keep = [c for c in order if c in df.columns]
+            extra = [c for c in df.columns if c not in set(keep)]
+            if df.columns != keep + extra:
+                df = df.select(*keep, *extra)
+        return df
     return LH._replay_schema(df, path, version)

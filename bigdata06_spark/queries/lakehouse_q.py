@@ -1242,7 +1242,7 @@ def _build_manifest_events(spark: SparkSession, sf_dir: str) -> str:
            CAST(max(event_id) AS BIGINT) AS last_id
     FROM events
     WHERE ts::DATE = DATE '2024-01-03'
-      AND event_id <= 5000
+      AND event_id <= (SELECT CAST(max(event_id) / 2 AS BIGINT) FROM events)
       AND event_id % 7 <> 0
     GROUP BY event_type
     """,
@@ -1264,13 +1264,19 @@ def lakehouse_manifest_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata06_spark import lakehouse_manifest as M
 
     path = _build_manifest_events(spark, sf_dir)
+    # SF-relative stats bound (half the id space) so the skipped-file
+    # fraction — and a non-empty result — hold at every SF
+    hi = int(
+        load_table(spark, "events", sf_dir)
+        .agg((F.max("event_id") / 2).cast("long")).first()[0]
+    )
     day = M.read_at_manifest(
         spark, path,
         partition_filter={"event_date": "2024-01-03"},
-        stats_filter={"event_id": (None, 5000)},
+        stats_filter={"event_id": (None, hi)},
     )
     return (
-        day.filter(F.col("event_id") <= 5000)
+        day.filter(F.col("event_id") <= hi)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
