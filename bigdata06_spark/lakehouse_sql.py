@@ -701,6 +701,28 @@ def _sql_detail(spark: SparkSession, stmt: str) -> DataFrame:
     )
 
 
+def _sql_generate(spark: SparkSession, stmt: str) -> DataFrame:
+    """GENERATE MANIFEST FOR TABLE <t> — Delta's `GENERATE ... FOR
+    TABLE` shape, targeting this format's relational snapshot
+    manifest (lakehouse_manifest.refresh_manifest): folds the log
+    entries since the last manifest (O(files-changed)) or full-builds
+    on checkpoint/RESTORE. Returns (version, mode, dir)."""
+    from bigdata06_spark import lakehouse_manifest as M
+
+    m = re.fullmatch(
+        r"GENERATE\s+MANIFEST\s+FOR\s+TABLE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)",
+        stmt, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse GENERATE statement {stmt!r}")
+    path, _key, _name = _resolve(m.group("tbl"))
+    r = M.refresh_manifest(spark, path)
+    return spark.createDataFrame(
+        [(int(r["version"]), r["mode"], r["dir"])],
+        "version int, mode string, dir string",
+    )
+
+
 _DISPATCH = [
     (re.compile(r"\s*MERGE\s+INTO\b", re.IGNORECASE), _sql_merge),
     (re.compile(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b.*\bUSING\s+lakehouse\b",
@@ -713,6 +735,7 @@ _DISPATCH = [
     (re.compile(r"\s*DESCRIBE\s+HISTORY\b", re.IGNORECASE), _sql_history),
     (re.compile(r"\s*DESCRIBE\s+DETAIL\b", re.IGNORECASE), _sql_detail),
     (re.compile(r"\s*ALTER\s+TABLE\b", re.IGNORECASE), _sql_alter),
+    (re.compile(r"\s*GENERATE\s+MANIFEST\b", re.IGNORECASE), _sql_generate),
     (re.compile(r"\s*RESTORE\s+TABLE\b", re.IGNORECASE), _sql_restore),
     (re.compile(r"\s*CONVERT\s+TO\s+LAKEHOUSE\b", re.IGNORECASE), _sql_convert),
 ]

@@ -264,3 +264,87 @@ def test_lakehouse_model_based_random_op_sequences(spark, tmp_path_factory, ops)
             for r in LH.read_version(spark, path, LH.current_version(path)).collect()
         }
         assert got == model, f"after {op}({keys}): {got} != {model}"
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(ops=st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete", "insert", "optimize", "checkpoint",
+                         "dv_delete", "mor_update"]),
+        st.lists(st.integers(0, 49), min_size=1, max_size=8),
+        st.integers(0, 10**6),
+    ),
+    min_size=1, max_size=5,
+))
+def test_manifest_tracks_random_op_sequences(spark, tmp_path_factory, ops):
+    """MODEL-BASED check of the relational manifest: after EVERY
+    operation of a random COW/MOR/OPTIMIZE/checkpoint sequence,
+    `refresh_manifest` (full or incremental — whichever the fold
+    picks) must mirror the driver replay exactly — file set, DV
+    lists, stats bounds — and `read_at_manifest` must read back the
+    same dict-model state as `read_version`. This is the guarantee
+    that lets a planner trust the manifest instead of the log."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = str(tmp_path_factory.mktemp("lh_mf_model") / "t")
+    init_rows = [(k, float(k * 10)) for k in range(0, 30)]
+    model = dict(init_rows)
+    df = spark.createDataFrame(init_rows, "k long, v double")
+    LH.table_init(df, path, "k", n_files=4, stats_cols=["k"])
+    M.refresh_manifest(spark, path)
+
+    for op, keys, val in ops:
+        keys = sorted(set(keys))
+        if op == "upsert":
+            rows = [(k, float(val + k)) for k in keys]
+            rel = spark.createDataFrame(rows, "k long, v double")
+            LH.merge(spark, path, "k", updates=rel, inserts=rel)
+            model.update(rows)
+        elif op == "delete":
+            rel = spark.createDataFrame([(k,) for k in keys], "k long")
+            LH.merge(spark, path, "k", delete_keys=rel)
+            for k in keys:
+                model.pop(k, None)
+        elif op == "insert":
+            rows = [(k, float(val - k)) for k in keys]
+            rel = spark.createDataFrame(rows, "k long, v double")
+            LH.merge(spark, path, "k", inserts=rel)
+            for k, v in rows:
+                model.setdefault(k, v)
+        elif op == "dv_delete":
+            klist = ", ".join(str(k) for k in keys)
+            LH.delete_where(spark, path, f"k IN ({klist})")
+            for k in keys:
+                model.pop(k, None)
+        elif op == "mor_update":
+            klist = ", ".join(str(k) for k in keys)
+            LH.update_where(
+                spark, path, "k", {"v": f"v + {val}"}, f"k IN ({klist})"
+            )
+            for k in keys:
+                if k in model:
+                    model[k] = model[k] + val
+        elif op == "optimize":
+            LH.optimize(spark, path, "k", n_files=2)
+        elif op == "checkpoint":
+            LH.checkpoint_log(path)
+
+        M.refresh_manifest(spark, path)
+        v = LH.current_version(path)
+        files, dvs = LH._state_at_version(path, v)
+        stats = LH.file_stats_at(path, v)
+        rows_ = {x["file"]: x for x in M.manifest_df(spark, path).collect()}
+        assert sorted(rows_) == files, f"after {op}: file set diverged"
+        for f, lst in dvs.items():
+            assert sorted(rows_[f]["dv"]) == sorted(lst), \
+                f"after {op}: DV list diverged for {f}"
+        for f, row in rows_.items():
+            s = stats.get(f, {})
+            if "k" in s and s["k"][0] is not None:
+                assert row["mnn_k"] == float(s["k"][0])
+                assert row["mxn_k"] == float(s["k"][1])
+        got = {r.k: r.v for r in M.read_at_manifest(spark, path).collect()}
+        assert got == model, f"after {op}({keys}): {got} != {model}"

@@ -4488,3 +4488,30 @@ def test_lakehouse_sql_alter_and_detail(spark, tmp_path):
         LSQL.sql(spark, "ALTER TABLE t_alter SET TBLPROPERTIES ('a'='b')")
     with _pytest.raises(Exception):
         LSQL.sql(spark, "ALTER TABLE not_registered ADD COLUMN x int")
+
+
+def test_lakehouse_sql_generate_manifest(spark, tmp_path):
+    """GENERATE MANIFEST FOR TABLE through the SQL surface: first call
+    full-builds, a call after a DML fold is incremental, a no-change
+    call is a noop — and the manifest always mirrors the live file
+    set."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k", n_files=3)
+    LSQL.register_table(spark, "t_gen", path, "k")
+
+    r = LSQL.sql(spark, "GENERATE MANIFEST FOR TABLE t_gen").first()
+    assert (r["version"], r["mode"]) == (0, "full")
+    LSQL.sql(spark, "DELETE FROM t_gen WHERE k >= 150")
+    r = LSQL.sql(spark, "GENERATE MANIFEST FOR TABLE t_gen").first()
+    assert (r["version"], r["mode"]) == (1, "incremental")
+    r = LSQL.sql(spark, "GENERATE MANIFEST FOR TABLE t_gen").first()
+    assert r["mode"] == "noop"
+    assert sorted(
+        x["file"] for x in M.manifest_df(spark, path).collect()
+    ) == LH.files_at_version(path, 1)
+    assert M.read_at_manifest(spark, path).count() == 150
