@@ -97,6 +97,10 @@ HEADLINE = [
     "lakehouse_zorder_incremental",
     "lakehouse_manifest_planning",
     "stream_lakehouse_sink",
+    # r6 late stint: SELECT-side time travel (two-snapshot join) and
+    # the ledgered COPY INTO (warm rep = pure no-op diff)
+    "lakehouse_sql_time_travel",
+    "lakehouse_sql_copy_into",
 ]
 
 

@@ -1115,7 +1115,7 @@ def table_init(df: DataFrame, path: str, key: str, n_files: int = 8,
 
 
 def append(spark: SparkSession, path: str, key: str, df: DataFrame,
-           n_files: int = 1) -> int:
+           n_files: int = 1, extra_entry: dict | None = None) -> int:
     """Blind APPEND as a version (SQL INSERT INTO's engine): new
     range-sorted files only, nothing rewritten, duplicates allowed —
     key-dedup is merge's job. Unlike the session-less DataSource
@@ -1171,8 +1171,76 @@ def append(spark: SparkSession, path: str, key: str, df: DataFrame,
         entry["identity"] = {
             **ident, "high": ident["high"] + ident["step"] * n_new,
         }
+    if extra_entry:
+        entry.update(extra_entry)
     _commit_log(path, new_v, entry)
     return new_v
+
+
+def table_copy_sources(path: str, version: int | None = None) -> set:
+    """The cumulative COPY INTO source-file ledger: every
+    `<abs-path>:<size>` tag ever loaded, replayed from the log
+    (checkpoint entries re-emit the whole set, exactly like `txns`).
+    What makes re-running the same COPY INTO a no-op."""
+    srcs: set = set()
+    for _v, entry in _iter_log_entries(path, version):
+        srcs.update(entry.get("copy_sources", []))
+    return srcs
+
+
+def copy_into(spark: SparkSession, path: str, key: str, src: str,
+              fileformat: str = "parquet") -> tuple[int, int, int]:
+    """COPY INTO (Delta's idempotent bulk file load): load every
+    source file matching `src` (a directory or a glob) that has NOT
+    already been loaded into this table, as one APPEND version whose
+    log entry records the newly-loaded files' `<abs-path>:<size>`
+    tags. Re-running the same statement loads nothing; adding a file
+    to the source directory loads exactly that file. Returns
+    (version, files_loaded, rows_loaded).
+
+    Scale shape: the ledger diff is a set difference over file TAGS
+    (O(files), metadata only — never data); the data read is
+    spark.read over ONLY the new files, so a daily COPY INTO against
+    a growing landing dir costs O(new data), not O(directory). The
+    ledger itself is O(total files ever loaded) JSON strings — the
+    same order as the file list the log already carries."""
+    import glob as _glob
+
+    fmt = fileformat.lower()
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"unsupported COPY INTO FILEFORMAT {fileformat!r}")
+    pattern = src
+    if not any(ch in src for ch in "*?["):
+        ext = {"parquet": "parquet", "csv": "csv", "json": "json*"}[fmt]
+        pattern = os.path.join(src, f"*.{ext}")
+    cand = sorted(f for f in _glob.glob(pattern) if os.path.isfile(f))
+
+    def _tag(f: str) -> str:
+        return f"{os.path.abspath(f)}:{os.path.getsize(f)}"
+
+    loaded = table_copy_sources(path)
+    new = [f for f in cand if _tag(f) not in loaded]
+    if not new:
+        return current_version(path), 0, 0
+    if fmt == "parquet":
+        df = spark.read.parquet(*new)
+    elif fmt == "csv":
+        df = spark.read.option("header", "true") \
+                       .option("inferSchema", "true").csv(new)
+    else:
+        df = spark.read.json(new)
+    cols = set(read_version(spark, path, current_version(path)).columns)
+    extra = sorted(set(df.columns) - cols)
+    if extra:
+        raise ValueError(
+            f"COPY INTO source has columns {extra} not in the table; "
+            "ALTER TABLE ADD COLUMNS first"
+        )
+    n_rows = df.count()
+    v = append(spark, path, key, df,
+               extra_entry={"copy_sources": sorted(_tag(f) for f in new),
+                            "op": "COPY INTO"})
+    return v, len(new), n_rows
 
 
 def convert_to_lakehouse(spark: SparkSession, path: str,
@@ -2607,6 +2675,7 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     gen_pre = table_generated_cols(path)
     ident_pre = table_identity(path)
     txns_pre = table_txns(path, v)
+    copies_pre = table_copy_sources(path, v)
     cons_pre = table_constraints(path, v)
     zmeta_pre = table_zorder_meta(path)
     for old in range(v):
@@ -2659,6 +2728,9 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     if txns_pre:
         # idempotent-transaction ledger likewise
         entry["txns"] = txns_pre
+    if copies_pre:
+        # COPY INTO source-file ledger likewise
+        entry["copy_sources"] = sorted(copies_pre)
     # ATOMIC replace (write-temp + rename), not an in-place overwrite:
     # checkpoint deliberately REPLACES an existing committed entry
     # (squash-in-place), so O_EXCL doesn't apply — but a reader

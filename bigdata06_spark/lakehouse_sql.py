@@ -41,6 +41,14 @@ Grammar (the documented subset; anything outside it raises):
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
     CONVERT TO LAKEHOUSE parquet.`/dir` [STATS (c1, ...)]
                                        -- zero-copy in-place adoption
+    COPY INTO <tbl> FROM '<dir-or-glob>' [FILEFORMAT = PARQUET|CSV|JSON]
+    TRUNCATE TABLE <tbl>
+    SHOW TBLPROPERTIES <tbl>
+    ANALYZE TABLE <tbl> COMPUTE STATISTICS [FOR ALL COLUMNS]
+    CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF <n>]
+        LOCATION '<path>'
+    SELECT ... FROM <tbl> VERSION AS OF <n> ...         -- time travel,
+    SELECT ... FROM <tbl> TIMESTAMP AS OF '<ts>' ...    -- joins/CTEs too
 
 `<tbl>` is a registry name (from CREATE TABLE here) or an inline
 ``lakehouse.`/path/to/table` `` reference. MERGE follows Delta's
@@ -723,8 +731,211 @@ def _sql_generate(spark: SparkSession, stmt: str) -> DataFrame:
     )
 
 
+def _sql_copy(spark: SparkSession, stmt: str) -> DataFrame:
+    """COPY INTO <tbl> FROM '<dir-or-glob>' [FILEFORMAT = PARQUET|CSV|
+    JSON] — Delta's idempotent bulk load: only source files whose
+    `<abs-path>:<size>` tag is absent from the table's cumulative
+    copy ledger load (as ONE append version recording those tags), so
+    re-running the statement is a no-op and a grown landing directory
+    loads exactly its new files. Returns
+    (version, num_files_loaded, num_rows_loaded)."""
+    m = re.fullmatch(
+        r"COPY\s+INTO\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+"
+        r"FROM\s+'(?P<src>[^']+)'"
+        r"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?",
+        stmt, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            "cannot parse COPY INTO; expected: COPY INTO <tbl> FROM "
+            "'<dir-or-glob>' [FILEFORMAT = PARQUET|CSV|JSON]"
+        )
+    path, key, name = _resolve(m.group("tbl"))
+    key = _need_key(key, m.group("tbl"), "COPY INTO")
+    v, n_files, n_rows = LH.copy_into(
+        spark, path, key, m.group("src"), (m.group("fmt") or "parquet")
+    )
+    if name:
+        _refresh_view(spark, name)
+    return spark.createDataFrame(
+        [(int(v), int(n_files), int(n_rows))],
+        "version int, num_files_loaded int, num_rows_loaded bigint",
+    )
+
+
+def _sql_truncate(spark: SparkSession, stmt: str) -> DataFrame:
+    """TRUNCATE TABLE <tbl> — delete every live row as a NEW version
+    (history stays time-travelable; vacuum reclaims the files)."""
+    m = re.fullmatch(r"TRUNCATE\s+TABLE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)",
+                     stmt, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse TRUNCATE statement {stmt!r}")
+    path, _key, name = _resolve(m.group("tbl"))
+    v = LH.delete_where(spark, path, F.lit(True))
+    if name:
+        _refresh_view(spark, name)
+    return _version_df(spark, v)
+
+
+def _sql_show_props(spark: SparkSession, stmt: str) -> DataFrame:
+    """SHOW TBLPROPERTIES <tbl> — every table-level spec the log
+    carries, as (key, value) string rows: location, version,
+    clustering key, partition/stats/bloom specs, generated and
+    identity columns, CHECK constraints, z-order state."""
+    import json as _json
+
+    m = re.fullmatch(r"SHOW\s+TBLPROPERTIES\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)",
+                     stmt, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse SHOW TBLPROPERTIES {stmt!r}")
+    path, key, _name = _resolve(m.group("tbl"))
+    v = LH.current_version(path)
+    rows = [("location", path), ("version", str(int(v)))]
+    if key:
+        rows.append(("key", key))
+    pby = LH.table_partition_by(path)
+    if pby:
+        rows.append(("partition_by", ",".join(pby)))
+    scols = LH.table_stats_cols(path)
+    if scols:
+        rows.append(("stats_cols", ",".join(scols)))
+    bloom = LH.table_bloom_meta(path)
+    if bloom:
+        rows.append(("bloom", _json.dumps(bloom, sort_keys=True)))
+    gen = LH.table_generated_cols(path)
+    if gen:
+        rows.append(("generated", _json.dumps(gen, sort_keys=True)))
+    ident = LH.table_identity(path)
+    if ident:
+        rows.append(("identity", _json.dumps(ident, sort_keys=True)))
+    cons = LH.table_constraints(path)
+    if cons:
+        rows.append(("constraints", _json.dumps(cons, sort_keys=True)))
+    zmeta = LH.table_zorder_meta(path)
+    if zmeta:
+        rows.append(("zorder_by", ",".join(zmeta.get("cols", []))))
+    return spark.createDataFrame(rows, "key string, value string")
+
+
+def _sql_analyze(spark: SparkSession, stmt: str) -> DataFrame:
+    """ANALYZE TABLE <tbl> COMPUTE STATISTICS — refresh the
+    relational snapshot manifest (per-file stats mirror) to the
+    current version; the planner's `plan_files` then prunes from
+    parquet instead of re-parsing the JSON log. Returns
+    (version, mode, num_files)."""
+    from bigdata06_spark import lakehouse_manifest as M
+
+    m = re.fullmatch(
+        r"ANALYZE\s+TABLE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+"
+        r"COMPUTE\s+STATISTICS(?:\s+FOR\s+ALL\s+COLUMNS)?",
+        stmt, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse ANALYZE statement {stmt!r}")
+    path, _key, _name = _resolve(m.group("tbl"))
+    r = M.refresh_manifest(spark, path)
+    n_files = len(LH.files_at_version(path, int(r["version"])))
+    return spark.createDataFrame(
+        [(int(r["version"]), r["mode"], int(n_files))],
+        "version int, mode string, num_files int",
+    )
+
+
+def _sql_clone(spark: SparkSession, stmt: str) -> DataFrame:
+    """CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF <n>]
+    LOCATION '<path>' — Delta's zero-copy branch: the clone's v0 is a
+    checkpoint entry referencing the source's files by absolute path;
+    it diverges independently from there. The clone inherits the
+    source's clustering key in the registry."""
+    m = re.fullmatch(
+        r"CREATE\s+TABLE\s+(?P<name>[\w`.]+)\s+SHALLOW\s+CLONE\s+"
+        r"(?P<src>\S+(?:\s*`[^`]+`)?)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?"
+        r"\s+LOCATION\s+'(?P<path>[^']+)'",
+        stmt, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            "cannot parse CLONE; expected: CREATE TABLE <name> SHALLOW "
+            "CLONE <src> [VERSION AS OF <n>] LOCATION '<path>'"
+        )
+    src_path, src_key, _src_name = _resolve(m.group("src"))
+    dst = m.group("path")
+    ver = int(m.group("v")) if m.group("v") else None
+    LH.clone(src_path, dst, ver)
+    register_table(spark, m.group("name").strip("`"), dst, src_key)
+    return _version_df(spark, LH.current_version(dst))
+
+
+_ASOF_REF_RX = re.compile(
+    r"(?P<ref>lakehouse\.`[^`]+`|[A-Za-z_][\w.]*)\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)|"
+    r"TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_time_travel(spark: SparkSession, stmt: str) -> str:
+    """SELECT-side time travel: rewrite every `<tbl> VERSION AS OF
+    <n>` / `<tbl> TIMESTAMP AS OF '<ts>'` whose ref resolves to a
+    lakehouse table into a temp view over `read_version` at that
+    version (timestamps resolve via the log's commit wall clocks,
+    Delta's AS-OF rule), leaving everything else — including any
+    trailing alias — for `spark.sql`. Works anywhere in the
+    statement (joins, CTEs), skipping quoted strings."""
+    import hashlib
+    from datetime import datetime
+
+    matches = []
+    quote: str | None = None
+    i = 0
+    while i < len(stmt):
+        c = stmt[i]
+        if quote:
+            if c == quote:
+                quote = None
+            i += 1
+            continue
+        if c in "'\"":
+            quote = c
+            i += 1
+            continue
+        m = _ASOF_REF_RX.match(stmt, i)
+        if m:
+            matches.append(m)
+            i = m.end()
+            continue
+        i += 1
+    for m in reversed(matches):
+        try:
+            path, _key, name = _resolve(m.group("ref"))
+        except ValueError:
+            continue  # not a lakehouse ref — leave for spark.sql
+        if m.group("v") is not None:
+            v = int(m.group("v"))
+        else:
+            ts = m.group("ts")
+            try:
+                epoch = float(ts)
+            except ValueError:
+                epoch = datetime.fromisoformat(ts).timestamp()
+            v = LH.version_at_timestamp(path, epoch)
+        view = (f"{name or 'lh'}_asof_{v}_"
+                f"{hashlib.md5(path.encode()).hexdigest()[:6]}")
+        LH.read_version(spark, path, v).createOrReplaceTempView(view)
+        stmt = stmt[:m.start()] + view + stmt[m.end():]
+    return stmt
+
+
 _DISPATCH = [
     (re.compile(r"\s*MERGE\s+INTO\b", re.IGNORECASE), _sql_merge),
+    (re.compile(r"\s*CREATE\s+TABLE\b.*\bSHALLOW\s+CLONE\b",
+                re.IGNORECASE | re.DOTALL), _sql_clone),
+    (re.compile(r"\s*COPY\s+INTO\b", re.IGNORECASE), _sql_copy),
+    (re.compile(r"\s*TRUNCATE\s+TABLE\b", re.IGNORECASE), _sql_truncate),
+    (re.compile(r"\s*SHOW\s+TBLPROPERTIES\b", re.IGNORECASE), _sql_show_props),
+    (re.compile(r"\s*ANALYZE\s+TABLE\b.*\bCOMPUTE\s+STATISTICS\b",
+                re.IGNORECASE | re.DOTALL), _sql_analyze),
     (re.compile(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b.*\bUSING\s+lakehouse\b",
                 re.IGNORECASE | re.DOTALL), _sql_create),
     (re.compile(r"\s*UPDATE\s+(?!.*\bSET\b.*\bFROM\b)", re.IGNORECASE), _sql_update),
@@ -752,11 +963,14 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             # through: only registered names / lakehouse.`path` refs
             # dispatch here
             if fn in (_sql_update, _sql_delete, _sql_insert,
-                      _sql_alter, _sql_detail):
+                      _sql_alter, _sql_detail, _sql_truncate,
+                      _sql_copy, _sql_show_props, _sql_analyze):
                 tbl = stmt.split()[1 if fn is _sql_update else 2]
                 tbl = tbl.split("(")[0]  # INSERT INTO t(... tight form
                 if (not re.match(r"lakehouse\.`", tbl, re.IGNORECASE)
                         and tbl.strip("`").lower() not in _TABLES):
                     break
             return fn(spark, stmt)
+    if re.search(r"\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", stmt, re.IGNORECASE):
+        return spark.sql(_rewrite_time_travel(spark, stmt))
     return spark.sql(statement)

@@ -1285,3 +1285,137 @@ def lakehouse_manifest_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").cast("long").alias("last_id"),
         )
     )
+
+
+def _sqltt_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_sqltt_{tag}")
+
+
+@register(
+    "lakehouse_sql_time_travel",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n_changed,
+           CAST(sum(CAST(floor((c_acctbal + 1000) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_new,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_old
+    FROM customer WHERE c_custkey % 5 = 2
+    GROUP BY seg
+    """,
+)
+def lakehouse_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT-side time travel through the SQL surface: CTAS builds
+    v0 from `customer`, an UPDATE statement writes v1 (+1000 balance
+    for every 5th customer), and the final statement JOINS the
+    table's two states — `TIMESTAMP AS OF '9999999999'` (the latest
+    commit's wall clock, Delta's AS-OF rule) against `VERSION AS OF
+    0` — to report exactly the changed rows per market segment. The
+    front end rewrites each AS-OF ref into a `read_version` temp view
+    (aliases survive), so Catalyst sees an ordinary two-scan join.
+    The oracle derives both states from the raw table. Scale shape:
+    both sides are explicit-file-list parquet scans; time travel adds
+    zero data I/O beyond the second snapshot's files."""
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = _sqltt_dir(sf_dir)
+    if LH.current_version(path) < 0:
+        load_table(spark, "customer", sf_dir).select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ).createOrReplaceTempView("sqltt_src")
+        LSQL.sql(spark, f"CREATE TABLE sqltt_cust USING lakehouse "
+                        f"TBLPROPERTIES ('key' 'c_custkey') "
+                        f"LOCATION '{path}' AS SELECT * FROM sqltt_src")
+    else:
+        LSQL.sql(spark, f"CREATE TABLE sqltt_cust USING lakehouse "
+                        f"TBLPROPERTIES ('key' 'c_custkey') "
+                        f"LOCATION '{path}'")
+    if LH.current_version(path) < 1:
+        LSQL.sql(spark, "UPDATE sqltt_cust SET c_acctbal = c_acctbal + 1000 "
+                        "WHERE c_custkey % 5 = 2")
+    return LSQL.sql(spark, """
+        SELECT old.c_mktsegment AS seg,
+               CAST(count(*) AS BIGINT) AS n_changed,
+               CAST(sum(CAST(floor(new.c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents_new,
+               CAST(sum(CAST(floor(old.c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents_old
+        FROM sqltt_cust TIMESTAMP AS OF '9999999999' new
+        JOIN sqltt_cust VERSION AS OF 0 old
+          ON new.c_custkey = old.c_custkey
+        WHERE new.c_acctbal <> old.c_acctbal
+        GROUP BY seg
+    """)
+
+
+def _sqlcopy_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_sqlcopy_{tag}")
+
+
+@register(
+    "lakehouse_sql_copy_into",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    GROUP BY status
+    """,
+)
+def lakehouse_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO through the SQL surface, idempotence proven by the
+    oracle: CTAS seeds the table with the o_orderkey%3=0 third of
+    `orders`; the other two thirds land as parquet files in a landing
+    directory; COPY INTO runs TWICE against it. The first load
+    appends both files and records their `<path>:<size>` tags in the
+    commit; the second finds every tag already in the cumulative
+    ledger and loads nothing — if it re-loaded, the doubled rows
+    would break the value-hash against plain `SELECT ... FROM
+    orders`. Scale shape: the ledger diff is file-tag set algebra
+    (metadata only); the data read touches ONLY new files — a daily
+    load over a growing landing dir costs O(new data)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    root = _sqlcopy_dir(sf_dir)
+    path = os.path.join(root, "table")
+    landing = os.path.join(root, "landing")
+    if LH.current_version(path) < 0:
+        load_table(spark, "orders", sf_dir).filter(
+            F.col(KEY) % 3 == 0
+        ).select(KEY, "o_orderstatus", "o_totalprice"
+                 ).createOrReplaceTempView("sqlcopy_seed")
+        LSQL.sql(spark, f"CREATE TABLE sqlcopy_orders USING lakehouse "
+                        f"TBLPROPERTIES ('key' '{KEY}') "
+                        f"LOCATION '{path}' AS SELECT * FROM sqlcopy_seed")
+    else:
+        LSQL.sql(spark, f"CREATE TABLE sqlcopy_orders USING lakehouse "
+                        f"TBLPROPERTIES ('key' '{KEY}') "
+                        f"LOCATION '{path}'")
+    if LH.current_version(path) < 1:
+        os.makedirs(landing, exist_ok=True)
+        o = load_table(spark, "orders", sf_dir).select(
+            KEY, "o_orderstatus", "o_totalprice")
+        for i in (1, 2):
+            tmp = os.path.join(root, f"stage{i}")
+            o.filter(F.col(KEY) % 3 == i).coalesce(1) \
+                .write.mode("overwrite").parquet(tmp)
+            src = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
+            _shutil.copy(src, os.path.join(landing, f"load{i}.parquet"))
+        LSQL.sql(spark, f"COPY INTO sqlcopy_orders FROM '{landing}' "
+                        f"FILEFORMAT = PARQUET")
+        # the idempotence proof: same statement again must load nothing
+        LSQL.sql(spark, f"COPY INTO sqlcopy_orders FROM '{landing}'")
+    return LSQL.sql(spark, """
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM sqlcopy_orders
+        GROUP BY status
+    """)

@@ -4515,3 +4515,87 @@ def test_lakehouse_sql_generate_manifest(spark, tmp_path):
         x["file"] for x in M.manifest_df(spark, path).collect()
     ) == LH.files_at_version(path, 1)
     assert M.read_at_manifest(spark, path).count() == 150
+
+
+def test_lakehouse_sql_round6_verbs(spark, tmp_path):
+    """Round-6 statement verbs in one journey: time-travel SELECT
+    (VERSION/TIMESTAMP AS OF rewritten to read_version views, aliases
+    and joins intact), COPY INTO idempotence via the log's
+    copy-source ledger, TRUNCATE as a new version, SHOW
+    TBLPROPERTIES, ANALYZE → manifest refresh, and SHALLOW CLONE
+    isolation from the source's later writes."""
+    import glob
+    import shutil
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.lakehouse_sql import sql
+
+    path = str(tmp_path / "lh6")
+    spark.range(20).selectExpr("id AS k", "CAST(id * 2.0 AS DOUBLE) AS v") \
+        .createOrReplaceTempView("lh6_seed")
+    sql(spark, f"CREATE TABLE lh6 USING lakehouse TBLPROPERTIES "
+               f"('key' 'k') LOCATION '{path}' AS SELECT * FROM lh6_seed")
+    sql(spark, "UPDATE lh6 SET v = v + 100 WHERE k % 2 = 0")
+
+    # time travel: join current vs v0; alias + WHERE survive the rewrite
+    row = sql(spark, """
+        SELECT count(*) AS n FROM lh6 cur
+        JOIN lh6 VERSION AS OF 0 old ON cur.k = old.k
+        WHERE cur.v <> old.v""").first()
+    assert row["n"] == 10
+    # TIMESTAMP AS OF far future = latest; epoch-0 has no version → loud
+    assert sql(spark, "SELECT count(*) AS n FROM lh6 TIMESTAMP AS OF "
+                      "'9999999999'").first()["n"] == 20
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        sql(spark, "SELECT * FROM lh6 TIMESTAMP AS OF '0'")
+
+    # COPY INTO: 2 files load once; re-run loads 0; new file loads alone
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing, exist_ok=True)
+    for i, (lo, hi) in enumerate([(100, 110), (110, 115)]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.range(lo, hi).selectExpr(
+            "id AS k", "CAST(id * 1.0 AS DOUBLE) AS v"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0],
+                    os.path.join(landing, f"f{i}.parquet"))
+    r1 = sql(spark, f"COPY INTO lh6 FROM '{landing}' "
+                    f"FILEFORMAT = PARQUET").first()
+    assert (r1["num_files_loaded"], r1["num_rows_loaded"]) == (2, 15)
+    r2 = sql(spark, f"COPY INTO lh6 FROM '{landing}'").first()
+    assert (r2["num_files_loaded"], r2["num_rows_loaded"]) == (0, 0)
+    stage = str(tmp_path / "stage2")
+    spark.range(115, 118).selectExpr(
+        "id AS k", "CAST(id * 1.0 AS DOUBLE) AS v"
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    shutil.copy(glob.glob(os.path.join(stage, "*.parquet"))[0],
+                os.path.join(landing, "f2.parquet"))
+    r3 = sql(spark, f"COPY INTO lh6 FROM '{landing}'").first()
+    assert (r3["num_files_loaded"], r3["num_rows_loaded"]) == (1, 3)
+    assert sql(spark, "SELECT count(*) AS n FROM lh6").first()["n"] == 38
+
+    # ledger survives checkpoint squash; COPY stays a no-op after it
+    LH.checkpoint_log(path)
+    assert len(LH.table_copy_sources(path)) == 3
+    r4 = sql(spark, f"COPY INTO lh6 FROM '{landing}'").first()
+    assert r4["num_files_loaded"] == 0
+
+    # SHOW TBLPROPERTIES / ANALYZE
+    props = {r["key"]: r["value"]
+             for r in sql(spark, "SHOW TBLPROPERTIES lh6").collect()}
+    assert props["location"] == path and props["key"] == "k"
+    an = sql(spark, "ANALYZE TABLE lh6 COMPUTE STATISTICS").first()
+    assert an["num_files"] > 0
+
+    # SHALLOW CLONE at the pre-truncate version, then truncate source
+    clone_path = str(tmp_path / "lh6_clone")
+    sql(spark, f"CREATE TABLE lh6c SHALLOW CLONE lh6 "
+               f"LOCATION '{clone_path}'")
+    assert sql(spark, "SELECT count(*) AS n FROM lh6c").first()["n"] == 38
+    sql(spark, "TRUNCATE TABLE lh6")
+    assert sql(spark, "SELECT count(*) AS n FROM lh6").first()["n"] == 0
+    assert sql(spark, "SELECT count(*) AS n FROM lh6c").first()["n"] == 38
+    # non-lakehouse TRUNCATE falls through to spark.sql (loud there)
+    with _pytest.raises(Exception, match="nonesuch"):
+        sql(spark, "TRUNCATE TABLE nonesuch_t6")
