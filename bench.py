@@ -101,6 +101,13 @@ HEADLINE = [
     # the ledgered COPY INTO (warm rep = pure no-op diff)
     "lakehouse_sql_time_travel",
     "lakehouse_sql_copy_into",
+    # r6 second stint: Gopher rules (row-local + per-doc bigram argmax),
+    # the SQ8 codec member of the ANN family (deterministic int-dot
+    # shortlist + exact rerank), and greedy MMR over the checkpointed
+    # shortlist (corpus scanned once by retrieval, loop cost O(Q·pool²))
+    "text_gopher_filters",
+    "knn_sq8_rerank",
+    "rag_mmr_rerank",
 ]
 
 

@@ -1047,3 +1047,195 @@ def ivf_probe_partitioned(spark, path: str, query_vec: list[float],
         .limit(k)
         .select("vec_id", "sim")
     )
+
+
+# --------------------------------------------------------------- SQ8 ANN
+
+
+def sq8_stats(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension max-|x| over the corpus, collapsed to ONE row of a
+    dim-ordered `amaxs` array — the training pass of symmetric scalar
+    quantization (the FAISS `SQ8` codec: one scale per dimension,
+    shared by every vector, zero-centered so sign structure survives).
+
+    Plan: posexplode (N×dim rows) → groupBy(dim) max with map-side
+    partial aggregation, then a single-row collect_list fold. The
+    shuffle carries at most `dim` groups regardless of N — flat at any
+    corpus size."""
+    per_dim = (
+        corpus.select(F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("amax"))
+    )
+    return per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "amax"))), lambda s: s["amax"]
+        ).alias("amaxs"),
+    )
+
+
+def sq8_encode(df: DataFrame, stats: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", out_id: str = "vec_id") -> DataFrame:
+    """Quantize each vector to int8 codes against the shared per-dim
+    scales: code_i = floor(x_i * (127/amax_i) + 0.5) ∈ [−127, 127];
+    all-zero dimensions (amax = 0) encode to 0.
+
+    The one-row stats frame broadcasts into a crossJoin — no shuffle on
+    the data side; the transform is a per-row expression. Emits both
+    the integer codes (what a real index stores — 1 B/dim) and the
+    on-the-fly reconstruction recon_i = code_i · (amax_i/127), the
+    value the scan stage scores against (FAISS decodes SQ8 codes in
+    registers the same way)."""
+    x = as_double(F.col(vec_col))
+    code = F.transform(
+        x,
+        lambda v, i: F.when(
+            F.get(F.col("amaxs"), i) > 0,
+            F.floor(v * (F.lit(127.0) / F.get(F.col("amaxs"), i)) + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    recon = F.transform(
+        F.col("codes"), lambda c, i: c * (F.get(F.col("amaxs"), i) / F.lit(127.0))
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col).alias(out_id), code.alias("codes"), F.col("amaxs"))
+        .select(out_id, "codes", recon.alias("recon"))
+    )
+
+
+def sq8_rerank_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 5,
+                    shortlist: int = 20, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Two-stage SQ8 retrieval — the scalar-quantization member of the
+    ANN family (Flat / LSH / IVF / PQ / IVF-PQ / SQ): the corpus is
+    stored as shared-scale int8 codes (4 B/dim → 1 B/dim), the scan
+    stage ranks by cosine over register-reconstructed values (exactly
+    FAISS's SQ8 distance computation — codes decode on the fly, the
+    full float vectors are never touched), keeps `shortlist`
+    candidates per query, and only those rejoin full vectors for the
+    exact cosine re-rank. Unlike LSH/IVF the shortlist is a
+    deterministic function of the data (no seeds, no probe luck), so
+    the whole pipeline replays under a full value-hash oracle.
+
+    Scale: the stats pass is a dim-bounded aggregate; the scan reads
+    1-byte codes + one broadcast scale array — memory-bandwidth-bound,
+    the reason FAISS ships SQ8 — and the rerank touches shortlist×Q
+    full vectors only. Queries broadcast as in `knn_bruteforce`.
+
+    Output: (query_id, neighbor_id, sq_sim, sim, rn)."""
+    stats = sq8_stats(corpus, vec_col)
+    stats = stats.localCheckpoint(eager=True)
+    qc = sq8_encode(queries, stats, id_col, vec_col, out_id="query_id").select(
+        "query_id", F.col("recon").alias("qr")
+    )
+    cc = sq8_encode(corpus, stats, id_col, vec_col, out_id="neighbor_id").select(
+        "neighbor_id", F.col("recon").alias("cr")
+    )
+    scored = (
+        F.broadcast(qc)
+        .crossJoin(cc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            rnd(cosine(F.col("qr"), F.col("cr")), 6).alias("sq_sim"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("sq_sim"), F.asc("neighbor_id"))
+    short = scored.withColumn("rs", F.row_number().over(ws)).filter(F.col("rs") <= shortlist)
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= k_neighbors)
+        .select("query_id", "neighbor_id", "sq_sim", "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# --------------------------------------------------------------- MMR
+
+
+def mmr_select(queries: DataFrame, corpus: DataFrame, k_select: int = 4,
+               pool: int = 8, w_rel: float = 0.7, w_div: float = 0.3,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's `pool` most-relevant candidates, greedily
+    pick `k_select` maximizing  w_rel·rel(c) − w_div·max_{s∈selected}
+    sim(c, s)  — the standard diversity re-rank between retrieval and
+    context assembly in a RAG stack.
+
+    The greedy loop is k_select−1 unrolled DataFrame steps over the
+    *shortlist only*: candidates and their pairwise similarities are
+    localCheckpointed O(Q·pool) relations, so the corpus is scanned
+    exactly once (by the retrieval pass) no matter k. Every score is
+    6dp-rounded with id tie-breaks — the selection path is
+    cross-engine deterministic and replays in the unrolled SQL oracle
+    (`_mmr_oracle`).
+
+    Output: (query_id, step, neighbor_id, rel, mmr) — step 1 is the
+    pure-relevance pick with mmr ≡ rel."""
+    cand = knn_bruteforce(queries, corpus, k=pool, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("nid"), F.col("sim").alias("rel")
+    )
+    cand = cand.localCheckpoint(eager=True)
+    ids = cand.select("nid").distinct()
+    vecs = corpus.join(
+        F.broadcast(ids), corpus[id_col] == ids["nid"]
+    ).select(F.col("nid").alias("pid"), as_double(F.col(vec_col)).alias("pv"))
+    a = vecs.select(F.col("pid").alias("ia"), F.col("pv").alias("va"))
+    b = vecs.select(F.col("pid").alias("ib"), F.col("pv").alias("vb"))
+    pair = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", rnd(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+    )
+    pair = pair.localCheckpoint(eager=True)
+
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("nid"))
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("long").alias("step"),
+            "nid",
+            "rel",
+            F.col("rel").alias("mmr"),
+        )
+    )
+    rem = cand.join(sel.select("query_id", "nid"), ["query_id", "nid"], "left_anti")
+    for t in range(2, k_select + 1):
+        ms = (
+            rem.join(pair, rem["nid"] == pair["ia"])
+            .join(
+                sel.select(F.col("query_id").alias("sq"), F.col("nid").alias("snid")),
+                (F.col("query_id") == F.col("sq")) & (F.col("ib") == F.col("snid")),
+            )
+            .groupBy("query_id", "nid", "rel")
+            .agg(F.max("s").alias("msim"))
+        )
+        scored = ms.withColumn(
+            "mmr", rnd(F.lit(w_rel) * F.col("rel") - F.lit(w_div) * F.col("msim"), 6)
+        )
+        wt = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("nid"))
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.lit(t).cast("long").alias("step"), "nid", "rel", "mmr")
+        )
+        sel = sel.unionByName(pick)
+        rem = rem.join(pick.select("query_id", "nid"), ["query_id", "nid"], "left_anti")
+    return sel.select(
+        "query_id", "step", F.col("nid").alias("neighbor_id"), "rel", "mmr"
+    )

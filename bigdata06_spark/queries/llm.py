@@ -408,6 +408,163 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_RECON_CTE = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    pd AS (SELECT generate_subscripts(x, 1) AS pos, unnest(x) AS v FROM e),
+    st AS (
+      SELECT list(amax ORDER BY pos) AS amaxs
+      FROM (SELECT pos, max(abs(v)) AS amax FROM pd GROUP BY pos)
+    ),
+    codes AS (
+      SELECT vec_id,
+             [CASE WHEN amaxs[i] > 0
+                   THEN CAST(floor(x[i] * (127.0 / amaxs[i]) + 0.5) AS BIGINT)
+                   ELSE 0 END
+              for i in range(1, len(x) + 1)] AS c
+      FROM e CROSS JOIN st
+    ),
+    recon AS (
+      SELECT vec_id,
+             [c[i] * (amaxs[i] / 127.0) for i in range(1, len(c) + 1)] AS r
+      FROM codes CROSS JOIN st
+    )"""
+
+
+@register(
+    "knn_sq8_rerank",
+    oracle=f"""
+    WITH {_SQ8_RECON_CTE},
+    sc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(q.r, c.r) * 1000000.0 + 0.5) / 1000000.0
+               AS sq_sim
+      FROM recon q JOIN recon c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    short AS (
+      SELECT * FROM (
+        SELECT sc.*, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sq_sim DESC, neighbor_id ASC) AS rs
+        FROM sc)
+      WHERE rs <= 20
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id, s.sq_sim,
+             floor(list_cosine_similarity(q.x, c.x) * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM short s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sq_sim, sim, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT rer.*, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id ASC) AS rn
+          FROM rer)
+    WHERE rn <= 5
+    """,
+)
+def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) two-stage retrieval for the 10 probe
+    vectors — the remaining FAISS codec next to Flat/LSH/IVF/PQ/IVF-PQ:
+    shared per-dimension symmetric scales quantize every vector to
+    1-byte codes (4× less scan memory traffic than float32), the scan
+    ranks by cosine over register-reconstructed codes (FAISS's SQ8
+    distance — deterministic, no seeds, so a full value-hash oracle
+    applies, unlike the probabilistic LSH/IVF variants), and only the
+    20-deep shortlist rejoins full vectors for the exact cosine top-5.
+    Stats pass is a dim-bounded aggregate."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.sq8_rerank_topk(e.filter(F.col("vec_id") < 10), e, k_neighbors=5, shortlist=20)
+
+
+def _mmr_oracle(k_select: int = 4, pool: int = 8, w_rel: str = "0.7",
+                w_div: str = "0.3", n_queries: int = 3) -> str:
+    """Unrolled SQL replay of the greedy MMR loop: candidates + pairwise
+    sims once, then one (score → argmax → remove) CTE block per step —
+    the same algorithm as operators/similarity.py:mmr_select."""
+    mmr_expr = (
+        f"floor((CAST({w_rel} AS DOUBLE) * rel - CAST({w_div} AS DOUBLE) * ms)"
+        " * 1000000.0 + 0.5) / 1000000.0"
+    )
+    ctes = [f"""cand AS (
+      SELECT query_id, neighbor_id AS nid, sim AS rel FROM (
+        SELECT sc.*, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rn
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 floor(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                       * 1000000.0 + 0.5) / 1000000.0 AS sim
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < {n_queries}) sc)
+      WHERE rn <= {pool}
+    ),
+    pv AS (
+      SELECT e.vec_id AS pid, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN (SELECT DISTINCT nid FROM cand) ids ON ids.nid = e.vec_id
+    ),
+    pair AS (
+      SELECT a.pid AS ia, b.pid AS ib,
+             floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5) / 1000000.0 AS s
+      FROM pv a JOIN pv b ON a.pid <> b.pid
+    ),
+    sel1 AS (
+      SELECT query_id, CAST(1 AS BIGINT) AS step, nid, rel, rel AS mmr FROM (
+        SELECT cand.*, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, nid ASC) AS rn
+        FROM cand)
+      WHERE rn = 1
+    ),
+    selall1 AS (SELECT * FROM sel1),
+    rem1 AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN sel1 s ON s.query_id = c.query_id AND s.nid = c.nid
+      WHERE s.nid IS NULL
+    )"""]
+    for t in range(2, k_select + 1):
+        ctes.append(f"""sc{t} AS (
+      SELECT r.query_id, r.nid, r.rel, max(p.s) AS ms
+      FROM rem{t-1} r
+      JOIN pair p ON p.ia = r.nid
+      JOIN selall{t-1} s ON s.query_id = r.query_id AND s.nid = p.ib
+      GROUP BY r.query_id, r.nid, r.rel
+    ),
+    sel{t} AS (
+      SELECT query_id, CAST({t} AS BIGINT) AS step, nid, rel,
+             {mmr_expr} AS mmr
+      FROM (SELECT sc{t}.*, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY {mmr_expr} DESC, nid ASC) AS rn
+            FROM sc{t})
+      WHERE rn = 1
+    ),
+    selall{t} AS (SELECT * FROM selall{t-1} UNION ALL SELECT * FROM sel{t}),
+    rem{t} AS (
+      SELECT r.* FROM rem{t-1} r
+      LEFT JOIN sel{t} s ON s.query_id = r.query_id AND s.nid = r.nid
+      WHERE s.nid IS NULL
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT query_id, step, nid AS neighbor_id, rel, mmr FROM selall{k_select}"
+    )
+
+
+@register("rag_mmr_rerank", oracle=_mmr_oracle())
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    for 3 probe queries: exact top-8 retrieval, then 4 greedy picks
+    maximizing 0.7·relevance − 0.3·max-similarity-to-selected — the
+    standard diversity stage between retrieval and context assembly in
+    a RAG stack (redundant near-duplicate passages waste context
+    budget). The greedy loop runs entirely on the localCheckpointed
+    O(Q·pool) shortlist — the corpus is scanned once by retrieval, so
+    MMR cost is independent of corpus size; every score is 6dp-rounded
+    with id tie-breaks, making the selection path deterministic under
+    the unrolled SQL oracle."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.mmr_select(
+        e.filter(F.col("vec_id") < 3), e, k_select=4, pool=8, w_rel=0.7, w_div=0.3
+    )
+
+
 @register("knn_lsh_ann", oracle=None)
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table hyperplane LSH (12 tables × 6 sign
@@ -514,6 +671,152 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         not_lorem.alias("not_lorem"),
         wordlen_ok.alias("wordlen_ok"),
         (ends_ok & min_words_ok & no_brace & not_lorem & wordlen_ok).alias("kept"),
+    )
+
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id, text, ws, len(ws) AS nw,
+             list_sum(list_transform(ws, x -> length(x))) AS wchars
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   unnest([{{'w1': ws[i], 'w2': ws[i+1]}} for i in range(1, len(ws))]) AS u
+            FROM t WHERE len(ws) >= 2) s
+      GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT doc_id, c * (length(w1) + length(w2)) AS topchars
+      FROM (SELECT bg.*,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, w1 ASC, w2 ASC) AS rn
+            FROM bg)
+      WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           b.nw BETWEEN 50 AND 100000 AS word_count_ok,
+           CAST(b.wchars AS DOUBLE) / b.nw BETWEEN 3 AND 10 AS mean_wordlen_ok,
+           CAST((length(b.text) - length(replace(b.text, '#', '')))
+                + CAST((length(b.text) - length(replace(b.text, '...', ''))) / 3 AS BIGINT)
+                AS DOUBLE) / b.nw <= 0.1 AS symbol_ratio_ok,
+           CAST(len(list_filter(b.ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+             / b.nw >= 0.8 AS alpha_word_ok,
+           len(list_filter({_GOPHER_STOPS!r}, s -> list_contains(b.ws, s))) >= 2
+             AS stopword_ok,
+           coalesce(CAST(top.topchars AS DOUBLE) / b.wchars, 0.0) <= 0.2
+             AS repetition_ok,
+           (b.nw BETWEEN 50 AND 100000
+            AND CAST(b.wchars AS DOUBLE) / b.nw BETWEEN 3 AND 10
+            AND CAST((length(b.text) - length(replace(b.text, '#', '')))
+                     + CAST((length(b.text) - length(replace(b.text, '...', ''))) / 3 AS BIGINT)
+                     AS DOUBLE) / b.nw <= 0.1
+            AND CAST(len(list_filter(b.ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / b.nw >= 0.8
+            AND len(list_filter({_GOPHER_STOPS!r}, s -> list_contains(b.ws, s))) >= 2
+            AND coalesce(CAST(top.topchars AS DOUBLE) / b.wchars, 0.0) <= 0.2) AS kept
+    FROM b LEFT JOIN top ON top.doc_id = b.doc_id
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, appendix A1.1 — the
+    MassiveText cleaning recipe, the other public rule set next to
+    C4's): word count in [50, 1e5], mean word length in [3, 10],
+    symbol-to-word ratio ('#' and '...') ≤ 0.1, ≥80% of words contain
+    an alphabetic character, ≥2 distinct required stop words present,
+    and the A1.1 repetition rule — characters in the most frequent
+    word 2-gram ≤ 20% of word characters. (The paper's line-level
+    bullet/ellipsis rules are vacuous on the single-line fixture docs
+    and omitted.) Per-rule verdict columns plus the conjunction, like
+    `text_c4_filters` — pass rates per rule are the tuning surface.
+
+    Scale: every rule but repetition is a row-local codegen
+    expression (zero shuffle); repetition is one explode → per-doc
+    bigram count → per-doc argmax window — shuffle keyed by doc_id,
+    the same bounded shape as `text_repetition_stats`. Ratios are
+    exact int/int double divisions, bit-identical cross-engine."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = T.words(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.col("text"),
+        ws.alias("ws"),
+        F.size(ws).cast("long").alias("nw"),
+        F.aggregate(
+            F.transform(ws, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("wchars"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+    )
+    bg = (
+        base.filter(F.col("nw") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("u"))
+        .groupBy("doc_id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.desc("c"), F.asc("w1"), F.asc("w2")
+    )
+    top = (
+        bg.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("c") * (F.length("w1") + F.length("w2"))).alias("topchars"),
+        )
+    )
+    j = base.join(top, "doc_id", "left")
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("long")
+    word_count_ok = F.col("nw").between(50, 100000)
+    mean_wordlen_ok = (F.col("wchars").cast("double") / F.col("nw")).between(3, 10)
+    symbol_ratio_ok = (n_hash + n_ellipsis).cast("double") / F.col("nw") <= 0.1
+    alpha_word_ok = (
+        F.size(F.filter(F.col("ws"), lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / F.col("nw")
+        >= 0.8
+    )
+    stopword_ok = (
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+                lambda s: F.array_contains(F.col("ws"), s),
+            )
+        )
+        >= 2
+    )
+    repetition_ok = (
+        F.coalesce(F.col("topchars").cast("double") / F.col("wchars"), F.lit(0.0)) <= 0.2
+    )
+    return j.select(
+        "doc_id",
+        word_count_ok.alias("word_count_ok"),
+        mean_wordlen_ok.alias("mean_wordlen_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        alpha_word_ok.alias("alpha_word_ok"),
+        stopword_ok.alias("stopword_ok"),
+        repetition_ok.alias("repetition_ok"),
+        (
+            word_count_ok
+            & mean_wordlen_ok
+            & symbol_ratio_ok
+            & alpha_word_ok
+            & stopword_ok
+            & repetition_ok
+        ).alias("kept"),
     )
 
 

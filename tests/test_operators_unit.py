@@ -661,3 +661,67 @@ def test_readme_counts_match_registry():
     assert m, "README.md lost its Coverage line"
     assert int(m.group(1)) == len(E.queries())
     assert int(m.group(2)) == len(E.oracle_sql())
+
+
+def test_sq8_recall_floor(spark, sf_dir):
+    """Quality gate for the SQ8 codec: the reconstructed-code shortlist
+    plus exact rerank must recover (nearly) the exact top-5 — measured
+    1.0 at sf0.001/0.01/0.1 (8-bit symmetric quantization keeps
+    per-dim relative error ~0.4%, far inside the top-20 shortlist
+    margin); floor pinned below at 0.9."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce(q, emb, k=5).collect()}
+    sq8 = {(r.query_id, r.neighbor_id) for r in S.sq8_rerank_topk(q, emb).collect()}
+    assert len(sq8 & exact) / len(exact) >= 0.9
+
+
+def test_mmr_greedy_properties(spark, sf_dir):
+    """Structural gates for the MMR re-rank: (1) step 1 is the pure
+    max-relevance pick; (2) picks are distinct per query and steps are
+    1..k; (3) diversity — the mean pairwise similarity among the MMR
+    selection is no higher than among the plain top-k-by-relevance
+    set, per query (the whole point of the trade-off term)."""
+    from itertools import combinations
+
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    k, pool = 4, 8
+    sel = S.mmr_select(queries, emb, k_select=k, pool=pool).collect()
+    cand = S.knn_bruteforce(queries, emb, k=pool).collect()
+    by_q = {}
+    for r in sel:
+        by_q.setdefault(r.query_id, []).append(r)
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 10_000).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    def mean_pair_sim(ids):
+        pairs = list(combinations(ids, 2))
+        return sum(cos(vecs[a], vecs[b]) for a, b in pairs) / len(pairs)
+
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.step)
+        assert [r.step for r in rows] == list(range(1, k + 1))
+        ids = [r.neighbor_id for r in rows]
+        assert len(set(ids)) == k
+        top_rel = sorted(
+            (r for r in cand if r.query_id == qid),
+            key=lambda r: (-r.sim, r.neighbor_id),
+        )
+        assert rows[0].neighbor_id == top_rel[0].neighbor_id
+        topk_ids = [r.neighbor_id for r in top_rel[:k]]
+        assert mean_pair_sim(ids) <= mean_pair_sim(topk_ids) + 1e-9
