@@ -81,6 +81,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # r5-head stragglers that fell past position 50, then the
         # mid-registry window/join/events/agg/scalar families.
         "text_gopher_filters", "knn_sq8_rerank", "rag_mmr_rerank",
+        "graph_label_propagation",
         "lakehouse_sql_merge", "lakehouse_sql_update_delete",
         "lakehouse_sql_time_travel", "lakehouse_sql_copy_into",
         "lakehouse_convert_insert", "lakehouse_zorder_incremental",

@@ -3888,6 +3888,111 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(n_iter: int = 4) -> str:
+    """Unrolled SQL replay of synchronous label propagation over the
+    mutual-top-5 co-supply graph (same edge CTEs as
+    `graph_triangle_census`; same algorithm as
+    `graph_label_propagation`)."""
+    ctes = ["""sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    co AS MATERIALIZED (
+      SELECT a.s AS sa, b.s AS sb, count(*) AS c
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s GROUP BY a.s, b.s
+    ),
+    rk AS (
+      SELECT sa, sb,
+             row_number() OVER (PARTITION BY sa ORDER BY c DESC, sb ASC) AS rn
+      FROM co
+    ),
+    d AS MATERIALIZED (SELECT sa, sb FROM rk WHERE rn <= 5),
+    e AS MATERIALIZED (
+      SELECT d.sa, d.sb FROM d JOIN d m ON m.sa = d.sb AND m.sb = d.sa
+      WHERE d.sa < d.sb
+    ),
+    ed AS MATERIALIZED (
+      SELECT sa AS src, sb AS dst FROM e
+      UNION ALL SELECT sb AS src, sa AS dst FROM e
+    ),
+    l0 AS (SELECT DISTINCT src AS v, src AS lab FROM ed)"""]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""m{t} AS (
+      SELECT ed.dst AS v, l.lab, count(*) AS c
+      FROM ed JOIN l{t-1} l ON l.v = ed.src GROUP BY 1, 2
+    ),
+    l{t} AS MATERIALIZED (
+      SELECT v, lab FROM (
+        SELECT m{t}.*, row_number() OVER (PARTITION BY v
+                                          ORDER BY c DESC, lab ASC) AS rn
+        FROM m{t})
+      WHERE rn = 1
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT v AS s, lab AS community FROM l{n_iter}"
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the same mutual-top-5 co-supply graph as
+    `graph_triangle_census`: every node starts as its own label; each
+    of 4 unrolled rounds relabels every node to its neighbors'
+    plurality label (count desc, min-label tie-break — fully
+    deterministic, so the run replays under the unrolled SQL oracle).
+    Completes the graph family: PageRank (centrality), connected
+    components (reachability), triangle census (statistics), LPA
+    (communities).
+
+    Scale: each round is one edge⋈label equi-join + one (node, label)
+    count + one per-node argmax window — all keyed shuffles on the
+    degree-bounded edge list (≤5·|nodes| rows by construction, never
+    the quadratic co-supply graph). Labels localCheckpoint per round
+    (|nodes| rows) so round t doesn't replay rounds 1..t-1 — the same
+    iterative-lineage policy as `embedding_power_iteration`."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    co = (
+        sp.alias("a")
+        .join(sp.alias("b"), F.expr("a.p = b.p AND a.s <> b.s"))
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("sa").orderBy(F.desc("c"), F.asc("sb"))
+    d = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("sa", "sb")
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        d.alias("d")
+        .join(d.alias("m"), F.expr("m.sa = d.sb AND m.sb = d.sa"))
+        .filter(F.expr("d.sa < d.sb"))
+        .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
+    )
+    ed = (
+        e.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .unionAll(e.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = ed.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    wv = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(4):
+        msg = ed.join(labels.withColumnRenamed("v", "src"), "src").select(
+            F.col("dst").alias("v"), "lab"
+        )
+        cnt = msg.groupBy("v", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("v").alias("s"), F.col("lab").alias("community"))
+
+
 @register(
     "dq_expectations",
     oracle="""
