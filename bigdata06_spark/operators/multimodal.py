@@ -347,3 +347,82 @@ def audio_windows(decoded: DataFrame, frame: int = 400, hop: int = 160) -> DataF
     rows BEFORE the Python stage, as with `sample_frames`."""
     audio = decoded.filter(F.col("media_type") == "audio/wav").select("doc_id", "n_frames")
     return audio.mapInPandas(audio_window_batch(frame, hop), schema=AUDIO_WINDOW_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: 56-bit dHash-style perceptual hash per image
+    payload. The 'pixel grid' is the deterministic decode stand-in —
+    63 evenly-spaced byte samples as a 7×9 luminance grid (a real
+    deployment swaps in PIL's 9×8 grayscale resample right here; the
+    gradient-sign hash below is the real dHash math either way): bit
+    k = grid[r][c+1] > grid[r][c] for r=k//8, c=k%8. Byte-identical
+    payloads hash equal; small payload edits flip few bits — the
+    hamming-space behavior perceptual dedup relies on."""
+    for pdf in batches:
+        hashes = []
+        for p in pdf["payload"]:
+            b = bytes(p)
+            n = len(b)
+            v = [b[(j * (n - 1)) // 62] for j in range(63)] if n else [0] * 63
+            h = 0
+            for k in range(56):
+                r, c = k // 8, k % 8
+                if v[r * 9 + c + 1] > v[r * 9 + c]:
+                    h |= 1 << k
+            hashes.append(h)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+
+def phash_media(with_payloads: DataFrame) -> DataFrame:
+    """Perceptual hash over every image asset: Arrow-batched, zero
+    shuffle — the hash stage of an image-dedup pipeline."""
+    from bigdata06_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(with_payloads.sparkSession)
+    return with_payloads.mapInPandas(phash_batch, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(hashed: DataFrame, max_hamming: int = 3,
+                         n_bands: int = 4, band_bits: int = 14) -> DataFrame:
+    """Near-duplicate image pairs by banded hamming join: the 56-bit
+    hash splits into 4×14-bit bands; candidate pairs share at least
+    one exact band, then verify bit_count(xor) ≤ `max_hamming`.
+
+    By pigeonhole the banding is COMPLETE for hamming ≤ n_bands−1
+    (≤3 bit flips leave ≥1 of 4 bands intact), so with the default
+    threshold this is EXACT — the oracle checks it against the
+    all-pairs join. Scale: the shuffle is keyed on (band, value) —
+    bucket sizes track hash collisions, never N²; the same guaranteed-
+    recall banding policy as `dedup_simhash_adaptive` (verify
+    SKILL.md: pigeonhole bounds, not tuned cutoffs)."""
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.shiftright(F.col("phash"), band_bits * t).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for t in range(n_bands)
+        ]
+    )
+    expl = hashed.select("doc_id", "phash", F.inline(bands))
+    a = expl.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"), "band", "bv"
+    )
+    b = expl.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"), "band", "bv"
+    )
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")

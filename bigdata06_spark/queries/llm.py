@@ -2131,6 +2131,50 @@ def multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    pv AS (
+      SELECT doc_id,
+             [ascii(substr(text, 1 + (j * (n - 1)) // 62, 1)) for j in range(0, 63)] AS v
+      FROM img
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(list_sum(
+               [CASE WHEN v[(k // 8) * 9 + (k % 8) + 2] > v[(k // 8) * 9 + (k % 8) + 1]
+                     THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END
+                for k in range(0, 56)]) AS BIGINT) AS phash
+      FROM pv
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal member of the dedup
+    family: each image payload gets a 56-bit dHash-style fingerprint in
+    the Arrow decode stage (gradient signs over a 7×9 sample grid; the
+    grid is the deterministic decode stand-in, so the hash is
+    SQL-replayable — a real cluster swaps PIL's grayscale resample into
+    the same batch fn), then near-duplicate pairs come from a banded
+    hamming self-join: 4×14-bit bands, verify bit_count(xor) ≤ 3.
+    Pigeonhole makes the banding COMPLETE at that threshold, so the
+    banded plan is value-hash-checked against the all-pairs oracle.
+    Scale: hashing is zero-shuffle mapInPandas; the join shuffles on
+    (band, value) — collision-bounded buckets, never the N² pair
+    space."""
+    docs = load_table(spark, "documents", sf_dir)
+    wp = M.attach_binary_payload(docs).filter(F.col("doc_id") % 3 == 0)
+    return M.phash_near_dup_pairs(M.phash_media(wp))
+
+
+@register(
     "tfidf_top_terms",
     oracle="""
     WITH toks AS (
