@@ -1179,7 +1179,8 @@ def append(spark: SparkSession, path: str, key: str, df: DataFrame,
 
 def table_copy_sources(path: str, version: int | None = None) -> set:
     """The cumulative COPY INTO source-file ledger: every
-    `<abs-path>:<size>` tag ever loaded, replayed from the log
+    `<abs-path>:<size>:<mtime_ns>` tag ever loaded (legacy entries
+    may lack the mtime component), replayed from the log
     (checkpoint entries re-emit the whole set, exactly like `txns`).
     What makes re-running the same COPY INTO a no-op."""
     srcs: set = set()
@@ -1216,10 +1217,20 @@ def copy_into(spark: SparkSession, path: str, key: str, src: str,
     cand = sorted(f for f in _glob.glob(pattern) if os.path.isfile(f))
 
     def _tag(f: str) -> str:
+        # path + size + mtime_ns (Delta keys COPY INTO idempotence on
+        # path + modification time): a source file rewritten in place
+        # with same-size different content is re-detected as new.
+        st = os.stat(f)
+        return f"{os.path.abspath(f)}:{st.st_size}:{st.st_mtime_ns}"
+
+    def _legacy_tag(f: str) -> str:
+        # pre-mtime ledger entries (<abs-path>:<size>) stay honored so
+        # upgrading doesn't re-load every previously-loaded file
         return f"{os.path.abspath(f)}:{os.path.getsize(f)}"
 
     loaded = table_copy_sources(path)
-    new = [f for f in cand if _tag(f) not in loaded]
+    new = [f for f in cand
+           if _tag(f) not in loaded and _legacy_tag(f) not in loaded]
     if not new:
         return current_version(path), 0, 0
     if fmt == "parquet":

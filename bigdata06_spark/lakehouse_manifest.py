@@ -182,24 +182,32 @@ def refresh_manifest(spark: SparkSession, path: str,
         df.write.mode("overwrite").parquet(out_dir)
     else:
         cur = spark.read.schema(schema).parquet(meta["dir"])
-        adds: list[str] = []
+        # Sequential fold — add/remove are applied per entry IN ORDER
+        # so the result is provably equivalent to log replay: a path
+        # removed then re-added within the window survives (the old
+        # manifest row is anti-joined away, the re-add row unioned in),
+        # while added-then-removed vanishes. Data files are uuid-named
+        # so this is belt-and-braces today, but the fold must not be
+        # order-insensitive where the log is order-sensitive.
+        add_set: set[str] = set()
         add_stats: dict = {}
         removes: set[str] = set()
         dv_events: list[tuple[str, str]] = []  # (file, dv parquet)
         for _dv, entry in delta:
             for f in entry.get("remove", []):
                 removes.add(f)
+                add_set.discard(f)  # added-then-removed in this window
                 # removing a file spends its DVs (rewrite applied them)
                 dv_events = [(df_, d) for df_, d in dv_events if df_ != f]
             for f in entry.get("add", []):
-                adds.append(f)
+                add_set.add(f)  # removes keeps f: old row still anti-joined
             add_stats.update(entry.get("stats", {}))
             da = entry.get("dv_add")
             if da:
                 for f in da["files"]:
                     for d in da["dv"]:
                         dv_events.append((f, d))
-        adds = [f for f in adds if f not in removes]
+        adds = sorted(add_set)
         if removes:
             rm = spark.createDataFrame(
                 [(f,) for f in sorted(removes)], "file string")
@@ -207,7 +215,7 @@ def refresh_manifest(spark: SparkSession, path: str,
         if adds:
             # union BEFORE the DV fold: a file added and DV'd within
             # the same delta window must pick its DVs up too
-            new_rows = _rows_for(sorted(set(adds)), add_stats, {}, pby, scols)
+            new_rows = _rows_for(adds, add_stats, {}, pby, scols)
             cur = cur.unionByName(spark.createDataFrame(new_rows, schema))
         if dv_events:
             ev = (
@@ -239,11 +247,37 @@ def refresh_manifest(spark: SparkSession, path: str,
         "logical_cols": LH._logical_cols_at(path, v),
     }
     _swap_meta(path, new_meta)
-    if meta is not None and os.path.isdir(meta.get("dir", "")):
-        import shutil
-
-        shutil.rmtree(meta["dir"], ignore_errors=True)
+    _sweep_superseded(path, keep_dir=out_dir)
     return {**new_meta, "mode": mode}
+
+
+#: Superseded manifest dirs younger than this survive a refresh so a
+#: concurrent reader that loaded the OLD meta can finish its scan —
+#: deleting at swap time would tear it mid-read. Old dirs are swept by
+#: the NEXT refresh (or vacuum) once past the guard.
+_SWEEP_AGE_SEC = 600.0
+
+
+def _sweep_superseded(path: str, keep_dir: str,
+                      min_age_sec: float = _SWEEP_AGE_SEC) -> None:
+    import shutil
+    import time
+
+    root = _mf_root(path)
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return
+    now = time.time()
+    for n in names:
+        d = os.path.join(root, n)
+        if not n.startswith("m") or d == keep_dir or not os.path.isdir(d):
+            continue
+        try:
+            if now - os.path.getmtime(d) >= min_age_sec:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def _meta_specs(path: str, meta: dict) -> tuple[list[str], list[str]]:
@@ -275,7 +309,11 @@ def _prune_expr(pby: list[str], scols: list[str],
         allowed = [str(w) for w in (
             want if isinstance(want, (list, tuple, set, frozenset)) else [want]
         )]
-        cond = cond & F.col(f"p_{c}").isin(allowed)
+        # NULL partition value (e.g. a CONVERT-adopted file without a
+        # path-encoded value) keeps the file — isin alone yields NULL
+        # and would silently drop it
+        pc = F.col(f"p_{c}")
+        cond = cond & (pc.isNull() | pc.isin(allowed))
     for c, (lo, hi) in (stats_filter or {}).items():
         if c not in scols:
             raise ValueError(f"no stats recorded for column {c!r}")
@@ -289,14 +327,28 @@ def _prune_expr(pby: list[str], scols: list[str],
                 mx = F.col(mxcol)
                 mn = F.col(mncol)
                 lit = F.lit(float(bound))
+                if is_lo:
+                    cond = cond & (mx.isNull() | (mx >= lit))
+                else:
+                    cond = cond & (mn.isNull() | (mn <= lit))
             else:
+                # string bound: compare lexicographically ONLY when the
+                # stored stat is genuinely non-numeric (numeric shadow
+                # NULL). A numeric stat vs a string bound is a type
+                # mismatch — _stats_may_match keeps the file on
+                # TypeError, so keep it here too ('10' < '5' would
+                # otherwise wrongly prune).
                 mx = F.col(f"mx_{c}")
                 mn = F.col(f"mn_{c}")
+                mxn = F.col(mxcol)
+                mnn = F.col(mncol)
                 lit = F.lit(str(LH._json_scalar(bound)))
-            if is_lo:
-                cond = cond & (mx.isNull() | (mx >= lit))
-            else:
-                cond = cond & (mn.isNull() | (mn <= lit))
+                if is_lo:
+                    cond = cond & (
+                        mx.isNull() | mxn.isNotNull() | (mx >= lit))
+                else:
+                    cond = cond & (
+                        mn.isNull() | mnn.isNotNull() | (mn <= lit))
     return cond
 
 

@@ -4439,6 +4439,123 @@ def test_lakehouse_manifest_planning_parity(spark, tmp_path):
         M.plan_files(spark, path, stats_filter={"v": (0, 1)})
 
 
+def test_lakehouse_manifest_prune_soundness_edges(spark, tmp_path):
+    """Advisor-flagged soundness edges of the manifest pruning
+    predicate (_prune_expr), exercised on a constructed manifest
+    frame: (a) a NULL partition value (CONVERT-adopted layout with no
+    path-encoded value) must KEEP the file — isin alone yields NULL
+    and silently drops it; (b) a string bound against a NUMERIC stat
+    (numeric shadow non-NULL) is a type mismatch and must keep the
+    file — lexicographic '10' < '5' would wrongly prune; genuinely
+    string stats still prune lexicographically."""
+    from bigdata06_spark import lakehouse_manifest as M
+
+    schema = M._manifest_schema(["part"], ["k"])
+    rows = [
+        # file, p_part, mn_k, mx_k, mnn_k, mxn_k, dv
+        ("adopted.parquet", None, "1", "2", 1.0, 2.0, []),
+        ("part=3/a.parquet", "3", "5", "10", 5.0, 10.0, []),
+        ("part=4/b.parquet", "4", "apple", "mango", None, None, []),
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    # (a) NULL partition value survives a partition filter
+    kept = {r["file"] for r in df.filter(
+        M._prune_expr(["part"], ["k"], {"part": "3"}, None)).collect()}
+    assert kept == {"adopted.parquet", "part=3/a.parquet"}
+
+    # (b) string bound "5".."9" vs numeric stat [5,10]: '10' < '5'
+    # lexicographically, but the numeric shadow marks it a type
+    # mismatch -> file kept; the true-string file prunes normally
+    kept = {r["file"] for r in df.filter(
+        M._prune_expr(["part"], ["k"], None, {"k": ("5", "9")})).collect()}
+    assert "part=3/a.parquet" in kept          # type mismatch keeps
+    assert "part=4/b.parquet" not in kept      # 'mango' < '5' prunes
+    kept = {r["file"] for r in df.filter(
+        M._prune_expr(["part"], ["k"], None, {"k": ("b", "z")})).collect()}
+    assert "part=4/b.parquet" in kept          # ['apple','mango'] ∩ [b,z]
+
+
+def test_lakehouse_manifest_fold_order_and_sweep(spark, tmp_path):
+    """(a) The incremental fold is ORDER-SENSITIVE like log replay: a
+    file removed in one delta entry and re-added by a later entry
+    survives with its new stats; added-then-removed vanishes. (b) The
+    superseded manifest dir is NOT deleted at swap time (a concurrent
+    reader holding the old meta may still be scanning it) — it is
+    swept only once past the age guard."""
+    import time as _time
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = str(tmp_path / "lh_fold")
+    df = spark.range(200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k", n_files=2, stats_cols=["k"])
+    m0 = M.refresh_manifest(spark, path)
+    files0 = LH.files_at_version(path, 0)
+    victim = files0[0]
+
+    # hand-craft delta entries: v1 removes `victim`, v2 re-adds the
+    # SAME path (legal log; uuid naming merely makes it rare), and a
+    # third path is added in v1 then removed in v2
+    LH._commit_log(path, 1, {"op": "TEST", "remove": [victim],
+                             "add": ["data/transient.parquet"]})
+    LH._commit_log(path, 2, {"op": "TEST",
+                             "remove": ["data/transient.parquet"],
+                             "add": [victim],
+                             "stats": {victim: {"k": [0, 99]}}})
+    r = M.refresh_manifest(spark, path)
+    assert r["mode"] == "incremental"
+    rows = {x["file"]: x for x in M.manifest_df(spark, path).collect()}
+    replay_files, _ = LH._state_at_version(path, 2)
+    assert sorted(rows) == replay_files          # == log replay
+    assert victim in rows                        # re-add survived
+    assert rows[victim]["mnn_k"] == 0.0          # with the NEW stats
+    assert "data/transient.parquet" not in rows  # add-then-remove gone
+
+    # (b) old manifest dir still on disk right after the swap...
+    assert os.path.isdir(m0["dir"])
+    # ...and swept once past the age guard
+    old = _time.time() - M._SWEEP_AGE_SEC - 5
+    os.utime(m0["dir"], (old, old))
+    M._sweep_superseded(path, keep_dir=M.manifest_meta(path)["dir"])
+    assert not os.path.isdir(m0["dir"])
+
+
+def test_lakehouse_copy_into_mtime_idempotence(spark, tmp_path):
+    """COPY INTO keys idempotence on path+size+mtime (Delta
+    semantics): re-running the same statement loads nothing, but a
+    source file rewritten IN PLACE with different same-size content
+    is detected as new and re-loaded."""
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_copy")
+    LH.table_init(
+        spark.range(0).selectExpr("id AS k", "CAST(id AS STRING) AS s"),
+        path, "k", n_files=1)
+    land = tmp_path / "land"
+    land.mkdir()
+    src = str(land / "a.json")
+    with open(src, "w") as fh:
+        fh.write('{"k": 1, "s": "aa"}\n')
+    v1, nf, nr = LH.copy_into(spark, path, "k", str(land), "json")
+    assert (nf, nr) == (1, 1)
+    # same file again: no-op
+    _, nf, nr = LH.copy_into(spark, path, "k", str(land), "json")
+    assert (nf, nr) == (0, 0)
+    # in-place rewrite, SAME byte size, bumped mtime -> re-loaded
+    with open(src, "w") as fh:
+        fh.write('{"k": 2, "s": "bb"}\n')
+    os.utime(src, (os.path.getmtime(src) + 2, os.path.getmtime(src) + 2))
+    _, nf, nr = LH.copy_into(spark, path, "k", str(land), "json")
+    assert (nf, nr) == (1, 1)
+    got = sorted(
+        (r.k, r.s)
+        for r in LH.read_version(spark, path, LH.current_version(path))
+        .collect())
+    assert got == [(1, "aa"), (2, "bb")]
+
+
 def test_lakehouse_sql_alter_and_detail(spark, tmp_path):
     """SQL ALTER TABLE surface: ADD COLUMN(S) (incl. decimal with
     embedded comma), RENAME COLUMN, DROP COLUMN, ADD/DROP CONSTRAINT
