@@ -108,7 +108,35 @@ HEADLINE = [
     "text_gopher_filters",
     "knn_sq8_rerank",
     "rag_mmr_rerank",
+    # r7: perceptual-hash image dedup (banded hamming join over the
+    # mapInPandas hash stage; non-vacuous corpus with 1-byte variants)
+    "multimodal_phash_dedup",
 ]
+
+# Family subtotals (VERDICT r6 #9): with 50+ headline entries, a
+# round-over-round regression needs to be attributable without
+# hand-diffing every number. First matching prefix wins.
+FAMILIES = [
+    ("tpch", ("q1_", "q3_", "q5_", "q6_", "q10_", "q18_")),
+    ("refparity", ("ref_",)),
+    ("window", ("topk_", "sessionize_", "forecast_",)),
+    ("dedup", ("dedup_",)),
+    ("similarity", ("knn_", "rag_", "embedding_",)),
+    ("text", ("text_", "tfidf_",)),
+    ("corpus", ("corpus_",)),
+    ("graph", ("graph_", "supplier_",)),
+    ("agg", ("agg_",)),
+    ("multimodal", ("multimodal_",)),
+    ("streaming", ("stream_",)),
+    ("lakehouse", ("lakehouse_",)),
+]
+
+
+def family_of(name: str) -> str:
+    for fam, prefixes in FAMILIES:
+        if name.startswith(prefixes):
+            return fam
+    return "other"
 
 
 def main() -> None:
@@ -143,6 +171,10 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    fams: dict[str, float] = {}
+    for name, t in times.items():
+        fam = family_of(name)
+        fams[fam] = round(fams.get(fam, 0.0) + t, 3)
     print(
         json.dumps(
             {
@@ -150,6 +182,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "families": fams,
                 "reps": max(1, reps),
                 "stat": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

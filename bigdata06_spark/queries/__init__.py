@@ -75,76 +75,64 @@ def load_all_queries() -> dict[str, QuerySpec]:
     # rounds instead of re-checking the same flagships. Names only;
     # zero semantic change; everything stays in the registry.
     flagship_head = [
-        # ---- round-6 head: 50 NEVER-SAMPLED entries (disjoint from
-        # every CORRECTNESS_r1-r5 sample; VERDICT r5 #8). Leads with
-        # the round-6 newcomers (the SQL statement surface), then the
-        # r5-head stragglers that fell past position 50, then the
-        # mid-registry window/join/events/agg/scalar families.
-        "text_gopher_filters", "knn_sq8_rerank", "rag_mmr_rerank",
-        "graph_label_propagation",
-        "lakehouse_sql_merge", "lakehouse_sql_update_delete",
-        "lakehouse_sql_time_travel", "lakehouse_sql_copy_into",
-        "lakehouse_convert_insert", "lakehouse_zorder_incremental",
-        "lakehouse_manifest_planning", "stream_lakehouse_sink",
-        "text_bigram_logprob", "corpus_training_manifest",
-        "agg_kmv_sketch_setops", "join_lateral_topk",
-        "events_funnel_steps", "cdc_scd1_merge",
-        "graph_triangle_census", "agg_skew_salted",
-        "multimodal_audio_windows", "source_avro_roundtrip",
-        "join_null_safe", "join_fuzzy_entity_resolution",
-        "window_lag_lead", "window_running_sum", "window_distribution",
-        "setop_union_distinct", "setop_intersect_all",
-        "join_range_events", "join_asof_nearest",
-        "session_window_dynamic_gap",
-        "events_gapfill_locf", "events_zscore_outliers",
-        "events_transition_matrix", "events_retention_daily",
-        "events_trending_decay", "events_activity_heatmap",
-        "events_lateness_profile", "events_anomaly_mad",
-        "events_cumulative_distinct", "events_concurrency_profile",
-        "agg_histogram", "agg_freq_items_sketch", "agg_median_mode",
-        "agg_hll_sketch_rollup", "agg_corr_moments",
-        "agg_percentile_disc", "agg_bitmap_exact_distinct",
-        "agg_listagg", "agg_transpose_crosstab", "agg_boolean_argmax",
-        "agg_grouping_id", "agg_pivot_multi", "mv_incremental_refresh",
-        "scalar_generator_funcs",
-        # ---- position 51+: remaining never-sampled entries queue up
-        # for the round-7 rotation, ahead of the validated flagships
-        "scalar_math_funcs",
-        "scalar_array_funcs", "scalar_conditional", "scalar_map_funcs",
-        "scalar_bitwise_funcs", "scalar_explode_outer",
-        "scalar_xml_funcs", "scalar_collation_funcs",
-        "scalar_string_funcs2", "scalar_date_funcs2",
-        "scalar_math_funcs2", "scalar_array_funcs2",
+        # ---- round-7 head: the 73 never-yet-sampled entries
+        # (disjoint from every CORRECTNESS_r1-r6 sample; VERDICT r6
+        # #8), multimodal_phash_dedup FIRST (its r6 oracle pass was
+        # vacuous 0-vs-0; now non-empty at every SF). External
+        # samplers take the first 50; the remaining 23 queue at 51+.
+        "multimodal_phash_dedup", "agg_transpose_crosstab",
+        "agg_boolean_argmax", "agg_grouping_id", "agg_pivot_multi",
+        "mv_incremental_refresh", "scalar_generator_funcs",
+        "scalar_math_funcs", "scalar_array_funcs", "scalar_conditional",
+        "scalar_map_funcs", "scalar_bitwise_funcs", "scalar_explode_outer",
+        "scalar_xml_funcs", "scalar_collation_funcs", "scalar_string_funcs2",
+        "scalar_date_funcs2", "scalar_math_funcs2", "scalar_array_funcs2",
         "orders_dow_seasonality", "customer_cohort_ltv",
-        "events_path_analysis", "orders_abc_pareto",
-        "orders_forecast_ses", "orders_trend_ols",
-        "stats_ab_welch_ttest", "stats_bootstrap_ci",
+        "events_path_analysis", "orders_abc_pareto", "orders_forecast_ses",
+        "orders_trend_ols", "stats_ab_welch_ttest", "stats_bootstrap_ci",
         "supplier_affinity_graph", "feature_quantile_bins",
-        "encode_categoricals", "feature_bins_lookup",
-        "orders_rfm_segments", "nest_order_documents",
-        "dedup_ngram_jaccard", "dedup_components", "dedup_keep_canonical",
-        "dedup_semantic_fixed_k", "rag_context_assembly",
-        "embedding_pq_codes", "knn_pq_adc", "embedding_power_iteration",
-        "tfidf_top_terms", "text_lang_id", "text_fingerprint",
-        "text_vocabulary", "text_unigram_logprob", "text_bpe_tokenize",
-        "text_bpe_train_tokenize", "text_c4_filters",
-        "text_rake_keywords", "text_redact_pii",
-        "corpus_curation_funnel", "corpus_chunk_windows",
-        "corpus_ngram_novelty", "corpus_decontaminate",
-        "corpus_mixture_report", "corpus_source_kl",
+        "encode_categoricals", "feature_bins_lookup", "orders_rfm_segments",
+        "nest_order_documents", "dedup_ngram_jaccard", "dedup_components",
+        "dedup_keep_canonical", "dedup_semantic_fixed_k",
+        "rag_context_assembly", "embedding_pq_codes", "knn_pq_adc",
+        "embedding_power_iteration", "tfidf_top_terms", "text_lang_id",
+        "text_fingerprint", "text_vocabulary", "text_unigram_logprob",
+        "text_bpe_tokenize", "text_bpe_train_tokenize", "text_c4_filters",
+        "text_rake_keywords", "text_redact_pii", "corpus_curation_funnel",
+        "corpus_chunk_windows", "corpus_ngram_novelty",
+        "corpus_decontaminate", "corpus_mixture_report", "corpus_source_kl",
         "corpus_temperature_sample", "corpus_epoch_upsample",
-        "corpus_diversity_metrics",
-        "multimodal_resize", "multimodal_frame_sample",
-        "multimodal_features",
+        "corpus_diversity_metrics", "multimodal_resize",
+        "multimodal_frame_sample", "multimodal_features",
         "stream_dedup_counts", "stream_static_join",
         "stream_watermark_append", "stream_stream_left_join",
-        "sample_systematic", "sample_weighted",
-        "sample_bernoulli_certified", "lakehouse_merge_current",
-        "knn_lsh_ann", "knn_ivf_ann",
-        # ---- then the r1-r5-validated flagships, per family
-        "forecast_exp_smoothing", "inventory_clamped_running_sum",
-        "text_classifier_train", "text_classifier_eval",
-        "sql_pipe_syntax", "dq_observed_metrics",
+        "sample_systematic", "sample_weighted", "sample_bernoulli_certified",
+        "lakehouse_merge_current", "knn_lsh_ann", "knn_ivf_ann",
+        # ---- then the r1-r6-validated flagships, per family
+        "text_gopher_filters", "knn_sq8_rerank", "rag_mmr_rerank",
+        "graph_label_propagation", "lakehouse_sql_merge",
+        "lakehouse_sql_update_delete", "lakehouse_sql_time_travel",
+        "lakehouse_sql_copy_into", "lakehouse_convert_insert",
+        "lakehouse_zorder_incremental", "lakehouse_manifest_planning",
+        "stream_lakehouse_sink", "text_bigram_logprob",
+        "corpus_training_manifest", "agg_kmv_sketch_setops",
+        "join_lateral_topk", "events_funnel_steps", "cdc_scd1_merge",
+        "graph_triangle_census", "agg_skew_salted",
+        "multimodal_audio_windows", "source_avro_roundtrip",
+        "join_null_safe", "join_fuzzy_entity_resolution", "window_lag_lead",
+        "window_running_sum", "window_distribution", "setop_union_distinct",
+        "setop_intersect_all", "join_range_events", "join_asof_nearest",
+        "session_window_dynamic_gap", "events_gapfill_locf",
+        "events_zscore_outliers", "events_transition_matrix",
+        "events_retention_daily", "events_trending_decay",
+        "events_activity_heatmap", "events_lateness_profile",
+        "events_anomaly_mad", "events_cumulative_distinct",
+        "events_concurrency_profile", "agg_histogram",
+        "agg_freq_items_sketch", "agg_median_mode", "agg_hll_sketch_rollup",
+        "agg_corr_moments", "agg_percentile_disc",
+        "agg_bitmap_exact_distinct", "agg_listagg", "forecast_exp_smoothing",
+        "inventory_clamped_running_sum", "text_classifier_train",
+        "text_classifier_eval", "sql_pipe_syntax", "dq_observed_metrics",
         "lakehouse_partition_pruned", "lakehouse_stats_skipping",
         "lakehouse_delete_vectors", "lakehouse_zorder_skipping",
         "lakehouse_update_where", "lakehouse_rename_drop",
@@ -153,50 +141,55 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "lakehouse_datasource_read", "lakehouse_datasource_write_roundtrip",
         "knn_ivfpq_persisted", "knn_ivfpq_incremental",
         "dedup_simhash_adaptive", "dedup_semantic",
-        "dedup_methods_agreement",
-        "sql_scripting_block", "sql_parameterized",
-        "sql_defined_functions", "sort_offset_pagination",
-        "scalar_variant_funcs", "scalar_url_funcs",
+        "dedup_methods_agreement", "sql_scripting_block",
+        "sql_parameterized", "sql_defined_functions",
+        "sort_offset_pagination", "scalar_variant_funcs", "scalar_url_funcs",
         "scalar_map_hof_funcs", "scalar_hash_funcs",
-        "lakehouse_mv_join_incremental",
-        "stream_sliding_agg", "stream_stateful_running",
-        "stream_stream_full_join", "stream_tws_list_state",
-        "stream_tws_map_state",
-        "udf_arrow_scalar", "udf_grouped_arrow",
-        "dedup_containment", "dedup_substring_spans",
-        "dedup_components_star", "dedup_incremental",
-        "knn_pq_adc_rerank", "knn_filtered", "knn_label_vote",
-        "rag_hybrid_rrf", "embedding_quantize_int8",
-        "text_repetition_stats", "text_winnowing_fingerprints",
-        "window_ranking", "window_range_frame", "window_ignore_nulls",
-        "topk_per_group", "sessionize_events",
-        "setop_intersect", "setop_except_all",
+        "lakehouse_mv_join_incremental", "stream_sliding_agg",
+        "stream_stateful_running", "stream_stream_full_join",
+        "stream_tws_list_state", "stream_tws_map_state", "udf_arrow_scalar",
+        "udf_grouped_arrow", "dedup_containment", "dedup_substring_spans",
+        "dedup_components_star", "dedup_incremental", "knn_pq_adc_rerank",
+        "knn_filtered", "knn_label_vote", "rag_hybrid_rrf",
+        "embedding_quantize_int8", "text_repetition_stats",
+        "text_winnowing_fingerprints", "window_ranking",
+        "window_range_frame", "window_ignore_nulls", "topk_per_group",
+        "sessionize_events", "setop_intersect", "setop_except_all",
         "scalar_string_funcs", "scalar_date_funcs", "scalar_json_funcs",
-        "scalar_array_hof_funcs", "scalar_try_funcs",
-        "stream_tumbling_agg", "stream_session_window", "stream_stream_join",
+        "scalar_array_hof_funcs", "scalar_try_funcs", "stream_tumbling_agg",
+        "stream_session_window", "stream_stream_join",
         "stream_transform_with_state", "stream_dedup_within_watermark",
         "udf_pandas_scalar", "udf_grouped_map", "udf_table_function",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_jaccard_stop_shingles", "dedup_embedding_cosine",
-        "knn_bruteforce", "embedding_kmeans",
-        "text_quality_score", "text_pmi_collocations", "text_bm25_topk",
-        "corpus_split_assign", "corpus_pack_sequences",
-        "multimodal_decode", "multimodal_checksum",
-        "sample_stratified",
-        "graph_pagerank", "cdc_scd2_history", "events_hypertable_rollup",
-        "sql_interface", "sql_recursive_cte",
+        "knn_bruteforce", "embedding_kmeans", "text_quality_score",
+        "text_pmi_collocations", "text_bm25_topk", "corpus_split_assign",
+        "corpus_pack_sequences", "multimodal_decode", "multimodal_checksum",
+        "sample_stratified", "graph_pagerank", "cdc_scd2_history",
+        "events_hypertable_rollup", "sql_interface", "sql_recursive_cte",
         "lakehouse_time_travel", "knn_ivfpq", "dq_expectations",
-        "text_bpe_train",
-        "supplier_affinity_graph_capped", "knn_label_vote_sampled",
-        "lakehouse_row_cdf", "source_avro_decimal_roundtrip",
-        "lakehouse_mv_incremental",
+        "text_bpe_train", "supplier_affinity_graph_capped",
+        "knn_label_vote_sampled", "lakehouse_row_cdf",
+        "source_avro_decimal_roundtrip", "lakehouse_mv_incremental",
         "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
-        "q18_large_volume_customers",
-        "ref_dedup_first_wins", "ref_enrichment_join",
-        "source_spotify_datasource",
-        "join_inner", "join_asof",
-        "agg_grouping_sets", "agg_percentiles", "agg_approx_distinct",
-        "agg_pivot", "ref_flatten_json",
+        "q18_large_volume_customers", "ref_dedup_first_wins",
+        "ref_enrichment_join", "source_spotify_datasource", "join_inner",
+        "join_asof", "agg_grouping_sets", "agg_percentiles",
+        "agg_approx_distinct", "agg_pivot", "ref_flatten_json",
+        "q5_revenue_by_nation", "q10_returned_revenue", "q4_order_priority",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q22_global_sales_opportunity", "unpivot_measures",
+        "q7_volume_shipping", "q9_profit_by_nation", "q12_late_lines",
+        "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+        "q21_waiting_supplier", "q2_min_cost_supplier", "q8_market_share",
+        "q11_important_parts", "q15_top_supplier", "q16_supplier_count",
+        "q20_excess_suppliers", "ref_union_ragged", "ref_sort_topk",
+        "ref_filter_eq", "ref_counts", "ref_ragged_dates",
+        "ref_derived_columns", "ref_array_flatten", "ref_playlist_flatten",
+        "ref_category_flatten", "ref_pandas_api_on_spark", "join_left_outer",
+        "join_full_outer", "join_semi", "join_anti", "join_cross",
+        "join_nonequi", "agg_group_stats", "agg_count_distinct",
+        "agg_approx_percentile", "agg_rollup", "agg_cube",
     ]
     missing = [n for n in flagship_head if n not in REGISTRY]
     if missing:

@@ -260,6 +260,57 @@ def test_decode_image_codec_activation(monkeypatch):
     io  # keep import used
 
 
+def test_phash_near_dup_hamming_boundary(spark):
+    """Non-vacuous phash dedup check on CONSTRUCTED payloads (VERDICT
+    r6: the sf0.01 oracle pass compared 0 rows to 0 rows). A 63-byte
+    payload IS the 7×9 sample grid verbatim (position (j*62)//62 = j),
+    so gradient bits are controlled exactly: with a base all-zero
+    grid, setting byte 2k+1 to 1 sets bit 2k and nothing else. The
+    banded join must return the exact pair set of the brute-force
+    ≤3-hamming join — including the boundary: hamming 3 kept,
+    hamming 4 dropped — and equal payloads hash equal (hamming 0)."""
+    from bigdata06_spark.operators import multimodal as M
+
+    def grid(set_bits):
+        b = bytearray(63)
+        for k in set_bits:
+            assert k % 2 == 0  # even bits touch disjoint byte pairs
+            b[(k // 8) * 9 + (k % 8) + 1] = 1
+        return bytes(b)
+
+    payloads = {
+        0: grid([]),                  # base
+        1: grid([]),                  # exact duplicate of base
+        2: grid([0, 2, 4]),           # hamming 3 from base
+        3: grid([0, 2, 4, 6]),        # hamming 4 from base, 1 from #2
+        4: grid([10, 12, 20, 22, 30, 32]),  # hamming 6 from base
+    }
+    df = spark.createDataFrame(
+        [(i, p) for i, p in payloads.items()], "doc_id long, payload binary")
+    hashed = M.phash_media(df)
+    hs = {r.doc_id: r.phash for r in hashed.collect()}
+    assert hs[0] == 0 and hs[1] == 0         # all-zero grid → zero hash
+    assert bin(hs[2]).count("1") == 3
+    assert bin(hs[3]).count("1") == 4
+
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in M.phash_near_dup_pairs(hashed).collect()}
+    want = {}
+    ids = sorted(payloads)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin(hs[i] ^ hs[j]).count("1")
+                if h <= 3:
+                    want[(i, j)] = h
+    assert got == want
+    assert got[(0, 1)] == 0          # exact dup found
+    assert got[(0, 2)] == 3          # boundary: hamming 3 kept
+    assert (0, 3) not in got         # boundary: hamming 4 dropped
+    assert got[(2, 3)] == 1
+    assert want                      # the check compares non-empty sets
+
+
 def test_checksum_batches_null_payload():
     """A nullable binary column must not crash the mapInArrow stage:
     null payloads yield null byte_len/byte_sum."""
