@@ -1295,10 +1295,81 @@ def convert_to_lakehouse(spark: SparkSession, path: str,
     return 0
 
 
+def _manifest_plan_or_none(spark: SparkSession, path: str, version: int,
+                           partition_filter: dict | None = None,
+                           stats_filter: dict | None = None):
+    """(rel_files, dvs) planned RELATIONALLY via the snapshot manifest
+    when one is (or can cheaply become) fresh at `version` — the
+    default planning path (VERDICT r6 #2: driver JSON-log replay was
+    1.85s single-threaded at a 200k-file log vs 0.25s relational; the
+    gap widens with file count). Rules:
+
+    - manifest at exactly `version` → plan through it;
+    - manifest BEHIND and `version` is the latest → incremental
+      refresh first (O(files-changed) fold), then plan — so commits
+      stay cheap and the first read after a write pays the fold;
+    - no manifest / manifest ahead (time travel behind it) / any
+      manifest-layer failure (e.g. read-only filesystem blocking the
+      refresh write) → None, caller falls back to log replay. The
+      fallback is always SOUND: both paths produce the same snapshot.
+
+    ValueError (unknown partition/stats column) re-raises — the loud
+    contract both planners share."""
+    try:
+        from bigdata06_spark import lakehouse_manifest as M
+
+        meta = M.manifest_meta(path)
+        if meta is None:
+            return None
+        if meta["version"] != version:
+            if meta["version"] > version or version != current_version(path):
+                return None
+            meta = M.refresh_manifest(spark, path, version)
+            if meta["version"] != version:
+                return None
+        pby, scols = M._meta_specs(path, meta)
+        if stats_filter and any(c not in scols for c in stats_filter):
+            # legacy semantics: a stats filter on an un-statted column
+            # silently keeps files — let the replay path handle it
+            # rather than plan_files' loud ValueError
+            return None
+        v, files, dvs = M.plan_files(spark, path, partition_filter, stats_filter)
+        if v != version:
+            return None  # lost a race with a concurrent refresh
+        return files, dvs
+    except ValueError:
+        raise  # unknown partition column — loud on both paths
+    except Exception:
+        return None
+
+
+def _plan_dml_files(spark: SparkSession, path: str, version: int,
+                    partition_filter: dict | None,
+                    stats_filter: dict | None
+                    ) -> tuple[list[str], dict[str, list[str]]]:
+    """The MOR writers' (rel_files, dvs) plan: manifest-first like
+    read_version, log replay + driver pruning otherwise. DML keeps
+    the replay path's lenient filter semantics (an unmatchable filter
+    column keeps files rather than raising), so ValueError from the
+    manifest planner falls back instead of propagating."""
+    try:
+        planned = _manifest_plan_or_none(spark, path, version,
+                                         partition_filter, stats_filter)
+    except ValueError:
+        planned = None
+    if planned is not None:
+        return planned
+    rel_files, dvs = _state_at_version(path, version)
+    rel_files = _prune_files_for_dml(path, version, rel_files,
+                                     partition_filter, stats_filter)
+    return rel_files, dvs
+
+
 def read_version(spark: SparkSession, path: str, version: int,
                  partition_filter: dict | None = None,
                  stats_filter: dict | None = None,
-                 bloom_filter: dict | None = None) -> DataFrame:
+                 bloom_filter: dict | None = None,
+                 use_manifest: bool = True) -> DataFrame:
     """Version-pinned read. mergeSchema=true because versions may mix
     file vintages after `add_column` schema evolution — carried-over
     files simply lack the new column and read as NULL (Delta/Iceberg's
@@ -1320,7 +1391,23 @@ def read_version(spark: SparkSession, path: str, version: int,
     filter proves the value absent — the point-lookup axis on
     unsorted high-cardinality columns; same soundness contract
     (missing blooms / NULL values keep the file, the caller still
-    applies the real equality filter)."""
+    applies the real equality filter).
+
+    PLANNING: when a snapshot manifest is fresh (or one incremental
+    fold away) at `version` and no bloom filter is requested, the
+    file/DV plan comes from the relational manifest path — partition
+    and stats pruning run as parquet-pushed predicates over the
+    manifest instead of a driver pass over the JSON log (the default
+    at scale; `use_manifest=False` pins the replay path, and blooms
+    stay on it because per-file bitsets don't decompose into a
+    pushable column predicate)."""
+    if use_manifest and bloom_filter is None:
+        planned = _manifest_plan_or_none(spark, path, version,
+                                         partition_filter, stats_filter)
+        if planned is not None:
+            from bigdata06_spark import lakehouse_manifest as M
+
+            return M.read_planned(spark, path, version, *planned)
     rel_files, dvs = _state_at_version(path, version)
     if partition_filter:
         rel_files = [f for f in rel_files if _matches_partition(f, partition_filter)]
@@ -1340,7 +1427,8 @@ def read_version(spark: SparkSession, path: str, version: int,
                     if _bloom_may_match(blooms.get(f), positions)
                 ]
     if (partition_filter or stats_filter or bloom_filter) and not rel_files:
-        return read_version(spark, path, version).limit(0)
+        return read_version(spark, path, version,
+                            use_manifest=False).limit(0)
     files = [os.path.join(path, f) for f in rel_files]
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     # deletion vectors subtract BEFORE the evolved-column fill: the
@@ -1514,8 +1602,7 @@ def delete_where(spark: SparkSession, path: str, predicate,
     prev_v = current_version(path)
     if prev_v < 0:
         raise ValueError(f"no lakehouse table at {path}")
-    rel_files, dvs = _state_at_version(path, prev_v)
-    rel_files = _prune_files_for_dml(path, prev_v, rel_files,
+    rel_files, dvs = _plan_dml_files(spark, path, prev_v,
                                      partition_filter, stats_filter)
     if not rel_files:
         return prev_v
@@ -1573,8 +1660,7 @@ def update_where(spark: SparkSession, path: str, key: str,
     prev_v = current_version(path)
     if prev_v < 0:
         raise ValueError(f"no lakehouse table at {path}")
-    rel_files, dvs = _state_at_version(path, prev_v)
-    rel_files = _prune_files_for_dml(path, prev_v, rel_files,
+    rel_files, dvs = _plan_dml_files(spark, path, prev_v,
                                      partition_filter, stats_filter)
     if not rel_files:
         return prev_v

@@ -383,14 +383,26 @@ def read_at_manifest(spark: SparkSession, path: str,
     of a driver pass over the log."""
     version, rel_files, dvs = plan_files(
         spark, path, partition_filter, stats_filter)
+    return read_planned(spark, path, version, rel_files, dvs)
+
+
+def read_planned(spark: SparkSession, path: str, version: int,
+                 rel_files: list[str],
+                 dvs: dict[str, list[str]]) -> DataFrame:
+    """Materialize a manifest-planned (files, dvs) snapshot — the
+    shared back half of read_at_manifest and read_version's default
+    manifest path: mergeSchema scan of exactly `rel_files`, DV
+    subtraction, schema-action replay from the meta cache (no log
+    re-walk)."""
     if not rel_files:
-        return LH.read_version(spark, path, version).limit(0)
+        return LH.read_version(spark, path, version,
+                               use_manifest=False).limit(0)
     files = [os.path.join(path, f) for f in rel_files]
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     df = LH._apply_dvs(spark, path, df, rel_files,
                        LH._dv_files_for(dvs, rel_files))
     meta = manifest_meta(path)
-    if meta is not None and "acts" in meta:
+    if meta is not None and "acts" in meta and meta["version"] == version:
         # schema replay from the meta cache — same transform as
         # _replay_schema, without re-walking the log
         df = LH._apply_schema_actions(df, meta["acts"])

@@ -4439,6 +4439,71 @@ def test_lakehouse_manifest_planning_parity(spark, tmp_path):
         M.plan_files(spark, path, stats_filter={"v": (0, 1)})
 
 
+def test_lakehouse_read_version_defaults_to_manifest(spark, tmp_path, monkeypatch):
+    """read_version PLANS THROUGH THE MANIFEST by default (VERDICT r6
+    #2): with a fresh manifest, the hot read path performs NO JSON-log
+    replay (_state_at_version monkeypatched to raise); a write makes
+    the manifest stale and the NEXT read auto-refreshes it with the
+    incremental fold (still no full replay); DML (delete_where /
+    update_where) inherits the manifest plan; time travel BEHIND the
+    manifest and `use_manifest=False` fall back to log replay."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = str(tmp_path / "lh_default")
+    df = spark.range(3000).selectExpr(
+        "id AS k", "CAST(id % 6 AS INT) AS part", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k", n_files=3, partition_by=["part"],
+                  stats_cols=["k"])
+    LH.delete_where(spark, path, "k % 101 = 0")  # some DVs at v1
+    M.refresh_manifest(spark, path)
+    v1 = LH.current_version(path)
+    expect_all = sorted(r.k for r in LH.read_version(
+        spark, path, v1, use_manifest=False).collect())
+    expect_p2 = sorted(r.k for r in LH.read_version(
+        spark, path, v1, partition_filter={"part": "2"},
+        use_manifest=False).collect())
+
+    real_state = LH._state_at_version
+
+    def _boom(*a, **kw):
+        raise AssertionError("log replay used on a manifest-fresh path")
+
+    monkeypatch.setattr(LH, "_state_at_version", _boom)
+
+    # fresh manifest: plain read + partition/stats-pruned reads, zero
+    # log replay
+    assert sorted(r.k for r in LH.read_version(
+        spark, path, v1).collect()) == expect_all
+    assert sorted(r.k for r in LH.read_version(
+        spark, path, v1, partition_filter={"part": "2"}).collect()) == expect_p2
+    few = LH.read_version(spark, path, v1, stats_filter={"k": (0, 400)})
+    assert few.filter("k <= 400").count() == sum(1 for k in expect_all if k <= 400)
+
+    # DML inherits the manifest plan (write-side log walks are fine;
+    # the SNAPSHOT plan must not replay)
+    v2 = LH.delete_where(spark, path, "k >= 2990")
+    assert v2 == v1 + 1
+    v3 = LH.update_where(spark, path, "k", {"v": "v + 0.5"}, "k < 3")
+    assert v3 == v2 + 1
+
+    # the DML went through: next read (auto-refreshes the fold) agrees
+    got = {r.k: r.v for r in LH.read_version(spark, path, v3).collect()}
+    # k=0 went with the k%101 delete; k=1,2 carry the +0.5 update
+    assert max(got) == 2989 and 0 not in got
+    assert got[1] == 1.5 and got[2] == 2.5
+    assert M.manifest_meta(path)["version"] == v3
+
+    # time travel BEHIND the manifest needs the replay path
+    with pytest.raises(AssertionError, match="log replay"):
+        LH.read_version(spark, path, 0).collect()
+    monkeypatch.setattr(LH, "_state_at_version", real_state)
+    assert LH.read_version(spark, path, 0).count() == 3000
+    # and the explicit opt-out pins replay planning
+    assert sorted(r.k for r in LH.read_version(
+        spark, path, v3, use_manifest=False).collect()) == sorted(got)
+
+
 def test_lakehouse_manifest_prune_soundness_edges(spark, tmp_path):
     """Advisor-flagged soundness edges of the manifest pruning
     predicate (_prune_expr), exercised on a constructed manifest
@@ -4624,14 +4689,23 @@ def test_lakehouse_sql_generate_manifest(spark, tmp_path):
     r = LSQL.sql(spark, "GENERATE MANIFEST FOR TABLE t_gen").first()
     assert (r["version"], r["mode"]) == (0, "full")
     LSQL.sql(spark, "DELETE FROM t_gen WHERE k >= 150")
+    # read_version now auto-folds a stale manifest (round 7): the SQL
+    # layer's post-DML view refresh may already have brought it to v1,
+    # so GENERATE reports either the fold or the resulting noop
     r = LSQL.sql(spark, "GENERATE MANIFEST FOR TABLE t_gen").first()
-    assert (r["version"], r["mode"]) == (1, "incremental")
+    assert r["version"] == 1 and r["mode"] in ("incremental", "noop")
     r = LSQL.sql(spark, "GENERATE MANIFEST FOR TABLE t_gen").first()
     assert r["mode"] == "noop"
     assert sorted(
         x["file"] for x in M.manifest_df(spark, path).collect()
     ) == LH.files_at_version(path, 1)
     assert M.read_at_manifest(spark, path).count() == 150
+    # a read-free library mutation still folds INCREMENTALLY on the
+    # next GENERATE
+    LH.append(spark, path, "k", spark.range(200, 220).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"))
+    r = LSQL.sql(spark, "GENERATE MANIFEST FOR TABLE t_gen").first()
+    assert (r["version"], r["mode"]) == (2, "incremental")
 
 
 def test_lakehouse_sql_round6_verbs(spark, tmp_path):
