@@ -110,7 +110,9 @@ HEADLINE = [
     "rag_mmr_rerank",
     # r7: perceptual-hash image dedup (banded hamming join over the
     # mapInPandas hash stage; non-vacuous corpus with 1-byte variants)
+    # and the composite-key SQL MERGE (warm reps re-register + agg)
     "multimodal_phash_dedup",
+    "lakehouse_sql_merge_composite",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -1758,7 +1758,7 @@ def table_txns(path: str, version: int | None = None) -> dict:
     return txns
 
 
-def merge(spark: SparkSession, path: str, key: str,
+def merge(spark: SparkSession, path: str, key: str | list[str],
           updates: DataFrame | None = None,
           delete_keys: DataFrame | None = None,
           inserts: DataFrame | None = None,
@@ -1769,6 +1769,15 @@ def merge(spark: SparkSession, path: str, key: str,
     [min, max] range of `key` overlaps a touched key are rewritten;
     untouched files carry over by reference in the log. Returns the
     new version number.
+
+    `key` may be a COMPOSITE list (multi-tenant keys: `["tenant",
+    "id"]`): rows match on ALL key columns; the FIRST key must be the
+    table's clustering key — file-range pruning and the rewrite
+    layout stay on it (pruning on a leading composite member is a
+    sound superset: a file is rewritten iff its clustering-key range
+    overlaps a touched clustering key, and unmatched rows inside it
+    carry through the rewrite unchanged). Change relations must carry
+    every key column.
 
     The touched-key bounds come from one tiny aggregate over the
     update/delete relations; per-file ranges from a distributed
@@ -1787,6 +1796,14 @@ def merge(spark: SparkSession, path: str, key: str,
         app, tv = txn
         if int(tv) <= last_txn_version(path, str(app)):
             return current_version(path)
+    keys = [key] if isinstance(key, str) else list(key)
+    key = keys[0]  # clustering/layout key: file pruning + write order
+    for rel, what in ((updates, "updates"), (delete_keys, "delete_keys"),
+                      (inserts, "inserts")):
+        if rel is not None:
+            miss = [k for k in keys if k not in rel.columns]
+            if miss:
+                raise ValueError(f"{what} lack merge key column(s) {miss}")
     prev_v = current_version(path)
     snapshot = read_version(spark, path, prev_v)  # DV-applied: the live rows
     snap_rel_files, snap_dvs = _state_at_version(path, prev_v)
@@ -1829,7 +1846,7 @@ def merge(spark: SparkSession, path: str, key: str,
         if rel is None:
             continue
         for f in rel.schema.fields:
-            if f.name not in known and f.name != key and f.name not in new_cols:
+            if f.name not in known and f.name not in keys and f.name not in new_cols:
                 new_cols[f.name] = f.dataType.simpleString()
     if new_cols and not merge_schema:
         raise ValueError(
@@ -1874,7 +1891,7 @@ def merge(spark: SparkSession, path: str, key: str,
         # insert-only merge: append one file, rewrite nothing
         new_v = prev_v + 1
         sub = _new_sub(new_v)
-        new_rows = inserts.join(snapshot.select(key), key, "left_anti")
+        new_rows = inserts.join(snapshot.select(*keys), keys, "left_anti")
         _write_insert_leg(new_rows, sub, "overwrite")
         _commit(new_v, _list_data_files(path, sub), [])
         return new_v
@@ -1965,7 +1982,7 @@ def merge(spark: SparkSession, path: str, key: str,
             _commit(new_v, [], [])
             return new_v
         sub = _new_sub(new_v)
-        new_rows = inserts.join(snapshot.select(key), key, "left_anti")
+        new_rows = inserts.join(snapshot.select(*keys), keys, "left_anti")
         _write_insert_leg(new_rows, sub, "overwrite")
         _commit(new_v, _list_data_files(path, sub), [])
         return new_v
@@ -1984,14 +2001,14 @@ def merge(spark: SparkSession, path: str, key: str,
     rewrite_src = _replay_schema(rewrite_src, path, prev_v)
     out = rewrite_src
     if delete_keys is not None:
-        out = out.join(F.broadcast(delete_keys.select(key)), key, "left_anti")
+        out = out.join(F.broadcast(delete_keys.select(*keys)), keys, "left_anti")
     if updates is not None:
         # a duplicate key in the update batch would FAN OUT the left
         # join and silently duplicate table rows — fail loud and make
         # the caller state its conflict policy (pre-aggregate the
         # changelog to one row per key)
         dup = (
-            updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+            updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
         )
         if dup:
             raise ValueError(
@@ -1999,11 +2016,11 @@ def merge(spark: SparkSession, path: str, key: str,
                 "row per key (last-write-wins needs an ordering column) "
                 "before merge"
             )
-        upd_cols = [c for c in updates.columns if c != key]
+        upd_cols = [c for c in updates.columns if c not in keys]
         renamed = updates.select(
-            key, *[F.col(c).alias(f"_u_{c}") for c in upd_cols]
+            *keys, *[F.col(c).alias(f"_u_{c}") for c in upd_cols]
         )
-        out = out.join(F.broadcast(renamed), key, "left")
+        out = out.join(F.broadcast(renamed), keys, "left")
         for c in upd_cols:
             if c in rewrite_src.columns:
                 out = out.withColumn(c, F.coalesce(F.col(f"_u_{c}"), F.col(c)))
@@ -2045,7 +2062,7 @@ def merge(spark: SparkSession, path: str, key: str,
         # INSERT leg: keys absent from the snapshot append as new
         # files — no rewrite; the defensive anti-join makes the leg
         # idempotent under replay (a re-delivered row is an update)
-        new_rows = inserts.join(snapshot.select(key), key, "left_anti")
+        new_rows = inserts.join(snapshot.select(*keys), keys, "left_anti")
         for c in out.columns:
             if c not in new_rows.columns:
                 new_rows = new_rows.withColumn(
@@ -2057,7 +2074,7 @@ def merge(spark: SparkSession, path: str, key: str,
     return new_v
 
 
-def merge_with_retry(spark: SparkSession, path: str, key: str,
+def merge_with_retry(spark: SparkSession, path: str, key: str | list[str],
                      updates: DataFrame | None = None,
                      delete_keys: DataFrame | None = None,
                      inserts: DataFrame | None = None,

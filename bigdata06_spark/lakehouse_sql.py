@@ -25,7 +25,9 @@ Grammar (the documented subset; anything outside it raises):
         LOCATION '<path>'
         [AS <query>]                       -- CTAS via table_init
     MERGE INTO <tbl> [AS] <t> USING <name | (subquery)> [AS] <s>
-        ON <t>.<k> = <s>.<k>
+        ON <t>.<k> = <s>.<k> [AND <t>.<k2> = <s>.<k2> ...]
+                          -- composite keys: must include the
+                          -- clustering key; rows match on ALL
         { WHEN MATCHED [AND <cond>] THEN { UPDATE SET * |
                                            UPDATE SET c = expr, ... |
                                            DELETE } } ...
@@ -225,23 +227,35 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
     if not when_off:
         raise ValueError("MERGE INTO has no WHEN clauses")
     on_cond = on_rest[: when_off[0]].strip()
-    om = re.fullmatch(
-        rf"{talias}\.`?(?P<k1>\w+)`?\s*=\s*{salias}\.`?(?P<k2>\w+)`?"
-        rf"|{salias}\.`?(?P<k3>\w+)`?\s*=\s*{talias}\.`?(?P<k4>\w+)`?",
-        on_cond, re.IGNORECASE,
-    )
-    if not om or (om.group("k1") or om.group("k4")) != (om.group("k2") or om.group("k3")):
-        raise ValueError(
-            f"MERGE ON must be a single-key equality t.k = s.k, got {on_cond!r}"
+    keys: list[str] = []
+    for conj in re.split(r"\bAND\b", on_cond, flags=re.IGNORECASE):
+        om = re.fullmatch(
+            rf"{talias}\.`?(?P<k1>\w+)`?\s*=\s*{salias}\.`?(?P<k2>\w+)`?"
+            rf"|{salias}\.`?(?P<k3>\w+)`?\s*=\s*{talias}\.`?(?P<k4>\w+)`?",
+            conj.strip(), re.IGNORECASE,
         )
-    key = om.group("k1") or om.group("k4")
+        if not om or (om.group("k1") or om.group("k4")) != \
+                (om.group("k2") or om.group("k3")):
+            raise ValueError(
+                "MERGE ON must be AND-conjoined same-name equalities "
+                f"(t.k = s.k [AND t.k2 = s.k2 ...]), got {on_cond!r}"
+            )
+        k = om.group("k1") or om.group("k4")
+        if k not in keys:
+            keys.append(k)
 
     path, reg_key, reg_name = _resolve(target_ref)
-    if reg_key and reg_key != key:
+    if reg_key and reg_key not in keys:
         raise ValueError(
-            f"MERGE keys on {key!r} but the table's clustering key is "
-            f"{reg_key!r}; the library merge rewrites by clustering key"
+            f"MERGE keys on {keys} but the table's clustering key is "
+            f"{reg_key!r}; the library merge prunes/rewrites by clustering "
+            "key, so the ON clause must include it"
         )
+    if reg_key:
+        # clustering key FIRST: file-range pruning and write layout
+        # run on the leading key
+        keys.sort(key=lambda k: k != reg_key)
+    key = keys[0]
 
     clauses = _split_clauses(on_rest[when_off[0]:], r"\bWHEN\b")
     matched: list[tuple[str | None, str, dict | None]] = []  # (cond, kind, sets)
@@ -295,8 +309,10 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
     src = (spark.sql(f"SELECT * FROM {src_sql} __lh_src" if src_sql.startswith("(")
                      else f"SELECT * FROM {src_sql}")).alias(salias)
 
-    joined = src.join(tgt, F.col(f"{salias}.{key}") == F.col(f"{talias}.{key}"),
-                      "inner")
+    on_expr = F.lit(True)
+    for k in keys:
+        on_expr = on_expr & (F.col(f"{salias}.{k}") == F.col(f"{talias}.{k}"))
+    joined = src.join(tgt, on_expr, "inner")
     tgt_cols = tgt.columns
 
     updates = None
@@ -308,7 +324,7 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
             claim = claim & F.coalesce(F.expr(cond), F.lit(False))
         hit = joined.filter(claim)
         if kind == "delete":
-            d = hit.select(F.col(f"{salias}.{key}").alias(key))
+            d = hit.select(*[F.col(f"{salias}.{k}").alias(k) for k in keys])
             delete_keys = d if delete_keys is None else delete_keys.unionAll(d)
         else:
             if sets == {}:  # UPDATE SET *: source row wins, by name
@@ -339,7 +355,8 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
     # first-match-wins discipline within the clause family.
     if by_source:
         unmatched = tgt.join(
-            src.select(F.col(f"{salias}.{key}").alias(key)), key, "left_anti"
+            src.select(*[F.col(f"{salias}.{k}").alias(k) for k in keys]),
+            keys, "left_anti"
         )
         remaining_bs = F.lit(True)
         for cond, kind, sets in by_source:
@@ -348,7 +365,7 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
                 claim = claim & F.coalesce(F.expr(cond), F.lit(False))
             hit = unmatched.filter(claim)
             if kind == "delete":
-                d = hit.select(F.col(key))
+                d = hit.select(*[F.col(k) for k in keys])
                 delete_keys = d if delete_keys is None \
                     else delete_keys.unionAll(d)
             else:
@@ -369,14 +386,16 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
 
     inserts = None
     if insert_clause is not None:
-        inserts = src.join(tgt.select(F.col(f"{talias}.{key}").alias(key)),
-                           key, "left_anti")
+        inserts = src.join(
+            tgt.select(*[F.col(f"{talias}.{k}").alias(k) for k in keys]),
+            keys, "left_anti")
         if insert_clause[0] is not None:
             inserts = inserts.filter(
                 F.coalesce(F.expr(insert_clause[0]), F.lit(False)))
 
-    new_v = LH.merge(spark, path, key, updates=updates,
-                     delete_keys=delete_keys, inserts=inserts)
+    new_v = LH.merge(spark, path, keys if len(keys) > 1 else key,
+                     updates=updates, delete_keys=delete_keys,
+                     inserts=inserts)
     if reg_name:
         _refresh_view(spark, reg_name)
     return _version_df(spark, new_v)

@@ -80,7 +80,8 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # #8), multimodal_phash_dedup FIRST (its r6 oracle pass was
         # vacuous 0-vs-0; now non-empty at every SF). External
         # samplers take the first 50; the remaining 23 queue at 51+.
-        "multimodal_phash_dedup", "agg_transpose_crosstab",
+        "multimodal_phash_dedup", "lakehouse_sql_merge_composite",
+        "agg_transpose_crosstab",
         "agg_boolean_argmax", "agg_grouping_id", "agg_pivot_multi",
         "mv_incremental_refresh", "scalar_generator_funcs",
         "scalar_math_funcs", "scalar_array_funcs", "scalar_conditional",

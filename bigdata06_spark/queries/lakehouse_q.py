@@ -1015,6 +1015,113 @@ def lakehouse_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _sqlmergec_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_sqlmergec_{tag}")
+
+
+@register(
+    "lakehouse_sql_merge_composite",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, min(l_quantity) AS l_quantity
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    ),
+    upd AS (
+      SELECT l_orderkey, l_linenumber, l_quantity + 100 AS q
+      FROM base WHERE l_orderkey % 7 = 1 AND l_linenumber <= 2
+    ),
+    del AS (
+      SELECT l_orderkey, l_linenumber
+      FROM base WHERE l_orderkey % 13 = 2 AND l_linenumber >= 6
+    ),
+    ins AS (
+      SELECT DISTINCT l_orderkey, 99 AS l_linenumber,
+             CAST(7.5 AS DOUBLE) AS q
+      FROM base WHERE l_orderkey % 500 = 3
+    ),
+    merged AS (
+      SELECT b.l_orderkey, b.l_linenumber,
+             coalesce(u.q, b.l_quantity) AS q
+      FROM base b
+      LEFT JOIN upd u ON b.l_orderkey = u.l_orderkey
+                     AND b.l_linenumber = u.l_linenumber
+      LEFT JOIN del d ON b.l_orderkey = d.l_orderkey
+                     AND b.l_linenumber = d.l_linenumber
+      WHERE d.l_orderkey IS NULL
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, q FROM ins
+    )
+    SELECT CAST(l_linenumber AS BIGINT) AS lineno,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(q * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS qty_cents
+    FROM merged GROUP BY lineno
+    """,
+)
+def lakehouse_sql_merge_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key MERGE INTO through the SQL surface (VERDICT r6
+    #4: a Delta user's first real merge is routinely multi-key): the
+    target is lineitem keyed on its REAL primary key (l_orderkey,
+    l_linenumber) — clustered on l_orderkey, matched on BOTH columns.
+    One statement carries a conditional DELETE of exact line pairs, an
+    UPDATE SET * that must leave sibling linenumbers of the same order
+    untouched (inexpressible with single-key matching), and an
+    INSERT * of brand-new composite pairs. Scale shape: file-range
+    pruning and the rewrite layout stay on the leading clustering key
+    (a sound superset), row matching is an equi-join on the composite
+    — same shuffle keys, no extra pass."""
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = _sqlmergec_dir(sf_dir)
+    # the synthetic lineitem is TPC-H-ISH: (l_orderkey, l_linenumber)
+    # is not unique there, so pin a deterministic one-row-per-pair base
+    # (min is order-independent — no float-sum ulp drift vs DuckDB)
+    base = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("l_quantity").alias("l_quantity"))
+    )
+    if LH.current_version(path) < 0:
+        LH.table_init(base, path, "l_orderkey", n_files=8)
+    LSQL.sql(spark, f"CREATE TABLE sqlmc_li USING lakehouse "
+                    f"TBLPROPERTIES ('key' 'l_orderkey') LOCATION '{path}'")
+    if LH.current_version(path) < 1:
+        upd = base.filter(
+            (F.col("l_orderkey") % 7 == 1) & (F.col("l_linenumber") <= 2)
+        ).select("l_orderkey", "l_linenumber",
+                 (F.col("l_quantity") + 100).alias("l_quantity"))
+        dels = base.filter(
+            (F.col("l_orderkey") % 13 == 2) & (F.col("l_linenumber") >= 6)
+        ).select("l_orderkey", "l_linenumber",
+                 F.lit(-1.0).alias("l_quantity"))  # marker: DELETE clause
+        ins = (
+            base.filter(F.col("l_orderkey") % 500 == 3)
+            .select("l_orderkey").distinct()
+            .select("l_orderkey",
+                    F.lit(99).cast("int").alias("l_linenumber"),
+                    F.lit(7.5).alias("l_quantity"))
+        )
+        upd.unionByName(dels).unionByName(ins) \
+            .createOrReplaceTempView("sqlmc_chg")
+        LSQL.sql(spark, """
+            MERGE INTO sqlmc_li t USING sqlmc_chg s
+            ON t.l_orderkey = s.l_orderkey
+               AND t.l_linenumber = s.l_linenumber
+            WHEN MATCHED AND s.l_quantity < 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        LSQL.register_table(spark, "sqlmc_li", path, "l_orderkey")
+    return LSQL.sql(spark, """
+        SELECT CAST(l_linenumber AS BIGINT) AS lineno,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS qty_cents
+        FROM sqlmc_li GROUP BY lineno
+    """)
+
+
 def _sqldml_dir(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(tempfile.gettempdir(), f"lakehouse_sqldml_{tag}")

@@ -4672,6 +4672,91 @@ def test_lakehouse_sql_alter_and_detail(spark, tmp_path):
         LSQL.sql(spark, "ALTER TABLE not_registered ADD COLUMN x int")
 
 
+def test_lakehouse_merge_composite_key(spark, tmp_path):
+    """Composite-key MERGE (VERDICT r6 #4): rows match on ALL key
+    columns — an update to (k=2, sub=1) must not touch (k=2, sub=2),
+    which single-key matching cannot express; deletes remove exactly
+    the named pairs; inserts land only for composite pairs absent
+    from the snapshot; the duplicate guard fires on composite dupes
+    (two rows that share k but differ in sub are NOT duplicates)."""
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_comp")
+    base = spark.createDataFrame(
+        [(k, s, float(10 * k + s)) for k in range(1, 6) for s in (1, 2)],
+        "k long, sub long, v double")
+    LH.table_init(base, path, "k", n_files=2)
+
+    upd = spark.createDataFrame([(2, 1, 999.0)], "k long, sub long, v double")
+    dels = spark.createDataFrame([(3, 2)], "k long, sub long")
+    ins = spark.createDataFrame(
+        [(2, 3, 23.0),     # new sub under an existing k
+         (9, 1, 91.0)],    # entirely new k
+        "k long, sub long, v double")
+    LH.merge(spark, path, ["k", "sub"], updates=upd,
+             delete_keys=dels, inserts=ins)
+    got = {(r.k, r.sub): r.v for r in LH.read_version(
+        spark, path, LH.current_version(path)).collect()}
+    assert got[(2, 1)] == 999.0 and got[(2, 2)] == 22.0  # sibling untouched
+    assert (3, 2) not in got and got[(3, 1)] == 31.0     # exact-pair delete
+    assert got[(2, 3)] == 23.0 and got[(9, 1)] == 91.0   # inserts landed
+    assert len(got) == 11
+
+    # two update rows sharing k but differing in sub are fine…
+    ok = spark.createDataFrame(
+        [(4, 1, 1.0), (4, 2, 2.0)], "k long, sub long, v double")
+    LH.merge(spark, path, ["k", "sub"], updates=ok)
+    # …but a true composite duplicate is loud
+    dup = spark.createDataFrame(
+        [(5, 1, 1.0), (5, 1, 2.0)], "k long, sub long, v double")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        LH.merge(spark, path, ["k", "sub"], updates=dup)
+    # change relations must carry every key column
+    with _pytest.raises(ValueError, match="lack merge key"):
+        LH.merge(spark, path, ["k", "sub"],
+                 delete_keys=spark.createDataFrame([(1,)], "k long"))
+
+
+def test_lakehouse_sql_merge_composite_on(spark, tmp_path):
+    """The SQL surface accepts AND-conjoined ON equalities and routes
+    them to the composite-key library merge; an ON clause that omits
+    the clustering key is loud."""
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = str(tmp_path / "lh_sqlcomp")
+    base = spark.createDataFrame(
+        [(k, s, float(10 * k + s)) for k in range(1, 5) for s in (1, 2)],
+        "k long, sub long, v double")
+    LH.table_init(base, path, "k", n_files=2)
+    LSQL.register_table(spark, "t_comp", path, "k")
+    spark.createDataFrame(
+        [(2, 1, 999.0), (3, 2, -1.0), (8, 1, 81.0)],
+        "k long, sub long, v double").createOrReplaceTempView("t_comp_chg")
+    LSQL.sql(spark, """
+        MERGE INTO t_comp t USING t_comp_chg s
+        ON t.k = s.k AND t.sub = s.sub
+        WHEN MATCHED AND s.v < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {(r.k, r.sub): r.v
+           for r in LSQL.sql(spark, "SELECT * FROM t_comp").collect()}
+    assert got[(2, 1)] == 999.0 and got[(2, 2)] == 22.0
+    assert (3, 2) not in got and got[(8, 1)] == 81.0
+    assert len(got) == 8
+
+    with _pytest.raises(ValueError, match="clustering key"):
+        LSQL.sql(spark, """
+            MERGE INTO t_comp t USING t_comp_chg s ON t.sub = s.sub
+            WHEN MATCHED THEN UPDATE SET *
+        """)
+
+
 def test_lakehouse_sql_generate_manifest(spark, tmp_path):
     """GENERATE MANIFEST FOR TABLE through the SQL surface: first call
     full-builds, a call after a DML fold is incremental, a no-change
