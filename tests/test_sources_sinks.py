@@ -3300,6 +3300,63 @@ def test_lakehouse_bloom_filter_skipping(spark, tmp_path):
         LH.rename_column(spark, path, "cust", "customer")
 
 
+def test_lakehouse_bounded_metadata_collects(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #6 — bounded driver metadata on the planning paths:
+    (a) generated_partition_filter enumerates logged partition values
+    through the MANIFEST when one is fresh (files_at_version
+    monkeypatched to raise proves no all-file driver loop) and its
+    collect is bounded by surviving values; (b) merge's partition
+    confinement caps its distinct-partition pull — beyond the cap it
+    skips confinement (an optimization) and the merge stays correct."""
+    import datetime
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = str(tmp_path / "lh_bnd")
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.lit(datetime.datetime(2024, 3, 1))
+         + F.make_interval(hours=F.col("id") % 240)).alias("ts"),
+    )
+    LH.table_init(df, path, "k", n_files=2,
+                  partition_by=["event_date"],
+                  generated_cols={"event_date": "to_date(ts)"})
+    M.refresh_manifest(spark, path)
+    want = LH.generated_partition_filter(
+        spark, path, "event_date", "ts",
+        datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 4, 23))
+
+    def _boom(*a, **kw):
+        raise AssertionError("all-file enumeration on a manifest-fresh path")
+
+    monkeypatch.setattr(LH, "files_at_version", _boom)
+    got = LH.generated_partition_filter(
+        spark, path, "event_date", "ts",
+        datetime.datetime(2024, 3, 2), datetime.datetime(2024, 3, 4, 23))
+    assert got == want == {
+        "event_date": ["2024-03-02", "2024-03-03", "2024-03-04"]}
+    monkeypatch.undo()
+
+    # (b) confinement cap: with the cap forced to 1, a 3-partition
+    # update exceeds it — confinement skips, result identical
+    monkeypatch.setattr(LH, "_PART_CONFINE_CAP", 1)
+    upd = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 1, 1)),
+         (30, datetime.datetime(2024, 3, 2, 1)),
+         (60, datetime.datetime(2024, 3, 3, 1))],
+        "k long, ts timestamp")
+    # updates lack event_date → partition-agnostic path; add it to
+    # exercise the confinement branch
+    upd = upd.withColumn("event_date", F.to_date("ts"))
+    v = LH.merge(spark, path, "k", updates=upd)
+    got_rows = {r.k: r.ts for r in LH.read_version(spark, path, v)
+                .filter("k in (1, 30, 60)").collect()}
+    assert got_rows[1] == datetime.datetime(2024, 3, 1, 1)
+    assert got_rows[30] == datetime.datetime(2024, 3, 2, 1)
+    assert got_rows[60] == datetime.datetime(2024, 3, 3, 1)
+
+
 def test_lakehouse_generated_partition_columns(spark, tmp_path):
     """GENERATED ALWAYS columns: computed at init, recomputed by every
     writer (merge update moves the row's partition when the source
