@@ -192,17 +192,26 @@ def _apply_actions_arrow(tbl, actions: list[dict]):
 
 
 class LakehouseFilePartition(InputPartition):
-    def __init__(self, listed_name: str, abs_file: str, dv_files: list[str]):
+    def __init__(self, listed_name: str, abs_file: str, dv_files: list[str],
+                 row_groups: list[int] | None = None, row_start: int = 0):
         self.listed_name = listed_name
         self.abs_file = abs_file
         self.dv_files = dv_files
+        # row-group split (None = whole file): `row_groups` are the
+        # parquet row-group ordinals this task decodes; `row_start`
+        # is the file-global row index of the first one — DV
+        # positions are file-global, so the split rebases them
+        self.row_groups = row_groups
+        self.row_start = row_start
 
 
 class LakehouseReader(DataSourceReader):
     def __init__(self, path: str, version: int, schema: T.StructType,
-                 change_feed_from: int | None = None):
+                 change_feed_from: int | None = None,
+                 split_threshold: int = 32):
         self.path = path
         self.schema_json = schema.json()
+        self._split_threshold = max(0, split_threshold)
         rel_files, dvs = LH._state_at_version(path, version)
         if change_feed_from is not None:
             # BATCH CHANGE FEED (Delta's readChangeFeed): only the
@@ -304,13 +313,41 @@ class LakehouseReader(DataSourceReader):
                 f for f in files
                 if LH._stats_may_match(self._stats.get(f), flt)
             ]
-        return [
+        parts = [
             LakehouseFilePartition(
                 f, _abs(self.path, f),
                 [_abs(self.path, d) for d in self._dvs.get(f, [])],
             )
             for f in files
         ]
+        # ROW-GROUP SPLITS (VERDICT r6 #5): one-partition-per-file caps
+        # parallelism at the file count — a 4-file table on a 32-core
+        # executor idles 28 cores. When the surviving file list is
+        # SMALL (below the split threshold), split each file into
+        # per-row-group tasks; footer reads are bounded by that same
+        # small count, so many-file tables never pay O(files) driver
+        # footer I/O for splits they don't need.
+        if 0 < len(parts) < self._split_threshold:
+            import pyarrow.parquet as pq
+
+            out: list[LakehouseFilePartition] = []
+            for p in parts:
+                try:
+                    md = pq.ParquetFile(p.abs_file).metadata
+                except OSError:
+                    out.append(p)
+                    continue
+                if md.num_row_groups <= 1:
+                    out.append(p)
+                    continue
+                start = 0
+                for g in range(md.num_row_groups):
+                    out.append(LakehouseFilePartition(
+                        p.listed_name, p.abs_file, p.dv_files,
+                        row_groups=[g], row_start=start))
+                    start += md.row_group(g).num_rows
+            return out
+        return parts
 
     def read(self, partition: LakehouseFilePartition):
         import numpy as np
@@ -326,21 +363,34 @@ class LakehouseReader(DataSourceReader):
             phys.update(LH._physical_names_of(self.actions, field.name))
         fsch = pq.read_schema(partition.abs_file)
         cols_to_read = [c for c in fsch.names if c in phys]
+        rgs = partition.row_groups
         if cols_to_read:
-            tbl = pq.read_table(partition.abs_file, columns=cols_to_read)
+            if rgs is None:
+                tbl = pq.read_table(partition.abs_file, columns=cols_to_read)
+            else:
+                tbl = pq.ParquetFile(partition.abs_file).read_row_groups(
+                    rgs, columns=cols_to_read)
             n = tbl.num_rows
         else:  # file predates every requested column: null rows only
             tbl = None
-            n = pq.ParquetFile(partition.abs_file).metadata.num_rows
+            md = pq.ParquetFile(partition.abs_file).metadata
+            n = md.num_rows if rgs is None else sum(
+                md.row_group(g).num_rows for g in rgs)
 
         # deletion vectors: subtract this file's listed positions
         if partition.dv_files:
+            # DV positions are FILE-global row indices: a row-group
+            # split keeps only positions inside its [row_start,
+            # row_start + n) window, rebased to split-local
             dead: set[int] = set()
             for d in partition.dv_files:
                 dv = pq.read_table(d, columns=["file", "row_index"])
                 mask = pa.compute.equal(dv.column("file"),
                                         pa.scalar(partition.listed_name))
-                dead.update(dv.filter(mask).column("row_index").to_pylist())
+                for pos in dv.filter(mask).column("row_index").to_pylist():
+                    local = pos - partition.row_start
+                    if 0 <= local < n:
+                        dead.add(local)
             if dead:
                 keep = np.ones(n, dtype=bool)
                 keep[np.fromiter(dead, dtype=np.int64)] = False
@@ -413,11 +463,13 @@ class LakehouseDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         path = self._path()
         rng = self._cdf_range(path)
+        thr = int(self.options.get("split_files_below", 32))
         if rng:
             return LakehouseReader(path, rng[1], schema,
-                                   change_feed_from=rng[0])
+                                   change_feed_from=rng[0],
+                                   split_threshold=thr)
         v = _resolve_version(path, self.options)
-        return LakehouseReader(path, v, schema)
+        return LakehouseReader(path, v, schema, split_threshold=thr)
 
     def writer(self, schema: T.StructType, overwrite: bool):
         return LakehouseWriter(self.options, schema, overwrite)
