@@ -125,8 +125,10 @@ def _need_key(key: str | None, ref: str, what: str) -> str:
 
 def _kw_at_depth0(s: str, pattern: str) -> list[int]:
     """Start offsets of regex `pattern` occurrences at paren depth 0
-    and outside quoted strings — keyword-splitting that doesn't get
-    fooled by subqueries or literals."""
+    and outside quoted strings or `backtick identifiers` —
+    keyword-splitting that doesn't get fooled by subqueries, literals,
+    or quoted column names containing keywords. (Doubled-quote escapes
+    ''like this'' scan correctly as adjacent literals.)"""
     out: list[int] = []
     depth = 0
     quote: str | None = None
@@ -139,7 +141,7 @@ def _kw_at_depth0(s: str, pattern: str) -> list[int]:
                 quote = None
             i += 1
             continue
-        if c in "'\"":
+        if c in "'\"`":
             quote = c
         elif c == "(":
             depth += 1
@@ -162,7 +164,8 @@ def _split_clauses(s: str, pattern: str) -> list[str]:
 
 def _parse_assignments(s: str) -> dict[str, str]:
     """`a = expr, b = expr` → {col: expr-sql}; splits on depth-0
-    commas so expressions may contain function calls."""
+    commas outside quotes/backticks so expressions may contain
+    function calls and literal commas."""
     parts: list[str] = []
     depth = 0
     quote: str | None = None
@@ -171,7 +174,7 @@ def _parse_assignments(s: str) -> dict[str, str]:
         if quote:
             if c == quote:
                 quote = None
-        elif c in "'\"":
+        elif c in "'\"`":
             quote = c
         elif c == "(":
             depth += 1
@@ -183,12 +186,19 @@ def _parse_assignments(s: str) -> dict[str, str]:
     parts.append(s[start:])
     out: dict[str, str] = {}
     for p in parts:
-        col, _, expr = p.partition("=")
-        col = col.strip().strip("`")
-        # strip an alias qualifier (t.col = ...): SET targets the row
-        col = col.split(".")[-1]
+        q = p.strip()
+        if q.startswith("`"):  # `quoted col` = expr — '=' may appear inside
+            end = q.find("`", 1)
+            if end < 0 or "=" not in q[end:]:
+                raise ValueError(f"malformed SET assignment {q!r}")
+            col, expr = q[1:end], q[end + 1:].split("=", 1)[1]
+        else:
+            col, _, expr = q.partition("=")
+            col = col.strip().strip("`")
+            # strip an alias qualifier (t.col = ...): SET targets the row
+            col = col.split(".")[-1].strip("`")
         if not col or not expr.strip():
-            raise ValueError(f"malformed SET assignment {p.strip()!r}")
+            raise ValueError(f"malformed SET assignment {q!r}")
         out[col] = expr.strip()
     return out
 
@@ -447,17 +457,24 @@ def _sql_create(spark: SparkSession, stmt: str) -> DataFrame:
 
 
 def _sql_update(spark: SparkSession, stmt: str) -> DataFrame:
-    m = re.fullmatch(
-        r"UPDATE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+SET\s+(?P<sets>.+?)"
-        r"(?:\s+WHERE\s+(?P<cond>.+))?",
+    m = re.match(
+        r"UPDATE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+SET\s+",
         stmt, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(f"cannot parse UPDATE statement {stmt!r}")
+    rest = stmt[m.end():]
+    # WHERE found quote/paren-aware, not by regex: a SET value literal
+    # containing ' WHERE ' must not split the statement there
+    w = _kw_at_depth0(rest, r"\bWHERE\b")
+    sets_sql = rest[: w[0]] if w else rest
+    cond_sql = rest[w[0] + 5:].strip() if w else None
+    if not sets_sql.strip():
+        raise ValueError(f"cannot parse UPDATE statement {stmt!r}")
     path, key, name = _resolve(m.group("tbl"))
     key = _need_key(key, m.group("tbl"), "UPDATE")
-    sets = {c: F.expr(e) for c, e in _parse_assignments(m.group("sets")).items()}
-    pred = m.group("cond") if m.group("cond") else F.lit(True)
+    sets = {c: F.expr(e) for c, e in _parse_assignments(sets_sql).items()}
+    pred = cond_sql if cond_sql else F.lit(True)
     v = LH.update_where(spark, path, key, sets, pred)
     if name:
         _refresh_view(spark, name)

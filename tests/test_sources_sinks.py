@@ -3958,9 +3958,11 @@ def test_lakehouse_sql_inline_path_and_errors(spark, tmp_path):
 
     spark.createDataFrame([(1, 9.0)], "k long, v double") \
         .createOrReplaceTempView("inline_chg")
-    with _pytest.raises(ValueError, match="single-key equality"):
+    # r7: AND-conjoined same-name equalities are the composite-key
+    # merge (supported); a NON-equality conjunct stays loud
+    with _pytest.raises(ValueError, match="AND-conjoined"):
         sql(spark, f"MERGE INTO lakehouse.`{path}` t USING inline_chg s "
-                   f"ON t.k = s.k AND t.v = s.v "
+                   f"ON t.k = s.k AND t.v > s.v "
                    f"WHEN MATCHED THEN UPDATE SET *")
 
 

@@ -1,0 +1,145 @@
+"""Adversarial-but-legal statements against the lakehouse SQL front
+end (VERDICT r6 #7): the regex grammar splits clauses at depth-0
+keywords, so a user's LITERAL DATA containing keywords ('WHEN
+MATCHED' in a value, ' WHERE ' in a SET string), quoted identifiers,
+doubled-quote escapes, newlines, and mixed case must never misparse a
+statement. Property tests fuzz the pure splitter helpers (no Spark —
+fast, wide coverage); deterministic end-to-end statements pin the
+full-path behavior for each reported hazard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata06_spark import lakehouse as LH
+from bigdata06_spark import lakehouse_sql as LSQL
+from bigdata06_spark.lakehouse_sql import _kw_at_depth0, _parse_assignments
+
+# value alphabet deliberately rich in parser hazards: keywords, commas,
+# parens, dots, operators — everything except the quote chars that
+# would terminate the literal
+_HAZARD_WORDS = st.sampled_from([
+    "WHEN", "MATCHED", "THEN", "DELETE", "UPDATE", "SET", "WHERE",
+    "AND", "ON", "USING", "INSERT", "merge", "into", ",", "(", ")",
+    "=", ".", "*", "t.k", "s.k", "1=1", "x,y", "a(b)",
+])
+_VALUES = st.lists(_HAZARD_WORDS, min_size=1, max_size=6).map(" ".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_VALUES, _VALUES)
+def test_kw_split_ignores_quoted_keywords(v1, v2):
+    """_kw_at_depth0 must find exactly the UNQUOTED keyword
+    occurrences, however keyword-shaped the quoted payloads are."""
+    s = f"note = '{v1}' WHEN MATCHED AND tag = \"{v2}\" THEN DELETE"
+    offs = _kw_at_depth0(s, r"\bWHEN\b")
+    assert offs == [s.index("' WHEN MATCHED") + 2]
+    # backtick identifiers shield keywords too
+    s2 = f"`{v1} WHEN x` = 1 WHEN MATCHED"
+    offs2 = _kw_at_depth0(s2, r"\bWHEN\b")
+    assert offs2 == [len(s2) - len("WHEN MATCHED")]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_VALUES, _VALUES)
+def test_parse_assignments_hazardous_literals(v1, v2):
+    """Assignments whose VALUES carry commas, parens, '=', and
+    keywords parse to exactly the written pairs."""
+    s = f"a = '{v1}', b = concat('{v2}', ','), c = (1 + 2) * 3"
+    got = _parse_assignments(s)
+    assert got == {"a": f"'{v1}'", "b": f"concat('{v2}', ',')",
+                   "c": "(1 + 2) * 3"}
+
+
+@settings(max_examples=100, deadline=None)
+@given(_VALUES)
+def test_parse_assignments_backtick_identifiers(v):
+    s = f"`when set` = '{v}', t.`where` = 2"
+    got = _parse_assignments(s)
+    assert got == {"when set": f"'{v}'", "where": "2"}
+
+
+def test_kw_split_doubled_quote_escape():
+    """'' inside a literal scans as adjacent literals — either way no
+    keyword inside is ever split on."""
+    s = "a = 'don''t WHEN' WHEN MATCHED"
+    offs = _kw_at_depth0(s, r"\bWHEN\b")
+    assert len(offs) == 1 and s[offs[0]:].startswith("WHEN MATCHED")
+
+
+@pytest.fixture(scope="module")
+def fuzz_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sqlfuzz") / "t")
+    LH.table_init(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+            "k long, note string, v double"),
+        path, "k", n_files=1)
+    LSQL.register_table(spark, "fz", path, "k")
+    return path
+
+
+def test_update_set_literal_containing_where(spark, fuzz_table):
+    """The round-6 regex split the statement at the FIRST ' WHERE ',
+    even inside a SET string literal — now found quote-aware."""
+    LSQL.sql(spark, "UPDATE fz SET note = 'x WHERE y' WHERE k = 1")
+    got = {r.k: r.note for r in LSQL.sql(spark, "SELECT * FROM fz").collect()}
+    assert got[1] == "x WHERE y" and got[2] == "b"
+
+
+def test_update_without_where_keyword_literal(spark, fuzz_table):
+    LSQL.sql(spark, "UPDATE fz SET note = 'WHEN MATCHED THEN DELETE' "
+                    "WHERE k = 2")
+    got = {r.k: r.note for r in LSQL.sql(spark, "SELECT * FROM fz").collect()}
+    assert got[2] == "WHEN MATCHED THEN DELETE"
+
+
+def test_merge_literals_and_conditions_with_keywords(spark, fuzz_table):
+    """MERGE whose source VALUES and clause CONDITIONS are stuffed
+    with keyword-shaped literals: clause splitting, first-match-wins,
+    and INSERT * all hold."""
+    spark.createDataFrame(
+        [(2, "ON t.k = s.k AND", -1.0), (3, "WHEN MATCHED", 5.0),
+         (9, "USING chg s", 9.0)],
+        "k long, note string, v double").createOrReplaceTempView("fz_chg")
+    LSQL.sql(spark, """
+        MERGE INTO fz t USING fz_chg s ON t.k = s.k
+        WHEN MATCHED AND s.note = 'ON t.k = s.k AND' THEN
+            UPDATE SET note = 'hit WHEN MATCHED', v = s.v
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.k: (r.note, r.v)
+           for r in LSQL.sql(spark, "SELECT * FROM fz").collect()}
+    assert got[2] == ("hit WHEN MATCHED", -1.0)   # first clause claimed it
+    assert got[3] == ("WHEN MATCHED", 5.0)        # second clause, SET *
+    assert got[9] == ("USING chg s", 9.0)         # inserted
+    assert len(got) == 4
+
+
+def test_delete_predicate_literal_with_keywords(spark, fuzz_table):
+    v0 = LSQL.sql(spark, "SELECT count(*) AS c FROM fz").first().c
+    LSQL.sql(spark, "DELETE FROM fz WHERE note = 'no WHERE such AND row'")
+    assert LSQL.sql(spark, "SELECT count(*) AS c FROM fz").first().c == v0
+    LSQL.sql(spark, "DELETE FROM fz WHERE note = 'USING chg s'")
+    assert LSQL.sql(spark, "SELECT count(*) AS c FROM fz").first().c == v0 - 1
+
+
+def test_statements_survive_newlines_and_mixed_case(spark, fuzz_table):
+    LSQL.sql(spark, "uPdAtE fz\n  sEt v = v + 0.5\n  wHeRe k = 1")
+    assert LSQL.sql(
+        spark, "SELECT v FROM fz WHERE k = 1").first().v == pytest.approx(1.5)
+
+
+def test_backtick_column_update_through_sql(spark, tmp_path):
+    path = str(tmp_path / "bt")
+    LH.table_init(
+        spark.createDataFrame([(1, "x")], "k long, `when set` string"),
+        path, "k", n_files=1)
+    LSQL.register_table(spark, "fzbt", path, "k")
+    LSQL.sql(spark, "UPDATE fzbt SET `when set` = 'z' WHERE k = 1")
+    assert LSQL.sql(spark, "SELECT * FROM fzbt").first()["when set"] == "z"
