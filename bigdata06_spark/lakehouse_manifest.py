@@ -210,8 +210,64 @@ def _resets_state(entry: dict) -> bool:
     """Entries whose replay semantics PIN whole-table state rather
     than describe a delta — folding them incrementally would need the
     full prior state on the driver, which is exactly what the
-    manifest exists to avoid."""
-    return bool(entry.get("checkpoint")) or "dvs_set" in entry
+    manifest exists to avoid. Schema pins (RESTORE/clone re-emitting
+    the whole action list) reset too: the meta's cached acts fold
+    per-entry and cannot absorb a pin."""
+    return (bool(entry.get("checkpoint")) or "dvs_set" in entry
+            or "schema_actions_set" in entry or "schema_set" in entry)
+
+
+def _delta_entries(path: str, lo: int, hi: int) -> list[tuple[int, dict]]:
+    """Parse ONLY log entries in (lo, hi] — the incremental fold's
+    input. _iter_log_entries would re-parse every entry from 0
+    (including a fat checkpoint's full file list) per refresh; at a
+    200k-file log that is seconds of driver JSON for a 2-file
+    append."""
+    out = []
+    for v in range(lo + 1, hi + 1):
+        lp = os.path.join(LH._log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            out.append((v, json.load(fh)))
+    return out
+
+
+def _fold_schema_meta(acts: list[dict], logical: list[str] | None,
+                      entry: dict) -> tuple[list[dict], list[str] | None]:
+    """Apply ONE delta entry's schema actions to the cached
+    (acts, logical_cols) — the same per-entry rules as
+    _schema_actions_at / _logical_cols_at, O(entry) instead of
+    O(log). Pin entries never reach here (_resets_state forces a full
+    rebuild)."""
+    new: list[dict] = []
+    for sa in entry.get("schema_adds", []):
+        new.append({"kind": "add", "column": sa["column"], "type": sa["type"]})
+    sa = entry.get("schema_add")
+    if sa:
+        new.append({"kind": "add", "column": sa["column"], "type": sa["type"]})
+    rn = entry.get("schema_rename")
+    if rn:
+        new.append({"kind": "rename", "from": rn["from"], "to": rn["to"]})
+    dr = entry.get("schema_drop")
+    if dr:
+        new.append({"kind": "drop", "column": dr["column"]})
+    if not new:
+        return acts, logical
+    acts = acts + new
+    if logical is not None:
+        logical = list(logical)
+        for a in new:
+            if a["kind"] == "add":
+                if a["column"] not in logical:
+                    logical.append(a["column"])
+            elif a["kind"] == "rename":
+                if a["from"] in logical:
+                    logical[logical.index(a["from"])] = a["to"]
+            elif a["kind"] == "drop":
+                if a["column"] in logical:
+                    logical.remove(a["column"])
+    return acts, logical
 
 
 def refresh_manifest(spark: SparkSession, path: str,
@@ -238,10 +294,7 @@ def refresh_manifest(spark: SparkSession, path: str,
 
     mode = "full"
     if meta is not None and meta["version"] < v:
-        delta = [
-            (dv_, e) for dv_, e in LH._iter_log_entries(path, v)
-            if dv_ > meta["version"]
-        ]
+        delta = _delta_entries(path, meta["version"], v)
         if delta and not any(_resets_state(e) for _dv, e in delta):
             mode = "incremental"
 
@@ -311,11 +364,22 @@ def refresh_manifest(spark: SparkSession, path: str,
     # planning and manifest reads never re-parse the JSON log (at
     # 200k files the log is tens of MB; a plan that re-loads it per
     # metadata lookup would pay seconds of driver JSON parse —
-    # measured — for a handful of small lists)
+    # measured — for a handful of small lists). Incremental refreshes
+    # FOLD the cached acts from the delta entries alone — re-deriving
+    # them via _schema_actions_at would re-parse the whole log per
+    # fold, defeating the O(files-changed) contract (schema-pinning
+    # entries force a full rebuild via _resets_state).
+    if mode == "incremental" and "acts" in meta:
+        acts, logical = meta["acts"], meta.get("logical_cols")
+        for _dv, entry in delta:
+            acts, logical = _fold_schema_meta(acts, logical, entry)
+    else:
+        acts = LH._schema_actions_at(path, v)
+        logical = LH._logical_cols_at(path, v)
     new_meta = {
         "version": v, "dir": out_dir, "pby": pby, "scols": scols,
-        "acts": LH._schema_actions_at(path, v),
-        "logical_cols": LH._logical_cols_at(path, v),
+        "acts": acts,
+        "logical_cols": logical,
     }
     _swap_meta(path, new_meta)
     _sweep_superseded(path, keep_dir=out_dir)

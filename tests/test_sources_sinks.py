@@ -4695,6 +4695,49 @@ def test_lakehouse_manifest_fold_order_and_sweep(spark, tmp_path):
     assert not os.path.isdir(m0["dir"])
 
 
+def test_lakehouse_manifest_incremental_schema_fold(spark, tmp_path,
+                                                    monkeypatch):
+    """The incremental refresh folds schema actions from the DELTA
+    entries alone (meta acts + per-entry rules) — asserting no
+    _schema_actions_at re-walk — and its folded acts/logical order
+    match the full replay; a schema-PINNING entry (RESTORE's
+    schema_actions_set) forces a full rebuild instead of a wrong
+    fold."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = str(tmp_path / "lh_actfold")
+    LH.table_init(spark.range(100).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"), path, "k", n_files=2)
+    M.refresh_manifest(spark, path)
+    LH.add_column(path, "tag", "string")
+    LH.rename_column(spark, path, "v", "score")
+    want_acts = LH._schema_actions_at(path, LH.current_version(path))
+    want_order = LH._logical_cols_at(path, LH.current_version(path))
+
+    real = LH._schema_actions_at
+
+    def _boom(*a, **kw):
+        raise AssertionError("full log re-walk inside an incremental fold")
+
+    monkeypatch.setattr(LH, "_schema_actions_at", _boom)
+    r = M.refresh_manifest(spark, path)
+    assert r["mode"] == "incremental"
+    assert r["acts"] == want_acts and r["logical_cols"] == want_order
+    monkeypatch.setattr(LH, "_schema_actions_at", real)
+
+    # reads through the folded meta replay correctly
+    got = M.read_at_manifest(spark, path)
+    assert got.columns == ["k", "score", "tag"]
+    assert got.agg(F.sum("score")).first()[0] == sum(range(100))
+
+    # RESTORE pins the action list → fold refuses, full rebuild
+    LH.restore(path, 0)
+    r = M.refresh_manifest(spark, path)
+    assert r["mode"] == "full"
+    assert M.read_at_manifest(spark, path).columns == ["k", "v"]
+
+
 def test_lakehouse_copy_into_mtime_idempotence(spark, tmp_path):
     """COPY INTO keys idempotence on path+size+mtime (Delta
     semantics): re-running the same statement loads nothing, but a
