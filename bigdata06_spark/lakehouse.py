@@ -2803,6 +2803,29 @@ def vacuum(path: str, keep_versions: int = 1,
         for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
             if dirpath != data_root and not dirnames and not filenames:
                 os.rmdir(dirpath)
+    # superseded snapshot-manifest dirs (refresh_manifest defers their
+    # deletion behind an age guard so in-flight readers finish; vacuum
+    # is the designated reclaimer)
+    try:
+        from bigdata06_spark import lakehouse_manifest as M
+
+        meta = M.manifest_meta(path)
+        if meta is not None:
+            mf_root = M._mf_root(path)
+            for n in sorted(os.listdir(mf_root)):
+                d = os.path.join(mf_root, n)
+                if (not n.startswith("m") or d == meta.get("dir")
+                        or not os.path.isdir(d)):
+                    continue
+                if now - os.path.getmtime(d) < min_file_age_seconds:
+                    continue
+                dead.append(os.path.relpath(d, path))
+                if not dry_run:
+                    import shutil
+
+                    shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass  # derived cache — never fail a vacuum over it
     return sorted(dead)
 
 

@@ -1493,6 +1493,39 @@ def test_lakehouse_commit_conflict_one_writer_wins(spark, sf_dir, tmp_path):
     assert dead or True  # orphans (if any) removed without breaking reads
 
 
+def test_lakehouse_vacuum_sweeps_superseded_manifests(spark, tmp_path):
+    """VACUUM reclaims superseded snapshot-manifest dirs once past the
+    age guard (refresh_manifest defers their deletion so in-flight
+    readers on the old meta finish); the CURRENT manifest dir and
+    young superseded dirs survive."""
+    import time as _time
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = str(tmp_path / "lh_vmf")
+    LH.table_init(spark.range(100).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"), path, "k", n_files=1)
+    m0 = M.refresh_manifest(spark, path)
+    LH.append(spark, path, "k", spark.range(100, 120).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"))
+    m1 = M.refresh_manifest(spark, path)
+    assert os.path.isdir(m0["dir"]) and m0["dir"] != m1["dir"]
+
+    # young superseded dir survives an age-guarded vacuum
+    assert LH.vacuum(path, min_file_age_seconds=3600) == []
+    assert os.path.isdir(m0["dir"])
+    # age it out: dry run lists it, real run reclaims it, current stays
+    old = _time.time() - 7200
+    os.utime(m0["dir"], (old, old))
+    listed = LH.vacuum(path, min_file_age_seconds=3600, dry_run=True)
+    assert [p for p in listed if "_manifest" in p]
+    assert os.path.isdir(m0["dir"])
+    LH.vacuum(path, min_file_age_seconds=3600)
+    assert not os.path.isdir(m0["dir"]) and os.path.isdir(m1["dir"])
+    assert M.read_at_manifest(spark, path).count() == 120
+
+
 def test_lakehouse_vacuum_reclaims_checkpoint_squashed_files(spark, sf_dir, tmp_path):
     """Files removed BEFORE a log checkpoint appear in no surviving
     log entry; vacuum must still reclaim them (it lists data/ and
