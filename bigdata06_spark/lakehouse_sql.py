@@ -37,8 +37,13 @@ Grammar (the documented subset; anything outside it raises):
     UPDATE <tbl> SET c = expr, ... [WHERE <cond>]
     DELETE FROM <tbl> [WHERE <cond>]
     INSERT INTO <tbl> [(c1, ...)] { VALUES ... | SELECT ... }
+    INSERT INTO <tbl> REPLACE WHERE <cond> { VALUES ... | SELECT ... }
+                                       -- atomic region swap
+    INSERT OVERWRITE [TABLE] <tbl> [(c1, ...)] { VALUES ... | SELECT ... }
     VACUUM <tbl> [RETAIN <n> VERSIONS]
-    OPTIMIZE <tbl> [ZORDER BY (c1, c2, ...) | INCREMENTAL]
+    OPTIMIZE <tbl> [WHERE <partition predicate>]
+                   [ZORDER BY (c1, c2, ...) | INCREMENTAL]
+    SHOW PARTITIONS <tbl>
     DESCRIBE HISTORY <tbl>
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
     CONVERT TO LAKEHOUSE parquet.`/dir` [STATS (c1, ...)]
@@ -71,6 +76,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bigdata06_spark import lakehouse as LH
 
@@ -508,13 +514,19 @@ def _sql_insert(spark: SparkSession, stmt: str) -> DataFrame:
     positionally; named column lists null-fill the rest; extra or
     unknown columns are loud."""
     m = re.fullmatch(
-        r"INSERT\s+INTO\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s*"
+        r"INSERT\s+(?:INTO|(?P<ovw>OVERWRITE)(?:\s+TABLE)?)\s+"
+        r"(?P<tbl>\S+(?:\s*`[^`]+`)?)\s*"
         r"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s*)?"
+        r"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+(?=SELECT|VALUES))?"
         r"(?P<body>(?:VALUES|SELECT)\s*.+)",
         stmt, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(f"cannot parse INSERT statement {stmt!r}")
+    if m.group("ovw") and m.group("rw"):
+        raise ValueError(
+            "use INSERT OVERWRITE (whole table) or INSERT INTO ... "
+            "REPLACE WHERE (predicate region), not both")
     path, key, name = _resolve(m.group("tbl"))
     from bigdata06_spark.sources.lakehouse_datasource import (
         register as _register_ds,
@@ -546,7 +558,16 @@ def _sql_insert(spark: SparkSession, stmt: str) -> DataFrame:
          else F.lit(None)).cast(f.dataType).alias(f.name)
         for f in tgt.fields
     ])
-    if key:
+    if m.group("rw") or m.group("ovw"):
+        # Delta's INSERT INTO ... REPLACE WHERE / INSERT OVERWRITE:
+        # one atomic commit swaps the region (or the whole table) for
+        # `out` — time travel keeps the old region, readers never see
+        # a half-replaced state
+        key = _need_key(key, m.group("tbl"),
+                        "REPLACE WHERE / INSERT OVERWRITE")
+        pred = m.group("rw") if m.group("rw") else "true"
+        LH.overwrite_where(spark, path, key, out, predicate=pred)
+    elif key:
         LH.append(spark, path, key, out)
     else:
         out.write.format("lakehouse").mode("append").save(path)
@@ -571,17 +592,52 @@ def _sql_vacuum(spark: SparkSession, stmt: str) -> DataFrame:
     )
 
 
+def _parse_partition_predicate(cond: str) -> dict:
+    """Delta's OPTIMIZE-WHERE grammar: AND-conjoined `col = value` /
+    `col IN (v1, v2, ...)` over PARTITION columns only → the library's
+    `partitions={col: [values]}`. Values strip quotes (partition
+    pruning compares path-encoded strings)."""
+    out: dict[str, list[str]] = {}
+
+    def _val(tok: str) -> str:
+        tok = tok.strip()
+        if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+            return tok[1:-1]
+        return tok
+
+    for conj in re.split(r"\bAND\b", cond, flags=re.IGNORECASE):
+        conj = conj.strip()
+        m = re.fullmatch(r"`?(\w+)`?\s*=\s*(\S+)", conj)
+        if m:
+            out.setdefault(m.group(1), []).append(_val(m.group(2)))
+            continue
+        m = re.fullmatch(r"`?(\w+)`?\s+IN\s*\(([^)]*)\)", conj,
+                         re.IGNORECASE)
+        if m:
+            out.setdefault(m.group(1), []).extend(
+                _val(t) for t in m.group(2).split(","))
+            continue
+        raise ValueError(
+            "OPTIMIZE WHERE supports AND-conjoined partition equality/IN "
+            f"predicates only, got {conj!r}"
+        )
+    return out
+
+
 def _sql_optimize(spark: SparkSession, stmt: str) -> DataFrame:
     m = re.fullmatch(
         r"OPTIMIZE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
         r"(?:\s+ZORDER\s+BY\s+\(\s*(?P<cols>[^)]+)\)"
         r"|\s+(?P<inc>INCREMENTAL))?",
-        stmt, re.IGNORECASE,
+        stmt, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(f"cannot parse OPTIMIZE statement {stmt!r}")
     path, key, name = _resolve(m.group("tbl"))
     if m.group("inc"):
+        if m.group("where"):
+            raise ValueError("OPTIMIZE INCREMENTAL takes no WHERE clause")
         # incremental clustering: fold post-OPTIMIZE files into the
         # frozen grid; no key needed (the grid is the layout)
         v = LH.optimize_zorder_incremental(spark, path)
@@ -590,7 +646,13 @@ def _sql_optimize(spark: SparkSession, stmt: str) -> DataFrame:
         zo = None
         if m.group("cols"):
             zo = [c.strip().strip("`") for c in m.group("cols").split(",")]
-        v = LH.optimize(spark, path, key, zorder_by=zo)
+        parts = None
+        if m.group("where"):
+            # Delta's OPTIMIZE ... WHERE: partition-scoped compaction —
+            # only matching partitions' files rewrite, cold partitions
+            # carry over by reference
+            parts = _parse_partition_predicate(m.group("where"))
+        v = LH.optimize(spark, path, key, zorder_by=zo, partitions=parts)
     if name:
         _refresh_view(spark, name)
     return _version_df(spark, v)
@@ -813,6 +875,40 @@ def _sql_truncate(spark: SparkSession, stmt: str) -> DataFrame:
     return _version_df(spark, v)
 
 
+def _sql_show_partitions(spark: SparkSession, stmt: str) -> DataFrame:
+    """SHOW PARTITIONS <tbl> — the distinct live partition-value
+    tuples. Planned through the snapshot manifest when fresh (pushed
+    distinct over the p_ columns, collect bounded by partitions);
+    driver log-replay fallback otherwise."""
+    m = re.fullmatch(r"SHOW\s+PARTITIONS\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)",
+                     stmt, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse SHOW PARTITIONS {stmt!r}")
+    path, _key, _name = _resolve(m.group("tbl"))
+    pby = LH.table_partition_by(path)
+    if not pby:
+        raise ValueError(f"{m.group('tbl')!r} is not a partitioned table")
+    try:
+        from bigdata06_spark import lakehouse_manifest as M
+
+        meta = M.manifest_meta(path)
+        if meta is not None and meta["version"] == LH.current_version(path):
+            return (
+                M.manifest_df(spark, path)
+                .select(*[F.col(f"p_{c}").alias(c) for c in pby])
+                .distinct().orderBy(*pby)
+            )
+    except Exception:
+        pass
+    vals = sorted({
+        tuple(LH._pvals_of_rel(f).get(c) for c in pby)
+        for f in LH.files_at_version(path, LH.current_version(path))
+    })
+    return spark.createDataFrame(
+        [tuple(v) for v in vals],
+        T.StructType([T.StructField(c, T.StringType()) for c in pby]))
+
+
 def _sql_show_props(spark: SparkSession, stmt: str) -> DataFrame:
     """SHOW TBLPROPERTIES <tbl> — every table-level spec the log
     carries, as (key, value) string rows: location, version,
@@ -970,13 +1066,15 @@ _DISPATCH = [
     (re.compile(r"\s*COPY\s+INTO\b", re.IGNORECASE), _sql_copy),
     (re.compile(r"\s*TRUNCATE\s+TABLE\b", re.IGNORECASE), _sql_truncate),
     (re.compile(r"\s*SHOW\s+TBLPROPERTIES\b", re.IGNORECASE), _sql_show_props),
+    (re.compile(r"\s*SHOW\s+PARTITIONS\b", re.IGNORECASE), _sql_show_partitions),
     (re.compile(r"\s*ANALYZE\s+TABLE\b.*\bCOMPUTE\s+STATISTICS\b",
                 re.IGNORECASE | re.DOTALL), _sql_analyze),
     (re.compile(r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b.*\bUSING\s+lakehouse\b",
                 re.IGNORECASE | re.DOTALL), _sql_create),
     (re.compile(r"\s*UPDATE\s+(?!.*\bSET\b.*\bFROM\b)", re.IGNORECASE), _sql_update),
     (re.compile(r"\s*DELETE\s+FROM\b", re.IGNORECASE), _sql_delete),
-    (re.compile(r"\s*INSERT\s+INTO\b", re.IGNORECASE), _sql_insert),
+    (re.compile(r"\s*INSERT\s+(?:INTO|OVERWRITE)\b", re.IGNORECASE),
+     _sql_insert),
     (re.compile(r"\s*VACUUM\b", re.IGNORECASE), _sql_vacuum),
     (re.compile(r"\s*OPTIMIZE\b", re.IGNORECASE), _sql_optimize),
     (re.compile(r"\s*DESCRIBE\s+HISTORY\b", re.IGNORECASE), _sql_history),

@@ -4941,6 +4941,71 @@ def test_lakehouse_sql_merge_composite_on(spark, tmp_path):
         """)
 
 
+def test_lakehouse_sql_round7_verbs(spark, tmp_path):
+    """Round-7 statement verbs: OPTIMIZE ... WHERE (partition-scoped
+    compaction — cold partitions carry over by reference), INSERT INTO
+    ... REPLACE WHERE (atomic region swap), INSERT OVERWRITE (whole
+    table as one version, history intact), SHOW PARTITIONS (manifest-
+    planned when fresh)."""
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+    from bigdata06_spark.lakehouse_sql import sql, register_table
+
+    path = str(tmp_path / "lh7")
+    df = spark.range(400).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS part", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k", n_files=2, partition_by=["part"])
+    register_table(spark, "lh7", path, "k")
+
+    # fragment partition 2, then scope the compaction to it
+    for i in range(6):
+        LH.append(spark, path, "k", spark.range(1000 + i, 1001 + i)
+                  .selectExpr("id AS k", "CAST(2 AS INT) AS part",
+                              "CAST(id AS DOUBLE) AS v"))
+    before = LH.files_at_version(path, LH.current_version(path))
+    p2_before = [f for f in before if "part=2/" in f]
+    other_before = sorted(f for f in before if "part=2/" not in f)
+    assert len(p2_before) > 4
+    sql(spark, "OPTIMIZE lh7 WHERE part = 2")
+    after = LH.files_at_version(path, LH.current_version(path))
+    assert sorted(f for f in after if "part=2/" not in f) == other_before
+    assert len([f for f in after if "part=2/" in f]) < len(p2_before)
+    assert sql(spark, "SELECT count(*) AS c FROM lh7").first().c == 406
+
+    # SHOW PARTITIONS — log path, then manifest path
+    got = [r.part for r in sql(spark, "SHOW PARTITIONS lh7").collect()]
+    assert sorted(got) == ["0", "1", "2", "3"]
+    M.refresh_manifest(spark, path)
+    got = [r.part for r in sql(spark, "SHOW PARTITIONS lh7").collect()]
+    assert sorted(got) == ["0", "1", "2", "3"]
+
+    # INSERT INTO ... REPLACE WHERE: swap partition 3's rows
+    sql(spark, "INSERT INTO lh7 REPLACE WHERE part = 3 "
+               "SELECT id AS k, CAST(3 AS INT) AS part, "
+               "CAST(-1.0 AS DOUBLE) AS v FROM range(7, 10)")
+    got = {r.k: r.v for r in sql(
+        spark, "SELECT * FROM lh7 WHERE part = 3").collect()}
+    assert got == {7: -1.0, 8: -1.0, 9: -1.0}
+    assert sql(spark, "SELECT count(*) AS c FROM lh7").first().c == 309
+
+    # INSERT OVERWRITE: whole table becomes the new version;
+    # time travel still reads the old one
+    v_before = LH.current_version(path)
+    sql(spark, "INSERT OVERWRITE lh7 SELECT id AS k, "
+               "CAST(id % 2 AS INT) AS part, CAST(0.0 AS DOUBLE) AS v "
+               "FROM range(5)")
+    assert sql(spark, "SELECT count(*) AS c FROM lh7").first().c == 5
+    assert LH.read_version(spark, path, v_before).count() == 309
+
+    with _pytest.raises(ValueError, match="not both"):
+        sql(spark, "INSERT OVERWRITE lh7 REPLACE WHERE part = 0 "
+                   "SELECT 1, 2, 3.0")
+    with _pytest.raises(ValueError, match="partition equality"):
+        sql(spark, "OPTIMIZE lh7 WHERE part > 1")
+
+
 def test_lakehouse_sql_generate_manifest(spark, tmp_path):
     """GENERATE MANIFEST FOR TABLE through the SQL surface: first call
     full-builds, a call after a DML fold is incremental, a no-change
