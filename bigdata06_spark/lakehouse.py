@@ -2471,9 +2471,11 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     ever-larger files."""
     prev_v = current_version(path)
     pby = table_partition_by(path)
-    if zorder_by and pby:
-        raise ValueError("zorder_by is for unpartitioned tables; "
-                         "partitioned tables compact per-partition")
+    if zorder_by and pby and not partitions:
+        raise ValueError(
+            "zorder_by on a partitioned table must be partition-scoped "
+            "(pass partitions= / OPTIMIZE ... WHERE ... ZORDER BY) — "
+            "the daily runbook clusters the partition that just closed")
     if target_file_bytes is not None:
         total = 0
         for f in files_at_version(path, prev_v):
@@ -2507,7 +2509,28 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     new_v = prev_v + 1
     sub = _new_sub(new_v)
     z_edges = None
-    if pby:
+    if pby and zorder_by:
+        # PARTITION-SCOPED ZORDER (Delta's `OPTIMIZE ... WHERE ...
+        # ZORDER BY`): each targeted partition's rows rewrite in
+        # Morton layout under its own dir — read locality + [min,max]
+        # pruning on every clustered column inside the hot partition.
+        # The driver loop is bounded by the partitions NAMED in the
+        # statement (the daily runbook names one). Grid edges are
+        # per-partition throwaways: the frozen-grid incremental
+        # contract stays the unpartitioned feature.
+        from bigdata06_spark.sinks import write_zorder_parquet
+
+        ptuples = sorted({
+            tuple(_pvals_of_rel(f).get(c) for c in pby) for f in remove
+        })
+        for pt in ptuples:
+            part_rows = snapshot
+            for c, v in zip(pby, pt):
+                part_rows = part_rows.filter(F.col(c).cast("string") == v)
+            out_dir = os.path.join(
+                path, _DATA, sub, *[f"{c}={v}" for c, v in zip(pby, pt)])
+            write_zorder_parquet(part_rows, out_dir, list(zorder_by), n_files)
+    elif pby:
         _write_partitioned(snapshot, os.path.join(path, _DATA, sub), key, n_files, pby)
     elif zorder_by:
         from bigdata06_spark.sinks import write_zorder_parquet

@@ -2710,7 +2710,9 @@ def test_lakehouse_optimize_zorder_prunes_both_axes(spark, sf_dir, tmp_path):
     ppath = str(tmp_path / "lh_zp")
     ev = o.withColumn("d", F.col("o_orderdate"))
     LH.table_init(ev, ppath, "o_orderkey", n_files=2, partition_by=["d"])
-    with pytest.raises(ValueError, match="unpartitioned"):
+    # r7: unscoped zorder on a partitioned table is still loud, but a
+    # partition-scoped zorder is supported (the daily runbook)
+    with pytest.raises(ValueError, match="partition-scoped"):
         LH.optimize(spark, ppath, "o_orderkey", zorder_by=["o_custkey"])
 
 
@@ -4973,6 +4975,20 @@ def test_lakehouse_sql_round7_verbs(spark, tmp_path):
     assert sorted(f for f in after if "part=2/" not in f) == other_before
     assert len([f for f in after if "part=2/" in f]) < len(p2_before)
     assert sql(spark, "SELECT count(*) AS c FROM lh7").first().c == 406
+
+    # partition-scoped ZORDER: partition 1 rewrites in Morton layout,
+    # everything else carries over by reference; rows intact
+    pre = LH.files_at_version(path, LH.current_version(path))
+    other_pre = sorted(f for f in pre if "part=1/" not in f)
+    sql(spark, "OPTIMIZE lh7 WHERE part = 1 ZORDER BY (k, v)")
+    post = LH.files_at_version(path, LH.current_version(path))
+    assert sorted(f for f in post if "part=1/" not in f) == other_pre
+    assert all("part=1/" in f or f in other_pre for f in post)
+    assert sql(spark, "SELECT count(*) AS c FROM lh7 WHERE part = 1"
+               ).first().c == 100
+    # unscoped zorder on a partitioned table stays loud
+    with _pytest.raises(ValueError, match="partition-scoped"):
+        sql(spark, "OPTIMIZE lh7 ZORDER BY (k, v)")
 
     # SHOW PARTITIONS — log path, then manifest path
     got = [r.part for r in sql(spark, "SHOW PARTITIONS lh7").collect()]
