@@ -113,6 +113,9 @@ HEADLINE = [
     # and the composite-key SQL MERGE (warm reps re-register + agg)
     "multimodal_phash_dedup",
     "lakehouse_sql_merge_composite",
+    # r7 second stint: partition-maintenance SQL journey (scoped
+    # OPTIMIZE + REPLACE WHERE + SHOW PARTITIONS; warm reps re-agg)
+    "lakehouse_sql_partition_ops",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -1456,6 +1456,90 @@ def lakehouse_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _sqlpo_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_sqlpo_{tag}")
+
+
+@register(
+    "lakehouse_sql_partition_ops",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS status, o_totalprice FROM orders
+    ),
+    appended AS (
+      SELECT * FROM base
+      UNION ALL SELECT CAST(900000001 AS BIGINT), 'O', CAST(1.11 AS DOUBLE)
+      UNION ALL SELECT CAST(900000002 AS BIGINT), 'O', CAST(1.11 AS DOUBLE)
+    ),
+    repl AS (
+      SELECT o_orderkey + 500000000 AS o_orderkey, 'P' AS status,
+             CAST(2.22 AS DOUBLE) AS o_totalprice
+      FROM base WHERE o_orderkey % 1000 = 7
+    ),
+    final AS (
+      SELECT * FROM appended WHERE status <> 'P'
+      UNION ALL SELECT * FROM repl
+    ),
+    parts AS (
+      SELECT CAST(count(DISTINCT status) AS BIGINT) AS n_parts FROM final
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           n_parts
+    FROM final CROSS JOIN parts GROUP BY status, n_parts
+    """,
+)
+def lakehouse_sql_partition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 partition-maintenance SQL journey on a
+    STATUS-partitioned orders table: two small appends fragment the
+    hot 'O' partition, `OPTIMIZE ... WHERE status = 'O'` compacts
+    ONLY it (cold partitions carry over by reference — the 100 TB
+    shape: never rewrite years of closed partitions), `INSERT INTO
+    ... REPLACE WHERE status = 'P'` atomically swaps that partition's
+    rows for a recomputed set, and `SHOW PARTITIONS` (manifest-planned
+    when fresh) feeds the partition count into the result. The oracle
+    replays append → replace relationally; compaction is
+    row-preserving so it must be value-invisible."""
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = _sqlpo_dir(sf_dir)
+    if LH.current_version(path) < 0:
+        base = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", F.col("o_orderstatus").alias("status"),
+            "o_totalprice")
+        LH.table_init(base, path, "o_orderkey", n_files=4,
+                      partition_by=["status"])
+    LSQL.sql(spark, f"CREATE TABLE sqlpo USING lakehouse "
+                    f"TBLPROPERTIES ('key' 'o_orderkey') LOCATION '{path}'")
+    if LH.current_version(path) < 2:
+        for k in (900000001, 900000002):
+            LSQL.sql(spark, f"INSERT INTO sqlpo VALUES "
+                            f"(CAST({k} AS BIGINT), 'O', "
+                            f"CAST(1.11 AS DOUBLE))")
+    if LH.current_version(path) < 3:
+        LSQL.sql(spark, "OPTIMIZE sqlpo WHERE status = 'O'")
+    if LH.current_version(path) < 4:
+        load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", F.col("o_orderstatus").alias("status"),
+            "o_totalprice").createOrReplaceTempView("sqlpo_src")
+        LSQL.sql(spark, """
+            INSERT INTO sqlpo REPLACE WHERE status = 'P'
+            SELECT o_orderkey + 500000000 AS o_orderkey,
+                   'P' AS status, CAST(2.22 AS DOUBLE) AS o_totalprice
+            FROM sqlpo_src WHERE o_orderkey % 1000 = 7
+        """)
+    n_parts = LSQL.sql(spark, "SHOW PARTITIONS sqlpo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"))
+    return LSQL.sql(spark, """
+        SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM sqlpo GROUP BY status
+    """).crossJoin(F.broadcast(n_parts))
+
+
 def _sqlcopy_dir(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(tempfile.gettempdir(), f"lakehouse_sqlcopy_{tag}")
