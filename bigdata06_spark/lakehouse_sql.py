@@ -513,17 +513,30 @@ def _sql_insert(spark: SparkSession, stmt: str) -> DataFrame:
     inherits its loud-reject contract for such tables. Values bind
     positionally; named column lists null-fill the rest; extra or
     unknown columns are loud."""
-    m = re.fullmatch(
+    m = re.match(
         r"INSERT\s+(?:INTO|(?P<ovw>OVERWRITE)(?:\s+TABLE)?)\s+"
         r"(?P<tbl>\S+(?:\s*`[^`]+`)?)\s*"
-        r"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s*)?"
-        r"(?:REPLACE\s+WHERE\s+(?P<rw>.+?)\s+(?=SELECT|VALUES))?"
-        r"(?P<body>(?:VALUES|SELECT)\s*.+)",
+        r"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s*)?",
         stmt, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(f"cannot parse INSERT statement {stmt!r}")
-    if m.group("ovw") and m.group("rw"):
+    rest = stmt[m.end():]
+    # the body starts at the first DEPTH-0 SELECT/VALUES — a REPLACE
+    # WHERE condition may itself contain a parenthesized subquery
+    # SELECT, which a lazy-regex lookahead would wrongly split on
+    body_off = _kw_at_depth0(rest, r"\b(?:SELECT|VALUES)\b")
+    if not body_off:
+        raise ValueError(f"cannot parse INSERT statement {stmt!r}")
+    head, body = rest[: body_off[0]].strip(), rest[body_off[0]:]
+    rw = None
+    if head:
+        hm = re.fullmatch(r"REPLACE\s+WHERE\s+(?P<rw>.+)", head,
+                          re.IGNORECASE | re.DOTALL)
+        if not hm:
+            raise ValueError(f"cannot parse INSERT statement {stmt!r}")
+        rw = hm.group("rw").strip()
+    if m.group("ovw") and rw:
         raise ValueError(
             "use INSERT OVERWRITE (whole table) or INSERT INTO ... "
             "REPLACE WHERE (predicate region), not both")
@@ -533,7 +546,7 @@ def _sql_insert(spark: SparkSession, stmt: str) -> DataFrame:
     )
 
     _register_ds(spark)
-    df = spark.sql(m.group("body"))
+    df = spark.sql(body)
     tgt = spark.read.format("lakehouse").load(path).schema
     ident = LH.table_identity(path)
     if ident:
@@ -558,14 +571,14 @@ def _sql_insert(spark: SparkSession, stmt: str) -> DataFrame:
          else F.lit(None)).cast(f.dataType).alias(f.name)
         for f in tgt.fields
     ])
-    if m.group("rw") or m.group("ovw"):
+    if rw or m.group("ovw"):
         # Delta's INSERT INTO ... REPLACE WHERE / INSERT OVERWRITE:
         # one atomic commit swaps the region (or the whole table) for
         # `out` — time travel keeps the old region, readers never see
         # a half-replaced state
         key = _need_key(key, m.group("tbl"),
                         "REPLACE WHERE / INSERT OVERWRITE")
-        pred = m.group("rw") if m.group("rw") else "true"
+        pred = rw if rw else "true"
         LH.overwrite_where(spark, path, key, out, predicate=pred)
     elif key:
         LH.append(spark, path, key, out)
