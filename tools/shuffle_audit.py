@@ -27,8 +27,16 @@ from bigdata06_spark.session import get_spark  # noqa: E402
 
 
 def _api(base: str, path: str):
-    with urllib.request.urlopen(base + path, timeout=10) as r:
-        return json.loads(r.read().decode())
+    try:
+        with urllib.request.urlopen(base + path, timeout=10) as r:
+            return json.loads(r.read().decode())
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            # SKIPPED stages (AQE exchange reuse) are listed in a
+            # job's stageIds but have no attempts — the REST endpoint
+            # 404s; they ran no tasks, so zero contribution is exact
+            return []
+        raise
 
 
 def _fmt_bytes(n: float) -> str:
