@@ -2561,6 +2561,54 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     return new_v
 
 
+def reorg_purge(spark: SparkSession, path: str, key: str,
+                n_files: int | None = None) -> int:
+    """REORG TABLE ... APPLY (PURGE) (Delta's DV purge): rewrite ONLY
+    the files that carry deletion vectors, materializing their
+    soft-deleted rows out and dropping the spent DVs — the pressure
+    valve that keeps the MOR anti-join side small WITHOUT compacting
+    the whole table. Cost is O(DV-carrying files), so a 100 TB table
+    whose deletes cluster in one region rewrites just that region;
+    OPTIMIZE (O(table)) stays the full-compaction verb. Untouched
+    files carry over by reference; a no-DV table is a no-op (returns
+    the current version — no empty commits). The rewrite preserves
+    the table's layout discipline (partition dirs / key-sorted range
+    buckets) and recomputes stats/blooms for the new files."""
+    prev_v = current_version(path)
+    if prev_v < 0:
+        raise ValueError(f"no lakehouse table at {path}")
+    rel_files, dvs = _state_at_version(path, prev_v)
+    target = sorted(f for f in rel_files if dvs.get(f))
+    if not target:
+        return prev_v
+    src = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in target]
+    )
+    src = _apply_dvs(spark, path, src, target, _dv_files_for(dvs, target))
+    src = _replay_schema(src, path, prev_v)
+    src = _apply_generated(src, table_generated_cols(path))
+    new_v = prev_v + 1
+    sub = _new_sub(new_v)
+    pby = table_partition_by(path)
+    n = max(1, len(target)) if n_files is None else max(1, n_files)
+    if pby:
+        _write_partitioned(src, os.path.join(path, _DATA, sub), key, n, pby)
+    else:
+        (
+            src.repartitionByRange(n, F.col(key))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, _DATA, sub))
+        )
+    adds = _list_data_files(path, sub)
+    entry: dict = {"add": adds, "remove": target}
+    entry.update(_entry_partition_meta(adds))
+    entry.update(_entry_stats_blooms(spark, path, adds))
+    entry["op"] = "REORG PURGE"
+    _commit_log(path, new_v, entry)
+    return new_v
+
+
 def table_zorder_meta(path: str) -> dict | None:
     """Latest Z-order grid state ({"cols", "bits", "edges",
     "clustered"}) or None — the most recent OPTIMIZE ZORDER /

@@ -45,7 +45,10 @@ Grammar (the documented subset; anything outside it raises):
                    [ZORDER BY (c1, c2, ...) | INCREMENTAL]
     SHOW PARTITIONS <tbl>
     DESCRIBE HISTORY <tbl>
-    RESTORE TABLE <tbl> TO VERSION AS OF <n>
+    RESTORE TABLE <tbl> TO { VERSION AS OF <n> |
+                             TIMESTAMP AS OF '<ts>' }
+    REORG TABLE <tbl> APPLY (PURGE)    -- DV purge: rewrite only
+                                       -- deletion-vector files
     CONVERT TO LAKEHOUSE parquet.`/dir` [STATS (c1, ...)]
                                        -- zero-copy in-place adoption
     COPY INTO <tbl> FROM '<dir-or-glob>' [FILEFORMAT = PARQUET|CSV|JSON]
@@ -698,13 +701,51 @@ def _sql_convert(spark: SparkSession, stmt: str) -> DataFrame:
 def _sql_restore(spark: SparkSession, stmt: str) -> DataFrame:
     m = re.fullmatch(
         r"RESTORE\s+TABLE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+"
-        r"TO\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)",
+        r"TO\s+(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+        r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')",
         stmt, re.IGNORECASE,
     )
     if not m:
         raise ValueError(f"cannot parse RESTORE statement {stmt!r}")
     path, _key, name = _resolve(m.group("tbl"))
-    v = LH.restore(path, int(m.group("v")))
+    if m.group("v") is not None:
+        to_v = int(m.group("v"))
+    else:
+        # Delta's RESTORE ... TIMESTAMP AS OF: the latest version
+        # committed at-or-before the timestamp (epoch seconds or the
+        # formats version_at_timestamp accepts)
+        to_v = LH.version_at_timestamp(path, _parse_asof_ts(m.group("ts")))
+    v = LH.restore(path, to_v)
+    if name:
+        _refresh_view(spark, name)
+    return _version_df(spark, v)
+
+
+def _parse_asof_ts(ts: str) -> float:
+    """AS-OF timestamp string → epoch seconds: bare epoch floats or
+    ISO datetimes (the same forms the SELECT-side rewrite accepts)."""
+    try:
+        return float(ts)
+    except ValueError:
+        from datetime import datetime
+
+        return datetime.fromisoformat(ts).timestamp()
+
+
+def _sql_reorg(spark: SparkSession, stmt: str) -> DataFrame:
+    """REORG TABLE <tbl> APPLY (PURGE) — Delta's deletion-vector
+    purge: rewrite only the DV-carrying files, materializing the
+    soft deletes; O(DV files), never O(table)."""
+    m = re.fullmatch(
+        r"REORG\s+TABLE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)\s+"
+        r"APPLY\s*\(\s*PURGE\s*\)",
+        stmt, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse REORG statement {stmt!r}")
+    path, key, name = _resolve(m.group("tbl"))
+    key = _need_key(key, m.group("tbl"), "REORG")
+    v = LH.reorg_purge(spark, path, key)
     if name:
         _refresh_view(spark, name)
     return _version_df(spark, v)
@@ -1095,6 +1136,7 @@ _DISPATCH = [
     (re.compile(r"\s*ALTER\s+TABLE\b", re.IGNORECASE), _sql_alter),
     (re.compile(r"\s*GENERATE\s+MANIFEST\b", re.IGNORECASE), _sql_generate),
     (re.compile(r"\s*RESTORE\s+TABLE\b", re.IGNORECASE), _sql_restore),
+    (re.compile(r"\s*REORG\s+TABLE\b", re.IGNORECASE), _sql_reorg),
     (re.compile(r"\s*CONVERT\s+TO\s+LAKEHOUSE\b", re.IGNORECASE), _sql_convert),
 ]
 

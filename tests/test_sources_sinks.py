@@ -4943,6 +4943,55 @@ def test_lakehouse_sql_merge_composite_on(spark, tmp_path):
         """)
 
 
+def test_lakehouse_reorg_purge_and_restore_timestamp(spark, tmp_path):
+    """REORG TABLE ... APPLY (PURGE): rewrites ONLY the DV-carrying
+    files (untouched files carry over by reference), materializes the
+    soft deletes, drops the spent DVs — rows identical to the MOR
+    read before the purge; a second REORG is a no-op. RESTORE ...
+    TIMESTAMP AS OF resolves the epoch to the version committed at or
+    before it."""
+    import time as _time
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.lakehouse_sql import register_table, sql
+
+    path = str(tmp_path / "lh_reorg")
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k", n_files=4, stats_cols=["k"])
+    register_table(spark, "t_reorg", path, "k")
+    # DVs land only in the low-key files
+    LH.delete_where(spark, path, "k < 60 AND k % 3 = 0")
+    v_dv = LH.current_version(path)
+    files_dv = LH.files_at_version(path, v_dv)
+    dv_map = LH.dvs_at_version(path, v_dv)
+    carrying = sorted(f for f in files_dv if dv_map.get(f))
+    untouched = sorted(f for f in files_dv if not dv_map.get(f))
+    assert carrying and untouched
+    want = sorted(r.k for r in LH.read_version(spark, path, v_dv).collect())
+    ts_before_reorg = _time.time()
+
+    _time.sleep(0.02)
+    r = sql(spark, "REORG TABLE t_reorg APPLY (PURGE)").first()
+    v2 = r["version"]
+    files2 = LH.files_at_version(path, v2)
+    assert LH.dvs_at_version(path, v2) == {}          # DVs spent
+    assert all(f in files2 for f in untouched)        # carried by ref
+    assert not any(f in files2 for f in carrying)     # rewritten
+    assert sorted(x.k for x in LH.read_version(spark, path, v2)
+                  .collect()) == want
+    # idempotent: nothing left to purge
+    assert sql(spark, "REORG TABLE t_reorg APPLY (PURGE)"
+               ).first()["version"] == v2
+
+    # RESTORE ... TIMESTAMP AS OF (epoch before the reorg → v_dv state)
+    sql(spark, f"RESTORE TABLE t_reorg TO TIMESTAMP AS OF "
+               f"'{ts_before_reorg}'")
+    v3 = LH.current_version(path)
+    assert LH.files_at_version(path, v3) == files_dv
+    assert sorted(x.k for x in LH.read_version(spark, path, v3)
+                  .collect()) == want
+
+
 def test_lakehouse_sql_round7_verbs(spark, tmp_path):
     """Round-7 statement verbs: OPTIMIZE ... WHERE (partition-scoped
     compaction — cold partitions carry over by reference), INSERT INTO
