@@ -135,6 +135,78 @@ def test_statements_survive_newlines_and_mixed_case(spark, fuzz_table):
         spark, "SELECT v FROM fz WHERE k = 1").first().v == pytest.approx(1.5)
 
 
+_KEYS = st.lists(st.integers(0, 7), min_size=1, max_size=6, unique=True)
+_CLAUSE = st.sampled_from(["del", "setstar", "bump"])
+_COND_C = st.one_of(st.none(), st.integers(0, 80))
+
+
+@settings(max_examples=8, deadline=None)
+@given(_KEYS, _KEYS, _CLAUSE, _COND_C, _CLAUSE, st.booleans(), _COND_C)
+def test_merge_clause_semantics_vs_model(spark, tmp_path_factory,
+                                         tkeys, skeys, kind1, c1, kind2,
+                                         with_insert, ic):
+    """MODEL-BASED check of SQL MERGE clause semantics: two MATCHED
+    clauses (first-match-wins, the first optionally conditional on the
+    source value), an optional conditional INSERT *, and a NOT MATCHED
+    BY SOURCE DELETE — executed through the full statement path and
+    replayed by a 15-line Python dict model. Catches classification
+    and precedence bugs the hand-written journeys can't enumerate."""
+    path = str(tmp_path_factory.mktemp("mfz") / "t")
+    rows = [(k, float(k * 10)) for k in sorted(tkeys)]
+    LH.table_init(spark.createDataFrame(rows, "k long, v double"),
+                  path, "k", n_files=1)
+    LSQL.register_table(spark, "m_fz", path, "k")
+    src_rows = [(k, float(k * 7 + 1)) for k in sorted(skeys)]
+    spark.createDataFrame(src_rows, "k long, v double") \
+        .createOrReplaceTempView("m_fz_src")
+
+    def clause_sql(kind, cond):
+        c = f"AND s.v < {cond} " if cond is not None else ""
+        if kind == "del":
+            return f"WHEN MATCHED {c}THEN DELETE"
+        if kind == "setstar":
+            return f"WHEN MATCHED {c}THEN UPDATE SET *"
+        return f"WHEN MATCHED {c}THEN UPDATE SET v = t.v + s.v"
+
+    stmt = (
+        "MERGE INTO m_fz t USING m_fz_src s ON t.k = s.k "
+        + clause_sql(kind1, c1) + " " + clause_sql(kind2, None) + " "
+        + (f"WHEN NOT MATCHED AND s.v < {ic} THEN INSERT * "
+           if with_insert and ic is not None else
+           "WHEN NOT MATCHED THEN INSERT * " if with_insert else "")
+        + "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    LSQL.sql(spark, stmt)
+    got = {r.k: r.v for r in LSQL.sql(spark, "SELECT * FROM m_fz").collect()}
+
+    # the model
+    model = dict(rows)
+    src = dict(src_rows)
+    out = {}
+    for k, tv in model.items():
+        if k not in src:
+            continue  # NOT MATCHED BY SOURCE → DELETE
+        sv = src[k]
+        for kind, cond in ((kind1, c1), (kind2, None)):
+            if cond is not None and not (sv < cond):
+                continue
+            if kind == "del":
+                pass
+            elif kind == "setstar":
+                out[k] = sv
+            else:
+                out[k] = tv + sv
+            break
+        # no clause claimed it → carries unchanged? NO: both clauses
+        # exhausted means the 2nd (unconditional) always claims — the
+        # loop always breaks. (Guard: kind2 has no condition.)
+    if with_insert:
+        for k, sv in src.items():
+            if k not in model and (ic is None or sv < ic):
+                out[k] = sv
+    assert got == out
+
+
 def test_backtick_column_update_through_sql(spark, tmp_path):
     path = str(tmp_path / "bt")
     LH.table_init(
