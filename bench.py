@@ -116,6 +116,9 @@ HEADLINE = [
     # r7 second stint: partition-maintenance SQL journey (scoped
     # OPTIMIZE + REPLACE WHERE + SHOW PARTITIONS; warm reps re-agg)
     "lakehouse_sql_partition_ops",
+    # r7 third stint: matryoshka truncation recall (3 broadcast-query
+    # exact scans over sliced prefixes of the same embedding column)
+    "knn_matryoshka_recall",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -351,6 +351,88 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+def _matryoshka_oracle() -> str:
+    """Generated oracle for knn_matryoshka_recall: per truncation an
+    exact sliced-cosine top-5, overlap-counted against the full-dim
+    top-5 (same generator pattern as the PQ/ADC oracles)."""
+    blocks = []
+    for m in (64, 32, 16):
+        blocks.append(f"""
+    scored_{m} AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity((q.embedding::DOUBLE[])[1:{m}],
+                                          (c.embedding::DOUBLE[])[1:{m}])
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    top_{m} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rn
+        FROM scored_{m}) WHERE rn <= 5
+    ),
+    ov_{m} AS (
+      SELECT t.query_id, count(*) AS n FROM top_{m} t
+      JOIN top_64 f ON f.query_id = t.query_id
+                   AND f.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({m} AS BIGINT) AS trunc_dim, d.query_id, "
+        f"CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap, "
+        f"floor(coalesce(o.n, 0) / 5.0 * 1000000.0 + 0.5) / 1000000.0 "
+        f"AS recall_at_5 "
+        f"FROM dom d LEFT JOIN ov_{m} o ON o.query_id = d.query_id"
+        for m in (64, 32, 16)
+    )
+    return ("WITH " + ",".join(blocks)
+            + ", dom AS (SELECT DISTINCT query_id FROM top_64) " + unions)
+
+
+@register("knn_matryoshka_recall", oracle=_matryoshka_oracle())
+def knn_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation (MRL embeddings, the modern
+    serve-cheap-retrieve-fast practice): exact cosine top-5 for the 10
+    probe vectors at full 64 dims and at PREFIX truncations 32/16 —
+    recall@5 of each truncation against the full-dim ranking tells you
+    how many dims the ANN tier can drop before retrieval quality pays.
+    Everything is relational: F.slice on the embedding array, the same
+    broadcast-query exact top-k as `knn_bruteforce`, overlap as a
+    (query, neighbor) equi-join. Scale: cost is 3 corpus scans with
+    Q=10 broadcast — the truncated scans touch the SAME column (no
+    extra I/O), and at 100 TB the truncation plugs into the IVF/SQ8
+    tiers as their cheap first pass."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    e = load_table(spark, "embeddings", sf_dir)
+
+    def top5(m: int) -> DataFrame:
+        src = e if m == 64 else e.withColumn(
+            "embedding", F.slice("embedding", 1, m))
+        return S.knn_bruteforce(
+            src.filter(F.col("vec_id") < 10), src, k=5
+        ).select("query_id", "neighbor_id")
+
+    full = top5(64)
+    dom = full.select("query_id").distinct()
+    out = None
+    for m in (64, 32, 16):
+        ov = (
+            top5(m).join(full, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = dom.join(ov, "query_id", "left").select(
+            F.lit(m).cast("long").alias("trunc_dim"),
+            "query_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_overlap"),
+            rnd(F.coalesce("n", F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
 @register(
     "rag_context_assembly",
     oracle="""
