@@ -119,6 +119,9 @@ HEADLINE = [
     # r7 third stint: matryoshka truncation recall (3 broadcast-query
     # exact scans over sliced prefixes of the same embedding column)
     "knn_matryoshka_recall",
+    # 1-bit binary-quantized retrieval (xor+bit_count hamming scan
+    # over two packed words, exact top-50 rerank)
+    "knn_bq_rerank",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

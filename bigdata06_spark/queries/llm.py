@@ -351,6 +351,72 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+def _bq_oracle() -> str:
+    """Generated oracle for knn_bq_rerank: sign-bit word packing via a
+    list_sum comprehension (same splice pattern as the phash/PQ
+    oracles), hamming shortlist, exact cosine rerank."""
+    def word(alias: str, lo: int) -> str:
+        return (
+            f"CAST(list_sum([CASE WHEN embedding[i] > 0 "
+            f"THEN (CAST(1 AS BIGINT) << (i - {lo})) "
+            f"ELSE CAST(0 AS BIGINT) END "
+            f"for i in range({lo}, {lo + 32})]) AS BIGINT) AS {alias}"
+        )
+
+    return f"""
+    WITH codes AS (
+      SELECT vec_id, {word('w0', 1)}, {word('w1', 33)}
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.w0, c.w0))
+                  + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+      FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY hamming ASC, neighbor_id ASC) AS rs
+        FROM scored) WHERE rs <= 50
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+             floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[])
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, hamming, sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM rer) WHERE rn <= 5
+    """
+
+
+@register("knn_bq_rerank", oracle=_bq_oracle())
+def knn_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval — the 1-bit member of the ANN
+    family (completes Flat/LSH/IVF/PQ/IVF-PQ/SQ8/**BQ**, the
+    compression tier modern vector stores ship): corpus vectors
+    collapse to one sign bit per dimension packed into two 32-bit
+    words (8 B/vector — 32× under float32), the scan ranks by
+    xor+bit_count hamming (register arithmetic, codegen-friendly
+    chained-sum packing — no CodegenFallback aggregate), the top-50
+    shortlist reranks by exact cosine. Deterministic end to end, so
+    the whole two-stage pipeline value-hash-replays in DuckDB. Scale:
+    a billion 64-dim vectors = 8 GB of codes — executor-cache
+    resident where floats can't be; the rerank touches 50×Q full
+    vectors."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.bq_rerank_topk(e.filter(F.col("vec_id") < 10), e,
+                            k_neighbors=5, shortlist=50)
+
+
 def _matryoshka_oracle() -> str:
     """Generated oracle for knn_matryoshka_recall: per truncation an
     exact sliced-cosine top-5, overlap-counted against the full-dim
