@@ -22,6 +22,7 @@ Grammar (the documented subset; anything outside it raises):
 
     CREATE [OR REPLACE] TABLE <name> USING lakehouse
         [TBLPROPERTIES ('key' [=] '<keycol>')]
+        [PARTITIONED BY (c1, ...)]
         LOCATION '<path>'
         [AS <query>]                       -- CTAS via table_init
     MERGE INTO <tbl> [AS] <t> USING <name | (subquery)> [AS] <s>
@@ -428,6 +429,7 @@ def _sql_create(spark: SparkSession, stmt: str) -> DataFrame:
         r"CREATE\s+(?:(?P<replace>OR\s+REPLACE)\s+)?TABLE\s+(?P<name>[\w`.]+)\s+"
         r"USING\s+lakehouse\s*"
         r"(?:TBLPROPERTIES\s*\(\s*'key'\s*=?\s*'(?P<key>\w+)'\s*\)\s*)?"
+        r"(?:PARTITIONED\s+BY\s*\(\s*(?P<pby>[^)]+?)\s*\)\s*)?"
         r"LOCATION\s+'(?P<path>[^']+)'\s*"
         r"(?:TBLPROPERTIES\s*\(\s*'key'\s*=?\s*'(?P<key2>\w+)'\s*\)\s*)?"
         r"(?:AS\s+(?P<query>.+))?",
@@ -436,27 +438,41 @@ def _sql_create(spark: SparkSession, stmt: str) -> DataFrame:
     if not m:
         raise ValueError(
             "cannot parse CREATE TABLE; expected: CREATE TABLE <name> USING "
-            "lakehouse [TBLPROPERTIES ('key' '<col>')] LOCATION '<path>' "
-            "[AS <query>]"
+            "lakehouse [TBLPROPERTIES ('key' '<col>')] "
+            "[PARTITIONED BY (c1, ...)] LOCATION '<path>' [AS <query>]"
         )
     name = m.group("name").strip("`")
     path = m.group("path")
     key = m.group("key") or m.group("key2")
+    pby = None
+    if m.group("pby"):
+        pby = [c.strip().strip("`") for c in m.group("pby").split(",")]
     query = m.group("query")
     if query:
         df = spark.sql(query)
         key = key or df.columns[0]
+        if pby:
+            missing = [c for c in pby if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"PARTITIONED BY names columns {missing} not in the "
+                    "CTAS result")
         if LH.current_version(path) >= 0:
             if not m.group("replace"):
                 raise ValueError(
                     f"table already exists at {path!r}; use CREATE OR "
                     "REPLACE to swap its contents as a new version"
                 )
+            if pby and pby != LH.table_partition_by(path):
+                raise ValueError(
+                    "CREATE OR REPLACE cannot change the partition layout "
+                    f"(table has {LH.table_partition_by(path)}, statement "
+                    f"says {pby}); create a new LOCATION instead")
             # OR REPLACE = Delta's replace-as-a-version: contents swap,
             # history stays time-travelable
             LH.overwrite_where(spark, path, key, df, predicate="true")
         else:
-            LH.table_init(df, path, key)
+            LH.table_init(df, path, key, partition_by=pby)
     elif LH.current_version(path) < 0:
         raise ValueError(
             f"no lakehouse table at {path!r}; add AS <query> to create one"

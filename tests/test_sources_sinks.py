@@ -4943,6 +4943,41 @@ def test_lakehouse_sql_merge_composite_on(spark, tmp_path):
         """)
 
 
+def test_lakehouse_sql_create_partitioned(spark, tmp_path):
+    """CTAS with PARTITIONED BY: the created table carries the Hive
+    layout (partition-pruned reads work through SQL), SHOW PARTITIONS
+    sees the values, a PARTITIONED BY column missing from the CTAS
+    result is loud, and CREATE OR REPLACE cannot silently change the
+    layout."""
+    import pytest as _pytest
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.lakehouse_sql import sql
+
+    path = str(tmp_path / "lh_ctasp")
+    spark.range(300).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS part", "CAST(id AS DOUBLE) AS v"
+    ).createOrReplaceTempView("ctasp_src")
+    sql(spark, f"CREATE TABLE ctasp USING lakehouse "
+               f"TBLPROPERTIES ('key' 'k') PARTITIONED BY (part) "
+               f"LOCATION '{path}' AS SELECT * FROM ctasp_src")
+    assert LH.table_partition_by(path) == ["part"]
+    assert all("part=" in f for f in LH.files_at_version(path, 0))
+    got = [r.part for r in sql(spark, "SHOW PARTITIONS ctasp").collect()]
+    assert sorted(got) == ["0", "1", "2"]
+    pruned = LH.read_version(spark, path, 0, partition_filter={"part": "1"})
+    assert pruned.count() == 100
+
+    with _pytest.raises(ValueError, match="not in the CTAS"):
+        sql(spark, f"CREATE TABLE ctasp2 USING lakehouse "
+                   f"PARTITIONED BY (nope) LOCATION '{tmp_path}/x' "
+                   f"AS SELECT * FROM ctasp_src")
+    with _pytest.raises(ValueError, match="partition layout"):
+        sql(spark, f"CREATE OR REPLACE TABLE ctasp USING lakehouse "
+                   f"TBLPROPERTIES ('key' 'k') PARTITIONED BY (k) "
+                   f"LOCATION '{path}' AS SELECT * FROM ctasp_src")
+
+
 def test_lakehouse_reorg_purge_and_restore_timestamp(spark, tmp_path):
     """REORG TABLE ... APPLY (PURGE): rewrites ONLY the DV-carrying
     files (untouched files carry over by reference), materializes the
