@@ -32,7 +32,8 @@ Grammar (the documented subset; anything outside it raises):
         { WHEN MATCHED [AND <cond>] THEN { UPDATE SET * |
                                            UPDATE SET c = expr, ... |
                                            DELETE } } ...
-        [ WHEN NOT MATCHED [AND <cond>] THEN INSERT * ]
+        [ WHEN NOT MATCHED [AND <cond>] THEN
+              INSERT { * | (c1, ...) VALUES (e1, ...) } ]
         { WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
               { DELETE | UPDATE SET c = expr, ... } } ...
     UPDATE <tbl> SET c = expr, ... [WHERE <cond>]
@@ -172,6 +173,31 @@ def _split_clauses(s: str, pattern: str) -> list[str]:
     return [s[a:b].strip() for a, b in zip(offs, offs[1:])]
 
 
+def _split_depth0_commas(s: str) -> list[str]:
+    """Split on commas at paren depth 0 outside quotes/backticks —
+    the VALUES-list splitter (expressions may contain calls and
+    literal commas)."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    start = 0
+    for i, c in enumerate(s):
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"`":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return parts
+
+
 def _parse_assignments(s: str) -> dict[str, str]:
     """`a = expr, b = expr` → {col: expr-sql}; splits on depth-0
     commas outside quotes/backticks so expressions may contain
@@ -302,13 +328,32 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
             continue
         cm = re.fullmatch(
             r"WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*THEN\s+"
-            r"INSERT\s+\*",
+            r"INSERT\s+(?:\*|\(\s*(?P<icols>[^)]+?)\s*\)\s*"
+            r"VALUES\s*\((?P<ivals>.*)\))",
             cl, re.IGNORECASE | re.DOTALL,
         )
         if cm:
             if insert_clause is not None:
                 raise ValueError("only one WHEN NOT MATCHED clause is supported")
-            insert_clause = (cm.group("cond"),)
+            ins_map = None
+            if cm.group("icols"):
+                # Delta's explicit insert action: INSERT (c1, ...)
+                # VALUES (e1, ...) — exprs see the SOURCE row; unnamed
+                # target columns insert as NULL
+                names = [c.strip().strip("`")
+                         for c in cm.group("icols").split(",")]
+                vals = _split_depth0_commas(cm.group("ivals"))
+                if len(names) != len(vals):
+                    raise ValueError(
+                        f"INSERT names {len(names)} columns but VALUES "
+                        f"carries {len(vals)} expressions")
+                missing = [k for k in keys if k not in names]
+                if missing:
+                    raise ValueError(
+                        f"INSERT column list must include the merge key(s); "
+                        f"missing {missing}")
+                ins_map = dict(zip(names, vals))
+            insert_clause = (cm.group("cond"), ins_map)
             continue
         cm = re.fullmatch(
             r"WHEN\s+MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*THEN\s+"
@@ -412,6 +457,13 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
         if insert_clause[0] is not None:
             inserts = inserts.filter(
                 F.coalesce(F.expr(insert_clause[0]), F.lit(False)))
+        if insert_clause[1] is not None:
+            unknown = sorted(set(insert_clause[1]) - set(tgt_cols))
+            if unknown:
+                raise ValueError(f"INSERT names unknown columns {unknown}")
+            inserts = inserts.select(*[
+                F.expr(e).alias(c) for c, e in insert_clause[1].items()
+            ])  # unnamed target columns null-fill in merge's insert leg
 
     new_v = LH.merge(spark, path, keys if len(keys) > 1 else key,
                      updates=updates, delete_keys=delete_keys,

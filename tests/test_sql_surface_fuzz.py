@@ -121,6 +121,44 @@ def test_merge_literals_and_conditions_with_keywords(spark, fuzz_table):
     assert len(got) == 4
 
 
+def test_merge_insert_column_list_values(spark, tmp_path):
+    """MERGE's explicit insert action — INSERT (cols) VALUES (exprs):
+    expressions see the source row (calls with literal commas
+    included), unnamed target columns insert as NULL, a list missing
+    the merge key is loud, unknown columns are loud."""
+    path = str(tmp_path / "mi")
+    LH.table_init(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, note string, v double"),
+        path, "k", n_files=1)
+    LSQL.register_table(spark, "fz_mi", path, "k")
+    spark.createDataFrame([(2, "x"), (3, "y")], "k long, tag string") \
+        .createOrReplaceTempView("fz_mi_src")
+    LSQL.sql(spark, """
+        MERGE INTO fz_mi t USING fz_mi_src s ON t.k = s.k
+        WHEN NOT MATCHED AND s.k < 3 THEN
+            INSERT (k, note) VALUES (s.k, concat(s.tag, ',', 'ins'))
+    """)
+    got = {r.k: (r.note, r.v) for r in LSQL.sql(
+        spark, "SELECT * FROM fz_mi").collect()}
+    assert got == {1: ("a", 1.0), 2: ("x,ins", None)}  # 3 filtered out
+
+    with pytest.raises(ValueError, match="merge key"):
+        LSQL.sql(spark, """
+            MERGE INTO fz_mi t USING fz_mi_src s ON t.k = s.k
+            WHEN NOT MATCHED THEN INSERT (note) VALUES (s.tag)
+        """)
+    with pytest.raises(ValueError, match="unknown columns"):
+        LSQL.sql(spark, """
+            MERGE INTO fz_mi t USING fz_mi_src s ON t.k = s.k
+            WHEN NOT MATCHED THEN INSERT (k, nope) VALUES (s.k, s.tag)
+        """)
+    with pytest.raises(ValueError, match="VALUES carries"):
+        LSQL.sql(spark, """
+            MERGE INTO fz_mi t USING fz_mi_src s ON t.k = s.k
+            WHEN NOT MATCHED THEN INSERT (k, note) VALUES (s.k)
+        """)
+
+
 def test_delete_predicate_literal_with_keywords(spark, fuzz_table):
     v0 = LSQL.sql(spark, "SELECT count(*) AS c FROM fz").first().c
     LSQL.sql(spark, "DELETE FROM fz WHERE note = 'no WHERE such AND row'")
