@@ -42,7 +42,7 @@ Grammar (the documented subset; anything outside it raises):
     INSERT INTO <tbl> REPLACE WHERE <cond> { VALUES ... | SELECT ... }
                                        -- atomic region swap
     INSERT OVERWRITE [TABLE] <tbl> [(c1, ...)] { VALUES ... | SELECT ... }
-    VACUUM <tbl> [RETAIN <n> VERSIONS]
+    VACUUM <tbl> [RETAIN <n> VERSIONS] [DRY RUN]
     OPTIMIZE <tbl> [WHERE <partition predicate>]
                    [ZORDER BY (c1, c2, ...) | INCREMENTAL]
     SHOW PARTITIONS <tbl>
@@ -663,12 +663,20 @@ def _sql_insert(spark: SparkSession, stmt: str) -> DataFrame:
 def _sql_vacuum(spark: SparkSession, stmt: str) -> DataFrame:
     m = re.fullmatch(
         r"VACUUM\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)"
-        r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?",
+        r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?"
+        r"(?:\s+(?P<dry>DRY\s+RUN))?",
         stmt, re.IGNORECASE,
     )
     if not m:
         raise ValueError(f"cannot parse VACUUM statement {stmt!r}")
     path, _key, _name = _resolve(m.group("tbl"))
+    if m.group("dry"):
+        # Delta's VACUUM ... DRY RUN: list the would-delete set,
+        # remove nothing — the operator's check-before-reclaim step
+        would = LH.vacuum(path, keep_versions=int(m.group("n") or 1),
+                          dry_run=True)
+        return spark.createDataFrame([(f,) for f in would] or
+                                     [], "path string")
     removed = LH.vacuum(path, keep_versions=int(m.group("n") or 1))
     return spark.createDataFrame(
         [(int(len(removed) if hasattr(removed, "__len__") else removed),)],

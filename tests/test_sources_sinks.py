@@ -1525,6 +1525,17 @@ def test_lakehouse_vacuum_sweeps_superseded_manifests(spark, tmp_path):
     assert not os.path.isdir(m0["dir"]) and os.path.isdir(m1["dir"])
     assert M.read_at_manifest(spark, path).count() == 120
 
+    # SQL surface: VACUUM ... DRY RUN lists, removes nothing
+    from bigdata06_spark.lakehouse_sql import register_table, sql
+    register_table(spark, "t_vmf", path, "k")
+    LH.optimize(spark, path, "k", n_files=1)  # orphans the pre-compaction files
+    before = set(LH.files_at_version(path, LH.current_version(path)))
+    listed = {r.path for r in sql(
+        spark, "VACUUM t_vmf RETAIN 1 VERSIONS DRY RUN").collect()}
+    assert listed  # v0's superseded file is reclaimable
+    assert set(LH.files_at_version(path, LH.current_version(path))) == before
+    assert all(os.path.exists(os.path.join(path, p)) for p in listed)
+
 
 def test_lakehouse_vacuum_reclaims_checkpoint_squashed_files(spark, sf_dir, tmp_path):
     """Files removed BEFORE a log checkpoint appear in no surviving
