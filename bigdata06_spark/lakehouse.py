@@ -2561,6 +2561,25 @@ def optimize(spark: SparkSession, path: str, key: str, n_files: int = 4,
     return new_v
 
 
+def maybe_compact(spark: SparkSession, path: str, key: str,
+                  max_files: int, n_files: int = 4) -> int:
+    """AUTO-COMPACTION trigger (Delta's autoCompact): when the live
+    file count reaches `max_files`, run one OPTIMIZE version down to
+    `n_files`; otherwise do nothing. The streaming-ingest companion —
+    a micro-batch sink writes one small file per batch, and without a
+    compaction valve a day of 1-minute batches is 1440 files whose
+    per-file overhead (footers, stats rows, planning entries)
+    dominates the scan. Idempotent and cheap to call after every
+    batch: the check is one file-count read of the latest snapshot
+    state. Returns the current (possibly new) version."""
+    if max_files < 2:
+        raise ValueError("max_files must be >= 2")
+    v = current_version(path)
+    if v < 0 or len(files_at_version(path, v)) < max_files:
+        return v
+    return optimize(spark, path, key, n_files=n_files)
+
+
 def reorg_purge(spark: SparkSession, path: str, key: str,
                 n_files: int | None = None) -> int:
     """REORG TABLE ... APPLY (PURGE) (Delta's DV purge): rewrite ONLY

@@ -53,7 +53,8 @@ def foreach_batch_parquet(result: DataFrame, path: str, checkpoint: str):
 
 def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
                                   checkpoint: str, op_col: str | None = None,
-                                  seq_col: str | None = None):
+                                  seq_col: str | None = None,
+                                  auto_compact_files: int | None = None):
     """Streaming CDC apply: each micro-batch UPSERTs into a versioned
     lakehouse table (`bigdata06_spark/lakehouse.py`) — existing keys
     take the batch's column values (COW rewrite of overlapping files
@@ -70,7 +71,10 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
     u): applying them as independent delete/upsert legs is wrong —
     the legs run against the same pre-batch snapshot, so a d→u pair
     makes the row vanish and a u→u pair trips merge's duplicate-key
-    guard. With `seq_col` (a CDC sequence/offset — every real
+    guard. `auto_compact_files=N` (Delta's autoCompact) runs one
+    OPTIMIZE version whenever a batch leaves the table at ≥ N live
+    files — the valve that keeps a one-file-per-micro-batch ingest
+    from accumulating thousands of small files. With `seq_col` (a CDC sequence/offset — every real
     changelog has one) each batch is pre-reduced to the LAST op per
     key, which is the net effect of applying the ops in order against
     a snapshot-isolated table. Without `seq_col` there is no defined
@@ -84,6 +88,12 @@ def foreach_batch_lakehouse_merge(result: "DataFrame", path: str, key: str,
     def apply_batch(batch_df: "DataFrame", batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _apply_rows(batch_df, batch_id)
+        if auto_compact_files is not None:
+            LH.maybe_compact(batch_df.sparkSession, path, key,
+                             max_files=auto_compact_files)
+
+    def _apply_rows(batch_df: "DataFrame", batch_id: int) -> None:
         # the seq_col reduction applies in BOTH modes: a plain-upsert
         # stream (op_col=None) with several rows per key in one batch
         # has the same in-batch ordering problem as a changelog, and

@@ -540,6 +540,46 @@ def test_foreach_batch_lakehouse_cdc_upsert(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_foreach_batch_auto_compact(spark, tmp_path):
+    """auto_compact_files (Delta's autoCompact): a one-file-per-batch
+    ingest crosses the threshold and the sink runs an OPTIMIZE version
+    — post-drain live file count is bounded by the compaction target,
+    rows are intact, and the log shows at least one OPTIMIZE entry.
+    The same drain WITHOUT the option accumulates a file per batch."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.streaming.sinks import foreach_batch_lakehouse_merge
+
+    src_dir = str(tmp_path / "chg")
+    for b in range(6):  # 6 single-row files → 6 micro-batches
+        spark.createDataFrame([(100 + b, float(b))], "k long, v double") \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+
+    def drain(table, ckpt, **kw):
+        LH.table_init(
+            spark.createDataFrame([(0, 0.0)], "k long, v double"),
+            table, "k", n_files=1)
+        stream = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", "1").parquet(src_dir)
+        )
+        q = foreach_batch_lakehouse_merge(stream, table, "k", ckpt, **kw)
+        q.awaitTermination(180)
+        v = LH.current_version(table)
+        return (len(LH.files_at_version(table, v)),
+                LH.read_version(spark, table, v).count(),
+                [e.get("op") for _v, e in LH._iter_log_entries(table)])
+
+    nf_plain, rows_plain, _ = drain(
+        str(tmp_path / "t_plain"), str(tmp_path / "ck1"))
+    nf_auto, rows_auto, ops = drain(
+        str(tmp_path / "t_auto"), str(tmp_path / "ck2"),
+        auto_compact_files=4)
+    assert rows_plain == rows_auto == 7
+    assert nf_plain == 7                 # init + one file per batch
+    assert nf_auto <= 4                  # the valve engaged
+    assert "OPTIMIZE" in ops
+
+
 def test_foreach_batch_cdc_with_deletes(spark, sf_dir, tmp_path):
     """Op-column changelog (Debezium shape): 'd' rows delete by key,
     'u' rows upsert — applied per micro-batch into the versioned
