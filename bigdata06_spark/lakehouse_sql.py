@@ -46,7 +46,7 @@ Grammar (the documented subset; anything outside it raises):
     OPTIMIZE <tbl> [WHERE <partition predicate>]
                    [ZORDER BY (c1, c2, ...) | INCREMENTAL]
     SHOW PARTITIONS <tbl>
-    DESCRIBE HISTORY <tbl>
+    DESCRIBE HISTORY <tbl> [LIMIT <n>]
     RESTORE TABLE <tbl> TO { VERSION AS OF <n> |
                              TIMESTAMP AS OF '<ts>' }
     REORG TABLE <tbl> APPLY (PURGE)    -- DV purge: rewrite only
@@ -751,12 +751,17 @@ def _sql_optimize(spark: SparkSession, stmt: str) -> DataFrame:
 
 
 def _sql_history(spark: SparkSession, stmt: str) -> DataFrame:
-    m = re.fullmatch(r"DESCRIBE\s+HISTORY\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)",
+    m = re.fullmatch(r"DESCRIBE\s+HISTORY\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)"
+                     r"(?:\s+LIMIT\s+(?P<n>\d+))?",
                      stmt, re.IGNORECASE)
     if not m:
         raise ValueError(f"cannot parse DESCRIBE HISTORY {stmt!r}")
     path, _key, _name = _resolve(m.group("tbl"))
-    return LH.describe_history(spark, path)
+    hist = LH.describe_history(spark, path)
+    if m.group("n"):
+        # Delta's LIMIT: the n MOST RECENT commits
+        hist = hist.orderBy(F.desc("version")).limit(int(m.group("n")))
+    return hist
 
 
 def _sql_convert(spark: SparkSession, stmt: str) -> DataFrame:
