@@ -348,3 +348,57 @@ def test_manifest_tracks_random_op_sequences(spark, tmp_path_factory, ops):
                 assert row["mxn_k"] == float(s["k"][1])
         got = {r.k: r.v for r in M.read_at_manifest(spark, path).collect()}
         assert got == model, f"after {op}({keys}): {got} != {model}"
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rg_size=st.sampled_from([97, 250, 333]),
+    del_keys=st.lists(st.integers(0, 999), min_size=0, max_size=60,
+                      unique=True),
+    upd_keys=st.lists(st.integers(0, 999), min_size=0, max_size=20,
+                      unique=True),
+)
+def test_datasource_row_group_splits_random_dvs(spark, tmp_path_factory,
+                                                rg_size, del_keys, upd_keys):
+    """PROPERTY check of the row-group-split DataSource read against
+    random deletion-vector patterns: a multi-row-group file accrues
+    DVs from arbitrary delete/update key sets (positions land in
+    arbitrary splits, including group boundaries), and the
+    format('lakehouse') read — one task per ROW GROUP with per-split
+    DV rebasing — must return exactly what the JVM read_version
+    returns. This is the file-global→split-local index arithmetic the
+    r7 split feature lives or dies on."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.sources.lakehouse_datasource import register
+
+    register(spark)
+    path = str(tmp_path_factory.mktemp("rgfz") / "t")
+    os.makedirs(path)
+    pq.write_table(
+        pa.table({"k": list(range(1000)),
+                  "v": [float(i) for i in range(1000)]}),
+        os.path.join(path, "big.parquet"), row_group_size=rg_size)
+    LH.convert_to_lakehouse(spark, path, stats_cols=["k"])
+
+    if del_keys:
+        LH.delete_where(spark, path,
+                        f"k IN ({','.join(map(str, sorted(del_keys)))})")
+    if upd_keys:
+        LH.update_where(spark, path, "k", {"v": "v + 1000"},
+                        f"k IN ({','.join(map(str, sorted(upd_keys)))})")
+
+    v = LH.current_version(path)
+    want = sorted(map(tuple, LH.read_version(spark, path, v)
+                      .select("k", "v").collect()))
+    got = sorted(map(tuple, spark.read.format("lakehouse").load(path)
+                     .select("k", "v").collect()))
+    assert got == want
+    # and the read really was split below file granularity
+    n_parts = spark.read.format("lakehouse").load(path).rdd.getNumPartitions()
+    assert n_parts > len(LH.files_at_version(path, v)) - 2  # rg splits active
