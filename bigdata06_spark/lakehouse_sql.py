@@ -32,8 +32,8 @@ Grammar (the documented subset; anything outside it raises):
         { WHEN MATCHED [AND <cond>] THEN { UPDATE SET * |
                                            UPDATE SET c = expr, ... |
                                            DELETE } } ...
-        [ WHEN NOT MATCHED [AND <cond>] THEN
-              INSERT { * | (c1, ...) VALUES (e1, ...) } ]
+        { WHEN NOT MATCHED [AND <cond>] THEN
+              INSERT { * | (c1, ...) VALUES (e1, ...) } } ...
         { WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
               { DELETE | UPDATE SET c = expr, ... } } ...
     UPDATE <tbl> SET c = expr, ... [WHERE <cond>]
@@ -306,7 +306,7 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
     clauses = _split_clauses(on_rest[when_off[0]:], r"\bWHEN\b")
     matched: list[tuple[str | None, str, dict | None]] = []  # (cond, kind, sets)
     by_source: list[tuple[str | None, str, dict | None]] = []
-    insert_clause: tuple[str | None] | None = None
+    insert_clauses: list[tuple] = []  # (cond, ins_map-or-None)
     for cl in clauses:
         cm = re.fullmatch(
             r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(?P<cond>.*?))?"
@@ -333,8 +333,6 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
             cl, re.IGNORECASE | re.DOTALL,
         )
         if cm:
-            if insert_clause is not None:
-                raise ValueError("only one WHEN NOT MATCHED clause is supported")
             ins_map = None
             if cm.group("icols"):
                 # Delta's explicit insert action: INSERT (c1, ...)
@@ -353,7 +351,7 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
                         f"INSERT column list must include the merge key(s); "
                         f"missing {missing}")
                 ins_map = dict(zip(names, vals))
-            insert_clause = (cm.group("cond"), ins_map)
+            insert_clauses.append((cm.group("cond"), ins_map))
             continue
         cm = re.fullmatch(
             r"WHEN\s+MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*THEN\s+"
@@ -450,20 +448,33 @@ def _sql_merge(spark: SparkSession, stmt: str) -> DataFrame:
                 remaining_bs = F.lit(False)
 
     inserts = None
-    if insert_clause is not None:
-        inserts = src.join(
+    if insert_clauses:
+        # several WHEN NOT MATCHED clauses apply FIRST-MATCH-WINS,
+        # exactly like the MATCHED family (Delta's multi-insert MERGE)
+        unmatched = src.join(
             tgt.select(*[F.col(f"{talias}.{k}").alias(k) for k in keys]),
             keys, "left_anti")
-        if insert_clause[0] is not None:
-            inserts = inserts.filter(
-                F.coalesce(F.expr(insert_clause[0]), F.lit(False)))
-        if insert_clause[1] is not None:
-            unknown = sorted(set(insert_clause[1]) - set(tgt_cols))
-            if unknown:
-                raise ValueError(f"INSERT names unknown columns {unknown}")
-            inserts = inserts.select(*[
-                F.expr(e).alias(c) for c, e in insert_clause[1].items()
-            ])  # unnamed target columns null-fill in merge's insert leg
+        remaining_i = F.lit(True)
+        for cond, ins_map in insert_clauses:
+            claim = remaining_i
+            if cond is not None:
+                claim = claim & F.coalesce(F.expr(cond), F.lit(False))
+            hit = unmatched.filter(claim)
+            if ins_map is not None:
+                unknown = sorted(set(ins_map) - set(tgt_cols))
+                if unknown:
+                    raise ValueError(
+                        f"INSERT names unknown columns {unknown}")
+                hit = hit.select(*[
+                    F.expr(e).alias(c) for c, e in ins_map.items()
+                ])  # unnamed target columns null-fill in merge's leg
+            inserts = hit if inserts is None else inserts.unionByName(
+                hit, allowMissingColumns=True)
+            if cond is not None:
+                remaining_i = remaining_i & ~F.coalesce(F.expr(cond),
+                                                        F.lit(False))
+            else:
+                remaining_i = F.lit(False)
 
     new_v = LH.merge(spark, path, keys if len(keys) > 1 else key,
                      updates=updates, delete_keys=delete_keys,

@@ -159,6 +159,32 @@ def test_merge_insert_column_list_values(spark, tmp_path):
         """)
 
 
+def test_merge_multiple_insert_clauses(spark, tmp_path):
+    """Delta's multi-insert MERGE: several WHEN NOT MATCHED clauses
+    apply first-match-wins — a conditional named-column insert claims
+    its rows, the unconditional INSERT * takes the rest, and clause
+    shapes may mix (missing columns null-fill)."""
+    path = str(tmp_path / "mmi")
+    LH.table_init(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, note string, v double"),
+        path, "k", n_files=1)
+    LSQL.register_table(spark, "fz_mmi", path, "k")
+    spark.createDataFrame(
+        [(2, "two", 2.0), (3, "three", 3.0), (4, "four", 4.0)],
+        "k long, note string, v double").createOrReplaceTempView("fz_mmi_src")
+    LSQL.sql(spark, """
+        MERGE INTO fz_mmi t USING fz_mmi_src s ON t.k = s.k
+        WHEN NOT MATCHED AND s.k = 3 THEN
+            INSERT (k, note) VALUES (s.k, concat('special:', s.note))
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.k: (r.note, r.v) for r in LSQL.sql(
+        spark, "SELECT * FROM fz_mmi").collect()}
+    assert got == {1: ("a", 1.0), 2: ("two", 2.0),
+                   3: ("special:three", None),   # claimed by clause 1
+                   4: ("four", 4.0)}
+
+
 def test_delete_predicate_literal_with_keywords(spark, fuzz_table):
     v0 = LSQL.sql(spark, "SELECT count(*) AS c FROM fz").first().c
     LSQL.sql(spark, "DELETE FROM fz WHERE note = 'no WHERE such AND row'")
