@@ -122,6 +122,8 @@ HEADLINE = [
     # 1-bit binary-quantized retrieval (xor+bit_count hamming scan
     # over two packed words, exact top-50 rerank)
     "knn_bq_rerank",
+    # DV purge: rewrite only deletion-vector files (warm reps no-op)
+    "lakehouse_reorg_purge",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -82,7 +82,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # samplers take the first 50; the remaining 23 queue at 51+.
         "multimodal_phash_dedup", "lakehouse_sql_merge_composite",
         "lakehouse_sql_partition_ops", "knn_matryoshka_recall",
-        "knn_bq_rerank",
+        "knn_bq_rerank", "lakehouse_reorg_purge",
         "agg_transpose_crosstab",
         "agg_boolean_argmax", "agg_grouping_id", "agg_pivot_multi",
         "mv_incremental_refresh", "scalar_generator_funcs",

@@ -350,6 +350,56 @@ def lakehouse_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_reorg_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_reorg_{tag}")
+
+
+@register(
+    "lakehouse_reorg_purge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(0 AS BIGINT) AS n_dv_files
+    FROM orders
+    WHERE NOT (o_orderkey % 11 = 4 AND o_orderkey < 5000)
+    GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG TABLE ... APPLY (PURGE) — Delta's deletion-vector purge:
+    after a key-LOCALIZED MOR delete (every 11th key under 5000 — DVs
+    land only in the low-key files), the purge rewrites ONLY the
+    DV-carrying files, materializing the soft deletes and dropping
+    the spent vectors; untouched files carry over by reference. The
+    result re-aggregates the purged table and pins the post-purge DV
+    count at zero inside the hashed output, so the oracle certifies
+    BOTH row identity and the purge's metadata effect. Scale: cost is
+    O(DV files) — the pressure valve that keeps the MOR anti-join
+    side small without compacting 100 TB."""
+    path = _orders_reorg_dir(sf_dir)
+    if LH.current_version(path) < 2:
+        o = load_table(spark, "orders", sf_dir)
+        if LH.current_version(path) < 0:
+            LH.table_init(o, path, "o_orderkey", n_files=8)
+        if LH.current_version(path) < 1:
+            LH.delete_where(spark, path,
+                            "o_orderkey % 11 = 4 AND o_orderkey < 5000")
+        LH.reorg_purge(spark, path, "o_orderkey")
+    v = LH.current_version(path)
+    n_dv = len(LH.dvs_at_version(path, v))
+    df = LH.read_version(spark, path, v)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).cast("long").alias("cents"),
+        F.lit(n_dv).cast("long").alias("n_dv_files"),
+    )
+
+
 def _orders_zorder_dir(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(tempfile.gettempdir(), f"lakehouse_orders_zorder_{tag}")
