@@ -188,8 +188,17 @@ def main() -> None:
     for name, t in times.items():
         fam = family_of(name)
         fams[fam] = round(fams.get(fam, 0.0) + t, 3)
-    print(
-        json.dumps(
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query detail goes to a committed side file (VERDICT r7 #2):
+    # the driver captures only the last ~2000 chars of stdout, and the
+    # per-query map outgrew that window at 57 entries. The final stdout
+    # line stays compact (total + family subtotals — bounded by the
+    # family count, not the registry size); round-over-round per-query
+    # diffs live in BENCH_DETAIL.json.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -198,7 +207,24 @@ def main() -> None:
                 "families": fams,
                 "reps": max(1, reps),
                 "stat": "min",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "families": fams,
+                "n_queries": len(times),
+                "detail": "BENCH_DETAIL.json",
+                "reps": max(1, reps),
+                "stat": "min",
+                "sf": sf_val,
             }
         )
     )

@@ -75,21 +75,36 @@ def load_all_queries() -> dict[str, QuerySpec]:
     # rounds instead of re-checking the same flagships. Names only;
     # zero semantic change; everything stays in the registry.
     flagship_head = [
-        # ---- round-7 head: the 73 never-yet-sampled entries
-        # (disjoint from every CORRECTNESS_r1-r6 sample; VERDICT r6
-        # #8), multimodal_phash_dedup FIRST (its r6 oracle pass was
-        # vacuous 0-vs-0; now non-empty at every SF). External
-        # samplers take the first 50; the remaining 23 queue at 51+.
+        # ---- round-8 head: the 28 never-yet-driver-sampled entries
+        # (VERDICT r7 #3 — after this round every registry query has
+        # been driver-sampled at least once), plus agg_approx_percentile
+        # (its only r1 sample predates its oracle) and scalar_math_funcs2
+        # (the r7 hash-red row, re-sampled to prove the sgn type fix).
+        # External samplers take the first 50; slots 31-50 fall to the
+        # r1-r7-validated flagships below. Names only; zero semantic change.
+        "text_unigram_logprob", "text_bpe_tokenize",
+        "text_bpe_train_tokenize", "text_c4_filters", "text_rake_keywords",
+        "text_redact_pii", "corpus_curation_funnel", "corpus_chunk_windows",
+        "corpus_ngram_novelty", "corpus_decontaminate",
+        "corpus_mixture_report", "corpus_source_kl",
+        "corpus_temperature_sample", "corpus_epoch_upsample",
+        "corpus_diversity_metrics", "multimodal_resize",
+        "multimodal_frame_sample", "multimodal_features",
+        "stream_dedup_counts", "stream_static_join",
+        "stream_watermark_append", "stream_stream_left_join",
+        "sample_systematic", "sample_weighted", "sample_bernoulli_certified",
+        "lakehouse_merge_current", "knn_lsh_ann", "knn_ivf_ann",
+        "agg_approx_percentile", "scalar_math_funcs2",
+        # ---- then the r1-r7-validated flagships, per family
         "multimodal_phash_dedup", "lakehouse_sql_merge_composite",
         "lakehouse_sql_partition_ops", "knn_matryoshka_recall",
-        "knn_bq_rerank", "lakehouse_reorg_purge",
-        "agg_transpose_crosstab",
+        "knn_bq_rerank", "lakehouse_reorg_purge", "agg_transpose_crosstab",
         "agg_boolean_argmax", "agg_grouping_id", "agg_pivot_multi",
         "mv_incremental_refresh", "scalar_generator_funcs",
         "scalar_math_funcs", "scalar_array_funcs", "scalar_conditional",
         "scalar_map_funcs", "scalar_bitwise_funcs", "scalar_explode_outer",
         "scalar_xml_funcs", "scalar_collation_funcs", "scalar_string_funcs2",
-        "scalar_date_funcs2", "scalar_math_funcs2", "scalar_array_funcs2",
+        "scalar_date_funcs2", "scalar_array_funcs2",
         "orders_dow_seasonality", "customer_cohort_ltv",
         "events_path_analysis", "orders_abc_pareto", "orders_forecast_ses",
         "orders_trend_ols", "stats_ab_welch_ttest", "stats_bootstrap_ci",
@@ -99,28 +114,15 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "dedup_keep_canonical", "dedup_semantic_fixed_k",
         "rag_context_assembly", "embedding_pq_codes", "knn_pq_adc",
         "embedding_power_iteration", "tfidf_top_terms", "text_lang_id",
-        "text_fingerprint", "text_vocabulary", "text_unigram_logprob",
-        "text_bpe_tokenize", "text_bpe_train_tokenize", "text_c4_filters",
-        "text_rake_keywords", "text_redact_pii", "corpus_curation_funnel",
-        "corpus_chunk_windows", "corpus_ngram_novelty",
-        "corpus_decontaminate", "corpus_mixture_report", "corpus_source_kl",
-        "corpus_temperature_sample", "corpus_epoch_upsample",
-        "corpus_diversity_metrics", "multimodal_resize",
-        "multimodal_frame_sample", "multimodal_features",
-        "stream_dedup_counts", "stream_static_join",
-        "stream_watermark_append", "stream_stream_left_join",
-        "sample_systematic", "sample_weighted", "sample_bernoulli_certified",
-        "lakehouse_merge_current", "knn_lsh_ann", "knn_ivf_ann",
-        # ---- then the r1-r6-validated flagships, per family
-        "text_gopher_filters", "knn_sq8_rerank", "rag_mmr_rerank",
-        "graph_label_propagation", "lakehouse_sql_merge",
-        "lakehouse_sql_update_delete", "lakehouse_sql_time_travel",
-        "lakehouse_sql_copy_into", "lakehouse_convert_insert",
-        "lakehouse_zorder_incremental", "lakehouse_manifest_planning",
-        "stream_lakehouse_sink", "text_bigram_logprob",
-        "corpus_training_manifest", "agg_kmv_sketch_setops",
-        "join_lateral_topk", "events_funnel_steps", "cdc_scd1_merge",
-        "graph_triangle_census", "agg_skew_salted",
+        "text_fingerprint", "text_vocabulary", "text_gopher_filters",
+        "knn_sq8_rerank", "rag_mmr_rerank", "graph_label_propagation",
+        "lakehouse_sql_merge", "lakehouse_sql_update_delete",
+        "lakehouse_sql_time_travel", "lakehouse_sql_copy_into",
+        "lakehouse_convert_insert", "lakehouse_zorder_incremental",
+        "lakehouse_manifest_planning", "stream_lakehouse_sink",
+        "text_bigram_logprob", "corpus_training_manifest",
+        "agg_kmv_sketch_setops", "join_lateral_topk", "events_funnel_steps",
+        "cdc_scd1_merge", "graph_triangle_census", "agg_skew_salted",
         "multimodal_audio_windows", "source_avro_roundtrip",
         "join_null_safe", "join_fuzzy_entity_resolution", "window_lag_lead",
         "window_running_sum", "window_distribution", "setop_union_distinct",
@@ -192,7 +194,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "ref_category_flatten", "ref_pandas_api_on_spark", "join_left_outer",
         "join_full_outer", "join_semi", "join_anti", "join_cross",
         "join_nonequi", "agg_group_stats", "agg_count_distinct",
-        "agg_approx_percentile", "agg_rollup", "agg_cube",
+        "agg_rollup", "agg_cube",
     ]
     missing = [n for n in flagship_head if n not in REGISTRY]
     if missing:

@@ -692,7 +692,7 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
            pow(CAST(2 AS DOUBLE), CAST(p_size % 16 AS DOUBLE)) AS pow2,
            floor(exp(CAST(p_size % 5 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS exp_small,
            floor(log10(CAST(p_size + 1 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS log_ten,
-           sign(CAST(p_size - 25 AS DOUBLE))               AS sgn,
+           CAST(sign(CAST(p_size - 25 AS DOUBLE)) AS BIGINT) AS sgn,
            CAST(p_size % 7 AS BIGINT)                      AS modulo,
            greatest(p_size, 10, 25)                        AS hi,
            least(p_size, 10, 25)                           AS lo
@@ -718,7 +718,7 @@ def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.lit(2.0), (sz % 16).cast("double")).alias("pow2"),
         rnd(F.exp((sz % 5).cast("double")), 6).alias("exp_small"),
         rnd(F.log10((sz + 1).cast("double")), 6).alias("log_ten"),
-        F.signum((sz - 25).cast("double")).alias("sgn"),
+        F.signum((sz - 25).cast("double")).cast("long").alias("sgn"),
         (sz % 7).cast("long").alias("modulo"),
         F.greatest(sz, F.lit(10), F.lit(25)).alias("hi"),
         F.least(sz, F.lit(10), F.lit(25)).alias("lo"),

@@ -34,11 +34,43 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def kind_class(dtype) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    serialized-value hash cares about.  int64 vs int32 hash the same
+    (both stringify '1'); int vs float do NOT ('-1' vs '-1.0'), and
+    bool vs int do NOT ('True' vs '1')."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "other"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return problems
+    # Driver-strength dtype-kind gate: the driver hashes serialized cell
+    # values, so an int column on one side and a float column on the other
+    # fails its hash even when every value is numerically equal
+    # (scalar_math_funcs2 r7 regression class).  Null-only columns land as
+    # float NaN on either side — skip those, the value compare handles them.
+    for c in spark_pdf.columns:
+        ka, kb = kind_class(spark_pdf[c].dtype), kind_class(duck_pdf[c].dtype)
+        if ka == kb:
+            continue
+        allnull = spark_pdf[c].isna().all() or duck_pdf[c].isna().all()
+        if {ka, kb} <= {"int", "float", "bool"} and not allnull:
+            problems.append(
+                f"dtype-kind mismatch on '{c}': spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+                " (driver hash serializes these differently — pin the type on both sides)"
+            )
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount differ: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     a, b = canon(spark_pdf), canon(duck_pdf)
