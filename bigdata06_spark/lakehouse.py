@@ -1322,7 +1322,8 @@ def convert_to_lakehouse(spark: SparkSession, path: str,
 
 def _manifest_plan_or_none(spark: SparkSession, path: str, version: int,
                            partition_filter: dict | None = None,
-                           stats_filter: dict | None = None):
+                           stats_filter: dict | None = None,
+                           bloom_filter: dict | None = None):
     """(rel_files, dvs) planned RELATIONALLY via the snapshot manifest
     when one is (or can cheaply become) fresh at `version` — the
     default planning path (VERDICT r6 #2: driver JSON-log replay was
@@ -1358,7 +1359,14 @@ def _manifest_plan_or_none(spark: SparkSession, path: str, version: int,
             # silently keeps files — let the replay path handle it
             # rather than plan_files' loud ValueError
             return None
-        v, files, dvs = M.plan_files(spark, path, partition_filter, stats_filter)
+        if bloom_filter and "bloom" not in meta:
+            # pre-upgrade manifest meta: it carries no bloom spec (and
+            # its parquet no bitmap columns) — the replay path still
+            # prunes bloom probes; planning here would silently lose
+            # the pruning axis
+            return None
+        v, files, dvs = M.plan_files(spark, path, partition_filter,
+                                     stats_filter, bloom_filter)
         if v != version:
             return None  # lost a race with a concurrent refresh
         return files, dvs
@@ -1419,16 +1427,19 @@ def read_version(spark: SparkSession, path: str, version: int,
     applies the real equality filter).
 
     PLANNING: when a snapshot manifest is fresh (or one incremental
-    fold away) at `version` and no bloom filter is requested, the
-    file/DV plan comes from the relational manifest path — partition
-    and stats pruning run as parquet-pushed predicates over the
-    manifest instead of a driver pass over the JSON log (the default
-    at scale; `use_manifest=False` pins the replay path, and blooms
-    stay on it because per-file bitsets don't decompose into a
-    pushable column predicate)."""
-    if use_manifest and bloom_filter is None:
+    fold away) at `version`, the file/DV plan comes from the
+    relational manifest path — partition and stats pruning run as
+    parquet-pushed predicates over the manifest, and bloom probes
+    test their k bit positions against the manifest's per-file bitmap
+    columns with JVM built-ins (lakehouse_manifest._bloom_prune_expr)
+    — instead of a driver pass over the JSON log (the default at
+    scale; `use_manifest=False` pins the replay path; manifests
+    written before the bitmap columns existed also fall back, so the
+    probe never silently loses its pruning axis)."""
+    if use_manifest:
         planned = _manifest_plan_or_none(spark, path, version,
-                                         partition_filter, stats_filter)
+                                         partition_filter, stats_filter,
+                                         bloom_filter)
         if planned is not None:
             from bigdata06_spark import lakehouse_manifest as M
 

@@ -40,9 +40,11 @@ Scale contract:
   DV subtraction, same schema-action replay, byte-identical result
   (oracle- and parity-tested).
 
-Bloom pruning stays on the driver path (`read_version`): per-file
-bitsets don't decompose into a pushable column predicate; blooms are
-the point-lookup axis where the candidate list is already tiny.
+Bloom pruning is relational too (round 8): each bloom column's
+per-file bitmap is a dedicated base64 string column (`bl_<c>`) read
+only when a bloom probe asks for it, and the k-bit membership test
+compiles to JVM built-ins over the manifest scan (_bloom_prune_expr)
+— the point-lookup path no longer pins the O(all files) log replay.
 """
 
 from __future__ import annotations
@@ -101,7 +103,8 @@ def _str_or_null(v):
     return None if v is None else str(v)
 
 
-def _manifest_schema(pby: list[str], scols: list[str]) -> T.StructType:
+def _manifest_schema(pby: list[str], scols: list[str],
+                     bcols: list[str] = ()) -> T.StructType:
     fields = [T.StructField("file", T.StringType(), False)]
     for c in pby:
         fields.append(T.StructField(f"p_{c}", T.StringType(), True))
@@ -112,13 +115,23 @@ def _manifest_schema(pby: list[str], scols: list[str]) -> T.StructType:
             T.StructField(f"mnn_{c}", T.DoubleType(), True),
             T.StructField(f"mxn_{c}", T.DoubleType(), True),
         ]
+    # bl_<c>: the file's base64 bloom bitmap for column c (VERDICT r7
+    # #4 — bloom point lookups were the last reader pinning O(all
+    # files) log replay). A dedicated parquet column per bloom col
+    # means non-bloom plans never read the bitmap bytes (column
+    # pruning), and NULL (pre-upgrade manifests, bloom-less files)
+    # soundly keeps the file.
+    for c in bcols:
+        fields.append(T.StructField(f"bl_{c}", T.StringType(), True))
     fields.append(T.StructField("dv", T.ArrayType(T.StringType()), True))
     return T.StructType(fields)
 
 
 def _rows_for(files: list[str], stats: dict, dvs: dict,
-              pby: list[str], scols: list[str]) -> list[tuple]:
+              pby: list[str], scols: list[str],
+              bcols: list[str] = (), blooms: dict | None = None) -> list[tuple]:
     rows = []
+    blooms = blooms or {}
     for f in files:
         pv = LH._pvals_of_rel(f)
         r: list = [f]
@@ -129,6 +142,9 @@ def _rows_for(files: list[str], stats: dict, dvs: dict,
             mn, mx = (st.get(c) or (None, None))
             r += [_str_or_null(mn), _str_or_null(mx),
                   _num_or_null(mn), _num_or_null(mx)]
+        bl = blooms.get(f) or {}
+        for c in bcols:
+            r.append(bl.get(c))
         r.append(list(dvs.get(f, [])))
         rows.append(tuple(r))
     return rows
@@ -158,7 +174,9 @@ def _arrow_schema(schema: T.StructType):
 def _write_manifest_distributed(spark: SparkSession, out_dir: str,
                                 files: list[str], stats: dict, dvs: dict,
                                 pby: list[str], scols: list[str],
-                                schema: T.StructType) -> None:
+                                schema: T.StructType,
+                                bcols: list[str] = (),
+                                blooms: dict | None = None) -> None:
     """Full-rebuild writer WITHOUT a single driver-side
     materialization of all manifest rows (VERDICT r6 #3: the 200k-file
     rebuild was a driver createDataFrame — Python→JVM pickling of
@@ -188,6 +206,7 @@ def _write_manifest_distributed(spark: SparkSession, out_dir: str,
         shard += 1
         batch_cols = [[] for _ in range(ncols)]
 
+    blooms = blooms or {}
     for i, f in enumerate(files):
         if i and i % _REBUILD_SHARD_ROWS == 0:
             _flush()
@@ -200,6 +219,9 @@ def _write_manifest_distributed(spark: SparkSession, out_dir: str,
             mn, mx = (st.get(c) or (None, None))
             r += [_str_or_null(mn), _str_or_null(mx),
                   _num_or_null(mn), _num_or_null(mx)]
+        bl = blooms.get(f) or {}
+        for c in bcols:
+            r.append(bl.get(c))
         r.append(list(dvs.get(f, [])))
         for j, v in enumerate(r):
             batch_cols[j].append(v)
@@ -286,7 +308,9 @@ def refresh_manifest(spark: SparkSession, path: str,
         raise ValueError(f"version {v} not in [0, {latest}]")
     pby = LH.table_partition_by(path)
     scols = LH.table_stats_cols(path)
-    schema = _manifest_schema(pby, scols)
+    bloom = LH.table_bloom_meta(path)
+    bcols = list(bloom["cols"]) if bloom else []
+    schema = _manifest_schema(pby, scols, bcols)
     meta = manifest_meta(path)
 
     if meta is not None and meta["version"] == v:
@@ -297,13 +321,25 @@ def refresh_manifest(spark: SparkSession, path: str,
         delta = _delta_entries(path, meta["version"], v)
         if delta and not any(_resets_state(e) for _dv, e in delta):
             mode = "incremental"
+        # defensive: every non-reset commit pairs its blooms with its
+        # adds (_entry_stats_blooms contract); an entry re-blooming a
+        # file it didn't add would need an UPDATE of an existing
+        # manifest row — fall back to the full rebuild rather than
+        # fold unsoundly (a stale bitmap could prune a file that now
+        # contains the value)
+        if mode == "incremental" and bcols and any(
+            set(e.get("blooms", {})) - set(e.get("add", []))
+            for _dv, e in delta
+        ):
+            mode = "full"
 
     out_dir = os.path.join(_mf_root(path), f"m{v}-{uuid.uuid4().hex[:8]}")
     if mode == "full":
         files, dvs = LH._state_at_version(path, v)
         stats = LH.file_stats_at(path, v) if scols else {}
+        blooms = LH.file_blooms_at(path, v) if bcols else {}
         _write_manifest_distributed(spark, out_dir, files, stats, dvs,
-                                    pby, scols, schema)
+                                    pby, scols, schema, bcols, blooms)
     else:
         cur = spark.read.schema(schema).parquet(meta["dir"])
         # Sequential fold — add/remove are applied per entry IN ORDER
@@ -315,6 +351,7 @@ def refresh_manifest(spark: SparkSession, path: str,
         # order-insensitive where the log is order-sensitive.
         add_set: set[str] = set()
         add_stats: dict = {}
+        add_blooms: dict = {}
         removes: set[str] = set()
         dv_events: list[tuple[str, str]] = []  # (file, dv parquet)
         for _dv, entry in delta:
@@ -326,6 +363,7 @@ def refresh_manifest(spark: SparkSession, path: str,
             for f in entry.get("add", []):
                 add_set.add(f)  # removes keeps f: old row still anti-joined
             add_stats.update(entry.get("stats", {}))
+            add_blooms.update(entry.get("blooms", {}))
             da = entry.get("dv_add")
             if da:
                 for f in da["files"]:
@@ -339,7 +377,8 @@ def refresh_manifest(spark: SparkSession, path: str,
         if adds:
             # union BEFORE the DV fold: a file added and DV'd within
             # the same delta window must pick its DVs up too
-            new_rows = _rows_for(adds, add_stats, {}, pby, scols)
+            new_rows = _rows_for(adds, add_stats, {}, pby, scols,
+                                 bcols, add_blooms)
             cur = cur.unionByName(spark.createDataFrame(new_rows, schema))
         if dv_events:
             ev = (
@@ -378,6 +417,10 @@ def refresh_manifest(spark: SparkSession, path: str,
         logical = LH._logical_cols_at(path, v)
     new_meta = {
         "version": v, "dir": out_dir, "pby": pby, "scols": scols,
+        # bloom spec cached IN the meta: bloom-probe planning must not
+        # walk the JSON log for the spec (the whole point of routing
+        # blooms through the manifest); None when the table has none.
+        "bcols": bcols, "bloom": bloom,
         "acts": acts,
         "logical_cols": logical,
     }
@@ -423,12 +466,22 @@ def _meta_specs(path: str, meta: dict) -> tuple[list[str], list[str]]:
     return LH.table_partition_by(path), LH.table_stats_cols(path)
 
 
+def _meta_bcols(meta: dict) -> list[str]:
+    """Bloom columns recorded in the manifest meta — [] for
+    pre-bloom-column manifests (their parquet lacks bl_* entirely;
+    reading them with the extended schema would be fine — missing
+    parquet columns read as NULL — but planning must not ASSUME bloom
+    support they don't carry)."""
+    return list(meta.get("bcols") or [])
+
+
 def manifest_df(spark: SparkSession, path: str) -> DataFrame:
     meta = manifest_meta(path)
     if meta is None:
         raise ValueError(f"no manifest for {path}; run refresh_manifest")
     pby, scols = _meta_specs(path, meta)
-    return spark.read.schema(_manifest_schema(pby, scols)).parquet(meta["dir"])
+    return spark.read.schema(
+        _manifest_schema(pby, scols, _meta_bcols(meta))).parquet(meta["dir"])
 
 
 def _prune_expr(pby: list[str], scols: list[str],
@@ -487,23 +540,59 @@ def _prune_expr(pby: list[str], scols: list[str],
     return cond
 
 
+def _bloom_prune_expr(bcols: list[str], positions: dict):
+    """The manifest-side bloom conjunct: keep a file unless EVERY one
+    of a looked-up value's k bit positions being unset is provable
+    from its stored bitmap. Pure JVM built-ins (unbase64 → 1-byte
+    substring → hex → conv → bitwiseAND), so the test runs inside
+    whole-stage codegen over the manifest scan — no Python worker, no
+    driver loop over all files. Sound: a NULL bitmap (bloom-less
+    file, pre-upgrade manifest row) keeps the file, mirroring
+    _bloom_may_match."""
+    cond = F.lit(True)
+    for c, pos in positions.items():
+        if c not in bcols:
+            continue  # un-bloomed column: no pruning axis (sound)
+        bl = F.col(f"bl_{c}")
+        bits = F.unbase64(bl)
+        allset = F.lit(True)
+        for p in pos:
+            byte = F.conv(
+                F.hex(F.substring(bits, p // 8 + 1, 1)), 16, 10
+            ).cast("int")
+            allset = allset & (byte.bitwiseAND(F.lit(1 << (p % 8))) != 0)
+        cond = cond & (bl.isNull() | allset)
+    return cond
+
+
 def plan_files(spark: SparkSession, path: str,
                partition_filter: dict | None = None,
-               stats_filter: dict | None = None
+               stats_filter: dict | None = None,
+               bloom_filter: dict | None = None
                ) -> tuple[int, list[str], dict]:
     """Relational planning: filter the manifest, collect ONLY the
     surviving (file, dv) rows. Returns (manifest version, files,
-    {file: [dv files]})."""
+    {file: [dv files]}). Bloom lookups use the spec cached in the
+    manifest meta (no log walk) and prune via _bloom_prune_expr over
+    the bl_* bitmap columns — the point-lookup path plans in
+    O(manifest scan) + O(survivors) like every other filter axis."""
     meta = manifest_meta(path)
     if meta is None:
         raise ValueError(f"no manifest for {path}; run refresh_manifest")
     pby, scols = _meta_specs(path, meta)
-    picked = (
-        spark.read.schema(_manifest_schema(pby, scols)).parquet(meta["dir"])
+    bcols = _meta_bcols(meta)
+    sel = (
+        spark.read.schema(_manifest_schema(pby, scols, bcols))
+        .parquet(meta["dir"])
         .filter(_prune_expr(pby, scols, partition_filter, stats_filter))
-        .select("file", "dv")
-        .collect()
     )
+    if bloom_filter:
+        spec = meta.get("bloom")
+        if spec:
+            positions = LH._bloom_lookup_positions(spark, bloom_filter, spec)
+            if positions:
+                sel = sel.filter(_bloom_prune_expr(bcols, positions))
+    picked = sel.select("file", "dv").collect()
     files = sorted(r["file"] for r in picked)
     dvs = {r["file"]: list(r["dv"]) for r in picked if r["dv"]}
     return meta["version"], files, dvs
@@ -511,13 +600,14 @@ def plan_files(spark: SparkSession, path: str,
 
 def read_at_manifest(spark: SparkSession, path: str,
                      partition_filter: dict | None = None,
-                     stats_filter: dict | None = None) -> DataFrame:
+                     stats_filter: dict | None = None,
+                     bloom_filter: dict | None = None) -> DataFrame:
     """read_version, planned through the manifest: identical result
     contract (DV subtraction, schema-action replay), but the file
     pruning runs as a parquet-pushed filter over the manifest instead
     of a driver pass over the log."""
     version, rel_files, dvs = plan_files(
-        spark, path, partition_filter, stats_filter)
+        spark, path, partition_filter, stats_filter, bloom_filter)
     return read_planned(spark, path, version, rel_files, dvs)
 
 

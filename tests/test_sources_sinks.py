@@ -4658,6 +4658,69 @@ def test_lakehouse_read_version_defaults_to_manifest(spark, tmp_path, monkeypatc
         spark, path, v3, use_manifest=False).collect()) == sorted(got)
 
 
+def test_lakehouse_bloom_probe_plans_via_manifest(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #4 — the point-lookup path plans relationally: with
+    a fresh manifest, read_version(bloom_filter=...) neither replays
+    the JSON log for the file list (_state_at_version) nor for the
+    bitmaps (file_blooms_at) — both monkeypatched to raise — and its
+    pruned file set is byte-identical to the replay path's. The
+    bitmap membership test runs as JVM expressions over the
+    manifest's bl_* columns (lakehouse_manifest._bloom_prune_expr);
+    at a million files this is a parquet scan of one string column,
+    not seconds of driver JSON."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = str(tmp_path / "lh_bloom_mf")
+    df = spark.range(30000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(8000)).alias("cust"),
+        (F.col("id") * 1.5).alias("val"))
+    LH.table_init(df, path, "k", n_files=12, bloom_cols=["cust"],
+                  stats_cols=["k"])
+    target = int(df.filter("k = 123").first().cust)
+    truth = df.filter(F.col("cust") == target).count()
+    M.refresh_manifest(spark, path)
+    assert M.manifest_meta(path)["bcols"] == ["cust"]
+
+    # ground truth from the replay path BEFORE poisoning it
+    replay = LH.read_version(spark, path, 0, bloom_filter={"cust": target},
+                             use_manifest=False)
+    replay_files = sorted(replay.inputFiles())
+    n_all = len(LH.files_at_version(path, 0))
+    assert len(replay_files) < n_all
+
+    def _boom(*a, **kw):
+        raise AssertionError("JSON-log replay used on a bloom probe "
+                             "with a fresh manifest")
+
+    monkeypatch.setattr(LH, "_state_at_version", _boom)
+    monkeypatch.setattr(LH, "file_blooms_at", _boom)
+
+    probed = LH.read_version(spark, path, 0, bloom_filter={"cust": target})
+    assert sorted(probed.inputFiles()) == replay_files
+    assert probed.filter(F.col("cust") == target).count() == truth
+    # bloom composes with the other pruning axes on the manifest plan
+    both = LH.read_version(spark, path, 0, bloom_filter={"cust": target},
+                           stats_filter={"k": (0, 10**9)})
+    assert sorted(both.inputFiles()) == replay_files
+    # NULL lookup value keeps every file (sound), still without replay
+    keep = LH.read_version(spark, path, 0, bloom_filter={"cust": None})
+    assert len(keep.inputFiles()) == n_all
+
+    # a PRE-UPGRADE manifest meta (no bloom spec recorded) must fall
+    # back to the replay path rather than silently lose the pruning
+    # axis — with the replay poisoned, the planner returning None
+    # surfaces as the AssertionError
+    meta = M.manifest_meta(path)
+    legacy = {k: v for k, v in meta.items() if k not in ("bcols", "bloom")}
+    M._swap_meta(path, legacy)
+    with pytest.raises(AssertionError, match="JSON-log replay"):
+        LH.read_version(spark, path, 0,
+                        bloom_filter={"cust": target}).collect()
+    M._swap_meta(path, meta)
+
+
 def test_lakehouse_manifest_prune_soundness_edges(spark, tmp_path):
     """Advisor-flagged soundness edges of the manifest pruning
     predicate (_prune_expr), exercised on a constructed manifest
