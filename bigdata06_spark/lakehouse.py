@@ -685,10 +685,22 @@ def _entry_stats_blooms(spark: SparkSession, path: str,
     return out
 
 
-def _matches_partition(rel_path: str, partition_filter: dict) -> bool:
+def _matches_partition(rel_path: str, partition_filter: dict,
+                       missing: str = "raise") -> bool:
+    """Does a file's path-encoded partition values satisfy the filter?
+
+    `missing` is the policy for a file carrying NO recorded value for
+    a filtered column (e.g. a CONVERT-adopted layout): "keep" keeps
+    the file (the READ-side soundness rule — mirrors the manifest
+    planner's _prune_expr, so replay and manifest plans agree on the
+    same snapshot; advisor r7), "raise" stays loud (the DML target-
+    selection sites, where silently including or excluding an
+    unprovable file would rewrite or drop data)."""
     vals = _pvals_of_rel(rel_path)
     for k, want in partition_filter.items():
         if k not in vals:
+            if missing == "keep":
+                continue
             raise ValueError(
                 f"file {rel_path} carries no partition value for {k!r}; "
                 f"the table is not partitioned by it"
@@ -1446,7 +1458,17 @@ def read_version(spark: SparkSession, path: str, version: int,
             return M.read_planned(spark, path, version, *planned)
     rel_files, dvs = _state_at_version(path, version)
     if partition_filter:
-        rel_files = [f for f in rel_files if _matches_partition(f, partition_filter)]
+        # same loud contract as the manifest planner's _prune_expr: an
+        # unknown partition COLUMN raises; a file merely MISSING its
+        # value (CONVERT-adopted layout) is kept — both paths now
+        # agree on the same snapshot (advisor r7)
+        pby = set(table_partition_by(path))
+        unknown = sorted(set(partition_filter) - pby)
+        if unknown:
+            raise ValueError(f"table not partitioned by {unknown[0]!r}")
+        rel_files = [f for f in rel_files
+                     if _matches_partition(f, partition_filter,
+                                           missing="keep")]
     if stats_filter:
         stats = file_stats_at(path, version)
         rel_files = [
@@ -1597,14 +1619,9 @@ def _prune_files_for_dml(path: str, version: int, rel_files: list[str],
     predicate — a file the filters drop is a file the writer never
     inspects, exactly like read_version's pruning aids."""
     if partition_filter:
-        kept = []
-        for f in rel_files:
-            try:
-                if _matches_partition(f, partition_filter):
-                    kept.append(f)
-            except ValueError:
-                kept.append(f)  # no partition value recorded → keep
-        rel_files = kept
+        rel_files = [f for f in rel_files
+                     if _matches_partition(f, partition_filter,
+                                           missing="keep")]
     if stats_filter and rel_files:
         st = file_stats_at(path, version)
         rel_files = [
@@ -2582,13 +2599,34 @@ def maybe_compact(spark: SparkSession, path: str, key: str,
     per-file overhead (footers, stats rows, planning entries)
     dominates the scan. Idempotent and cheap to call after every
     batch: the check is one file-count read of the latest snapshot
-    state. Returns the current (possibly new) version."""
+    state. Returns the current (possibly new) version.
+
+    AMPLIFICATION GUARD (advisor r7): compaction only runs when it can
+    land the table BELOW `max_files` — otherwise the very next batch
+    re-crosses the threshold and every micro-batch full-rewrites the
+    table for no lasting reduction (unbounded write amplification,
+    e.g. a partitioned layout whose steady state — at least one file
+    per live partition dir — already sits at ≥ max_files). The
+    compaction target is clamped to max_files - 1 for the same
+    reason: re-triggering then requires max_files - target NEW
+    batches, so rewrite bytes amortize at the user's knob ratio
+    instead of per-batch."""
     if max_files < 2:
         raise ValueError("max_files must be >= 2")
     v = current_version(path)
-    if v < 0 or len(files_at_version(path, v)) < max_files:
+    if v < 0:
         return v
-    return optimize(spark, path, key, n_files=n_files)
+    live = files_at_version(path, v)
+    if len(live) < max_files:
+        return v
+    target = min(n_files, max_files - 1)
+    floor = target
+    if table_partition_by(path):
+        parts = {tuple(sorted(_pvals_of_rel(f).items())) for f in live}
+        floor = max(floor, len(parts))
+    if floor >= max_files:
+        return v  # cannot reduce below the threshold: skip, don't thrash
+    return optimize(spark, path, key, n_files=target)
 
 
 def reorg_purge(spark: SparkSession, path: str, key: str,
@@ -2918,7 +2956,12 @@ def vacuum(path: str, keep_versions: int = 1,
                 if (not n.startswith("m") or d == meta.get("dir")
                         or not os.path.isdir(d)):
                     continue
-                if now - os.path.getmtime(d) < min_file_age_seconds:
+                # never sweep younger than refresh's own in-flight-
+                # reader guard: a default (age 0) VACUUM right after a
+                # refresh would otherwise delete the old dir a reader
+                # that loaded the OLD meta is still scanning
+                if now - os.path.getmtime(d) < max(min_file_age_seconds,
+                                                   M._SWEEP_AGE_SEC):
                     continue
                 dead.append(os.path.relpath(d, path))
                 if not dry_run:

@@ -540,6 +540,16 @@ def _sql_create(spark: SparkSession, stmt: str) -> DataFrame:
         raise ValueError(
             f"no lakehouse table at {path!r}; add AS <query> to create one"
         )
+    elif pby and pby != LH.table_partition_by(path):
+        # register-only path (no AS <query>): a PARTITIONED BY clause
+        # contradicting the existing table's layout must be as loud as
+        # the OR REPLACE CTAS path — silently ignoring it would let a
+        # statement document a layout the table doesn't have (advisor
+        # r7)
+        raise ValueError(
+            "PARTITIONED BY does not match the existing table's layout "
+            f"(table has {LH.table_partition_by(path)}, statement says "
+            f"{pby})")
     register_table(spark, name, path, key)
     return _version_df(spark, LH.current_version(path))
 
@@ -728,33 +738,62 @@ def _parse_partition_predicate(cond: str) -> dict:
 
 
 def _sql_optimize(spark: SparkSession, stmt: str) -> DataFrame:
-    m = re.fullmatch(
-        r"OPTIMIZE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)"
-        r"(?:\s+WHERE\s+(?P<where>.+?))?"
-        r"(?:\s+ZORDER\s+BY\s+\(\s*(?P<cols>[^)]+)\)"
-        r"|\s+(?P<inc>INCREMENTAL))?",
-        stmt, re.IGNORECASE | re.DOTALL,
+    m = re.match(
+        r"OPTIMIZE\s+(?P<tbl>\S+(?:\s*`[^`]+`)?)",
+        stmt, re.IGNORECASE,
     )
     if not m:
         raise ValueError(f"cannot parse OPTIMIZE statement {stmt!r}")
+    tail = stmt[m.end():]
+    # clause keywords located quote/backtick-aware (advisor r7): a
+    # quoted partition value containing ' ZORDER BY (' or
+    # ' INCREMENTAL' must not split the WHERE predicate there — same
+    # _kw_at_depth0 scanning UPDATE and INSERT use
+    w_offs = _kw_at_depth0(tail, r"\bWHERE\b")
+    z_offs = _kw_at_depth0(tail, r"\bZORDER\s+BY\b")
+    i_offs = _kw_at_depth0(tail, r"\bINCREMENTAL\b")
+    w = w_offs[0] if w_offs else None
+    z = z_offs[0] if z_offs else None
+    inc = i_offs[0] if i_offs else None
+    if z is not None and inc is not None:
+        raise ValueError("OPTIMIZE takes ZORDER BY or INCREMENTAL, not both")
+    end = len(tail)
+    first = min((x for x in (w, z, inc) if x is not None), default=end)
+    if tail[:first].strip():
+        raise ValueError(f"cannot parse OPTIMIZE statement {stmt!r}")
+    where_sql = None
+    if w is not None:
+        nxt = min((x for x in (z, inc) if x is not None), default=end)
+        if nxt < w:
+            raise ValueError("OPTIMIZE clauses out of order: WHERE must "
+                             "precede ZORDER BY / INCREMENTAL")
+        where_sql = tail[w + len("WHERE"):nxt].strip()
+        if not where_sql:
+            raise ValueError("empty WHERE clause in OPTIMIZE")
+    zo = None
+    if z is not None:
+        mz = re.fullmatch(r"ZORDER\s+BY\s*\(\s*(?P<cols>[^)]+)\)\s*",
+                          tail[z:], re.IGNORECASE | re.DOTALL)
+        if not mz:
+            raise ValueError(f"cannot parse ZORDER BY clause in {stmt!r}")
+        zo = [c.strip().strip("`") for c in mz.group("cols").split(",")]
+    if inc is not None and tail[inc:].strip().upper() != "INCREMENTAL":
+        raise ValueError(f"trailing text after INCREMENTAL in {stmt!r}")
     path, key, name = _resolve(m.group("tbl"))
-    if m.group("inc"):
-        if m.group("where"):
+    if inc is not None:
+        if where_sql:
             raise ValueError("OPTIMIZE INCREMENTAL takes no WHERE clause")
         # incremental clustering: fold post-OPTIMIZE files into the
         # frozen grid; no key needed (the grid is the layout)
         v = LH.optimize_zorder_incremental(spark, path)
     else:
         key = _need_key(key, m.group("tbl"), "OPTIMIZE")
-        zo = None
-        if m.group("cols"):
-            zo = [c.strip().strip("`") for c in m.group("cols").split(",")]
         parts = None
-        if m.group("where"):
+        if where_sql:
             # Delta's OPTIMIZE ... WHERE: partition-scoped compaction —
             # only matching partitions' files rewrite, cold partitions
             # carry over by reference
-            parts = _parse_partition_predicate(m.group("where"))
+            parts = _parse_partition_predicate(where_sql)
         v = LH.optimize(spark, path, key, zorder_by=zo, partitions=parts)
     if name:
         _refresh_view(spark, name)

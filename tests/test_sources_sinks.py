@@ -1170,6 +1170,50 @@ def test_lakehouse_cow_rewrites_only_overlapping_files(spark, sf_dir, tmp_path):
     assert [r.o_totalprice for r in changed] == [1.25]
 
 
+def test_maybe_compact_amplification_guard(spark, tmp_path):
+    """advisor r7: auto-compaction must not thrash. (a) A partitioned
+    table whose live partition count >= max_files can never land
+    below the threshold — maybe_compact SKIPS (no new version)
+    instead of full-rewriting the table every micro-batch for no
+    lasting reduction. (b) When n_files >= max_files, the target is
+    clamped below the threshold so a compaction buys max_files -
+    target batches of headroom. (c) A reducible table still
+    compacts."""
+    from bigdata06_spark import lakehouse as LH
+
+    # (a) 5 one-file partitions, threshold 4: floor(5) >= 4 → skip
+    pdf = spark.range(50).selectExpr(
+        "id AS k", "CAST(id % 5 AS INT) AS part", "CAST(id AS DOUBLE) AS v")
+    p1 = str(tmp_path / "lh_ac_part")
+    LH.table_init(pdf, p1, "k", n_files=5, partition_by=["part"])
+    v0 = LH.current_version(p1)
+    n0 = len(LH.files_at_version(p1, v0))
+    assert n0 >= 4
+    assert LH.maybe_compact(spark, p1, "k", max_files=4) == v0  # no-op
+    assert len(LH.files_at_version(p1, v0)) == n0
+
+    # (b) unpartitioned at the threshold with n_files == max_files:
+    # compacts BELOW the threshold, not back onto it
+    u = str(tmp_path / "lh_ac_flat")
+    LH.table_init(spark.range(40).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"), u, "k", n_files=5)
+    v1 = LH.maybe_compact(spark, u, "k", max_files=4, n_files=4)
+    assert v1 == 1
+    assert len(LH.files_at_version(u, v1)) < 4
+    assert LH.read_version(spark, u, v1).count() == 40
+    # steady state below the threshold: the next call is a no-op
+    assert LH.maybe_compact(spark, u, "k", max_files=4, n_files=4) == v1
+
+    # (c) partitioned but reducible (2 partitions, threshold 6)
+    p2 = str(tmp_path / "lh_ac_red")
+    LH.table_init(pdf.filter("part < 2"), p2, "k", n_files=8,
+                  partition_by=["part"])
+    n2 = len(LH.files_at_version(p2, 0))
+    assert n2 >= 6
+    v2 = LH.maybe_compact(spark, p2, "k", max_files=6, n_files=3)
+    assert v2 == 1 and len(LH.files_at_version(p2, v2)) < 6
+
+
 def test_lakehouse_optimize_preserves_rows_reduces_files(spark, sf_dir, tmp_path):
     """OPTIMIZE as a version: identical rows, fewer files, and the
     pre-compaction version still reads its original layout."""
@@ -1514,6 +1558,12 @@ def test_lakehouse_vacuum_sweeps_superseded_manifests(spark, tmp_path):
 
     # young superseded dir survives an age-guarded vacuum
     assert LH.vacuum(path, min_file_age_seconds=3600) == []
+    assert os.path.isdir(m0["dir"])
+    # ... and a DEFAULT (age-0) vacuum right after the refresh: the
+    # manifest sweep floors its age guard at refresh's own
+    # _SWEEP_AGE_SEC so an in-flight reader of the old meta can finish
+    # (advisor r7) — data-file reclamation is unaffected
+    assert LH.vacuum(path) == []
     assert os.path.isdir(m0["dir"])
     # age it out: dry run lists it, real run reclaims it, current stays
     old = _time.time() - 7200

@@ -279,3 +279,55 @@ def test_backtick_column_update_through_sql(spark, tmp_path):
     LSQL.register_table(spark, "fzbt", path, "k")
     LSQL.sql(spark, "UPDATE fzbt SET `when set` = 'z' WHERE k = 1")
     assert LSQL.sql(spark, "SELECT * FROM fzbt").first()["when set"] == "z"
+
+
+def test_optimize_clause_keywords_in_quoted_values(spark, tmp_path):
+    """advisor r7: OPTIMIZE's WHERE/ZORDER BY/INCREMENTAL clauses are
+    located quote-aware (_kw_at_depth0), so a quoted partition VALUE
+    that happens to spell 'INCREMENTAL' scopes the compaction to that
+    partition instead of misparsing as OPTIMIZE INCREMENTAL."""
+    path = str(tmp_path / "opt_kw")
+    df = spark.createDataFrame(
+        [(i, ["INCREMENTAL", "other", "third"][i % 3], float(i))
+         for i in range(30)],
+        "k long, part string, v double")
+    LH.table_init(df, path, "k", n_files=6, partition_by=["part"])
+    LSQL.register_table(spark, "fz_opt", path, "k")
+
+    before = LH.files_at_version(path, LH.current_version(path))
+    LSQL.sql(spark, "OPTIMIZE fz_opt WHERE part = 'INCREMENTAL'")
+    v = LH.current_version(path)
+    after = LH.files_at_version(path, v)
+    # only the 'INCREMENTAL' partition's files were rewritten
+    kept = [f for f in before if "part=other" in f or "part=third" in f]
+    assert all(f in after for f in kept)
+    assert not any("part=INCREMENTAL" in f and f in after for f in before)
+    assert LH.read_version(spark, path, v).count() == 30
+
+    # IN-list form with the hazardous value
+    LSQL.sql(spark, "OPTIMIZE fz_opt WHERE part IN ('INCREMENTAL', 'other')")
+    assert LH.read_version(spark, path, LH.current_version(path)).count() == 30
+
+    # clause order stays loud, and real INCREMENTAL still rejects WHERE
+    with pytest.raises(ValueError, match="no WHERE|out of order"):
+        LSQL.sql(spark, "OPTIMIZE fz_opt WHERE part = 'other' INCREMENTAL")
+
+
+def test_create_register_only_partitioned_by_mismatch(spark, tmp_path):
+    """advisor r7: registering an EXISTING table (no AS <query>) with a
+    PARTITIONED BY clause contradicting its real layout is loud, like
+    the OR REPLACE CTAS path; the matching clause still registers."""
+    path = str(tmp_path / "reg_pby")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, part string, v double")
+    LH.table_init(df, path, "k", n_files=1, partition_by=["part"])
+
+    with pytest.raises(ValueError, match="PARTITIONED BY does not match"):
+        LSQL.sql(spark, "CREATE TABLE fz_reg USING lakehouse "
+                        "TBLPROPERTIES ('key' 'k') PARTITIONED BY (v) "
+                        f"LOCATION '{path}'")
+    # truthful clause (or none) registers fine
+    LSQL.sql(spark, "CREATE TABLE fz_reg USING lakehouse "
+                    "TBLPROPERTIES ('key' 'k') PARTITIONED BY (part) "
+                    f"LOCATION '{path}'")
+    assert LSQL.sql(spark, "SELECT * FROM fz_reg").count() == 2
