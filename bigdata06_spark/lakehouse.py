@@ -785,6 +785,134 @@ def _state_at_version(path: str, version: int) -> tuple[list[str], dict[str, lis
     return sorted(files), dvs
 
 
+def _replay_all(path: str, version: int) -> dict:
+    """ONE JSON-parse pass of the log through `version` → every
+    artifact the manifest full rebuild needs: the snapshot file/DV
+    state, per-file stats and blooms, the partition/stats/bloom
+    specs, the schema-action list and logical column order.
+
+    Why one pass (VERDICT r7 #5): the rebuild previously composed
+    _state_at_version + file_stats_at + file_blooms_at +
+    table_partition_by + table_stats_cols + table_bloom_meta +
+    _schema_actions_at + _logical_cols_at — each its own full parse
+    of the log, so a 170 MB 1M-file log was JSON-decoded up to ~8
+    times. Each sub-replay here follows its namesake's rules exactly
+    (fold-equivalence property-tested); spec keys absent through
+    `version` fall back to the latest-scoped lookups to preserve the
+    multi-pass functions' latest-wins contract."""
+    latest = current_version(path)
+    if version < 0 or version > latest:
+        raise ValueError(f"version {version} not in [0, {latest}]")
+    files: set[str] = set()
+    dvs: dict[str, list[str]] = {}
+    stats: dict = {}
+    blooms: dict = {}
+    pby = scols = bloom = None
+    acts: list[dict] = []
+    base: list[str] | None = None
+    for v in range(version + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):  # squashed away by checkpoint_log
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        # first-occurrence table specs (recorded at init, re-emitted
+        # by checkpoint — identical to table_partition_by & co.)
+        if pby is None and "partition_by" in entry:
+            pby = list(entry["partition_by"])
+        if scols is None and "stats_cols" in entry:
+            scols = list(entry["stats_cols"])
+        if bloom is None and "bloom" in entry:
+            bloom = dict(entry["bloom"])
+        if "schema_cols" in entry:  # last-wins (_base_schema_cols)
+            base = list(entry["schema_cols"])
+        # schema actions — same per-entry rules as _schema_actions_at
+        if "schema_actions_set" in entry:
+            acts = [dict(a) for a in entry["schema_actions_set"]]
+        elif "schema_set" in entry:
+            acts = [
+                {"kind": "add", "column": sa["column"], "type": sa["type"]}
+                for sa in entry["schema_set"]
+            ]
+        for sa in entry.get("schema_adds", []):
+            acts.append({"kind": "add", "column": sa["column"],
+                         "type": sa["type"]})
+        sa = entry.get("schema_add")
+        if sa:
+            acts.append({"kind": "add", "column": sa["column"],
+                         "type": sa["type"]})
+        rn = entry.get("schema_rename")
+        if rn:
+            acts.append({"kind": "rename", "from": rn["from"],
+                         "to": rn["to"]})
+        dr = entry.get("schema_drop")
+        if dr:
+            acts.append({"kind": "drop", "column": dr["column"]})
+        # file/DV/stats/bloom state — _state_at_version,
+        # file_stats_at, file_blooms_at
+        if entry.get("checkpoint"):
+            files = set(entry["add"])
+            dvs = {f: list(lst) for f, lst in entry.get("dvs", {}).items()}
+            stats = dict(entry.get("stats", {}))
+            blooms = dict(entry.get("blooms", {}))
+        else:
+            for f in entry.get("remove", []):
+                files.discard(f)
+                dvs.pop(f, None)
+                stats.pop(f, None)
+                blooms.pop(f, None)
+            files |= set(entry.get("add", []))
+            stats.update(entry.get("stats", {}))
+            blooms.update(entry.get("blooms", {}))
+            da = entry.get("dv_add")
+            if da:
+                for f in da["files"]:
+                    if f in files:
+                        dvs.setdefault(f, []).extend(da["dv"])
+            if "dvs_set" in entry:
+                dvs = {f: list(lst) for f, lst in entry["dvs_set"].items()}
+    # spec keys can live in an entry AFTER `version` on a behind-
+    # version rebuild — mirror the latest-scoped lookups' contract by
+    # scanning ONLY the remaining entries (≤version was covered above;
+    # for the steady case version == latest this loop is empty, so a
+    # spec-less table pays no extra parse)
+    if pby is None or scols is None or bloom is None:
+        for v in range(version + 1, latest + 1):
+            lp = os.path.join(_log_dir(path), f"{v}.json")
+            if not os.path.exists(lp):
+                continue
+            with open(lp) as fh:
+                entry = json.load(fh)
+            if pby is None and "partition_by" in entry:
+                pby = list(entry["partition_by"])
+            if scols is None and "stats_cols" in entry:
+                scols = list(entry["stats_cols"])
+            if bloom is None and "bloom" in entry:
+                bloom = dict(entry["bloom"])
+            if pby is not None and scols is not None and bloom is not None:
+                break
+    pby = pby or []
+    scols = scols or []
+    logical = None
+    if base is not None:
+        logical = list(base)
+        for a in acts:
+            if a["kind"] == "add":
+                if a["column"] not in logical:
+                    logical.append(a["column"])
+            elif a["kind"] == "rename":
+                if a["from"] in logical:
+                    logical[logical.index(a["from"])] = a["to"]
+            elif a["kind"] == "drop":
+                if a["column"] in logical:
+                    logical.remove(a["column"])
+    return {
+        "files": sorted(files), "dvs": dvs, "stats": stats,
+        "blooms": blooms, "pby": pby, "scols": scols, "bloom": bloom,
+        "acts": acts, "logical_cols": logical,
+    }
+
+
 def files_at_version(path: str, version: int) -> list[str]:
     """Replay the log through `version` → that snapshot's file set."""
     return _state_at_version(path, version)[0]

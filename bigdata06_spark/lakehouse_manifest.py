@@ -301,33 +301,44 @@ def refresh_manifest(spark: SparkSession, path: str,
     NEW log entries — O(files-changed) — and applies them to the old
     manifest as Spark ops (anti-join removes, union adds, join-concat
     DV adds). Full rebuild only for the first manifest or when a
-    state-resetting entry (checkpoint / RESTORE) intervenes."""
+    state-resetting entry (checkpoint / RESTORE) intervenes — and a
+    full rebuild is ONE JSON parse pass of the log (LH._replay_all;
+    VERDICT r7 #5: composing the per-artifact replay functions decoded
+    a 1M-file log up to ~8 times), while the incremental path reads
+    its table specs from the meta cache and touches no pre-window
+    entry at all."""
     latest = LH.current_version(path)
     v = latest if to_version is None else to_version
     if not (0 <= v <= latest):
         raise ValueError(f"version {v} not in [0, {latest}]")
-    pby = LH.table_partition_by(path)
-    scols = LH.table_stats_cols(path)
-    bloom = LH.table_bloom_meta(path)
-    bcols = list(bloom["cols"]) if bloom else []
-    schema = _manifest_schema(pby, scols, bcols)
     meta = manifest_meta(path)
 
     if meta is not None and meta["version"] == v:
         return {**meta, "mode": "noop"}
 
     mode = "full"
+    delta: list = []
     if meta is not None and meta["version"] < v:
         delta = _delta_entries(path, meta["version"], v)
         if delta and not any(_resets_state(e) for _dv, e in delta):
             mode = "incremental"
+
+    if mode == "incremental":
+        # specs from the meta cache: partition/stats/bloom specs are
+        # fixed at init, and the entries that could re-emit them
+        # (checkpoint, RESTORE) reset state and force the full branch
+        # — so no log walk here. Legacy metas missing a key fall back
+        # once and self-heal (the new meta records it).
+        pby, scols = _meta_specs(path, meta)
+        bloom = meta["bloom"] if "bloom" in meta else LH.table_bloom_meta(path)
+        bcols = list(bloom["cols"]) if bloom else []
         # defensive: every non-reset commit pairs its blooms with its
         # adds (_entry_stats_blooms contract); an entry re-blooming a
         # file it didn't add would need an UPDATE of an existing
         # manifest row — fall back to the full rebuild rather than
         # fold unsoundly (a stale bitmap could prune a file that now
         # contains the value)
-        if mode == "incremental" and bcols and any(
+        if bcols and any(
             set(e.get("blooms", {})) - set(e.get("add", []))
             for _dv, e in delta
         ):
@@ -335,12 +346,15 @@ def refresh_manifest(spark: SparkSession, path: str,
 
     out_dir = os.path.join(_mf_root(path), f"m{v}-{uuid.uuid4().hex[:8]}")
     if mode == "full":
-        files, dvs = LH._state_at_version(path, v)
-        stats = LH.file_stats_at(path, v) if scols else {}
-        blooms = LH.file_blooms_at(path, v) if bcols else {}
-        _write_manifest_distributed(spark, out_dir, files, stats, dvs,
-                                    pby, scols, schema, bcols, blooms)
+        st = LH._replay_all(path, v)
+        pby, scols, bloom = st["pby"], st["scols"], st["bloom"]
+        bcols = list(bloom["cols"]) if bloom else []
+        schema = _manifest_schema(pby, scols, bcols)
+        _write_manifest_distributed(spark, out_dir, st["files"],
+                                    st["stats"], st["dvs"],
+                                    pby, scols, schema, bcols, st["blooms"])
     else:
+        schema = _manifest_schema(pby, scols, bcols)
         cur = spark.read.schema(schema).parquet(meta["dir"])
         # Sequential fold — add/remove are applied per entry IN ORDER
         # so the result is provably equivalent to log replay: a path
@@ -408,11 +422,13 @@ def refresh_manifest(spark: SparkSession, path: str,
     # them via _schema_actions_at would re-parse the whole log per
     # fold, defeating the O(files-changed) contract (schema-pinning
     # entries force a full rebuild via _resets_state).
-    if mode == "incremental" and "acts" in meta:
+    if mode == "full":
+        acts, logical = st["acts"], st["logical_cols"]
+    elif "acts" in meta:
         acts, logical = meta["acts"], meta.get("logical_cols")
         for _dv, entry in delta:
             acts, logical = _fold_schema_meta(acts, logical, entry)
-    else:
+    else:  # legacy meta without cached acts: one replay, self-heals
         acts = LH._schema_actions_at(path, v)
         logical = LH._logical_cols_at(path, v)
     new_meta = {

@@ -2143,6 +2143,61 @@ def test_lakehouse_vacuum_spares_inflight_writer_files(spark, sf_dir, tmp_path):
     assert got.count() == o.count() + 5
 
 
+def test_lakehouse_occ_concurrent_writers_no_lost_updates(spark, tmp_path):
+    """VERDICT r7 #8: REAL multi-writer contention under OCC — N
+    threads race merge_with_retry against one table through the same
+    SparkSession (concurrent job submission is supported); every
+    writer's declarative change must land exactly once (no lost
+    updates), the log must be a gap-free linearization (exactly one
+    commit per version), and every intermediate version must read
+    back as a consistent snapshot — the committed prefix's row count,
+    never a torn state."""
+    import threading
+
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_occ_mw")
+    LH.table_init(spark.createDataFrame(
+        [(k, 0.0) for k in range(20)], "k long, v double"),
+        path, "k", n_files=2)
+
+    n_writers, n_ops = 3, 4
+    errors: list = []
+
+    def writer(w: int) -> None:
+        try:
+            for i in range(n_ops):
+                rel = spark.createDataFrame(
+                    [(1000 + 100 * w + i, float(w))], "k long, v double")
+                LH.merge_with_retry(spark, path, "k", inserts=rel,
+                                    txn=(f"w{w}", i), max_retries=50)
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append((w, repr(e)))
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    v = LH.current_version(path)
+    # gap-free linearization: one version per committed merge
+    assert v == n_writers * n_ops
+    got = {r.k for r in LH.read_version(spark, path, v).collect()}
+    want = set(range(20)) | {1000 + 100 * w + i
+                             for w in range(n_writers) for i in range(n_ops)}
+    assert got == want, "a concurrent writer's commit was lost"
+    # snapshot isolation at every version: each commit inserted
+    # exactly one row, so version x reads exactly 20 + x rows
+    counts = [LH.read_version(spark, path, x).count() for x in range(v + 1)]
+    assert counts == [20 + x for x in range(v + 1)]
+    # the idempotent-txn ledger recorded every writer's last seq
+    txns = LH.table_txns(path, v)
+    assert {txns[f"w{w}"] for w in range(n_writers)} == {n_ops - 1}
+
+
 def test_lakehouse_merge_with_retry_forwards_merge_schema(spark, sf_dir, tmp_path):
     """ADVICE r4: merge_with_retry must forward merge_schema so a
     schema-evolving merge can use the OCC retry path."""
