@@ -48,8 +48,17 @@ HEADLINE = [
     "text_winnowing_fingerprints",
     "tfidf_top_terms",
     "corpus_split_assign",
-    # streaming
+    # streaming — one row per state-shape family (VERDICT r7 #8a: the
+    # streaming family needs a perf signal like batch): windowed agg,
+    # sliding windows, watermark dedup, stream-stream join, and the
+    # transformWithState custom operator. Each runs availableNow over
+    # the SF's events table through a memory sink, so the timing is
+    # the micro-batch engine's replay cost at the benched SF.
     "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_dedup_counts",
+    "stream_stream_join",
+    "stream_transform_with_state",
     # heaviest non-headline plans (VERDICT r2 #5): iterative graph /
     # linear-algebra, multi-method agreement, hybrid retrieval — the
     # new cost frontier per PLANS.md; timed so regressions are visible

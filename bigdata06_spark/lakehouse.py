@@ -808,6 +808,12 @@ def _replay_all(path: str, version: int) -> dict:
     stats: dict = {}
     blooms: dict = {}
     pby = scols = bloom = None
+    gen: dict | None = None
+    ident: dict | None = None
+    zmeta: dict | None = None
+    txns: dict = {}
+    copies: set = set()
+    cons: dict = {}
     acts: list[dict] = []
     base: list[str] | None = None
     for v in range(version + 1):
@@ -824,8 +830,30 @@ def _replay_all(path: str, version: int) -> dict:
             scols = list(entry["stats_cols"])
         if bloom is None and "bloom" in entry:
             bloom = dict(entry["bloom"])
+        if gen is None and "generated" in entry:
+            gen = dict(entry["generated"])
+        if "identity" in entry:  # last-wins (table_identity)
+            ident = dict(entry["identity"])
+        if "zorder" in entry:  # last-wins (table_zorder_meta)
+            zmeta = dict(entry["zorder"])
         if "schema_cols" in entry:  # last-wins (_base_schema_cols)
             base = list(entry["schema_cols"])
+        # idempotent-txn ledger, COPY INTO ledger, CHECK constraints —
+        # table_txns / table_copy_sources / table_constraints
+        if entry.get("checkpoint"):
+            for a, n in entry.get("txns", {}).items():
+                txns[a] = max(txns.get(a, -1), int(n))
+            cons = dict(entry.get("constraints", {}))
+        t = entry.get("txn")
+        if t:
+            txns[t["app"]] = max(txns.get(t["app"], -1), int(t["version"]))
+        copies.update(entry.get("copy_sources", []))
+        ca = entry.get("constraint_add")
+        if ca:
+            cons[ca["name"]] = ca["expr"]
+        cd = entry.get("constraint_drop")
+        if cd:
+            cons.pop(cd, None)
         # schema actions — same per-entry rules as _schema_actions_at
         if "schema_actions_set" in entry:
             acts = [dict(a) for a in entry["schema_actions_set"]]
@@ -871,26 +899,28 @@ def _replay_all(path: str, version: int) -> dict:
                         dvs.setdefault(f, []).extend(da["dv"])
             if "dvs_set" in entry:
                 dvs = {f: list(lst) for f, lst in entry["dvs_set"].items()}
-    # spec keys can live in an entry AFTER `version` on a behind-
-    # version rebuild — mirror the latest-scoped lookups' contract by
-    # scanning ONLY the remaining entries (≤version was covered above;
-    # for the steady case version == latest this loop is empty, so a
-    # spec-less table pays no extra parse)
-    if pby is None or scols is None or bloom is None:
-        for v in range(version + 1, latest + 1):
-            lp = os.path.join(_log_dir(path), f"{v}.json")
-            if not os.path.exists(lp):
-                continue
-            with open(lp) as fh:
-                entry = json.load(fh)
-            if pby is None and "partition_by" in entry:
-                pby = list(entry["partition_by"])
-            if scols is None and "stats_cols" in entry:
-                scols = list(entry["stats_cols"])
-            if bloom is None and "bloom" in entry:
-                bloom = dict(entry["bloom"])
-            if pby is not None and scols is not None and bloom is not None:
-                break
+    # latest-scoped lookups see entries AFTER `version` too (a behind-
+    # version replay): continue folding the spec keys (first-wins) and
+    # identity/zorder (last-wins) over the remaining window — empty in
+    # the steady case version == latest, so no extra parse there
+    for v in range(version + 1, latest + 1):
+        lp = os.path.join(_log_dir(path), f"{v}.json")
+        if not os.path.exists(lp):
+            continue
+        with open(lp) as fh:
+            entry = json.load(fh)
+        if pby is None and "partition_by" in entry:
+            pby = list(entry["partition_by"])
+        if scols is None and "stats_cols" in entry:
+            scols = list(entry["stats_cols"])
+        if bloom is None and "bloom" in entry:
+            bloom = dict(entry["bloom"])
+        if gen is None and "generated" in entry:
+            gen = dict(entry["generated"])
+        if "identity" in entry:
+            ident = dict(entry["identity"])
+        if "zorder" in entry:
+            zmeta = dict(entry["zorder"])
     pby = pby or []
     scols = scols or []
     logical = None
@@ -909,7 +939,9 @@ def _replay_all(path: str, version: int) -> dict:
     return {
         "files": sorted(files), "dvs": dvs, "stats": stats,
         "blooms": blooms, "pby": pby, "scols": scols, "bloom": bloom,
-        "acts": acts, "logical_cols": logical,
+        "acts": acts, "logical_cols": logical, "base_cols": base,
+        "generated": gen or {}, "identity": ident, "zorder": zmeta,
+        "txns": txns, "copy_sources": copies, "constraints": cons,
     }
 
 
@@ -3113,21 +3145,25 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     v = latest if at_version is None else at_version
     if not (0 <= v <= latest):
         raise ValueError(f"version {v} not in [0, {latest}]")
-    files, dvs = _state_at_version(path, v)
-    acts = _schema_actions_at(path, v)
-    base_cols = _base_schema_cols(path, v)
-    # resolve table metadata BEFORE deleting the entries holding it
-    pby = table_partition_by(path)
-    scols_pre = table_stats_cols(path)
-    stats_pre = file_stats_at(path, v) if scols_pre else {}
-    bloom_pre = table_bloom_meta(path)
-    blooms_pre = file_blooms_at(path, v) if bloom_pre else {}
-    gen_pre = table_generated_cols(path)
-    ident_pre = table_identity(path)
-    txns_pre = table_txns(path, v)
-    copies_pre = table_copy_sources(path, v)
-    cons_pre = table_constraints(path, v)
-    zmeta_pre = table_zorder_meta(path)
+    # resolve ALL table metadata BEFORE deleting the entries holding
+    # it — in ONE log parse (_replay_all; this previously composed 14
+    # per-artifact replays, each a full JSON decode of the log — the
+    # dominant cost of squashing a large table's history)
+    st = _replay_all(path, v)
+    files, dvs = st["files"], st["dvs"]
+    acts = st["acts"]
+    base_cols = st["base_cols"]
+    pby = st["pby"]
+    scols_pre = st["scols"]
+    stats_pre = st["stats"] if scols_pre else {}
+    bloom_pre = st["bloom"]
+    blooms_pre = st["blooms"] if bloom_pre else {}
+    gen_pre = st["generated"]
+    ident_pre = st["identity"]
+    txns_pre = st["txns"]
+    copies_pre = st["copy_sources"]
+    cons_pre = st["constraints"]
+    zmeta_pre = st["zorder"]
     for old in range(v):
         old_p = os.path.join(_log_dir(path), f"{old}.json")
         if os.path.exists(old_p):

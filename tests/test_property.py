@@ -474,7 +474,16 @@ def test_replay_all_equals_composed_replays(spark, tmp_path_factory, ops):
         assert st_["acts"] == LH._schema_actions_at(path, v), f"acts v{v}"
         assert st_["logical_cols"] == LH._logical_cols_at(path, v), \
             f"logical v{v}"
-    # latest-scoped spec lookups compare at the tip
+        assert st_["base_cols"] == LH._base_schema_cols(path, v), f"base v{v}"
+        assert st_["txns"] == LH.table_txns(path, v), f"txns v{v}"
+        assert st_["copy_sources"] == LH.table_copy_sources(path, v), \
+            f"copies v{v}"
+        assert st_["constraints"] == LH.table_constraints(path, v), \
+            f"constraints v{v}"
+    # latest-scoped lookups compare at the tip (checkpoint_log's view)
     assert st_["pby"] == LH.table_partition_by(path)
     assert st_["scols"] == LH.table_stats_cols(path)
     assert st_["bloom"] == LH.table_bloom_meta(path)
+    assert st_["generated"] == LH.table_generated_cols(path)
+    assert st_["identity"] == LH.table_identity(path)
+    assert st_["zorder"] == LH.table_zorder_meta(path)
