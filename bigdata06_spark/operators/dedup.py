@@ -239,6 +239,60 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return _verify_candidates(cands, sets_, id_col, threshold)
 
 
+def minhash_lsh_probe(docs: DataFrame, is_query, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.5,
+                      num_hashes: int = NUM_MINHASH,
+                      bands: int = MINHASH_BANDS) -> DataFrame:
+    """ONLINE near-duplicate probe — the SERVING side of MinHash-LSH:
+    for each QUERY doc (rows where `is_query` is true), find every
+    corpus doc within Jaccard ≥ threshold. The dedup join answers
+    "which pairs exist"; this answers "what already matches THIS new
+    document" — the dedup-at-ingest / plagiarism-lookup shape.
+
+    Scale shape: the query side is tiny by definition, so its band
+    buckets (Q × bands rows) BROADCAST to the corpus bucket relation —
+    the corpus is scanned once and never self-joins; candidates are
+    bounded by the queries' bucket collisions, and the exact-Jaccard
+    verification touches only (query, candidate) pairs. In steady-state
+    serving the corpus signatures/buckets are a prebuilt incremental
+    index (the `incremental_dedup` state), so per-probe cost is
+    O(Q·bands + candidates) with zero corpus work; here they are
+    derived in-plan so the operator is self-contained under the
+    oracle. Same banding recall guarantee as `minhash_lsh_pairs`
+    (identical signature family and band geometry)."""
+    r = num_hashes // bands
+    idx = shingle_index(docs, id_col, text_col, n)
+    sig = idx.groupBy(id_col).agg(*_minhash_aggs(num_hashes))
+    sets_ = idx.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    buckets = sig.select(
+        F.col(id_col), F.explode(_band_structs(bands, r)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    qids = docs.filter(is_query).select(id_col)
+    qb = buckets.join(F.broadcast(qids), id_col).select(
+        F.col(id_col).alias("doc_q"), "band", "bh")
+    cands = (
+        buckets.select(F.col(id_col).alias("doc_c"), "band", "bh")
+        .join(F.broadcast(qb), ["band", "bh"])
+        .filter(F.col("doc_q") != F.col("doc_c"))
+        .select("doc_q", "doc_c")
+        .distinct()
+    )
+    a = sets_.select(F.col(id_col).alias("doc_q"),
+                     F.col("sh_set").alias("set_q"))
+    b = sets_.select(F.col(id_col).alias("doc_c"),
+                     F.col("sh_set").alias("set_c"))
+    inter = F.size(F.array_intersect(F.col("set_q"), F.col("set_c")))
+    union = F.size(F.col("set_q")) + F.size(F.col("set_c")) - inter
+    return (
+        cands.join(a, "doc_q")
+        .join(b, "doc_c")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_q", "doc_c", "jaccard")
+    )
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        bits: int = SIMHASH_BITS, n: int = 3) -> DataFrame:
     """SimHash: 64-bit signature from the sign of per-bit sums of

@@ -286,6 +286,78 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    st AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+    r AS (
+      SELECT floor(ln(CAST(row_number() OVER (ORDER BY cf DESC, term ASC)
+                           AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lx,
+             floor(ln(CAST(cf AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ly
+      FROM st
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(lx AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ly AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(lx * lx AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(lx * ly AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           {rnd_sql('-((n * sxy - sx * sy) / (n * sxx - sx * sx))', 6)}
+             AS zipf_exponent,
+           {rnd_sql('(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n', 6)}
+             AS log_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency)
+    on ln(rank) → the Zipf exponent s (natural text ≈ 1; a synthetic
+    or boilerplate-heavy corpus drifts far from it) and the
+    log-intercept — the corpus-statistics health check run before
+    tokenizer training (a degenerate exponent flags template spam the
+    dedup pass should have caught).
+
+    Scale shape: ONE corpus scan feeds the (term)-keyed count (map-side
+    combined); the rank window and the 5-sum OLS aggregate run on the
+    |vocab|-sized relation (Heaps' law: ≪ corpus). Determinism: each
+    log is 6dp-quantized per term BEFORE the decimal power sums
+    (order-independent exact addition), and the closed-form normal
+    equations are a shared 6dp-rounded expression tree — the
+    `orders_trend_ols` recipe applied to transcendental inputs."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(T.words(F.col("text"))).alias("term"))
+    st = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    r = st.withColumn("rn", F.row_number().over(w)).select(
+        rnd(F.log(F.col("rn").cast("double")), 6).alias("lx"),
+        rnd(F.log(F.col("cf").cast("double")), 6).alias("ly"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("lx").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,12)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,12)"))
+        .cast("double").alias("sxy"),
+    )
+    s.createOrReplaceTempView("_zipf_sums")
+    return spark.sql("""
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               floor(-((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6 + 0.5)
+                 / 1e6 AS zipf_exponent,
+               floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                     * 1e6 + 0.5) / 1e6 AS log_intercept
+        FROM _zipf_sums
+    """)
+
+
+@register(
     "corpus_split_assign",
     oracle="""
     SELECT doc_id,

@@ -137,6 +137,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.5)
 
 
+@register(
+    "dedup_lsh_probe",
+    oracle=f"""
+    WITH {_SHINGLES_CTE.replace(
+        "a.doc_id < b.doc_id", "a.doc_id <> b.doc_id AND a.doc_id < 100"
+    ).replace("doc_a", "doc_q").replace("doc_b", "doc_c")}
+    SELECT i.doc_q, i.doc_c,
+           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_q
+      JOIN sz sb ON sb.doc_id = i.doc_c
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+    """,
+)
+def dedup_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE near-dup probe — the serving side of MinHash-LSH: for
+    each query doc (doc_id < 100 here — "the ingest batch"; non-empty
+    matches at every SF) find every corpus doc with J ≥ 0.5. Query
+    band buckets broadcast (Q·bands rows), the corpus never
+    self-joins, exact verification touches only (query, candidate)
+    pairs — dedup-at-ingest in O(Q + candidates) against a prebuilt
+    index. Oracle is the exact query×corpus Jaccard. See
+    operators/dedup.py:minhash_lsh_probe."""
+    return D.minhash_lsh_probe(
+        load_table(spark, "documents", sf_dir),
+        is_query=F.col("doc_id") < 100, threshold=0.5)
+
+
 @register("dedup_simhash", oracle=_JACCARD_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit, 3-gram shingle features) near-dup join: 16-chunk
