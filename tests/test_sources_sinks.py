@@ -2198,6 +2198,52 @@ def test_lakehouse_occ_concurrent_writers_no_lost_updates(spark, tmp_path):
     assert {txns[f"w{w}"] for w in range(n_writers)} == {n_ops - 1}
 
 
+def test_lakehouse_occ_reader_snapshot_isolation(spark, tmp_path):
+    """Readers racing a committing writer always see a CONSISTENT
+    snapshot: a reader thread repeatedly resolves current_version and
+    reads it while a writer commits single-row inserts; every observed
+    row count must be exactly 20 + version (never a torn in-between
+    state), and the sequence is monotone (versions only advance)."""
+    import threading
+
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_occ_rd")
+    LH.table_init(spark.createDataFrame(
+        [(k, 0.0) for k in range(20)], "k long, v double"),
+        path, "k", n_files=2)
+
+    n_commits = 6
+    observed: list[tuple[int, int]] = []
+    errors: list = []
+    done = threading.Event()
+
+    def reader() -> None:
+        try:
+            while not done.is_set():
+                v = LH.current_version(path)
+                n = LH.read_version(spark, path, v).count()
+                observed.append((v, n))
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(n_commits):
+            LH.merge(spark, path, "k", inserts=spark.createDataFrame(
+                [(1000 + i, 1.0)], "k long, v double"))
+    finally:
+        done.set()
+        t.join()
+    assert not errors, errors
+    assert observed, "reader never completed a read"
+    for v, n in observed:
+        assert n == 20 + v, f"torn snapshot: version {v} read {n} rows"
+    versions = [v for v, _n in observed]
+    assert versions == sorted(versions), "version went backwards"
+
+
 def test_lakehouse_merge_with_retry_forwards_merge_schema(spark, sf_dir, tmp_path):
     """ADVICE r4: merge_with_retry must forward merge_schema so a
     schema-evolving merge can use the OCC retry path."""

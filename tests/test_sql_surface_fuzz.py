@@ -331,3 +331,18 @@ def test_create_register_only_partitioned_by_mismatch(spark, tmp_path):
                     "TBLPROPERTIES ('key' 'k') PARTITIONED BY (part) "
                     f"LOCATION '{path}'")
     assert LSQL.sql(spark, "SELECT * FROM fz_reg").count() == 2
+
+
+@settings(max_examples=150, deadline=None)
+@given(_VALUES)
+def test_optimize_clause_split_property(v):
+    """Property form of the r8 OPTIMIZE hardening: whatever
+    keyword-shaped payload a quoted WHERE value carries, the
+    depth-0 scan must find ZORDER BY / INCREMENTAL only OUTSIDE the
+    quotes."""
+    tail = f" t WHERE part = '{v}' ZORDER BY (k)"
+    z = _kw_at_depth0(tail, r"\bZORDER\s+BY\b")
+    assert z == [tail.rindex("ZORDER BY (k)")]
+    inc = _kw_at_depth0(f" t WHERE part = '{v} INCREMENTAL'",
+                        r"\bINCREMENTAL\b")
+    assert inc == []
