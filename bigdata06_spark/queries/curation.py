@@ -395,6 +395,55 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_safe_oracle() -> str:
+    from bigdata06_spark.queries.llm import _COMPONENTS_SQL
+
+    bucket = ("CAST(CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))"
+              " AS UBIGINT) % 1000 AS BIGINT)")
+    return f"""
+    WITH labeled AS ({_COMPONENTS_SQL})
+    SELECT doc_id, component,
+           {bucket} AS bucket,
+           CASE WHEN {bucket} < 800 THEN 'train'
+                WHEN {bucket} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    """
+
+
+@register("corpus_split_leakage_safe", oracle=_leakage_safe_oracle())
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: the split key is the
+    near-duplicate COMPONENT id (connected components over the exact
+    J ≥ 0.5 pair graph), not the doc id — so a document and its
+    near-duplicates always land in the SAME split. Hash-splitting raw
+    doc ids (corpus_split_assign) silently puts one copy of a dup pair
+    in train and the other in test, leaking training text into eval —
+    the contamination class Lee et al.'s dedup paper measures.
+    Deterministic like the plain split (pure function of the stable
+    component label, same md5-bucket recipe), so backfills and re-runs
+    agree with no coordination.
+
+    Scale shape: the component labeling is the dedup family's budget
+    (banded LSH pairs + O(log n)/O(diameter) label propagation on the
+    24-byte (id, label) relation); the split itself is a scan-stage
+    expression over that labeling — no extra shuffle beyond dedup
+    output the pipeline already computes."""
+    docs = load_table(spark, "documents", sf_dir)
+    comps = D.connected_components(D.jaccard_pairs(docs, threshold=0.5), docs)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 8),
+               16, 10).cast("long") % 1000
+    )
+    return comps.select(
+        "doc_id",
+        "component",
+        bucket.alias("bucket"),
+        F.when(bucket < 800, "train").when(bucket < 900, "val")
+        .otherwise("test").alias("split"),
+    )
+
+
 @register(
     "corpus_mixture_report",
     oracle="""
