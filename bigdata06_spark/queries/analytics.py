@@ -4116,6 +4116,121 @@ def dq_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_MOD = 1_000_000_007
+_CMS_WIDTH = 512
+_CMS_DEPTH = 4
+
+
+def _cms_consts(depth: int = _CMS_DEPTH) -> list[tuple[int, int]]:
+    """Per-row mixer constants for the count-min sketch, from a FIXED
+    LCG so the Spark expressions and the generated DuckDB oracle embed
+    identical literals (the portable-hash recipe of
+    operators/dedup.py:_poly_bit_consts). a < 9·10⁸ keeps
+    (key mod p)·a < 2⁶⁰ — BIGINT-safe on both engines."""
+    out, x = [], 987654321
+    for _ in range(depth):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = (x % 899_999_999) + 1
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % _CMS_MOD
+        out.append((a, b))
+    return out
+
+
+def _cms_oracle() -> str:
+    rows = ",\n      ".join(
+        f"(((user_id % {_CMS_MOD}) * {a} + {b}) % {_CMS_MOD}) % {_CMS_WIDTH}"
+        for (a, b) in _cms_consts()
+    )
+    cell_sel = " UNION ALL ".join(
+        f"SELECT {d} AS d, (((user_id % {_CMS_MOD}) * {a} + {b})"
+        f" % {_CMS_MOD}) % {_CMS_WIDTH} AS bkt FROM events"
+        for d, (a, b) in enumerate(_cms_consts())
+    )
+    probe_sel = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, (((user_id % {_CMS_MOD}) * {a} + {b})"
+        f" % {_CMS_MOD}) % {_CMS_WIDTH} AS bkt FROM probes"
+        for d, (a, b) in enumerate(_cms_consts())
+    )
+    _ = rows
+    return f"""
+    WITH cells AS (
+      SELECT d, bkt, count(*) AS cnt FROM ({cell_sel}) GROUP BY d, bkt
+    ),
+    probes AS (
+      SELECT user_id, count(*) AS exact FROM events
+      WHERE user_id % 13 = 0 GROUP BY user_id
+    ),
+    pb AS ({probe_sel}),
+    est AS (
+      SELECT pb.user_id, min(c.cnt) AS est
+      FROM pb JOIN cells c ON c.d = pb.d AND c.bkt = pb.bkt
+      GROUP BY pb.user_id
+    )
+    SELECT p.user_id, CAST(e.est AS BIGINT) AS est,
+           CAST(p.exact AS BIGINT) AS exact,
+           CAST(e.est - p.exact AS BIGINT) AS overestimate
+    FROM probes p JOIN est e ON e.user_id = p.user_id
+    """
+
+
+@register("agg_count_min_sketch", oracle=_cms_oracle())
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH point-frequency estimation over the events
+    stream: a depth-4 × width-512 counter grid (one integer-hash
+    bucket per row per depth), probed for every user in a fixed
+    sample — estimate = min over depths, always ≥ the exact count
+    (one-sided error ≤ e·N/width with prob 1−e^−depth). Completes the
+    mergeable-sketch family (HLL distinct, KMV set ops, freq-items,
+    bitmap): CMS cells ADD across partitions, days, and streams, so a
+    100 TB ingest keeps 2048 integers per shard and merges by cell
+    sum — the heavy-hitter / rate-limiter primitive.
+
+    Scale shape: ONE events scan → 4-way explode → groupBy over at
+    most depth×width = 2048 cells (map-side combine collapses each
+    partition to ≤2048 rows before the shuffle); the probe lookup
+    broadcasts the 2048-cell grid. Portable integer hashing (fixed
+    LCG literals, BIGINT-safe) makes every cell bit-identical in
+    DuckDB — the estimate column is exact-compared, not bounded."""
+    e = load_table(spark, "events", sf_dir)
+    consts = _cms_consts()
+
+    def bkt(col, a: int, b: int):
+        return (((col % _CMS_MOD) * a + b) % _CMS_MOD) % _CMS_WIDTH
+
+    cells = (
+        e.select(F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     bkt(F.col("user_id"), a, b).alias("bkt"))
+            for d, (a, b) in enumerate(consts)
+        ])).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bkt").alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        e.filter(F.col("user_id") % 13 == 0)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    )
+    pb = probes.select("user_id", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 bkt(F.col("user_id"), a, b).alias("bkt"))
+        for d, (a, b) in enumerate(consts)
+    ])).alias("c")).select("user_id", "c.d", "c.bkt")
+    est = (
+        pb.join(F.broadcast(cells), ["d", "bkt"])
+        .groupBy("user_id").agg(F.min("cnt").alias("est"))
+    )
+    return (
+        probes.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("est").cast("long").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+            (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
+        )
+    )
+
+
 @register(
     "agg_kmv_sketch_setops",
     oracle="""
