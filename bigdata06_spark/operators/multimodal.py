@@ -385,6 +385,46 @@ def phash_media(with_payloads: DataFrame) -> DataFrame:
     return with_payloads.mapInPandas(phash_batch, schema=PHASH_SCHEMA)
 
 
+def phash_probe(hashed_corpus: DataFrame, hashed_queries: DataFrame,
+                max_hamming: int = 3, n_bands: int = 4,
+                band_bits: int = 14) -> DataFrame:
+    """ONLINE image near-dup probe — the serving side of
+    `phash_near_dup_pairs`: for each query image hash, find every
+    corpus image within `max_hamming`. Same 4×14-bit banding, so the
+    lookup is pigeonhole-COMPLETE for hamming ≤ n_bands−1; the query
+    band table (Q × n_bands rows) BROADCASTS and the corpus bucket
+    relation scans once — dedup-at-ingest for images in O(Q +
+    collisions), never a corpus self-join. Output (doc_q, doc_c,
+    hamming)."""
+    mask = (1 << band_bits) - 1
+
+    def _bands(df: DataFrame, out_id: str, out_h: str) -> DataFrame:
+        arr = F.array(*[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.shiftright(F.col("phash"), band_bits * t)
+                .bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for t in range(n_bands)
+        ])
+        return df.select(
+            F.col("doc_id").alias(out_id), F.col("phash").alias(out_h),
+            F.inline(arr))
+
+    corpus = _bands(hashed_corpus, "doc_c", "hc")
+    queries = _bands(hashed_queries, "doc_q", "hq")
+    return (
+        corpus.join(F.broadcast(queries), ["band", "bv"])
+        .select("doc_q", "doc_c", "hq", "hc")
+        .dropDuplicates(["doc_q", "doc_c"])
+        .withColumn("hamming",
+                    F.bit_count(F.col("hq").bitwiseXOR(F.col("hc")))
+                    .cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_q", "doc_c", "hamming")
+    )
+
+
 def phash_near_dup_pairs(hashed: DataFrame, max_hamming: int = 3,
                          n_bands: int = 4, band_bits: int = 14) -> DataFrame:
     """Near-duplicate image pairs by banded hamming join: the 56-bit

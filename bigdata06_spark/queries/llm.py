@@ -2371,6 +2371,63 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_probe",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    qsrc AS (
+      SELECT doc_id + 1000000 AS doc_id, 'Z' || substr(text, 2) AS text
+      FROM base
+    ),
+    allimg AS (
+      SELECT doc_id, text, 0 AS isq FROM base
+      UNION ALL SELECT doc_id, text, 1 AS isq FROM qsrc
+    ),
+    img AS (SELECT doc_id, isq, text, octet_length(encode(text)) AS n
+            FROM allimg),
+    pv AS (
+      SELECT doc_id, isq,
+             [ascii(substr(text, 1 + (j * (n - 1)) // 62, 1)) for j in range(0, 63)] AS v
+      FROM img
+    ),
+    ph AS (
+      SELECT doc_id, isq,
+             CAST(list_sum(
+               [CASE WHEN v[(k // 8) * 9 + (k % 8) + 2] > v[(k // 8) * 9 + (k % 8) + 1]
+                     THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END
+                for k in range(0, 56)]) AS BIGINT) AS phash
+      FROM pv
+    )
+    SELECT q.doc_id AS doc_q, c.doc_id AS doc_c,
+           CAST(bit_count(xor(q.phash, c.phash)) AS BIGINT) AS hamming
+    FROM ph q JOIN ph c ON q.isq = 1 AND c.isq = 0
+    WHERE bit_count(xor(q.phash, c.phash)) <= 3
+    """,
+)
+def multimodal_phash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE image near-dup probe — the multimodal counterpart of
+    `dedup_lsh_probe`: a fresh ingest batch of images (the
+    deterministic 1-byte variants) is probed against the indexed
+    corpus (the base image docs) for hamming ≤ 3 matches. Each variant
+    is guaranteed within hamming ≤ 1 of its base, so the probe is
+    non-vacuous at every SF; banding is pigeonhole-complete at the
+    threshold, so the broadcast-probe plan is value-hash-checked
+    against the all-pairs query×corpus oracle. Scale: query band
+    table broadcasts (Q·4 rows), corpus hashes scan once — per-ingest
+    cost O(Q + collisions) against a prebuilt hash index. See
+    operators/multimodal.py:phash_probe."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
+    variants = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    hc = M.phash_media(M.attach_binary_payload(docs.select("doc_id", "text")))
+    hq = M.phash_media(M.attach_binary_payload(variants))
+    return M.phash_probe(hc, hq, max_hamming=3)
+
+
+@register(
     "tfidf_top_terms",
     oracle="""
     WITH toks AS (
