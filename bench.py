@@ -133,11 +133,14 @@ HEADLINE = [
     "knn_bq_rerank",
     # DV purge: rewrite only deletion-vector files (warm reps no-op)
     "lakehouse_reorg_purge",
-    # r8: the online near-dup probe (broadcast query buckets, corpus
-    # scans once — the serving counterpart of dedup_minhash_lsh, timed
-    # beside it) and the vocabulary-sized Zipf OLS
+    # r8: the online near-dup probes (broadcast query buckets, corpus
+    # scans once — the serving counterparts of dedup_minhash_lsh /
+    # multimodal_phash_dedup, timed beside them), the vocabulary-sized
+    # Zipf OLS, and the 2048-cell count-min sketch
     "dedup_lsh_probe",
     "text_zipf_fit",
+    "agg_count_min_sketch",
+    "multimodal_phash_probe",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a
