@@ -588,3 +588,44 @@ def test_affinity_capped_degree_pass_no_window(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin LeftAnti", plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_probe_broadcasts_query_buckets(spark, sf_dir):
+    """r8 serving probes: the candidate-generation join must BROADCAST
+    the query side (Q·bands rows) against the corpus bucket relation —
+    never a corpus self-join or a shuffle keyed by the corpus. A
+    SortMergeJoin on (band, bh) would mean the tiny query table is
+    being treated as a full join side."""
+    plan = plan_of(SPECS["dedup_lsh_probe"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_phash_probe_broadcasts_query_bands(spark, sf_dir):
+    """Image probe: same serving contract — query band table
+    broadcasts, corpus hash relation scans once, no nested loop."""
+    plan = plan_of(SPECS["multimodal_phash_probe"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_count_min_sketch_partial_agg_and_broadcast_lookup(spark, sf_dir):
+    """CMS: the cell build must map-side combine (partial_count before
+    the exchange — each partition collapses to ≤ depth×width rows),
+    and the probe lookup must broadcast the 2048-cell grid."""
+    plan = plan_of(SPECS["agg_count_min_sketch"].fn(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zipf_fit_window_on_vocab_only(spark, sf_dir):
+    """Zipf OLS: the rank window and 5-sum aggregate run on the
+    vocab-sized relation — exactly one corpus scan feeds the plan
+    (one parquet scan of documents), and the final agg is a partial
+    (map-side) sum tree."""
+    plan = plan_of(SPECS["text_zipf_fit"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Scan parquet") == 1, plan
+    assert "partial_sum" in plan or "partial_count" in plan, plan
