@@ -97,7 +97,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "agg_approx_percentile", "scalar_math_funcs2",
         "dedup_lsh_probe", "text_zipf_fit",
         "corpus_split_leakage_safe", "agg_count_min_sketch",
-        "multimodal_phash_probe",
+        "multimodal_phash_probe", "stream_count_min_sketch",
         # ---- then the r1-r7-validated flagships, per family
         "multimodal_phash_dedup", "lakehouse_sql_merge_composite",
         "lakehouse_sql_partition_ops", "knn_matryoshka_recall",

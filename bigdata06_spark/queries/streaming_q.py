@@ -435,3 +435,64 @@ def stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("long").alias("first_id"),
         F.max("event_id").cast("long").alias("last_id"),
     )
+
+
+def _stream_cms_oracle() -> str:
+    from bigdata06_spark.queries.analytics import _cms_oracle
+
+    return _cms_oracle()
+
+
+@register("stream_count_min_sketch", oracle=_stream_cms_oracle())
+def stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the count-min sketch: the depth-4 ×
+    width-512 cell grid is a streaming groupBy over (depth, bucket) in
+    complete mode — the canonical sketch-as-streaming-state shape. The
+    state store holds ≤ 2048 counters REGARDLESS of stream length
+    (sketches bound state the way watermarks bound windows), and cells
+    ADD across micro-batches exactly as they add across partitions and
+    streams — the mergeability the batch twin (`agg_count_min_sketch`)
+    claims, exercised under the micro-batch engine. After the drain,
+    the probe set estimates from the materialized grid with the same
+    fixed-LCG portable hashing, so the SAME exact oracle gates both:
+    streaming/batch equivalence under the value hash."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.queries.analytics import (
+        _CMS_MOD,
+        _CMS_WIDTH,
+        _cms_consts,
+    )
+
+    consts = _cms_consts()
+
+    def bkt(col, a: int, b: int):
+        return (((col % _CMS_MOD) * a + b) % _CMS_MOD) % _CMS_WIDTH
+
+    cell_structs = [
+        F.struct(F.lit(d).alias("d"), bkt(F.col("user_id"), a, b).alias("bkt"))
+        for d, (a, b) in enumerate(consts)
+    ]
+    ev = SO.stream_events(spark, sf_dir)
+    grid = SO.run_to_table(
+        ev.select(F.explode(F.array(*cell_structs)).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bkt").alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        "complete",
+    )
+    probes = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") % 13 == 0)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    )
+    pb = probes.select("user_id", F.explode(F.array(*cell_structs)).alias("c")) \
+        .select("user_id", "c.d", "c.bkt")
+    est = (
+        pb.join(F.broadcast(grid), ["d", "bkt"])
+        .groupBy("user_id").agg(F.min("cnt").alias("est"))
+    )
+    return probes.join(est, "user_id").select(
+        "user_id",
+        F.col("est").cast("long").alias("est"),
+        F.col("exact").cast("long").alias("exact"),
+        (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
+    )
