@@ -141,6 +141,9 @@ HEADLINE = [
     "text_zipf_fit",
     "agg_count_min_sketch",
     "multimodal_phash_probe",
+    # sketch-as-streaming-state: the CMS grid maintained by the
+    # micro-batch engine (state bounded at 2048 cells)
+    "stream_count_min_sketch",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a
