@@ -144,6 +144,16 @@ HEADLINE = [
     # sketch-as-streaming-state: the CMS grid maintained by the
     # micro-batch engine (state bounded at 2048 cells)
     "stream_count_min_sketch",
+    # r8 second stint: runtime bloom semi-join reduction (scan-stage
+    # bit probes before the join), exact two-pass heavy hitters (MG
+    # candidate sketch + broadcast recount), and the one-pass
+    # 24-measure column profiler (multi-countDistinct expand)
+    "join_bloom_prune",
+    "agg_heavy_hitters",
+    "dq_profile_columns",
+    # greedy subword tokenizer: corpus scanned once, vocab-sized
+    # n-gram scoring + per-distinct-word Arrow segmentation
+    "text_wordpiece_tokenize",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a
@@ -162,6 +172,7 @@ FAMILIES = [
     ("multimodal", ("multimodal_",)),
     ("streaming", ("stream_",)),
     ("lakehouse", ("lakehouse_",)),
+    ("relational", ("join_", "dq_",)),
 ]
 
 

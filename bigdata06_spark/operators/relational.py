@@ -166,3 +166,107 @@ def banded_range_join(left: DataFrame, right: DataFrame, left_ts: str, right_ts:
         .filter((F.col(right_ts) >= lower) & (F.col(right_ts) <= F.col(left_ts)))
         .drop("_bkt", "_bkt0", "_probe")
     )
+
+
+def misra_gries_candidates(df: DataFrame, key: str, capacity: int) -> DataFrame:
+    """Pass 1 of exact distributed heavy hitters: per-partition
+    Misra-Gries summaries, O(capacity) memory per partition.
+
+    Emits one row per surviving counter key, plus a sentinel row
+    (key = -1) per partition carrying the partition's row count so the
+    caller can derive the global total without a second scan.
+
+    Soundness (any partitioning): within a partition of n_i rows, every
+    batched decrement round subtracts 1 from > capacity counters, so
+    total decrement rounds <= n_i/(capacity+1) and a key's undercount
+    is <= n_i/(capacity+1). Summed over partitions, any key with true
+    global count > N/(capacity+1) survives in at least one summary.
+    Hence with capacity >= 2/phi the candidate union is a SUPERSET of
+    every key with frequency >= phi*N — pass 2 recounts candidates
+    exactly, so the FINAL answer is deterministic and partitioning-
+    independent even though the candidate set itself is not.
+
+    Scale: the summary is <= (capacity+1) rows per partition regardless
+    of key cardinality — at 100 TB with billions of distinct keys the
+    shuffle carries partitions x capacity rows, not the key space.
+    """
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        n_rows = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            for k, c in pdf[key].value_counts().items():
+                ki = int(k)
+                counters[ki] = counters.get(ki, 0) + int(c)
+            if len(counters) > capacity:
+                # batched MG eviction: subtract the (capacity+1)-th
+                # largest counter from all, drop the non-positive
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {k: v - cut for k, v in counters.items() if v > cut}
+        keys = list(counters) + [-1]
+        counts = [counters[k] for k in counters] + [n_rows]
+        yield pd.DataFrame({key: keys, "mg_count": counts})
+
+    return df.select(key).mapInPandas(summarize, schema=f"{key} long, mg_count long")
+
+
+BLOOM_BITS_DEFAULT = 1 << 13  # 8192 bits = 128 BIGINT words
+BLOOM_SEEDS_DEFAULT = (2654435769, 2246822519, 3266489917)
+
+
+def bloom_probe_expr(
+    build: DataFrame,
+    build_key: str,
+    probe_key: str,
+    bits: int = BLOOM_BITS_DEFAULT,
+    seeds: Sequence[int] = BLOOM_SEEDS_DEFAULT,
+) -> Column:
+    """Runtime Bloom-filter predicate: build an m-bit / k-hash Bloom
+    filter over `build[build_key]` and return a Column testing
+    membership of `probe_key` — the explicit form of Spark's runtime
+    bloom join (semi-join reduction before the shuffle).
+
+    No false negatives by construction: every inserted key's bit
+    positions are set and the probe recomputes the same deterministic
+    xxhash64 positions, so filter-then-join == join. False positives
+    (prob ~ (1 - e^{-k·n/m})^k) survive the probe and are removed by
+    the exact join that follows.
+
+    Scale: the build is a groupBy onto <= bits/64 bitmap words — a
+    BOUNDED driver pull (128 rows at the default size) independent of
+    build cardinality; the probe is k hashes + k bit tests per row,
+    whole-stage-codegen'd at scan stage, so fact rows that the join
+    would drop never reach the exchange."""
+    if bits % 64:
+        raise ValueError(f"bits must be a multiple of 64, got {bits}")
+
+    def pos_sql(col: str, seed: int) -> str:
+        return f"pmod(xxhash64({col}, {seed}L), {bits}L)"
+
+    words = (
+        build.selectExpr(
+            "explode(array("
+            + ", ".join(pos_sql(build_key, s) for s in seeds)
+            + ")) AS pos"
+        )
+        .selectExpr(
+            "cast(pos div 64 AS int) AS w",
+            "shiftleft(1L, cast(pmod(pos, 64) AS int)) AS bit",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()  # bounded: <= bits/64 rows by construction
+    )
+    bitmap = [0] * (bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    arr = "array(" + ", ".join(f"{w}L" for w in bitmap) + ")"
+    probe = " AND ".join(
+        f"((shiftright(element_at({arr}, cast({pos_sql(probe_key, s)} div 64 AS int) + 1), "
+        f"cast(pmod({pos_sql(probe_key, s)}, 64) AS int)) & 1L) = 1L)"
+        for s in seeds
+    )
+    return F.expr(probe)

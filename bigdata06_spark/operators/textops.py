@@ -234,3 +234,50 @@ def bpe_train(docs, n_merges: int = 6, id_col: str = "doc_id",
         # a re-run of the merge loop per document
         return merges, V
     return merges
+
+
+def wordpiece_segment(words: "DataFrame", vocab: list[str], max_len: int,
+                      word_col: str = "w") -> "DataFrame":
+    """Greedy longest-match subword segmentation (WordPiece-inference
+    style) of a DISTINCT-word relation against a fixed subword vocab.
+
+    At each position try the longest candidate first (max_len down to
+    2); a position matching nothing falls back to its single character
+    (the implicit char-level vocab — nothing is ever unencodable).
+    Python slicing w[p:p+l] truncates at the word end exactly like
+    SQL substr, so the segmentation is cell-identical to the oracle's
+    recursive-CTE form.
+
+    Scale: segmentation runs over the VOCABULARY relation (distinct
+    words — Heaps'-law-bounded), never the corpus; tokenizing 100 TB
+    is this bounded pass plus a token-count join against word
+    frequencies. The vocab list broadcasts via closure capture (a few
+    KB); the pass is Arrow-batched mapInPandas, O(|word| · max_len)
+    per distinct word.
+    """
+    vocab_set = frozenset(vocab)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in words.schema.fields
+    ) + ", toks array<string>"
+
+    def seg(batches):
+        for pdf in batches:
+            toks_col = []
+            for w in pdf[word_col]:
+                p, toks = 0, []
+                n = len(w)
+                while p < n:
+                    for ln in range(max_len, 1, -1):
+                        if w[p:p + ln] in vocab_set:
+                            toks.append(w[p:p + ln])
+                            p += ln
+                            break
+                    else:
+                        toks.append(w[p])
+                        p += 1
+                toks_col.append(toks)
+            out = pdf.copy()
+            out["toks"] = toks_col
+            yield out
+
+    return words.mapInPandas(seg, schema=out_schema)

@@ -98,6 +98,9 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "dedup_lsh_probe", "text_zipf_fit",
         "corpus_split_leakage_safe", "agg_count_min_sketch",
         "multimodal_phash_probe", "stream_count_min_sketch",
+        "join_bloom_prune", "agg_heavy_hitters", "stats_chi_square",
+        "stats_mann_whitney", "dq_profile_columns",
+        "text_wordpiece_tokenize",
         # ---- then the r1-r7-validated flagships, per family
         "multimodal_phash_dedup", "lakehouse_sql_merge_composite",
         "lakehouse_sql_partition_ops", "knn_matryoshka_recall",

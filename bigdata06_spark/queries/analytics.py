@@ -4393,3 +4393,394 @@ def agg_kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_inter").cast("long"),
         )
     )
+
+
+# --------------------------------------------- round-8: runtime filters,
+# exact heavy hitters, nonparametric stats, one-pass profiling
+
+_BLOOM_BITS = 1 << 13  # 8192 bits = 128 BIGINT words
+_BLOOM_SEEDS = (2654435769, 2246822519, 3266489917)  # xxhash64 mix seeds
+
+
+@register(
+    "join_bloom_prune",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           {dsum_sql('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c
+      ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join reduction — the classic 100 TB
+    shuffle saver: build an 8192-bit / 3-hash Bloom filter over the
+    SELECTIVE dim keys (customers with c_acctbal > 9000, ~1% of rows),
+    broadcast it as 128 BIGINT literals, and prune the fact scan with
+    pure JVM bit arithmetic BEFORE any join machinery runs. Blooms
+    have no false negatives (every inserted key's bits are set, the
+    hashes are deterministic), so pruned-join == plain-join and the
+    oracle is the unfiltered SQL join; false positives are removed by
+    the exact broadcast join that follows.
+
+    Scale: the filter costs O(build) once (a groupBy onto <=128 bitmap
+    words — a bounded, documented driver pull), then every fact row is
+    3 hashes + 3 bit probes at scan stage, inside whole-stage codegen.
+    At 1000 executors this is what Spark's own runtime bloom join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects; here it
+    is explicit so the mechanism is testable and the fpp/bits/hashes
+    are first-class knobs. Fact rows that would shuffle only to be
+    dropped by the join never leave the scan."""
+    from bigdata06_spark.operators.relational import bloom_probe_expr
+
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    pruned = o.filter(
+        bloom_probe_expr(
+            rich, "c_custkey", "o_custkey", bits=_BLOOM_BITS, seeds=_BLOOM_SEEDS
+        )
+    )
+    return (
+        pruned.join(F.broadcast(rich), pruned.o_custkey == rich.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_HH_PHI = 0.0005  # heavy-hitter frequency threshold
+_HH_CAPACITY = 4096  # >= 2/phi: candidate recall is guaranteed
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT count(*) AS total FROM lineitem)
+    SELECT l_partkey, count(*) AS n_lines
+    FROM lineitem, t
+    GROUP BY l_partkey, t.total
+    HAVING count(*) >= ceil({_HH_PHI} * t.total)
+    ORDER BY n_lines DESC, l_partkey
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed heavy hitters (keys with frequency >= phi*N)
+    via the two-pass Misra-Gries pattern: pass 1 builds per-partition
+    MG summaries of capacity 2/phi (bounded memory, any key cardinality
+    — see operators/relational.py:misra_gries_candidates for the
+    superset proof), pass 2 recounts ONLY the candidate keys with an
+    exact broadcast-semi-join + groupBy and applies the threshold.
+
+    The answer is deterministic and partitioning-independent — the
+    sketch can only widen the candidate set, never lose a true heavy
+    hitter, and the recount is exact — so the oracle is the plain
+    GROUP BY ... HAVING. At test SF the candidate set degenerates to
+    all keys (2000 parts < capacity 4096 — the honest consequence of a
+    production phi on toy cardinality); tests/test_operators_unit.py
+    exercises real eviction with a constructed Zipf stream.
+
+    Scale: pass 1 shuffles <= partitions x capacity candidate rows
+    instead of the key space (billions of keys -> thousands of rows);
+    pass 2's scan filters through a broadcast hash set, so non-
+    candidate keys never enter the aggregation hash map."""
+    from bigdata06_spark.operators.relational import misra_gries_candidates
+
+    li = load_table(spark, "lineitem", sf_dir)
+    summ = misra_gries_candidates(li, "l_partkey", _HH_CAPACITY)
+    cand = summ.filter(F.col("l_partkey") >= 0).select("l_partkey").distinct()
+    total = summ.filter(F.col("l_partkey") == -1).agg(
+        F.sum("mg_count").alias("total")
+    )
+    return (
+        li.join(F.broadcast(cand), "l_partkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_lines") >= F.ceil(F.lit(_HH_PHI) * F.col("total")))
+        .select("l_partkey", "n_lines")
+        .orderBy(F.desc("n_lines"), "l_partkey")
+    )
+
+
+@register(
+    "stats_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS tn,
+             CAST(count(DISTINCT r) AS BIGINT) AS nr,
+             CAST(count(DISTINCT c) AS BIGINT) AS nc
+      FROM cells
+    ),
+    rt AS (SELECT r, CAST(sum(n) AS DOUBLE) AS rn FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(sum(n) AS DOUBLE) AS cn FROM cells GROUP BY c),
+    terms AS (
+      SELECT tot.tn, tot.nr, tot.nc,
+             floor(pow(cells.n - rt.rn * ct.cn / tot.tn, 2)
+                   / (rt.rn * ct.cn / tot.tn) * 1e6 + 0.5) / 1e6 AS term
+      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+    )
+    SELECT CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE) AS chi2,
+           (nr - 1) * (nc - 1) AS dof,
+           floor(sqrt(CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)
+                      / (tn * least(nr - 1, nc - 1))) * 1e6 + 0.5) / 1e6
+             AS cramers_v,
+           CAST(tn AS BIGINT) AS n
+    FROM terms GROUP BY tn, nr, nc
+    """,
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categoricals
+    (order priority x order status) plus Cramer's V effect size — the
+    categorical counterpart to the Welch t-test query. All inputs to
+    the statistic are exact integer margins, so expected counts are
+    deterministic double arithmetic; each cell term is 6dp-quantized
+    and decimal-summed (the qutil discipline) so the reduction order
+    can't flip a bit cross-engine.
+
+    Scale: one map-side-combined groupBy over r x c cells (15 here;
+    bounded by the categorical product generally), then margins and
+    the statistic are computed on the CELL table — data volume touches
+    only the first aggregate."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    o = load_table(spark, "orders", sf_dir)
+    cells = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("double").alias("tn"),
+        F.countDistinct("r").cast("long").alias("nr"),
+        F.countDistinct("c").cast("long").alias("nc"),
+    )
+    rt = cells.groupBy("r").agg(F.sum("n").cast("double").alias("rn"))
+    ct = cells.groupBy("c").agg(F.sum("n").cast("double").alias("cn"))
+    exp = F.col("rn") * F.col("cn") / F.col("tn")
+    terms = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tn", "nr", "nc",
+            rnd(F.pow(F.col("n") - exp, F.lit(2)) / exp, 6).alias("term"),
+        )
+    )
+    chi2 = F.sum(F.col("term").cast("decimal(25,6)")).cast("double")
+    return (
+        terms.groupBy("tn", "nr", "nc")
+        .agg(chi2.alias("chi2"))
+        .select(
+            "chi2",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+            rnd(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("tn") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+            F.col("tn").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "stats_mann_whitney",
+    oracle="""
+    WITH vals AS (
+      SELECT o_totalprice AS x,
+             count(*) AS t,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t1
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_totalprice
+    ),
+    ranked AS (
+      SELECT x, t, t1,
+             coalesce(sum(t) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM vals
+    ),
+    s AS (
+      SELECT CAST(sum(t1) AS DOUBLE) AS n1,
+             CAST(sum(t - t1) AS DOUBLE) AS n2,
+             CAST(sum(CAST(t1 * (below + (t + 1) / 2.0) AS DECIMAL(25,6)))
+                  AS DOUBLE) AS r1,
+             CAST(sum(t * t * t - t) AS DOUBLE) AS ties
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+           r1 - n1 * (n1 + 1) / 2.0 AS u_stat,
+           floor((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                        - ties / ((n1 + n2) * (n1 + n2 - 1.0)))) * 1e6 + 0.5)
+             / 1e6 AS z_stat,
+           abs((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                      - ties / ((n1 + n2) * (n1 + n2 - 1.0))))) > 1.96
+             AS significant
+    FROM s
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (finished 'F' vs open 'O' order
+    totals) — the nonparametric sibling of the Welch query: no
+    normality assumption, driven entirely by ranks. Ranks are NOT
+    computed row-at-a-time: values collapse to a per-value table first
+    (groupBy x -> tie size t, group-1 share t1), average ranks come
+    from a running sum over that aggregate, and the rank-sum R1 is a
+    decimal-exact sum of t1 * avgrank terms (avg ranks live on the 0.5
+    grid, so DECIMAL(25,6) is exact). Tie-corrected normal z.
+
+    Scale: the window runs over DISTINCT values, not rows — for
+    continuous measures the scale path is pre-binning to a fixed
+    quantile grid (feature_quantile_bins) before ranking, which caps
+    the window input regardless of N."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    o = load_table(spark, "orders", sf_dir)
+    vals = (
+        o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy(F.col("o_totalprice").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("t1"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "t", "t1", F.coalesce(F.sum("t").over(w), F.lit(0)).alias("below")
+    )
+    s = ranked.agg(
+        F.sum("t1").cast("double").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("double").alias("n2"),
+        F.sum(
+            (F.col("t1") * (F.col("below") + (F.col("t") + 1) / 2.0)).cast(
+                "decimal(25,6)"
+            )
+        )
+        .cast("double")
+        .alias("r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("ties"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    nn = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2") / 12.0
+        * ((nn + 1) - F.col("ties") / (nn * (nn - 1.0)))
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n_f"),
+        F.col("n2").cast("long").alias("n_o"),
+        u1.alias("u_stat"),
+        rnd((u1 - mu) / sigma, 6).alias("z_stat"),
+        (F.abs((u1 - mu) / sigma) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "dq_profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           printf('%.2f', min(o_totalprice)), printf('%.2f', max(o_totalprice))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS column profiler — the dq family's discovery tool: for
+    every column of a table, null count, exact distinct count, and
+    min/max rendered with type-pinned formatting (%.2f for the
+    2-decimal money grid, yyyy-MM-dd HH:mm:ss for timestamps, plain
+    casts for integers/strings — each chosen so Spark's and DuckDB's
+    string renderings are bit-identical; a bare double->string cast is
+    NOT, the two engines disagree on scientific-notation cutoffs).
+
+    Scale: a single aggregate computes all 24 measures in one scan
+    (the multi-count-distinct plans via Catalyst's expand — one pass,
+    6x row expansion, map-side partial aggregation), then stack()
+    pivots the 1x24 row to the 6x5 profile — no per-column re-scans,
+    which is the difference between profiling a 100 TB table once and
+    six times."""
+    o = load_table(spark, "orders", sf_dir)
+    aggs = []
+    cols = [
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "money"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ]
+    for name, kind in cols:
+        c = F.col(name)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"nn_{name}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{name}"))
+        if kind == "money":
+            mn = F.format_string("%.2f", F.min(c))
+            mx = F.format_string("%.2f", F.max(c))
+        elif kind == "ts":
+            mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        aggs.append(mn.alias(f"mn_{name}"))
+        aggs.append(mx.alias(f"mx_{name}"))
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
+        for name, _ in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_str, max_str)"
+    ).orderBy("col_name")

@@ -3741,3 +3741,101 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("long").alias("n_pred_pos"),
         )
     )
+
+
+# ------------------------------------------------- wordpiece tokenizer
+
+_WP_NGRAM_MAX = 6  # longest subword candidate
+_WP_VOCAB_K = 120  # learned subword vocab size (single chars implicit)
+
+
+def _wordpiece_oracle() -> str:
+    cases = " ".join(
+        f"WHEN substr(w, pos + 1, {ln}) IN (SELECT g FROM vocab) THEN {ln}"
+        for ln in range(_WP_NGRAM_MAX, 1, -1)
+    )
+    return f"""
+    WITH RECURSIVE
+    wordfreq AS (
+      SELECT tok AS w, count(*) AS wf
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    grams AS (
+      SELECT substr(w.w, CAST(i.i AS INT), CAST(n.n AS INT)) AS g,
+             CAST(sum(w.wf) AS BIGINT) AS score
+      FROM wordfreq w
+      CROSS JOIN (SELECT unnest(range(2, {_WP_NGRAM_MAX + 1})) AS n) n
+      CROSS JOIN LATERAL (SELECT unnest(range(1,
+          CAST(length(w.w) AS BIGINT) - n.n + 2)) AS i) i
+      GROUP BY 1
+    ),
+    vocab AS (
+      SELECT g FROM grams ORDER BY score DESC, g LIMIT {_WP_VOCAB_K}
+    ),
+    seg AS (
+      SELECT w, wf, 0 AS pos, CAST(NULL AS VARCHAR) AS tok FROM wordfreq
+      UNION ALL
+      SELECT w, wf, pos + l AS pos, substr(w, pos + 1, l) AS tok
+      FROM (
+        SELECT w, wf, pos, CASE {cases} ELSE 1 END AS l
+        FROM seg WHERE pos < length(w)
+      )
+    )
+    SELECT tok, CAST(sum(wf) AS BIGINT) AS n_tokens
+    FROM seg WHERE tok IS NOT NULL
+    GROUP BY tok ORDER BY n_tokens DESC, tok
+    """
+
+
+@register("text_wordpiece_tokenize", oracle=_wordpiece_oracle())
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style subword tokenizer, trained and applied in one
+    plan: the subword vocab is the top-120 character n-grams
+    (2..6) by FREQUENCY-WEIGHTED occurrence over the corpus word
+    distribution; segmentation is greedy longest-match with a
+    single-character fallback (nothing is unencodable). Complements
+    the BPE pair (merge-LEARNING); this is the inference-style
+    tokenizer family's second member. The oracle replays the identical
+    greedy walk as a recursive CTE whose step picks the longest vocab
+    match via correlated membership tests — tokenizer parity proved in
+    pure SQL.
+
+    Scale: the corpus is touched ONCE (word-frequency groupBy, the
+    same Heaps'-bounded relation the BPE trainer uses); n-gram scoring
+    explodes the VOCABULARY (length-bounded arrays flattened JVM-side,
+    no UDF); the vocab is a bounded K-row pull; greedy segmentation
+    runs per DISTINCT word (Arrow-batched, closure-broadcast vocab
+    set); corpus token counts come from a wf-weighted sum — so 100 TB
+    of text costs one scan plus vocabulary-sized work."""
+    docs = load_table(spark, "documents", sf_dir)
+    wordfreq = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    grams = wordfreq.selectExpr(
+        "wf",
+        f"explode(flatten(transform(sequence(2, {_WP_NGRAM_MAX}), "
+        "n -> CASE WHEN length(w) >= n THEN "
+        "transform(sequence(1, length(w) - n + 1), i -> substring(w, i, n)) "
+        "ELSE cast(array() AS array<string>) END))) AS g",
+    )
+    vocab = [
+        r["g"]
+        for r in (
+            grams.groupBy("g")
+            .agg(F.sum("wf").alias("score"))
+            .orderBy(F.desc("score"), F.asc("g"))
+            .limit(_WP_VOCAB_K)
+            .collect()  # bounded: exactly K rows by construction
+        )
+    ]
+    segged = T.wordpiece_segment(wordfreq, vocab, _WP_NGRAM_MAX)
+    return (
+        segged.select(F.explode("toks").alias("tok"), "wf")
+        .groupBy("tok")
+        .agg(F.sum("wf").cast("long").alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), F.asc("tok"))
+    )

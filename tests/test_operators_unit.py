@@ -807,3 +807,109 @@ def test_mmr_greedy_properties(spark, sf_dir):
         assert rows[0].neighbor_id == top_rel[0].neighbor_id
         topk_ids = [r.neighbor_id for r in top_rel[:k]]
         assert mean_pair_sim(ids) <= mean_pair_sim(topk_ids) + 1e-9
+
+
+def test_misra_gries_evicts_and_never_loses_heavy_hitters(spark):
+    """Non-vacuity + soundness for the heavy-hitter pass-1 sketch: a
+    Zipf-ish stream whose key cardinality exceeds the MG capacity must
+    (a) actually evict — every per-partition summary stays <= capacity
+    counters — and (b) still surface every key with frequency >= phi*N
+    in the candidate union, for the phi the capacity was sized for."""
+    from bigdata06_spark.operators.relational import misra_gries_candidates
+
+    # 4 heavy keys (600 rows each) + 2000 singleton keys, N = 4400
+    rows = [(k,) for k in range(4) for _ in range(600)]
+    rows += [(1000 + i,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+
+    capacity = 20  # phi = 2/capacity = 0.1 -> heavy = freq >= 440
+    summ = misra_gries_candidates(df, "k", capacity)
+    per_part = (
+        summ.filter(F.col("k") >= 0)
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    assert per_part, "summaries must be non-empty"
+    assert all(r["count"] <= capacity + 1 for r in per_part), (
+        "MG must bound every partition summary by its capacity "
+        f"(got {[r['count'] for r in per_part]})"
+    )
+    candidates = {r["k"] for r in summ.filter(F.col("k") >= 0).collect()}
+    assert candidates < {r[0] for r in rows}, "eviction must drop some keys"
+    for heavy in range(4):
+        assert heavy in candidates, f"heavy key {heavy} lost by the sketch"
+    # sentinel rows carry the exact global row count
+    total = (
+        summ.filter(F.col("k") == -1)
+        .agg(F.sum("mg_count").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert total == len(rows)
+
+
+def test_bloom_prune_no_false_negatives_and_actually_prunes(spark, sf_dir):
+    """The bloom-pruned join must equal the unpruned join exactly (no
+    false negatives), and the bloom filter must be doing real work:
+    the pruned fact scan is strictly smaller than the full fact scan."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.queries import load_all_queries
+
+    specs = load_all_queries()
+    got = {
+        tuple(r)
+        for r in specs["join_bloom_prune"].fn(spark, sf_dir).collect()
+    }
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    want = {
+        tuple(r)
+        for r in (
+            o.join(rich, o.o_custkey == rich.c_custkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    # the bloom must do real work: the probe keeps every true-match
+    # row (no false negatives) while dropping most non-matching rows
+    from bigdata06_spark.operators.relational import bloom_probe_expr
+
+    pruned = o.filter(bloom_probe_expr(rich, "c_custkey", "o_custkey"))
+    n_all, n_pruned = o.count(), pruned.count()
+    n_match = o.join(rich, o.o_custkey == rich.c_custkey).count()
+    n_pruned_match = pruned.join(rich, pruned.o_custkey == rich.c_custkey).count()
+    assert n_pruned_match == n_match, "bloom dropped a true match"
+    assert n_pruned < n_all / 2, (
+        f"bloom pruned nothing: {n_pruned}/{n_all} rows survive"
+    )
+
+
+def test_wordpiece_greedy_longest_match_and_fallback(spark):
+    """Greedy segmentation: longest vocab match wins at every position
+    and unmatched positions fall back to single characters — pinned on
+    a constructed vocab where greedy and optimal differ."""
+    from bigdata06_spark.operators.textops import wordpiece_segment
+
+    words = spark.createDataFrame(
+        [("internal", 3), ("xyz", 1), ("inter", 2)], "w string, wf long"
+    )
+    # 'internal': greedy takes 'intern' (6) then 'al' — never the
+    # 'inter'+'nal' split an optimal tokenizer might prefer
+    vocab = ["intern", "inter", "nal", "al", "xy"]
+    got = {
+        r["w"]: list(r["toks"])
+        for r in wordpiece_segment(words, vocab, max_len=6).collect()
+    }
+    assert got["internal"] == ["intern", "al"]
+    assert got["inter"] == ["inter"]
+    assert got["xyz"] == ["xy", "z"]  # 'z' is the single-char fallback

@@ -629,3 +629,62 @@ def test_zipf_fit_window_on_vocab_only(spark, sf_dir):
     plan = plan_of(SPECS["text_zipf_fit"].fn(spark, sf_dir))
     assert count_plan_nodes(plan, "Scan parquet") == 1, plan
     assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_bloom_prune_filters_at_scan_before_join(spark, sf_dir):
+    """r8 runtime bloom join: the xxhash64 bit-probe predicate must be
+    a Filter ON THE FACT SCAN side — before the join, not after it —
+    and the exact join that removes false positives must broadcast the
+    dim. If the probe appeared only post-join, the reduction would be
+    doing nothing."""
+    df = SPECS["join_bloom_prune"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "xxhash64" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the probe filter must sit below the join in the tree: in the
+    # formatted tree the Filter node containing xxhash64 appears, and
+    # no SortMergeJoin/Cartesian replaces the broadcast
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_semi_join_broadcasts_candidates(spark, sf_dir):
+    """r8 exact heavy hitters: pass 2's candidate confinement must be
+    a BROADCAST left-semi hash join (candidate set is bounded by
+    partitions x capacity, never the key space), and the recount must
+    map-side combine before its exchange."""
+    plan = plan_of(SPECS["agg_heavy_hitters"].fn(spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_profile_columns_single_scan_expand(spark, sf_dir):
+    """r8 one-pass profiler: all 24 measures come from ONE parquet
+    scan of orders (Catalyst's Expand implements the 6-way
+    count-distinct), never six per-column re-scans."""
+    plan = plan_of(SPECS["dq_profile_columns"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_mann_whitney_window_on_distinct_values_only(spark, sf_dir):
+    """r8 rank-sum test: the running-sum window must consume the
+    per-value AGGREGATE (groupBy x first), not raw rows — one scan of
+    orders feeds the plan and a partial aggregate precedes the window's
+    exchange."""
+    plan = plan_of(SPECS["stats_mann_whitney"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Scan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_wordpiece_one_corpus_scan_vocab_sized_python(spark, sf_dir):
+    """r8 subword tokenizer: exactly ONE scan of documents feeds the
+    token-count plan (the wf relation is reused; the vocab pull happens
+    at build time), and the only Python stage (greedy segmentation)
+    consumes the distinct-word AGGREGATE, not corpus rows — a partial
+    aggregate precedes it."""
+    plan = plan_of(SPECS["text_wordpiece_tokenize"].fn(spark, sf_dir))
+    assert count_plan_nodes(plan, "Scan parquet") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
