@@ -154,6 +154,11 @@ HEADLINE = [
     # greedy subword tokenizer: corpus scanned once, vocab-sized
     # n-gram scoring + per-distinct-word Arrow segmentation
     "text_wordpiece_tokenize",
+    # salted shuffle join (hot-key spreading, timed beside the
+    # broadcast join shapes) and the histogram-refined exact quantile
+    # (2 scans + bin-sized refinement — the no-global-sort path)
+    "join_skew_salted",
+    "agg_quantile_twopass",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -100,7 +100,8 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "multimodal_phash_probe", "stream_count_min_sketch",
         "join_bloom_prune", "agg_heavy_hitters", "stats_chi_square",
         "stats_mann_whitney", "dq_profile_columns",
-        "text_wordpiece_tokenize",
+        "text_wordpiece_tokenize", "join_skew_salted",
+        "agg_quantile_twopass",
         # ---- then the r1-r7-validated flagships, per family
         "multimodal_phash_dedup", "lakehouse_sql_merge_composite",
         "lakehouse_sql_partition_ops", "knn_matryoshka_recall",

@@ -4784,3 +4784,137 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS "
         "(col_name, n_nulls, n_distinct, min_str, max_str)"
     ).orderBy("col_name")
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           {dsum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted JOIN under the oracle — the join twin of
+    `agg_skew_salted`: the fact side carries a hashed-positional salt,
+    the dim side replicates n_salts times, and the equi-join runs on
+    (key, salt) so one hot key's rows spread over n_salts reducers
+    instead of one straggler task (operators/scale.py:salted_join —
+    max-partition bound and plain-join equality are plan-test-pinned
+    with the broadcast threshold disabled). The oracle is the DIRECT
+    join: identical output is the operator's contract.
+
+    Scale: use when a hot key dominates a shuffle join and the dim is
+    above the broadcast threshold; the cost is dim × n_salts shuffle
+    volume, the win is capping any reducer at hot/n_salts rows. The
+    decimal-summed revenue keeps the salt phase's combine order
+    invisible cross-engine."""
+    from bigdata06_spark.operators.scale import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q2P_BINS = 2048
+_Q2P_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "agg_quantile_twopass",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice AS x,
+             row_number() OVER (ORDER BY l_extendedprice) AS r,
+             count(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN r = (n + 1) // 2 THEN x END) AS p50,
+           max(CASE WHEN r = (9 * n + 9) // 10 THEN x END) AS p90,
+           max(CASE WHEN r = (99 * n + 99) // 100 THEN x END) AS p99
+    FROM ranked
+    """,
+)
+def agg_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles (discrete: value at rank ceil(q·n))
+    via histogram refinement — the scale path where both a global sort
+    and Spark's exact `percentile` (which buffers every value in the
+    aggregation state) stop being options. Pass 1: count/min/max. Pass
+    2: 2048 equal-width bin counts (map-side combined; the driver pull
+    is <= 2048 rows). Pass 3: only the bin containing each target rank
+    is re-read — the bin membership is the SAME floor expression the
+    histogram used (so float boundary rounding can't disagree), and a
+    redundant WIDENED range predicate on x rides along so the parquet
+    scan can prune row groups by min/max stats. The kth-smallest
+    inside a bin is a TakeOrderedAndProject (heap of k, no sort).
+
+    The oracle pins the discrete-quantile definition explicitly
+    (row_number = ceil(q·n), computed as INTEGER arithmetic
+    (q_num·n + q_num) // q_den on both sides — a float ceil(0.9·n)
+    can land on either side of an exact multiple) rather than trusting
+    either engine's quantile flavor; the answer is an order statistic,
+    so every engine/partitioning/binning choice must land on the
+    identical stored double.
+
+    Scale: 2 full scans + one bin-sized scan per quantile, O(bins)
+    driver state — at 100 TB with a pathological bin you recurse the
+    same narrowing inside the bin instead of lifting k."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_extendedprice").alias("x")
+    )
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"), F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).collect()[0]  # bounded: one row
+    n, mn, mx = stats["n"], float(stats["mn"]), float(stats["mx"])
+    width = (mx - mn) / _Q2P_BINS or 1.0
+    bin_expr = F.least(
+        F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
+        F.lit(_Q2P_BINS - 1),
+    )
+    hist = dict(
+        (r["b"], r["c"])
+        for r in li.select(bin_expr.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # bounded: <= _Q2P_BINS rows by construction
+    )
+    out_vals = []
+    for q_num, q_den in ((1, 2), (9, 10), (99, 100)):
+        rank = (q_num * n + q_den - 1) // q_den  # ceil(q*n), exact int math
+        rank = max(1, min(n, rank))
+        cum = 0
+        for b in range(_Q2P_BINS):
+            c = hist.get(b, 0)
+            if cum + c >= rank:
+                break
+            cum += c
+        k = rank - cum
+        lo, hi = mn + (b - 1) * width, mn + (b + 2) * width  # widened, pushable
+        val = (
+            li.filter((F.col("x") >= lo) & (F.col("x") <= hi))
+            .filter(bin_expr == b)
+            .orderBy("x")
+            .limit(k)
+            .agg(F.max("x").alias("v"))
+            .collect()[0]["v"]  # bounded: one row
+        )
+        out_vals.append(float(val))
+    return spark.createDataFrame(
+        [(n, *out_vals)], "n long, p50 double, p90 double, p99 double"
+    )

@@ -688,3 +688,45 @@ def test_wordpiece_one_corpus_scan_vocab_sized_python(spark, sf_dir):
     plan = plan_of(SPECS["text_wordpiece_tokenize"].fn(spark, sf_dir))
     assert count_plan_nodes(plan, "Scan parquet") == 1, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_skew_salted_join_query_two_sided_salt(spark, sf_dir):
+    """r8 salted join query: the registered shape must join on
+    (key, salt) — the plan shows the salt projection on both sides and
+    no nested loop; output equality to the plain join is the oracle's
+    job, partition bounding is test_salted_join_bounds_max_partition's."""
+    plan = plan_of(SPECS["join_skew_salted"].fn(spark, sf_dir))
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quantile_twopass_refine_scan_is_pushed(spark, sf_dir):
+    """r8 exact quantile: the final (refinement) plan must carry the
+    widened RANGE predicate down to the parquet scan (PushedFilters on
+    x's source column) and top with TakeOrderedAndProject — never a
+    global sort."""
+    import bigdata06_spark.queries.analytics as A
+    from bigdata06_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir=sf_dir, name="lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"), F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).collect()[0]
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    width = (mx - mn) / A._Q2P_BINS or 1.0
+    bin_expr = F.least(
+        F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
+        F.lit(A._Q2P_BINS - 1),
+    )
+    refine = (
+        li.filter((F.col("x") >= mn) & (F.col("x") <= mn + 3 * width))
+        .filter(bin_expr == 0)
+        .orderBy("x")
+        .limit(5)
+    )
+    plan = plan_of(refine)
+    assert re.search(r"PushedFilters: \[.*l_extendedprice.*\]", plan), plan
+    assert "TakeOrderedAndProject" in plan, plan
