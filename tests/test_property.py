@@ -487,3 +487,57 @@ def test_replay_all_equals_composed_replays(spark, tmp_path_factory, ops):
     assert st_["generated"] == LH.table_generated_cols(path)
     assert st_["identity"] == LH.table_identity(path)
     assert st_["zorder"] == LH.table_zorder_meta(path)
+
+
+@PROP
+@given(
+    keys=st.lists(st.integers(0, 40), min_size=1, max_size=300),
+    capacity=st.integers(2, 12),
+    n_parts=st.integers(1, 6),
+)
+def test_misra_gries_candidate_superset_any_stream(spark, keys, capacity, n_parts):
+    """For ANY stream, capacity, and partitioning: every key with true
+    count > N/(capacity+1) must survive in the candidate union, every
+    per-partition summary must stay <= capacity counters, and the
+    sentinel rows must sum to exactly N — the three facts
+    agg_heavy_hitters' exactness proof rests on."""
+    from collections import Counter
+
+    from bigdata06_spark.operators.relational import misra_gries_candidates
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(n_parts)
+    summ = misra_gries_candidates(df, "k", capacity).collect()
+    cand = {r["k"] for r in summ if r["k"] >= 0}
+    total = sum(r["mg_count"] for r in summ if r["k"] == -1)
+    assert total == len(keys)
+    per_part_rows = [r for r in summ if r["k"] >= 0]
+    assert len(per_part_rows) <= n_parts * capacity + n_parts
+    counts = Counter(keys)
+    bound = len(keys) / (capacity + 1)
+    for k, c in counts.items():
+        if c > bound:
+            assert k in cand, (
+                f"key {k} (count {c} > N/(cap+1) = {bound:.1f}) lost"
+            )
+
+
+@PROP
+@given(
+    build=st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=100),
+    probe=st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=100),
+)
+def test_bloom_probe_never_false_negative(spark, build, probe):
+    """For ANY build/probe key sets: every probe key that IS in the
+    build set must pass the bloom predicate (no false negatives — the
+    property that makes filter-then-join == join)."""
+    from bigdata06_spark.operators.relational import bloom_probe_expr
+
+    bdf = spark.createDataFrame([(k,) for k in build], "bk long")
+    pdf = spark.createDataFrame([(k,) for k in set(probe) | set(build)], "pk long")
+    kept = {
+        r["pk"]
+        for r in pdf.filter(
+            bloom_probe_expr(bdf, "bk", "pk", bits=1024)
+        ).collect()
+    }
+    assert set(build) <= kept, f"bloom dropped true keys: {set(build) - kept}"
