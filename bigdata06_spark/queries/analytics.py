@@ -4483,7 +4483,14 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ... HAVING. At test SF the candidate set degenerates to
     all keys (2000 parts < capacity 4096 — the honest consequence of a
     production phi on toy cardinality); tests/test_operators_unit.py
-    exercises real eviction with a constructed Zipf stream.
+    exercises real eviction with a constructed Zipf stream, and a
+    hypothesis property test pins the superset guarantee for arbitrary
+    streams/capacities/partitionings. Non-vacuity lives at sf<=0.01
+    (1077 heavy hitters at sf0.01): the synthetic tables hold per-key
+    counts ~constant as N grows, so above sf0.01 the TRUE answer to
+    "which keys exceed 0.05% of the stream" is the empty set — both
+    engines agree on it, and the bench still pays the full two-pass
+    cost.
 
     Scale: pass 1 shuffles <= partitions x capacity candidate rows
     instead of the key space (billions of keys -> thousands of rows);
