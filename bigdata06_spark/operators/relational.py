@@ -172,9 +172,13 @@ def misra_gries_candidates(df: DataFrame, key: str, capacity: int) -> DataFrame:
     """Pass 1 of exact distributed heavy hitters: per-partition
     Misra-Gries summaries, O(capacity) memory per partition.
 
-    Emits one row per surviving counter key, plus a sentinel row
-    (key = -1) per partition carrying the partition's row count so the
-    caller can derive the global total without a second scan.
+    Emits one row per surviving counter key (`is_sentinel = false`)
+    plus one sentinel row per partition (`is_sentinel = true`, key
+    NULL) carrying the partition's non-null row count — a dedicated
+    flag column, NOT an in-band key value, so any key domain
+    (negative keys included) is safe. NULL keys are ignored entirely:
+    neither counted as candidates nor in the sentinel totals (the
+    frequency question is posed over present keys).
 
     Soundness (any partitioning): within a partition of n_i rows, every
     batched decrement round subtracts 1 from > capacity counters, so
@@ -186,9 +190,10 @@ def misra_gries_candidates(df: DataFrame, key: str, capacity: int) -> DataFrame:
     exactly, so the FINAL answer is deterministic and partitioning-
     independent even though the candidate set itself is not.
 
-    Scale: the summary is <= (capacity+1) rows per partition regardless
-    of key cardinality — at 100 TB with billions of distinct keys the
-    shuffle carries partitions x capacity rows, not the key space.
+    Scale: the summary is <= capacity counters (+1 sentinel) per
+    partition regardless of key cardinality — at 100 TB with billions
+    of distinct keys the shuffle carries partitions x capacity rows,
+    not the key space.
     """
 
     def summarize(batches):
@@ -197,8 +202,9 @@ def misra_gries_candidates(df: DataFrame, key: str, capacity: int) -> DataFrame:
         counters: dict[int, int] = {}
         n_rows = 0
         for pdf in batches:
-            n_rows += len(pdf)
-            for k, c in pdf[key].value_counts().items():
+            col = pdf[key].dropna()
+            n_rows += len(col)
+            for k, c in col.value_counts().items():
                 ki = int(k)
                 counters[ki] = counters.get(ki, 0) + int(c)
             if len(counters) > capacity:
@@ -206,11 +212,20 @@ def misra_gries_candidates(df: DataFrame, key: str, capacity: int) -> DataFrame:
                 # largest counter from all, drop the non-positive
                 cut = sorted(counters.values(), reverse=True)[capacity]
                 counters = {k: v - cut for k, v in counters.items() if v > cut}
-        keys = list(counters) + [-1]
+        keys = list(counters) + [None]
         counts = [counters[k] for k in counters] + [n_rows]
-        yield pd.DataFrame({key: keys, "mg_count": counts})
+        flags = [False] * len(counters) + [True]
+        yield pd.DataFrame(
+            {
+                key: pd.array(keys, dtype="Int64"),  # nullable int
+                "mg_count": counts,
+                "is_sentinel": flags,
+            }
+        )
 
-    return df.select(key).mapInPandas(summarize, schema=f"{key} long, mg_count long")
+    return df.select(key).mapInPandas(
+        summarize, schema=f"{key} long, mg_count long, is_sentinel boolean"
+    )
 
 
 BLOOM_BITS_DEFAULT = 1 << 13  # 8192 bits = 128 BIGINT words
@@ -235,13 +250,34 @@ def bloom_probe_expr(
     (prob ~ (1 - e^{-k·n/m})^k) survive the probe and are removed by
     the exact join that follows.
 
+    Both keys must be BIGINT (the build side is checked here; the
+    probe column lives in the caller's frame — cast it to long before
+    filtering, or the type-sensitive xxhash64 silently never matches).
+
     Scale: the build is a groupBy onto <= bits/64 bitmap words — a
     BOUNDED driver pull (128 rows at the default size) independent of
     build cardinality; the probe is k hashes + k bit tests per row,
     whole-stage-codegen'd at scan stage, so fact rows that the join
-    would drop never reach the exchange."""
+    would drop never reach the exchange. Each position expression is
+    spelled twice (element_at index + shift amount) — codegen's
+    subexpression elimination collapses the duplicate hash; an HOF
+    binding (transform/forall) would deduplicate it textually but is
+    CodegenFallback, measured ~4x slower per the zorder binning
+    precedent (sinks.range_bin_expr)."""
     if bits % 64:
         raise ValueError(f"bits must be a multiple of 64, got {bits}")
+    # xxhash64 is TYPE-sensitive (INT 5 and BIGINT 5 hash differently):
+    # a dtype mismatch between the sides would set bits under one
+    # hashing and probe under another — silent FALSE NEGATIVES, the one
+    # failure mode a bloom filter must never have. Fail loud instead.
+    build_type = dict(build.dtypes).get(build_key)
+    if build_type is None:
+        raise ValueError(f"build side has no column {build_key!r}")
+    if build_type not in ("bigint", "long"):
+        raise ValueError(
+            f"bloom_probe_expr requires a BIGINT build key (cast first); "
+            f"{build_key!r} is {build_type}"
+        )
 
     def pos_sql(col: str, seed: int) -> str:
         return f"pmod(xxhash64({col}, {seed}L), {bits}L)"

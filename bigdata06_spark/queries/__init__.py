@@ -78,10 +78,12 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # ---- round-8 head: the 28 never-yet-driver-sampled entries
         # (VERDICT r7 #3 — after this round every registry query has
         # been driver-sampled at least once), plus agg_approx_percentile
-        # (its only r1 sample predates its oracle) and scalar_math_funcs2
-        # (the r7 hash-red row, re-sampled to prove the sgn type fix).
-        # External samplers take the first 50; slots 31-50 fall to the
-        # r1-r7-validated flagships below. Names only; zero semantic change.
+        # (its only r1 sample predates its oracle), scalar_math_funcs2
+        # (the r7 hash-red row, re-sampled to prove the sgn type fix),
+        # and the 14 queries ADDED in round 8 (never sampled by
+        # definition) — 44 head names total. External samplers take the
+        # first 50; slots 45-50 fall to the r1-r7-validated flagships
+        # below. Names only; zero semantic change.
         "text_unigram_logprob", "text_bpe_tokenize",
         "text_bpe_train_tokenize", "text_c4_filters", "text_rake_keywords",
         "text_redact_pii", "corpus_curation_funnel", "corpus_chunk_windows",

@@ -825,23 +825,23 @@ def test_misra_gries_evicts_and_never_loses_heavy_hitters(spark):
     capacity = 20  # phi = 2/capacity = 0.1 -> heavy = freq >= 440
     summ = misra_gries_candidates(df, "k", capacity)
     per_part = (
-        summ.filter(F.col("k") >= 0)
+        summ.filter(~F.col("is_sentinel"))
         .groupBy(F.spark_partition_id().alias("pid"))
         .count()
         .collect()
     )
     assert per_part, "summaries must be non-empty"
-    assert all(r["count"] <= capacity + 1 for r in per_part), (
+    assert all(r["count"] <= capacity for r in per_part), (
         "MG must bound every partition summary by its capacity "
         f"(got {[r['count'] for r in per_part]})"
     )
-    candidates = {r["k"] for r in summ.filter(F.col("k") >= 0).collect()}
+    candidates = {r["k"] for r in summ.filter(~F.col("is_sentinel")).collect()}
     assert candidates < {r[0] for r in rows}, "eviction must drop some keys"
     for heavy in range(4):
         assert heavy in candidates, f"heavy key {heavy} lost by the sketch"
     # sentinel rows carry the exact global row count
     total = (
-        summ.filter(F.col("k") == -1)
+        summ.filter(F.col("is_sentinel"))
         .agg(F.sum("mg_count").alias("n"))
         .collect()[0]["n"]
     )

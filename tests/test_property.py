@@ -491,15 +491,16 @@ def test_replay_all_equals_composed_replays(spark, tmp_path_factory, ops):
 
 @PROP
 @given(
-    keys=st.lists(st.integers(0, 40), min_size=1, max_size=300),
+    keys=st.lists(st.integers(-40, 40), min_size=1, max_size=300),
     capacity=st.integers(2, 12),
     n_parts=st.integers(1, 6),
 )
 def test_misra_gries_candidate_superset_any_stream(spark, keys, capacity, n_parts):
-    """For ANY stream, capacity, and partitioning: every key with true
-    count > N/(capacity+1) must survive in the candidate union, every
-    per-partition summary must stay <= capacity counters, and the
-    sentinel rows must sum to exactly N — the three facts
+    """For ANY stream (negative keys included — sentinels are a flag
+    column, not an in-band key), capacity, and partitioning: every key
+    with true count > N/(capacity+1) must survive in the candidate
+    union, every per-partition summary must stay <= capacity counters,
+    and the sentinel rows must sum to exactly N — the three facts
     agg_heavy_hitters' exactness proof rests on."""
     from collections import Counter
 
@@ -507,11 +508,11 @@ def test_misra_gries_candidate_superset_any_stream(spark, keys, capacity, n_part
 
     df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(n_parts)
     summ = misra_gries_candidates(df, "k", capacity).collect()
-    cand = {r["k"] for r in summ if r["k"] >= 0}
-    total = sum(r["mg_count"] for r in summ if r["k"] == -1)
+    cand = {r["k"] for r in summ if not r["is_sentinel"]}
+    total = sum(r["mg_count"] for r in summ if r["is_sentinel"])
     assert total == len(keys)
-    per_part_rows = [r for r in summ if r["k"] >= 0]
-    assert len(per_part_rows) <= n_parts * capacity + n_parts
+    per_part_rows = [r for r in summ if not r["is_sentinel"]]
+    assert len(per_part_rows) <= n_parts * capacity
     counts = Counter(keys)
     bound = len(keys) / (capacity + 1)
     for k, c in counts.items():
