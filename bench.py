@@ -159,6 +159,9 @@ HEADLINE = [
     # (2 scans + bin-sized refinement — the no-global-sort path)
     "join_skew_salted",
     "agg_quantile_twopass",
+    # MG-as-streaming-state (the heavy-hitter twin of the streaming
+    # CMS row: bounded per-bucket state + exact batch recount)
+    "stream_heavy_hitters",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -496,3 +496,70 @@ def stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact").cast("long").alias("exact"),
         (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
     )
+
+
+_SHH_PHI_NUM, _SHH_PHI_DEN = 5, 1000  # phi = 0.005
+_SHH_BUCKETS = 8
+_SHH_CAPACITY = 1600  # >= buckets/phi: candidate recall guaranteed
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT count(*) AS total FROM events)
+    SELECT user_id, count(*) AS n_events
+    FROM events, t
+    GROUP BY user_id, t.total
+    HAVING count(*) >= ({_SHH_PHI_NUM} * t.total + {_SHH_PHI_DEN - 1})
+                       // {_SHH_PHI_DEN}
+    ORDER BY n_events DESC, user_id
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact heavy hitters — Misra-Gries as streaming state
+    (the heavy-hitter twin of `stream_count_min_sketch`): events are
+    keyed by a hash bucket of user_id, each bucket's
+    applyInPandasWithState function maintains a <= capacity-entry MG
+    summary across micro-batches, and every batch's emission carries a
+    per-bucket sequence number so the FINAL candidate set is the
+    max-seq emission per bucket — deterministic extraction from an
+    update-mode sink. Candidates then get the same exact batch recount
+    and integer-pinned threshold as `agg_heavy_hitters`, so the output
+    is the exact answer no matter how the replay batched: the sketch
+    can only widen candidates (bucketing by key keeps each key's whole
+    count in one summary, capacity >= buckets/phi), the recount is
+    exact — the same superset-then-recount proof, carried across the
+    micro-batch boundary.
+
+    Scale: state is buckets x capacity counters total (bounded like
+    the CMS grid); the recount is one batch scan through a broadcast
+    candidate set."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.streaming.stateful import mg_bucket_candidates
+
+    sink = SO.run_to_table(
+        mg_bucket_candidates(
+            SO.stream_events(spark, sf_dir).select("user_id"),
+            "user_id",
+            _SHH_BUCKETS,
+            _SHH_CAPACITY,
+        ),
+        "update",
+    )
+    w = Window.partitionBy("bucket")
+    cand = (
+        sink.withColumn("mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("mx"))
+        .select(F.col("k").alias("user_id"))
+        .distinct()
+    )
+    ev = load_table(spark, "events", sf_dir)
+    total = ev.count()  # bounded: one scalar
+    thresh = (_SHH_PHI_NUM * total + _SHH_PHI_DEN - 1) // _SHH_PHI_DEN
+    return (
+        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= thresh)
+        .orderBy(F.desc("n_events"), "user_id")
+    )

@@ -257,3 +257,79 @@ def user_peak_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------- Misra-Gries as state
+
+MG_OUTPUT_SCHEMA = "bucket long, seq long, k long, mg_count long"
+MG_STATE_SCHEMA = "n long, seq long, ks array<long>, cs array<long>"
+
+
+def mg_bucket_state(key_col: str, capacity: int):
+    """applyInPandasWithState function maintaining a per-bucket
+    Misra-Gries summary across micro-batches — the heavy-hitter twin
+    of the streaming count-min sketch: state is <= capacity (key,
+    counter) pairs per bucket REGARDLESS of stream length or key
+    cardinality. Each invocation merges the batch's value_counts,
+    applies the batched eviction (subtract the (capacity+1)-th largest,
+    drop non-positive — same rule as the batch operator, same
+    undercount bound n_bucket/(capacity+1)), and emits the CURRENT
+    candidate set stamped with a per-bucket sequence number so the
+    caller can select the final emission deterministically.
+
+    Buckets are a hash of the KEY, so a key's full count lives in one
+    bucket: a key with global count > N_bucket/(capacity+1) survives
+    its bucket's summary — with B buckets, capacity >= B/phi makes the
+    final candidates a superset of every phi-heavy key."""
+
+    def fn(key, pdfs, state):
+        (bucket,) = key
+        if state.exists:
+            n, seq, ks, cs = state.get
+            counters = dict(zip(ks, cs))
+        else:
+            n, seq, counters = 0, 0, {}
+        for pdf in pdfs:
+            col = pdf[key_col].dropna()
+            n += len(col)
+            for k, c in col.value_counts().items():
+                ki = int(k)
+                counters[ki] = counters.get(ki, 0) + int(c)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {k2: v - cut for k2, v in counters.items() if v > cut}
+        seq += 1
+        state.update(
+            (n, seq, list(counters), [counters[k2] for k2 in counters])
+        )
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "bucket": [bucket] * len(counters),
+                    "seq": [seq] * len(counters),
+                    "k": list(counters),
+                    "mg_count": [counters[k2] for k2 in counters],
+                }
+            )
+
+    return fn
+
+
+def mg_bucket_candidates(
+    events: DataFrame, key_col: str, n_buckets: int, capacity: int
+) -> DataFrame:
+    """Stream-side candidate generation: key rows by hash bucket, run
+    the MG state function, emit (bucket, seq, k, mg_count) per batch."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withColumn("bucket", F.pmod(F.col(key_col), F.lit(n_buckets)))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            mg_bucket_state(key_col, capacity),
+            MG_OUTPUT_SCHEMA,
+            MG_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
