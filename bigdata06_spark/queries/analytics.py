@@ -4944,3 +4944,59 @@ def agg_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, *out_vals)], "n long, p50 double, p90 double, p99 double"
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH touched AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'no_touch') AS touch,
+           count(*) AS n_conversions,
+           {dsum_sql('value')} AS attributed_value
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — the composed business form
+    of the as-of lookup: every 'purchase' event is credited to the
+    user's most recent NON-purchase event before it (first event of a
+    session converts with no prior touch → the 'no_touch' bucket), and
+    attributed conversion value rolls up per touch channel. One
+    user-keyed window (last_value IGNORE NULLS over the preceding
+    frame) does the per-conversion lookup — no self-join, no per-row
+    probe.
+
+    Scale: a single exchange on user_id; the window walks each user's
+    timeline once with O(1) carried state (the running last non-
+    conversion type), so 100 TB of events costs one shuffle + one
+    ordered pass — the same shape as sessionization. Tiebreak on
+    (ts, event_id) pins simultaneous events deterministically."""
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.select("event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("no_touch")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            dsum(F.col("value")).alias("attributed_value"),
+        )
+        .orderBy("touch")
+    )
