@@ -5000,3 +5000,116 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("touch")
     )
+
+
+_BASKET_MIN_SUPPORT = 2  # absolute pair-support floor
+_BASKET_TOP_K = 50
+
+
+@register(
+    "orders_basket_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+    freq AS (
+      SELECT pk, count(*) AS cnt FROM items GROUP BY pk
+      HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    ),
+    fitems AS (SELECT i.ok, i.pk FROM items i JOIN freq USING (pk)),
+    pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, count(*) AS cnt
+      FROM fitems a JOIN fitems b
+        ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, cnt FROM pairs
+      UNION ALL
+      SELECT pb, pa, cnt FROM pairs
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.cnt AS BIGINT) AS pair_orders,
+           floor(r.cnt / CAST(n.n_orders AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS support,
+           floor(r.cnt / CAST(fa.cnt AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS confidence,
+           floor(r.cnt * CAST(n.n_orders AS DOUBLE)
+                 / (CAST(fa.cnt AS DOUBLE) * fc.cnt) * 1e6 + 0.5) / 1e6
+             AS lift
+    FROM rules r
+      JOIN freq fa ON fa.pk = r.antecedent
+      JOIN freq fc ON fc.pk = r.consequent
+      CROSS JOIN n
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT {_BASKET_TOP_K}
+    """,
+)
+def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    over parts co-purchased in an order — the apriori shape done
+    relationally: (1) distinct (order, part) item sets, (2) APRIORI
+    PRUNING — parts below the absolute support floor can never form a
+    frequent pair, so they exit before the pair join (the pass that
+    keeps 100 TB tractable: the pair explosion only sees frequent
+    items), (3) per-order pair generation as a self-equi-join on the
+    order key with pk< ordering (per-order cost k², k = lines/order,
+    bounded by basket size — never a global cross join), (4) both rule
+    directions scored from exact integer counts, top-50 by lift with
+    full key tiebreaks.
+
+    Scale: one exchange keyed by order for the pair join, one by part
+    for the margins; a hot basket (huge k) is the skew lever — cap k
+    per order (top-m by frequency) at ingest, exactly as the capped
+    affinity-graph query does."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = items.select("ok").distinct().count()  # bounded: one scalar
+    freq = (
+        items.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _BASKET_MIN_SUPPORT)
+    )
+    fitems = items.join(F.broadcast(freq.select("pk")), "pk")
+    a = fitems.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = fitems.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _BASKET_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "cnt"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "cnt"
+        )
+    )
+    fa = freq.select(F.col("pk").alias("antecedent"), F.col("cnt").alias("ca"))
+    fc = freq.select(F.col("pk").alias("consequent"), F.col("cnt").alias("cc"))
+    return (
+        rules.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fc), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("cnt").cast("long").alias("pair_orders"),
+            rnd(F.col("cnt") / F.lit(float(n_orders)), 6).alias("support"),
+            rnd(F.col("cnt") / F.col("ca").cast("double"), 6).alias("confidence"),
+            rnd(
+                F.col("cnt") * F.lit(float(n_orders))
+                / (F.col("ca").cast("double") * F.col("cc")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(_BASKET_TOP_K)
+    )
