@@ -3839,3 +3839,96 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("wf").cast("long").alias("n_tokens"))
         .orderBy(F.desc("n_tokens"), F.asc("tok"))
     )
+
+
+# --------------------------------------------- IVF nprobe tuning curve
+
+_NPC_PROBES = (1, 2, 4)
+_NPC_TOPK = 3
+_NPC_NQ = 10
+
+
+def _nprobe_curve_oracle() -> str:
+    """Recall@k vs nprobe: each curve point embeds the full generated
+    IVF-PQ oracle (same CTE fragments, one nprobe value) as a
+    subquery, joined against the exact brute-force top-k — so every
+    point of the tuning curve is value-hash exact."""
+    exact = f"""
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT eq.vec_id AS query_id, en.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY eq.vec_id ORDER BY
+                 floor(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                              en.embedding::DOUBLE[])
+                       * 1000000.0 + 0.5) / 1000000.0 DESC,
+                 en.vec_id ASC) AS rn
+        FROM embeddings eq JOIN embeddings en ON eq.vec_id <> en.vec_id
+        WHERE eq.vec_id < {_NPC_NQ}
+      ) WHERE rn <= {_NPC_TOPK}
+    )"""
+    points = " UNION ALL ".join(
+        f"""
+    SELECT CAST({np} AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           floor(count(*) / {float(_NPC_TOPK * _NPC_NQ)} * 1e6 + 0.5) / 1e6
+             AS recall
+    FROM (SELECT query_id, neighbor_id
+          FROM ({_ivfpq_oracle(n_queries=_NPC_NQ, nprobe=np, topk=_NPC_TOPK)}) t
+          JOIN exact USING (query_id, neighbor_id))"""
+        for np in _NPC_PROBES
+    )
+    return f"WITH {exact.strip()} SELECT * FROM ({points}) ORDER BY nprobe"
+
+
+@register("knn_ivf_nprobe_curve", oracle=_nprobe_curve_oracle())
+def knn_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SERVING-TUNING curve — recall@3 vs nprobe (1, 2, 4)
+    against the exact brute-force ranking, the measurement that picks
+    a production operating point on the recall/latency trade-off
+    (probing more cells reads more candidates; the curve says what
+    each extra probe buys). The index FITS ONCE (ivfpq_fit's three
+    relations, localCheckpointed) and serves all three points —
+    fit-once-tune-many, the same discipline as the persisted-index
+    queries. Every stage is integer-exact, so the whole curve sits
+    under a generated value-hash oracle (each point embeds the full
+    IVF-PQ oracle at its nprobe).
+
+    Measured honesty note: the curve is NOT guaranteed monotone in
+    nprobe at a FIXED shortlist (at sf0.01: 0.633 → 0.700 → 0.633) —
+    probing more cells admits more ADC-approximate candidates into the
+    same 20-slot shortlist, and quantization error can displace true
+    neighbors. Both engines agree cell-for-cell; the lesson the curve
+    teaches is that (nprobe, shortlist) must be tuned as a PAIR.
+
+    Scale: each curve point is one broadcast-query probe over the
+    fitted relations; the exact reference is the one brute-force scan
+    — at 100 TB you'd sample queries (fixed-m, like
+    knn_label_vote_sampled) rather than shrink the corpus."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = e.filter(F.col("vec_id") < _NPC_NQ)
+    codebook, cells, codes = S.ivfpq_fit(e)
+    codebook = codebook.localCheckpoint()
+    cells = cells.localCheckpoint()
+    codes = codes.localCheckpoint()
+    exact = S.knn_bruteforce(q, e, k=_NPC_TOPK).select("query_id", "neighbor_id")
+    points = []
+    for np_ in _NPC_PROBES:
+        ann = S.ivfpq_serve(
+            q, e, codebook, cells, codes, k_neighbors=_NPC_TOPK, nprobe=np_
+        ).select("query_id", "neighbor_id")
+        hits = ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        points.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                rnd(
+                    F.col("n_hits") / F.lit(float(_NPC_TOPK * _NPC_NQ)), 6
+                ).alias("recall"),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("nprobe")
