@@ -80,10 +80,10 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # been driver-sampled at least once), plus agg_approx_percentile
         # (its only r1 sample predates its oracle), scalar_math_funcs2
         # (the r7 hash-red row, re-sampled to prove the sgn type fix),
-        # and the 18 queries ADDED in round 8 (never sampled by
-        # definition) — 48 head names total. External samplers take the
-        # first 50; slots 49-50 fall to the r1-r7-validated flagships
-        # below. Names only; zero semantic change.
+        # and the 20 queries ADDED in round 8 (never sampled by
+        # definition) — 50 head names total, filling the external
+        # samplers' window exactly; the r1-r7-validated flagships
+        # follow. Names only; zero semantic change.
         "text_unigram_logprob", "text_bpe_tokenize",
         "text_bpe_train_tokenize", "text_c4_filters", "text_rake_keywords",
         "text_redact_pii", "corpus_curation_funnel", "corpus_chunk_windows",
@@ -105,7 +105,8 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "text_wordpiece_tokenize", "join_skew_salted",
         "agg_quantile_twopass", "stream_heavy_hitters",
         "events_attribution_last_touch", "orders_basket_rules",
-        "knn_ivf_nprobe_curve",
+        "knn_ivf_nprobe_curve", "multimodal_scene_cuts",
+        "dq_distribution_drift",
         # ---- then the r1-r7-validated flagships, per family
         "multimodal_phash_dedup", "lakehouse_sql_merge_composite",
         "lakehouse_sql_partition_ops", "knn_matryoshka_recall",

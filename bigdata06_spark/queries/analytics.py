@@ -5113,3 +5113,119 @@ def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(_BASKET_TOP_K)
     )
+
+
+_PSI_BINS = 10
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=f"""
+    WITH s AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ),
+    binned AS (
+      SELECT o_orderkey % 2 AS grp,
+             least(CAST(floor((o_totalprice - s.mn)
+                              / ((s.mx - s.mn) / {float(_PSI_BINS)})) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin
+      FROM orders, s
+    ),
+    margins AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY grp
+    ),
+    grid AS (
+      SELECT unnest(range(0, {_PSI_BINS})) AS bin
+    ),
+    cells AS (
+      SELECT g.bin,
+             CAST(sum(CASE WHEN b.grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN b.grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM grid g LEFT JOIN binned b ON b.bin = g.bin
+      GROUP BY g.bin
+    ),
+    probs AS (
+      SELECT c.bin,
+             (c.c0 + 1) / (CAST(m0.n AS DOUBLE) + {_PSI_BINS}) AS pa,
+             (c.c1 + 1) / (CAST(m1.n AS DOUBLE) + {_PSI_BINS}) AS pb
+      FROM cells c
+        JOIN margins m0 ON m0.grp = 0
+        JOIN margins m1 ON m1.grp = 1
+    ),
+    terms AS (
+      SELECT floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5) / 1e6 AS term
+      FROM probs
+    )
+    SELECT CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE) AS psi,
+           (SELECT n FROM margins WHERE grp = 0) AS n_baseline,
+           (SELECT n FROM margins WHERE grp = 1) AS n_current
+    FROM terms
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — the ML-monitoring drift metric:
+    o_totalprice's distribution compared between a baseline and a
+    current slice (hash-split halves here; in production, training
+    snapshot vs serving window) over 10 shared equal-width bins.
+    Laplace-smoothed shares (+1/bin) keep empty bins finite — and the
+    FULL bin grid participates (the chi-square lesson: absent bins
+    carry signal). Each (pa-pb)·ln(pa/pb) term rounds onto the 6dp
+    grid before the decimal sum (ln ulps + reassociation — the
+    corpus_source_kl discipline). PSI ≈ 0 here (the halves are
+    exchangeable); the wired threshold convention is 0.1 watch /
+    0.25 act.
+
+    Scale: one scan bins everything (the bin expression is scan-stage
+    arithmetic on broadcast min/max), one groupBy on (grp, bin) ≤ 20
+    cells — drift monitoring at 100 TB costs the scan it shares with
+    ingest."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    o = load_table(spark, "orders", sf_dir)
+    s = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = o.crossJoin(F.broadcast(s)).select(
+        (F.col("o_orderkey") % 2).alias("grp"),
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / float(_PSI_BINS))
+            ).cast("long"),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    margins = binned.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    cells = (
+        grid.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    m0 = margins.filter(F.col("grp") == 0).select(F.col("n").alias("n0"))
+    m1 = margins.filter(F.col("grp") == 1).select(F.col("n").alias("n1"))
+    probs = (
+        cells.crossJoin(F.broadcast(m0))
+        .crossJoin(F.broadcast(m1))
+        .select(
+            ((F.col("c0") + 1) / (F.col("n0").cast("double") + _PSI_BINS)).alias("pa"),
+            ((F.col("c1") + 1) / (F.col("n1").cast("double") + _PSI_BINS)).alias("pb"),
+            "n0", "n1",
+        )
+    )
+    terms = probs.select(
+        rnd((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 6).alias(
+            "term"
+        ),
+        "n0", "n1",
+    )
+    return terms.groupBy("n0", "n1").agg(
+        F.sum(F.col("term").cast("decimal(25,6)")).cast("double").alias("psi")
+    ).select(
+        "psi",
+        F.col("n0").cast("long").alias("n_baseline"),
+        F.col("n1").cast("long").alias("n_current"),
+    )

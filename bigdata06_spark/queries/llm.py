@@ -3932,3 +3932,47 @@ def knn_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in points[1:]:
         out = out.unionAll(p)
     return out.orderBy("nprobe")
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle=f"""
+    WITH b AS ({_DECODED_SQL}),
+    frames AS (
+      SELECT doc_id, unnest(range(0, 1 + byte_len % 240, 24)) AS frame_idx
+      FROM b WHERE media_type = 'video/mp4'
+    ),
+    sigs AS (
+      SELECT doc_id, frame_idx,
+             (doc_id * 31 + frame_idx * 17) % 256 AS sig
+      FROM frames
+    ),
+    d AS (
+      SELECT doc_id, frame_idx, sig,
+             lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+      FROM sigs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames_sampled,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND abs(sig - prev) > 128
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           coalesce(min(CASE WHEN prev IS NOT NULL AND abs(sig - prev) > 128
+                             THEN frame_idx END), -1) AS first_cut_idx
+    FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video SHOT-BOUNDARY detection — the fourth multimodal pipeline
+    stage (decode → frame-sample → signature → cut detection): every
+    24th frame gets a per-frame signature (the deterministic stand-in
+    for a decoded-frame histogram — the mapInPandas slot a real
+    decoder fills), consecutive-signature jumps above the threshold
+    are cuts, and the per-video rollup reports frames sampled / cuts /
+    first cut. Non-video assets never reach Python.
+
+    Scale: frame fan-out is bounded per asset; cut detection is a
+    per-video lag window (one doc_id exchange, O(1) timeline state) —
+    the sessionization shape at the frame level; see
+    operators/multimodal.py:scene_cuts."""
+    docs = load_table(spark, "documents", sf_dir)
+    return M.scene_cuts(M.decode_media(M.attach_binary_payload(docs)))
