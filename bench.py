@@ -162,6 +162,14 @@ HEADLINE = [
     # MG-as-streaming-state (the heavy-hitter twin of the streaming
     # CMS row: bounded per-bucket state + exact batch recount)
     "stream_heavy_hitters",
+    # r8 third stint: attribution window, apriori basket rules, the
+    # fit-once IVF tuning curve, frame-level shot detection, and the
+    # PSI drift monitor — each a distinct plan family
+    "events_attribution_last_touch",
+    "orders_basket_rules",
+    "knn_ivf_nprobe_curve",
+    "multimodal_scene_cuts",
+    "dq_distribution_drift",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a
@@ -181,6 +189,7 @@ FAMILIES = [
     ("streaming", ("stream_",)),
     ("lakehouse", ("lakehouse_",)),
     ("relational", ("join_", "dq_",)),
+    ("events", ("events_", "orders_",)),
 ]
 
 
