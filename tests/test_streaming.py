@@ -1000,3 +1000,72 @@ def test_lakehouse_stream_sink_guards(spark, tmp_path):
     open(_os.path.join(d, "part-0.parquet"), "wb").close()
     w.abort([LakehouseCommit(["data/stream-dead/part-0.parquet"])], batchId=0)
     assert not _os.path.exists(d)
+
+
+def test_mg_streaming_state_merges_across_batches(spark, tmp_path):
+    """stream_heavy_hitters' state path under REAL multi-batch replay:
+    the driver's events table is a single file (one availableNow
+    batch), so this test forces 3 micro-batches (3 source files +
+    maxFilesPerTrigger=1) and asserts (a) the per-bucket MG state
+    merges across batches — final candidates ⊇ every phi-heavy key —
+    and (b) the seq-stamped final emission + exact recount equals the
+    direct batch GROUP BY, independent of batching."""
+    from pyspark.sql import Window
+
+    from bigdata06_spark.streaming import ops as SO
+    from bigdata06_spark.streaming.stateful import mg_bucket_candidates
+
+    # 3 files: a heavy key (42) spread thin across ALL files so no
+    # single batch makes it heavy — only merged state finds it
+    src = str(tmp_path / "src")
+    rows = []
+    for b in range(3):
+        part = [(42, b)] * 20 + [(1000 + b * 100 + i, b) for i in range(40)]
+        rows.append(part)
+    for b, part in enumerate(rows):
+        spark.createDataFrame(part, "user_id long, f long").coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, f long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("user_id")
+    )
+    sink = SO.run_to_table(
+        mg_bucket_candidates(stream, "user_id", n_buckets=4, capacity=8),
+        "update",
+    )
+    batches_seen = sink.agg(F.max("seq")).collect()[0][0]
+    assert batches_seen >= 3, f"expected >=3 micro-batches, got {batches_seen}"
+    w = Window.partitionBy("bucket")
+    cand = {
+        r["k"]
+        for r in sink.withColumn("mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("mx"))
+        .collect()
+    }
+    # 60 occurrences of key 42 out of 180 rows: heavy at phi = 1/9
+    # (capacity 8 >= buckets/phi would need 36 — but 42's bucket sees
+    # only ~its own rows + collisions, and 20/batch >> any singleton)
+    assert 42 in cand, f"heavy key lost across batches: {sorted(cand)[:10]}"
+    # exact recount over candidates == direct batch answer at phi
+    all_rows = spark.read.parquet(src)
+    total = all_rows.count()
+    thresh = (total + 8) // 9  # ceil(total/9)
+    direct = {
+        (r["user_id"], r["n"])
+        for r in all_rows.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= thresh)
+        .collect()
+    }
+    cand_df = spark.createDataFrame([(k,) for k in cand], "user_id long")
+    recount = {
+        (r["user_id"], r["n"])
+        for r in all_rows.join(cand_df, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= thresh)
+        .collect()
+    }
+    assert recount == direct
