@@ -4574,10 +4574,15 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata06_spark.queries.qutil import rnd
 
     o = load_table(spark, "orders", sf_dir)
+    # ONE scan: every downstream relation (margins, totals, grid)
+    # derives from the bounded r x c cell table — localCheckpoint it
+    # so tot/rt/ct/grid don't re-run the orders aggregate 4x
     cells = (
         o.groupBy(
             F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
-        ).agg(F.count(F.lit(1)).alias("n"))
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     tot = cells.agg(
         F.sum("n").cast("double").alias("tn"),
@@ -5086,13 +5091,23 @@ def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= _BASKET_MIN_SUPPORT)
     )
+    # both rule directions via ONE explode — a unionAll of two selects
+    # over `pairs` would re-run the whole item/pair join chain twice
     rules = pairs.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "cnt"
-    ).unionAll(
-        pairs.select(
-            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "cnt"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
+        "cnt",
+    ).select("r.antecedent", "r.consequent", "cnt")
     fa = freq.select(F.col("pk").alias("antecedent"), F.col("cnt").alias("ca"))
     fc = freq.select(F.col("pk").alias("consequent"), F.col("cnt").alias("cc"))
     return (
@@ -5195,14 +5210,20 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PSI_BINS - 1).cast("long"),
         ).alias("bin"),
     )
-    margins = binned.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    # ONE scan collapses to <= 2 x bins rows; margins and the full-grid
+    # cells both derive from this bounded relation
+    gb = (
+        binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    margins = gb.groupBy("grp").agg(F.sum("n").alias("n"))
     grid = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
     cells = (
-        grid.join(binned, "bin", "left")
+        grid.join(gb, "bin", "left")
         .groupBy("bin")
         .agg(
-            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
-            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("grp") == 0, F.col("n")).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("grp") == 1, F.col("n")).otherwise(0)).alias("c1"),
         )
     )
     m0 = margins.filter(F.col("grp") == 0).select(F.col("n").alias("n0"))
