@@ -1,7 +1,9 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"families": {...}, "n_queries": N, "sf": ...} — the per-query map lives
+in the committed BENCH_DETAIL.json (the driver captures only ~2000
+stdout chars, VERDICT r7 #2).
 
 Each query is executed to completion (count() action) after a warm-up of
 the session; per-query wall time includes planning + execution. The

@@ -2780,12 +2780,17 @@ def maybe_compact(spark: SparkSession, path: str, key: str,
     if len(live) < max_files:
         return v
     target = min(n_files, max_files - 1)
-    floor = target
     if table_partition_by(path):
+        # a T-task partitioned write lands at up to T + P - 1 files
+        # (each range-task boundary that falls inside a partition value
+        # splits it into an extra file — _write_partitioned), so the
+        # landing estimate is NOT max(T, P): shrink T until even the
+        # worst case stays below the threshold, and skip when no
+        # T >= 1 can (steady state >= max_files would thrash).
         parts = {tuple(sorted(_pvals_of_rel(f).items())) for f in live}
-        floor = max(floor, len(parts))
-    if floor >= max_files:
-        return v  # cannot reduce below the threshold: skip, don't thrash
+        if len(parts) >= max_files:
+            return v  # cannot reduce below the threshold: skip
+        target = max(1, min(target, max_files - len(parts)))
     return optimize(spark, path, key, n_files=target)
 
 

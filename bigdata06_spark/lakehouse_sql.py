@@ -750,11 +750,31 @@ def _sql_optimize(spark: SparkSession, stmt: str) -> DataFrame:
     # ' INCREMENTAL' must not split the WHERE predicate there — same
     # _kw_at_depth0 scanning UPDATE and INSERT use
     w_offs = _kw_at_depth0(tail, r"\bWHERE\b")
-    z_offs = _kw_at_depth0(tail, r"\bZORDER\s+BY\b")
-    i_offs = _kw_at_depth0(tail, r"\bINCREMENTAL\b")
     w = w_offs[0] if w_offs else None
-    z = z_offs[0] if z_offs else None
-    inc = i_offs[0] if i_offs else None
+    # a ZORDER BY / INCREMENTAL occurrence is only a CLAUSE if the
+    # remainder from it parses as that clause to end-of-statement
+    # (review r8): an unquoted column named `incremental` — or the
+    # words 'zorder by' — inside the WHERE predicate stays predicate
+    # text instead of truncating it
+    z = next(
+        (
+            o
+            for o in reversed(_kw_at_depth0(tail, r"\bZORDER\s+BY\b"))
+            if re.fullmatch(
+                r"ZORDER\s+BY\s*\(\s*[^)]+\)\s*", tail[o:],
+                re.IGNORECASE | re.DOTALL,
+            )
+        ),
+        None,
+    )
+    inc = next(
+        (
+            o
+            for o in reversed(_kw_at_depth0(tail, r"\bINCREMENTAL\b"))
+            if tail[o:].strip().upper() == "INCREMENTAL"
+        ),
+        None,
+    )
     if z is not None and inc is not None:
         raise ValueError("OPTIMIZE takes ZORDER BY or INCREMENTAL, not both")
     end = len(tail)

@@ -123,20 +123,23 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def _verify_candidates(cands: DataFrame, sets_: DataFrame, id_col: str,
-                       threshold: float) -> DataFrame:
+                       threshold: float, left_col: str = "doc_a",
+                       right_col: str = "doc_b") -> DataFrame:
     """Exact-Jaccard verification of candidate pairs via per-doc shingle
     arrays (`sets_`: (id, sh_set) with distinct elements). Linear in
-    candidate count; arrays broadcast-joinable when candidates are few."""
-    a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
-    b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
+    candidate count; arrays broadcast-joinable when candidates are few.
+    `left_col`/`right_col` name the pair columns (the probe form uses
+    doc_q/doc_c) so every caller shares ONE Jaccard implementation."""
+    a = sets_.select(F.col(id_col).alias(left_col), F.col("sh_set").alias("set_a"))
+    b = sets_.select(F.col(id_col).alias(right_col), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
     return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
+        cands.join(a, left_col)
+        .join(b, right_col)
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(left_col, right_col, "jaccard")
     )
 
 
@@ -288,18 +291,9 @@ def minhash_lsh_probe(docs: DataFrame, is_query, id_col: str = "doc_id",
         .select("doc_q", "doc_c")
         .distinct()
     )
-    a = sets_.select(F.col(id_col).alias("doc_q"),
-                     F.col("sh_set").alias("set_q"))
-    b = sets_.select(F.col(id_col).alias("doc_c"),
-                     F.col("sh_set").alias("set_c"))
-    inter = F.size(F.array_intersect(F.col("set_q"), F.col("set_c")))
-    union = F.size(F.col("set_q")) + F.size(F.col("set_c")) - inter
     return (
-        cands.join(a, "doc_q")
-        .join(b, "doc_c")
-        .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_q", "doc_c", "jaccard")
+        _verify_candidates(cands, sets_, id_col, threshold,
+                           left_col="doc_q", right_col="doc_c")
     )
 
 

@@ -4138,10 +4138,6 @@ def _cms_consts(depth: int = _CMS_DEPTH) -> list[tuple[int, int]]:
 
 
 def _cms_oracle() -> str:
-    rows = ",\n      ".join(
-        f"(((user_id % {_CMS_MOD}) * {a} + {b}) % {_CMS_MOD}) % {_CMS_WIDTH}"
-        for (a, b) in _cms_consts()
-    )
     cell_sel = " UNION ALL ".join(
         f"SELECT {d} AS d, (((user_id % {_CMS_MOD}) * {a} + {b})"
         f" % {_CMS_MOD}) % {_CMS_WIDTH} AS bkt FROM events"
@@ -4152,7 +4148,6 @@ def _cms_oracle() -> str:
         f" % {_CMS_MOD}) % {_CMS_WIDTH} AS bkt FROM probes"
         for d, (a, b) in enumerate(_cms_consts())
     )
-    _ = rows
     return f"""
     WITH cells AS (
       SELECT d, bkt, count(*) AS cnt FROM ({cell_sel}) GROUP BY d, bkt

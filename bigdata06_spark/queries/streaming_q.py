@@ -438,6 +438,10 @@ def stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_cms_oracle() -> str:
+    """The batch CMS oracle verbatim — streaming/batch equivalence IS
+    the gate. (Executed at decoration time like every oracle; the
+    local import is namespacing, not deferral — analytics is already
+    fully imported when load_all_queries reaches this module.)"""
     from bigdata06_spark.queries.analytics import _cms_oracle
 
     return _cms_oracle()

@@ -1213,6 +1213,19 @@ def test_maybe_compact_amplification_guard(spark, tmp_path):
     v2 = LH.maybe_compact(spark, p2, "k", max_files=6, n_files=3)
     assert v2 == 1 and len(LH.files_at_version(p2, v2)) < 6
 
+    # (d) review r8: near-threshold target on a partitioned table —
+    # a T-task partitioned write can land at T + P - 1 files (range
+    # boundaries split partition values), so target=5 with P=2 and
+    # max_files=6 could land AT the threshold and thrash forever;
+    # the guard must shrink T so the worst case stays strictly below
+    p3 = str(tmp_path / "lh_ac_edge")
+    LH.table_init(pdf.filter("part < 2"), p3, "k", n_files=8,
+                  partition_by=["part"])
+    v3 = LH.maybe_compact(spark, p3, "k", max_files=6, n_files=5)
+    assert v3 == 1 and len(LH.files_at_version(p3, v3)) < 6
+    # steady state: the next call must be a no-op, not a rewrite
+    assert LH.maybe_compact(spark, p3, "k", max_files=6, n_files=5) == v3
+
 
 def test_lakehouse_optimize_preserves_rows_reduces_files(spark, sf_dir, tmp_path):
     """OPTIMIZE as a version: identical rows, fewer files, and the
@@ -5449,3 +5462,36 @@ def test_lakehouse_sql_round6_verbs(spark, tmp_path):
     # non-lakehouse TRUNCATE falls through to spark.sql (loud there)
     with _pytest.raises(Exception, match="nonesuch"):
         sql(spark, "TRUNCATE TABLE nonesuch_t6")
+
+
+def test_optimize_where_keyword_named_column(spark, tmp_path):
+    """review r8: a partition column literally named `incremental`
+    (unquoted) inside OPTIMIZE's WHERE predicate must stay predicate
+    text — the clause scan only treats INCREMENTAL / ZORDER BY as
+    keywords when the remainder parses as that clause — and the real
+    trailing clauses still parse."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.lakehouse_sql import register_table, sql
+
+    path = str(tmp_path / "lh_kwcol")
+    df = spark.range(120).selectExpr(
+        "id AS k", "CAST(id % 3 AS INT) AS incremental",
+        "CAST(id AS DOUBLE) AS v")
+    LH.table_init(df, path, "k", n_files=2, partition_by=["incremental"])
+    register_table(spark, "lh_kwcol", path, "k")
+    for i in range(3):
+        LH.append(spark, path, "k", spark.range(500 + i, 501 + i)
+                  .selectExpr("id AS k", "CAST(1 AS INT) AS incremental",
+                              "CAST(id AS DOUBLE) AS v"))
+    before = LH.files_at_version(path, LH.current_version(path))
+    cold = sorted(f for f in before if "incremental=1/" not in f)
+    # the predicate names the column; the statement has no clause
+    sql(spark, "OPTIMIZE lh_kwcol WHERE incremental = 1")
+    after = LH.files_at_version(path, LH.current_version(path))
+    assert sorted(f for f in after if "incremental=1/" not in f) == cold
+    assert len([f for f in after if "incremental=1/" in f]) < len(
+        [f for f in before if "incremental=1/" in f])
+    assert sql(spark, "SELECT count(*) AS c FROM lh_kwcol").first().c == 123
+    # a real trailing clause still parses alongside the keyword column
+    sql(spark, "OPTIMIZE lh_kwcol WHERE incremental = 1 ZORDER BY (k, v)")
+    assert sql(spark, "SELECT count(*) AS c FROM lh_kwcol").first().c == 123
