@@ -172,6 +172,10 @@ HEADLINE = [
     "knn_ivf_nprobe_curve",
     "multimodal_scene_cuts",
     "dq_distribution_drift",
+    # graph-centrality keywords (vocab-sized PageRank iterations) and
+    # the CUSUM level-shift detector (calendar-bounded window)
+    "text_textrank_keywords",
+    "events_changepoint_cusum",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -80,10 +80,12 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # been driver-sampled at least once), plus agg_approx_percentile
         # (its only r1 sample predates its oracle), scalar_math_funcs2
         # (the r7 hash-red row, re-sampled to prove the sgn type fix),
-        # and the 20 queries ADDED in round 8 (never sampled by
+        # and 20 of the 22 queries ADDED in round 8 (never sampled by
         # definition) — 50 head names total, filling the external
         # samplers' window exactly; the r1-r7-validated flagships
-        # follow. Names only; zero semantic change.
+        # follow. The two late additions (text_textrank_keywords,
+        # events_changepoint_cusum) overflow the window and lead the
+        # r9 rotation. Names only; zero semantic change.
         "text_unigram_logprob", "text_bpe_tokenize",
         "text_bpe_train_tokenize", "text_c4_filters", "text_rake_keywords",
         "text_redact_pii", "corpus_curation_funnel", "corpus_chunk_windows",

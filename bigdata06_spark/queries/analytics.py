@@ -5245,3 +5245,79 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").cast("long").alias("n_baseline"),
         F.col("n1").cast("long").alias("n_current"),
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(sum(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mu,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    dev AS (
+      SELECT d, CAST(floor((rev - m.mu) * 1e6 + 0.5) / 1e6
+                     AS DECIMAL(25,6)) AS dv, m.n
+      FROM daily CROSS JOIN m
+    ),
+    cus AS (
+      SELECT d, n,
+             CAST(sum(dv) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cusum
+      FROM dev
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           strftime(d, '%Y-%m-%d') AS changepoint_date,
+           floor(abs(cusum) * 1e6 + 0.5) / 1e6 AS cusum_stat
+    FROM cus
+    ORDER BY floor(abs(cusum) * 1e6 + 0.5) / 1e6 DESC, d LIMIT 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection on the daily revenue series — the
+    sequential-drift member of the anomaly family (MAD and z-score
+    flag outlier POINTS; CUSUM finds where the LEVEL shifted): the
+    running sum of mean-deviations peaks in magnitude at the most
+    likely changepoint. Deviations are 6dp-quantized and the running
+    sum is DECIMAL (window float sums reassociate in DuckDB's segment
+    trees — the qutil discipline applied to a cumulative window); the
+    argmax pins ties to the earliest day.
+
+    Scale: the series collapses to one row per day before any window
+    (the hypertable-rollup shape); the cumulative window runs over
+    DAYS, not rows — bounded by the calendar, not the data."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("rev")
+    )
+    m = daily.agg(
+        (
+            F.sum(F.col("rev").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "d", "n", rnd(F.col("rev") - F.col("mu"), 6).cast("decimal(25,6)").alias("dv")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cus = dev.select(
+        "d", "n", F.sum("dv").over(w).cast("double").alias("cusum")
+    )
+    return (
+        cus.select(
+            F.col("n").cast("long").alias("n_days"),
+            F.date_format("d", "yyyy-MM-dd").alias("changepoint_date"),
+            rnd(F.abs(F.col("cusum")), 6).alias("cusum_stat"),
+        )
+        .orderBy(F.desc(F.col("cusum_stat")), "changepoint_date")
+        .limit(1)
+    )

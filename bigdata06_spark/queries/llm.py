@@ -3976,3 +3976,122 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py:scene_cuts."""
     docs = load_table(spark, "documents", sf_dir)
     return M.scene_cuts(M.decode_media(M.attach_binary_payload(docs)))
+
+
+# ------------------------------------------------ TextRank keywords
+
+_TR_SCALE, _TR_DNUM, _TR_DDEN, _TR_ITERS, _TR_TOPK = 10**12, 85, 100, 3, 10
+
+
+def _textrank_oracle() -> str:
+    """Unrolled integer-PageRank replay over the word-adjacency graph
+    (same fixed-point discipline as _pagerank_oracle)."""
+    teleport = _TR_SCALE * (_TR_DDEN - _TR_DNUM) // _TR_DDEN
+    parts = [
+        f"""
+    WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+    adj AS (
+      SELECT unnest([struct_pack(a := ws[i], b := ws[i+1])
+                     for i in range(1, len(ws))]) AS p
+      FROM w WHERE len(ws) >= 2
+    ),
+    ed AS (
+      SELECT p.a AS src, p.b AS dst FROM adj
+      WHERE p.a <> '' AND p.b <> ''
+    ),
+    edges AS (
+      SELECT src, dst, count(*) AS w FROM (
+        SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+      ) GROUP BY src, dst
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, edges.w, outw.ow
+          FROM edges JOIN outw ON edges.src = outw.src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({_TR_SCALE} // n AS BIGINT) AS r
+           FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, _TR_ITERS + 1):
+        parts.append(
+            f""",
+    s{i} AS (SELECT e.dst AS node,
+                    CAST(sum((r{i-1}.r * e.w) // e.ow) AS BIGINT) AS sc
+             FROM e JOIN r{i-1} ON e.src = r{i-1}.node GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    CAST({teleport} // nn.n
+                         + (coalesce(s{i}.sc, 0) * {_TR_DNUM}) // {_TR_DDEN}
+                      AS BIGINT) AS r
+             FROM nodes CROSS JOIN nn
+               LEFT JOIN s{i} ON s{i}.node = nodes.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS word, r AS rank_scaled FROM r{_TR_ITERS}
+    ORDER BY r DESC, node LIMIT {_TR_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — the
+    graph-based member of the keyword family (RAKE = phrase statistics,
+    TF-IDF = frequency weighting, this = centrality): words are nodes,
+    adjacent-word co-occurrences are undirected weighted edges, and a
+    damped PageRank (3 fixed iterations, the engine's integer-exact
+    1e12-scaled fixed point — same discipline as graph_pagerank) ranks
+    words by how strongly the corpus's co-occurrence structure points
+    at them. Top-10 by rank with full tiebreaks.
+
+    Scale: the adjacency explode is one corpus scan (length-bounded
+    arrays, JVM-side transform); every iteration is one vocab-sized
+    join + groupBy — rank state is (word, long), never the corpus, so
+    iterations cost vocabulary, not text."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = (
+        docs.select(F.split(F.lower(F.col("text")), " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .selectExpr(
+            "explode(transform(sequence(1, size(ws) - 1), "
+            "i -> struct(ws[i-1] AS a, ws[i] AS b))) AS p"
+        )
+        .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+    )
+    ed = pairs.select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    edges = (
+        ed.unionAll(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(outw, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    cnt = nodes.agg(F.count(F.lit(1)).alias("n"))
+    teleport = _TR_SCALE * (_TR_DDEN - _TR_DNUM) // _TR_DDEN
+    ranks = nodes.crossJoin(F.broadcast(cnt)).select(
+        "node", F.expr(f"CAST({_TR_SCALE} AS BIGINT) DIV n").alias("r")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("(r * w) DIV ow").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("sc"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(cnt))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({teleport} AS BIGINT) DIV n "
+                    f"+ (coalesce(sc, CAST(0 AS BIGINT)) * {_TR_DNUM}) DIV {_TR_DDEN}"
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select(F.col("node").alias("word"), F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "word")
+        .limit(_TR_TOPK)
+    )
