@@ -176,6 +176,8 @@ HEADLINE = [
     # the CUSUM level-shift detector (calendar-bounded window)
     "text_textrank_keywords",
     "events_changepoint_cusum",
+    # the dedup threshold-tuning curve (one pair relation, 3 probes)
+    "dedup_threshold_sweep",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -4095,3 +4095,68 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_scaled"), "word")
         .limit(_TR_TOPK)
     )
+
+
+_DTS_THRESHOLDS = (0.5, 0.7, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}
+    , pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+      FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {min(_DTS_THRESHOLDS)}
+    ),
+    t AS (SELECT unnest([{', '.join(str(t) for t in _DTS_THRESHOLDS)}]) AS threshold)
+    SELECT t.threshold,
+           CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN p.doc_a IS NOT NULL
+                                    THEN p.doc_b END) AS BIGINT)
+             AS n_docs_deduped
+    FROM t LEFT JOIN pairs p ON p.j >= t.threshold
+    GROUP BY t.threshold ORDER BY t.threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEDUP-TUNING curve — the threshold twin of
+    `knn_ivf_nprobe_curve`: how many near-duplicate pairs (and how
+    many documents would be dropped under keep-lowest-id) exist at
+    Jaccard 0.5 / 0.7 / 0.9, from ONE exact similarity join. The
+    number that decides a production threshold is this curve — too low
+    deletes paraphrases, too high keeps boilerplate — and computing it
+    costs one pair relation + a broadcast threshold probe, not one
+    dedup run per candidate threshold.
+
+    Honesty note: on the synthetic corpus the curve is FLAT (every
+    near-dup pair sits at J ≥ 0.9; there are zero pairs in [0.2, 0.9)
+    — measured, both engines agree), because the generator emits
+    exact-ish variants, not paraphrases. The measurement structure is
+    the deliverable; on a real corpus the buckets differ and the curve
+    bends.
+
+    Scale: the pair relation is the inverted-index join (never N²,
+    localCheckpointed at pair size — bounded by true near-dup density
+    at the LOWEST threshold); the sweep itself is a 3-row broadcast
+    join over it."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=min(_DTS_THRESHOLDS)).localCheckpoint()
+    t = spark.createDataFrame(
+        [(t,) for t in _DTS_THRESHOLDS], "threshold double"
+    )
+    return (
+        F.broadcast(t)
+        .join(pairs, pairs.jaccard >= t.threshold, "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("doc_a").alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("doc_a").isNotNull(), F.col("doc_b"))
+            ).alias("n_docs_deduped"),
+        )
+        .orderBy("threshold")
+    )
