@@ -178,6 +178,9 @@ HEADLINE = [
     "events_changepoint_cusum",
     # the dedup threshold-tuning curve (one pair relation, 3 probes)
     "dedup_threshold_sweep",
+    # KS two-sample test: pure-integer ECDF supremum over distinct
+    # values
+    "stats_ks_test",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

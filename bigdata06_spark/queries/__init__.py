@@ -83,10 +83,10 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # and 20 of the 22 queries ADDED in round 8 (never sampled by
         # definition) — 50 head names total, filling the external
         # samplers' window exactly; the r1-r7-validated flagships
-        # follow. The three late additions (text_textrank_keywords,
-        # events_changepoint_cusum, dedup_threshold_sweep) overflow the
-        # window and lead the r9 rotation. Names only; zero semantic
-        # change.
+        # follow. The four late additions (text_textrank_keywords,
+        # events_changepoint_cusum, dedup_threshold_sweep,
+        # stats_ks_test) overflow the window and lead the r9 rotation.
+        # Names only; zero semantic change.
         "text_unigram_logprob", "text_bpe_tokenize",
         "text_bpe_train_tokenize", "text_c4_filters", "text_rake_keywords",
         "text_redact_pii", "corpus_curation_funnel", "corpus_chunk_windows",

@@ -5321,3 +5321,87 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.col("cusum_stat")), "changepoint_date")
         .limit(1)
     )
+
+
+@register(
+    "stats_ks_test",
+    oracle="""
+    WITH vals AS (
+      SELECT o_totalprice AS x,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t2
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_totalprice
+    ),
+    cum AS (
+      SELECT x,
+             CAST(sum(t1) OVER w AS BIGINT) AS c1,
+             CAST(sum(t2) OVER w AS BIGINT) AS c2,
+             CAST(sum(t1) OVER () AS BIGINT) AS n1,
+             CAST(sum(t2) OVER () AS BIGINT) AS n2
+      FROM vals
+      WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    top AS (
+      SELECT * FROM cum
+      ORDER BY abs(c1 * n2 - c2 * n1) DESC, x LIMIT 1
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_f, CAST(n2 AS BIGINT) AS n_o,
+           floor(abs(c1 * n2 - c2 * n1) / (CAST(n1 AS DOUBLE) * n2)
+                 * 1e6 + 0.5) / 1e6 AS d_stat,
+           abs(c1 * n2 - c2 * n1) / (CAST(n1 AS DOUBLE) * n2)
+             * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) > 1.358
+             AS significant
+    FROM top
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test (finished vs open order
+    totals) — the distribution-shape member of the stats family
+    (Welch compares means, Mann-Whitney compares ranks, KS compares
+    the WHOLE ECDF): D = sup |F1 - F2| evaluated at every sample
+    value. The supremum search is PURE INTEGER — |F1-F2| maximized as
+    |c1*n2 - c2*n1| over cumulative counts, no float enters until the
+    final statistic — so the argmax is bit-free cross-engine by
+    construction (no rounding-at-the-boundary risk at all). The
+    significance flag compares D*sqrt(n1*n2/(n1+n2)) to the 5%
+    Smirnov critical value 1.358.
+
+    Scale: like the rank-sum test, the ECDF runs over DISTINCT values
+    (per-value aggregate first); continuous measures pre-bin to a
+    quantile grid to cap the window input."""
+    o = load_table(spark, "orders", sf_dir)
+    vals = (
+        o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy(F.col("o_totalprice").alias("x"))
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("t1"),
+            F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("t2"),
+        )
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = vals.select(
+        "x",
+        F.sum("t1").over(wc).alias("c1"),
+        F.sum("t2").over(wc).alias("c2"),
+        F.sum("t1").over(wall).alias("n1"),
+        F.sum("t2").over(wall).alias("n2"),
+    )
+    d_int = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    top = cum.orderBy(d_int.desc(), "x").limit(1)
+    d_stat = d_int / (F.col("n1").cast("double") * F.col("n2"))
+    lam = d_stat * F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    )
+    from bigdata06_spark.queries.qutil import rnd
+
+    return top.select(
+        F.col("n1").cast("long").alias("n_f"),
+        F.col("n2").cast("long").alias("n_o"),
+        rnd(d_stat, 6).alias("d_stat"),
+        (lam > 1.358).alias("significant"),
+    )
