@@ -207,11 +207,19 @@ def frame_sample_batch(every: int):
 
 def sample_frames(decoded: DataFrame, every: int = 24) -> DataFrame:
     """Frame sampling over video assets. The filter prunes non-video
-    before the Python stage (evaluated JVM-side)."""
+    (and null-frame-count: an asset whose probe failed has nothing to
+    sample) before the Python stage (evaluated JVM-side). `every` is
+    validated HERE, at build time on the driver — a non-positive step
+    would otherwise surface as a range() ValueError inside an Arrow
+    worker traceback (ADVICE r8)."""
+    if every <= 0:
+        raise ValueError(f"every must be a positive frame step, got {every}")
     from bigdata06_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(decoded.sparkSession)
-    videos = decoded.filter(F.col("media_type") == "video/mp4").select("doc_id", "n_frames")
+    videos = decoded.filter(
+        (F.col("media_type") == "video/mp4") & F.col("n_frames").isNotNull()
+    ).select("doc_id", "n_frames")
     return videos.mapInPandas(frame_sample_batch(every), schema=FRAME_SCHEMA)
 
 
@@ -468,53 +476,28 @@ def phash_near_dup_pairs(hashed: DataFrame, max_hamming: int = 3,
     return pairs.select("doc_a", "doc_b", "hamming")
 
 
-SCENE_SIG_SCHEMA = "doc_id long, frame_idx long, sig long"
-
-
-def scene_signature_batch(every: int):
-    """mapInPandas stage: per sampled frame, a per-frame signature —
-    the slot where a real pipeline computes a decoded-frame histogram
-    or embedding; here the deterministic stand-in
-    (doc_id*31 + frame_idx*17) mod 256 keeps the Spark plumbing
-    (row-expanding Arrow stage, schema, partitioning) real and the
-    downstream cut detection oracle-checkable."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, sigs = [], [], []
-            for doc_id, n in zip(pdf["doc_id"], pdf["n_frames"]):
-                for k in range(0, int(n), every):
-                    ids.append(doc_id)
-                    idxs.append(k)
-                    sigs.append((int(doc_id) * 31 + k * 17) % 256)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int64"),
-                    "sig": pd.Series(sigs, dtype="int64"),
-                }
-            )
-
-    return fn
-
-
 def scene_cuts(decoded: DataFrame, every: int = 24, threshold: int = 128) -> DataFrame:
-    """Shot-boundary detection per video: sample every-Nth frame,
-    signature each (the decode stand-in), flag a CUT where consecutive
-    signatures differ by more than the threshold, and roll up per
-    video (frames sampled, cuts, first cut index; -1 = no cut).
+    """Shot-boundary detection per video: sample every-Nth frame (the
+    SAME `sample_frames` Arrow expansion stage every frame consumer
+    shares — ADVICE r8: no duplicated per-row sampling loop), attach a
+    per-frame signature, flag a CUT where consecutive signatures
+    differ by more than the threshold, and roll up per video (frames
+    sampled, cuts, first cut index; -1 = no cut).
+
+    The signature projection is the slot where a real pipeline runs a
+    decoded-frame histogram or embedding (that step would be a Pandas
+    UDF over the frame rows); the deterministic stand-in
+    (doc_id*31 + frame_idx*17) mod 256 is pure arithmetic, so it runs
+    JVM-side inside codegen and the cut detection stays
+    oracle-checkable end-to-end.
 
     Scale: the Python stage fans out bounded frame rows per asset
     (non-video pruned JVM-side first); the lag comparison is a
     per-video window — one exchange keyed by doc_id, state O(1) per
     timeline, the sessionization shape applied to frames."""
-    from bigdata06_spark.session import ensure_workers_can_import
-
-    ensure_workers_can_import(decoded.sparkSession)
-    videos = decoded.filter(F.col("media_type") == "video/mp4").select(
-        "doc_id", "n_frames"
+    frames = sample_frames(decoded, every).withColumn(
+        "sig", (F.col("doc_id") * 31 + F.col("frame_idx") * 17) % 256
     )
-    frames = videos.mapInPandas(scene_signature_batch(every), schema=SCENE_SIG_SCHEMA)
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("frame_idx")

@@ -250,9 +250,16 @@ def bloom_probe_expr(
     (prob ~ (1 - e^{-k·n/m})^k) survive the probe and are removed by
     the exact join that follows.
 
-    Both keys must be BIGINT (the build side is checked here; the
-    probe column lives in the caller's frame — cast it to long before
-    filtering, or the type-sensitive xxhash64 silently never matches).
+    The build key must be BIGINT (checked loud below). The probe side
+    is only a column NAME in the caller's frame, so it cannot be
+    dtype-checked here — instead its hash input is pinned with an
+    explicit CAST(probe_key AS BIGINT) (ADVICE r8): an INT/SMALLINT
+    probe column now hashes identically to the BIGINT build side
+    instead of silently never matching (xxhash64 is type-sensitive —
+    the one failure mode a bloom filter must never have). A
+    non-integer probe column that casts to NULL fails the `= 1L`
+    test, i.e. it filters rows OUT loudly rather than producing false
+    negatives on valid keys.
 
     Scale: the build is a groupBy onto <= bits/64 bitmap words — a
     BOUNDED driver pull (128 rows at the default size) independent of
@@ -300,9 +307,11 @@ def bloom_probe_expr(
     for r in words:
         bitmap[r["w"]] = r["bits"]
     arr = "array(" + ", ".join(f"{w}L" for w in bitmap) + ")"
+    # probe side: pin the hash input type (see docstring)
+    probe_cast = f"CAST({probe_key} AS BIGINT)"
     probe = " AND ".join(
-        f"((shiftright(element_at({arr}, cast({pos_sql(probe_key, s)} div 64 AS int) + 1), "
-        f"cast(pmod({pos_sql(probe_key, s)}, 64) AS int)) & 1L) = 1L)"
+        f"((shiftright(element_at({arr}, cast({pos_sql(probe_cast, s)} div 64 AS int) + 1), "
+        f"cast(pmod({pos_sql(probe_cast, s)}, 64) AS int)) & 1L) = 1L)"
         for s in seeds
     )
     return F.expr(probe)

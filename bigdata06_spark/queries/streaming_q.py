@@ -505,24 +505,33 @@ def stream_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHH_PHI_NUM, _SHH_PHI_DEN = 5, 1000  # phi = 0.005
 _SHH_BUCKETS = 8
 _SHH_CAPACITY = 1600  # >= buckets/phi: candidate recall guaranteed
+#: Zipf-ish derived key, the streaming twin of agg_heavy_hitters'
+#: _HH_KEY (VERDICT r8 #3): share of key z is ~1/(z(z+1)) — scale-free,
+#: so heavy hitters exist (~14 keys, z <= 13 at phi=0.005) at every sf.
+#: Raw user_id's per-user share shrinks ~1/users (empty above sf0.01).
+_SHH_KEY = "1000 DIV (1 + (event_id * 2654435761) % 1000)"
+_SHH_KEY_SQL = "1000 // (1 + (event_id * 2654435761) % 1000)"
 
 
 @register(
     "stream_heavy_hitters",
     oracle=f"""
-    WITH t AS (SELECT count(*) AS total FROM events)
-    SELECT user_id, count(*) AS n_events
-    FROM events, t
-    GROUP BY user_id, t.total
+    WITH k AS (SELECT {_SHH_KEY_SQL} AS hh_key FROM events
+               WHERE event_id IS NOT NULL),
+    t AS (SELECT count(hh_key) AS total FROM k)
+    SELECT hh_key, count(*) AS n_events
+    FROM k, t
+    GROUP BY hh_key, t.total
     HAVING count(*) >= ({_SHH_PHI_NUM} * t.total + {_SHH_PHI_DEN - 1})
                        // {_SHH_PHI_DEN}
-    ORDER BY n_events DESC, user_id
+    ORDER BY n_events DESC, hh_key
     """,
 )
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact heavy hitters — Misra-Gries as streaming state
     (the heavy-hitter twin of `stream_count_min_sketch`): events are
-    keyed by a hash bucket of user_id, each bucket's
+    keyed by a hash bucket of the Zipf-ish derived key `_SHH_KEY`
+    (non-empty at every sf — see agg_heavy_hitters), each bucket's
     applyInPandasWithState function maintains a <= capacity-entry MG
     summary across micro-batches, and every batch's emission carries a
     per-bucket sequence number so the FINAL candidate set is the
@@ -543,8 +552,10 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = SO.run_to_table(
         mg_bucket_candidates(
-            SO.stream_events(spark, sf_dir).select("user_id"),
-            "user_id",
+            SO.stream_events(spark, sf_dir)
+            .filter(F.col("event_id").isNotNull())
+            .select(F.expr(_SHH_KEY).alias("hh_key")),
+            "hh_key",
             _SHH_BUCKETS,
             _SHH_CAPACITY,
         ),
@@ -554,16 +565,20 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         sink.withColumn("mx", F.max("seq").over(w))
         .filter(F.col("seq") == F.col("mx"))
-        .select(F.col("k").alias("user_id"))
+        .select(F.col("k").alias("hh_key"))
         .distinct()
     )
-    ev = load_table(spark, "events", sf_dir)
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id").isNotNull())
+        .select(F.expr(_SHH_KEY).alias("hh_key"))
+    )
     total = ev.count()  # bounded: one scalar
     thresh = (_SHH_PHI_NUM * total + _SHH_PHI_DEN - 1) // _SHH_PHI_DEN
     return (
-        ev.join(F.broadcast(cand), "user_id", "left_semi")
-        .groupBy("user_id")
+        ev.join(F.broadcast(cand), "hh_key", "left_semi")
+        .groupBy("hh_key")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .filter(F.col("n_events") >= thresh)
-        .orderBy(F.desc("n_events"), "user_id")
+        .orderBy(F.desc("n_events"), "hh_key")
     )
