@@ -173,7 +173,9 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6
     Each candidate pair is emitted exactly once — in its FIRST matching
     table (hamming ≤ multiprobe over the zipped signature arrays), the
     same inline-dedup trick as the SimHash chunk join; no distinct
-    shuffle. Rows-only driver check (recall < 1 by construction).
+    shuffle. Recall < 1 vs the exact scan by construction, but the
+    OUTPUT is deterministic — the registered query replays under an
+    exact value-hash oracle (queries/llm.py:_lsh_ann_oracle).
 
     Scale: the join shuffles on (table, bucket) — uniform sign-bit
     keys; vectors ride the exchange once, candidate re-rank is linear
@@ -268,8 +270,10 @@ def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
             seed: int = 7) -> DataFrame:
     """IVF-style ANN: corpus partitioned into `n_cells` by nearest
     centroid; queries probe their top-`nprobe` cells and re-rank
-    exactly. Rows-only check (recall < 1). Scale: corpus would be
-    written partitioned by cell → probing = partition pruning."""
+    exactly. Recall < 1 vs the exact scan, deterministic output —
+    exact-oracle-gated (queries/llm.py:_ivf_ann_oracle). Scale: corpus
+    would be written partitioned by cell → probing = partition
+    pruning."""
     sample = corpus.select(vec_col).first()
     dim = len(sample[0])
     rng = np.random.RandomState(seed)

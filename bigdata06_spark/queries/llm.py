@@ -5,8 +5,12 @@ Oracle strategy: everything relationally expressible gets exact DuckDB
 SQL (including MinHash/SimHash — their outputs are exact-verified
 against the full Jaccard computation, and the LSH parameters guarantee
 recall on this corpus: r=2/b=32 bands → miss ≈ 4e-15 at J≥0.8;
-SimHash 16 chunks → pigeonhole-exact for hamming ≤ 15). Only the
-probabilistic-recall ANN variants are rows-only.
+SimHash 16 chunks → pigeonhole-exact for hamming ≤ 15). As of round
+9 nothing is rows-only: even the probabilistic-recall ANN serves
+(`knn_lsh_ann`, `knn_ivf_ann`) replay exactly — their RECALL is
+probabilistic but their OUTPUT is deterministic (seeded planes/
+centroids, integer buckets, 6dp re-rank), so the full serve path
+sits under a generated value-hash oracle.
 """
 
 from __future__ import annotations
@@ -741,23 +745,165 @@ def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_lsh_ann", oracle=None)
+_ANN_DIM = 64  # fixture embedding dim; the oracle bakes seeded
+#                planes/centroids for exactly this width
+
+
+def _lsh_ann_oracle(n_queries: int = 10, k: int = 5, n_planes: int = 6,
+                    n_tables: int = 12, seed: int = 42) -> str:
+    """Full SQL replay of `lsh_ann` (VERDICT r8 #2 — promote the last
+    rows-only entries to hard oracles): the SAME RandomState(seed)
+    hyperplanes are embedded as a literal (t, bit, pos, w) relation;
+    per-(vector, plane) dots, >= 0 sign bits, per-table bucket packing,
+    the hamming <= 1 multiprobe candidate condition, and the exact 6dp
+    cosine re-rank all replay relationally. The Spark side's candidate
+    set is table-equality joins over exploded single-bit flips — set-
+    equivalent to DISTINCT pairs with EXISTS table: hamming(q,c) <= 1.
+
+    Float caveat, measured not argued: the sign of a plane dot is the
+    one cross-engine hazard (numpy BLAS vs DuckDB's grouped sum
+    accumulate in different orders) — a flip needs |dot| within
+    accumulation error of 0, which the fixture's random 64-dim vectors
+    never produce (value-hash parity holds at sf0.001/0.01/0.1)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(n_planes * n_tables, _ANN_DIM)
+    rows = []
+    for j in range(n_planes * n_tables):
+        t, b = j // n_planes, j % n_planes
+        for pos, w in enumerate(planes[j], start=1):
+            rows.append(f"({t},{b},{pos},CAST({float(w)!r} AS DOUBLE))")
+    return f"""
+    WITH pl(t, bit, pos, w) AS (VALUES {",".join(rows)}),
+    e AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    sig AS MATERIALIZED (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS b
+      FROM (
+        SELECT e.vec_id, pl.t, pl.bit, sum(e.x * pl.w) AS d
+        FROM e JOIN pl ON pl.pos = e.pos
+        GROUP BY e.vec_id, pl.t, pl.bit
+      ) GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sig q JOIN sig c ON q.t = c.t
+      WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+        AND bit_count(xor(q.b, c.b)) <= 1
+    ),
+    rr AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             floor(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          en.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM cand
+        JOIN embeddings eq ON eq.vec_id = cand.query_id
+        JOIN embeddings en ON en.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM rr) WHERE rn <= {k}
+    """
+
+
+@register("knn_lsh_ann", oracle=_lsh_ann_oracle())
 def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table hyperplane LSH (12 tables × 6 sign
     bits, seeded) with single-bit multiprobe + exact re-rank over the
-    union of matching buckets. Probabilistic recall → rows-only check;
-    measured recall 0.96/0.94/0.98 at sf0.001/0.01/0.1, floor ≥ 0.7
-    pinned in tests/test_operators_unit.py."""
+    union of matching buckets. Recall vs the exact scan is
+    probabilistic (measured 0.96/0.94/0.98 at sf0.001/0.01/0.1, floor
+    ≥ 0.7 pinned in tests/test_operators_unit.py) but the OUTPUT is
+    deterministic — seeded planes, integer bucket packing, 6dp-rounded
+    re-rank — so the whole serve path replays under an exact value-hash
+    oracle (`_lsh_ann_oracle`), closing the last rows-only gap
+    (VERDICT r8 #2)."""
     e = load_table(spark, "embeddings", sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    if dim != _ANN_DIM:
+        raise ValueError(f"oracle planes baked for dim {_ANN_DIM}, data has {dim}")
     return S.lsh_ann(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
-@register("knn_ivf_ann", oracle=None)
+def _ivf_ann_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 8,
+                    nprobe: int = 3, seed: int = 7) -> str:
+    """Full SQL replay of `ivf_ann`: the seeded centroids embed as a
+    literal (cell, pos, w) relation; assignment is argmax-dot with the
+    fold's first-max-wins tie rule (ORDER BY score DESC, cell ASC);
+    query probes replay sort_array(desc)'s (score DESC, cell DESC)
+    struct order; candidates re-rank by exact 6dp cosine. Same
+    sign/argmax float caveat as `_lsh_ann_oracle` — ties between cell
+    scores are the only hazard, absent on the fixture."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = [list(v / math.sqrt(_ANN_DIM)) for v in rng.randn(n_cells, _ANN_DIM)]
+    rows = []
+    for ci, cent in enumerate(cents):
+        for pos, w in enumerate(cent, start=1):
+            rows.append(f"({ci},{pos},CAST({float(w)!r} AS DOUBLE))")
+    return f"""
+    WITH cn(cell, pos, w) AS (VALUES {",".join(rows)}),
+    e AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    sc AS MATERIALIZED (
+      SELECT e.vec_id, cn.cell, sum(e.x * cn.w) AS s
+      FROM e JOIN cn ON cn.pos = e.pos
+      GROUP BY e.vec_id, cn.cell
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell ASC) AS rn
+        FROM sc) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell DESC) AS rn
+        FROM sc WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+    ),
+    rr AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                          en.embedding::DOUBLE[]) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings en ON en.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM rr) WHERE rn <= {k}
+    """
+
+
+@register("knn_ivf_ann", oracle=_ivf_ann_oracle())
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via IVF cells (8 seeded centroids, nprobe=3) + exact
-    re-rank in probed cells. Probabilistic recall → rows-only check;
-    recall floor pinned in tests/test_operators_unit.py."""
+    re-rank in probed cells. Probabilistic recall vs the exact scan
+    (floor pinned in tests/test_operators_unit.py), deterministic
+    output — the whole serve path replays under an exact value-hash
+    oracle (`_ivf_ann_oracle`, VERDICT r8 #2)."""
     e = load_table(spark, "embeddings", sf_dir)
+    dim = len(e.select("embedding").first()[0])
+    if dim != _ANN_DIM:
+        raise ValueError(f"oracle centroids baked for dim {_ANN_DIM}, data has {dim}")
     return S.ivf_ann(e.filter(F.col("vec_id") < 10), e, k=5, n_cells=8, nprobe=3)
 
 
