@@ -97,13 +97,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join = NOT EXISTS (customers with no orders)."""
+    """Left-anti join = NOT EXISTS (customers with no URGENT orders —
+    the plain no-orders predicate is true of nobody below sf0.1 on the
+    synthetic tables, so the r9 non-vacuity gate pins a variant whose
+    answer is populated at every SF)."""
     c = load_table(spark, "customer", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -3222,30 +3228,35 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
       GROUP BY a.s, b.s
     )
-    SELECT sh.s_a, sh.s_b, CAST(sh.shared_parts AS BIGINT) AS shared_parts,
-           floor(CAST(sh.shared_parts AS DOUBLE)
-                 / (za.n + zb.n - sh.shared_parts) * 1e6 + 0.5) / 1e6 AS affinity
-    FROM shared sh
-      JOIN sz za ON za.s = sh.s_a
-      JOIN sz zb ON zb.s = sh.s_b
-    WHERE CAST(sh.shared_parts AS DOUBLE) / (za.n + zb.n - sh.shared_parts) >= 0.3
+    SELECT s_a, s_b, shared_parts, affinity FROM (
+      SELECT sh.s_a, sh.s_b, CAST(sh.shared_parts AS BIGINT) AS shared_parts,
+             floor(CAST(sh.shared_parts AS DOUBLE)
+                   / (za.n + zb.n - sh.shared_parts) * 1e6 + 0.5) / 1e6 AS affinity
+      FROM shared sh
+        JOIN sz za ON za.s = sh.s_a
+        JOIN sz zb ON zb.s = sh.s_b
+    ) ORDER BY affinity DESC, s_a, s_b LIMIT 50
     """,
 )
 def supplier_affinity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bipartite projection: the supplier-supplier affinity graph from
-    the supplier↔part relation — co-supply overlap scored by Jaccard
-    (≥ 0.3). Exactly the dedup engine's inverted-index self-join
-    machinery (`jaccard_pairs`) applied to RELATIONAL entity
-    resolution instead of text shingles: the part key is the index
-    key, the quadratic blowup confined to per-part buckets, affinity
-    an exact integer ratio. The pattern behind co-purchase graphs,
-    entity matching, and collaborative filtering candidate
-    generation."""
-    return _affinity_graph(load_table(spark, "lineitem", sf_dir))
+    """Bipartite projection: the 50 strongest edges of the supplier-
+    supplier affinity graph from the supplier↔part relation —
+    co-supply overlap scored by Jaccard, ranked (6dp, pair tiebreak).
+    Exactly the dedup engine's inverted-index self-join machinery
+    (`jaccard_pairs`) applied to RELATIONAL entity resolution instead
+    of text shingles: the part key is the index key, the quadratic
+    blowup confined to per-part buckets, affinity an exact integer
+    ratio. The pattern behind co-purchase graphs, entity matching,
+    and collaborative filtering candidate generation. Top-k rather
+    than a fixed threshold (r9 non-vacuity gate): co-supply density
+    dilutes as the corpus grows, so any fixed affinity cutoff empties
+    at some SF while top-k stays populated and SF-insensitive."""
+    return _affinity_graph(load_table(spark, "lineitem", sf_dir), top_k=50)
 
 
 def _affinity_graph(li: DataFrame, threshold: float = 0.3,
-                    max_deg: int | None = None) -> DataFrame:
+                    max_deg: int | None = None,
+                    top_k: int | None = None) -> DataFrame:
     """Supplier-supplier Jaccard affinity from the supplier↔part
     bipartite relation. `max_deg` is the hot-key skew lever (VERDICT
     r3 #1): parts supplied by more than `max_deg` suppliers are
@@ -3282,13 +3293,22 @@ def _affinity_graph(li: DataFrame, threshold: float = 0.3,
     from bigdata06_spark.queries.qutil import rnd
 
     aff = F.col("shared_parts") / (F.col("n_a") + F.col("n_b") - F.col("shared_parts"))
-    return (
-        shared.join(sz.select(F.col("s").alias("s_a"), F.col("n").alias("n_a")), "s_a")
-        .join(sz.select(F.col("s").alias("s_b"), F.col("n").alias("n_b")), "s_b")
-        .filter(aff >= threshold)
-        .select(
-            "s_a", "s_b", "shared_parts", rnd(aff, 6).alias("affinity")
+    scored = shared.join(
+        sz.select(F.col("s").alias("s_a"), F.col("n").alias("n_a")), "s_a"
+    ).join(sz.select(F.col("s").alias("s_b"), F.col("n").alias("n_b")), "s_b")
+    if top_k is not None:
+        # top-k strongest edges overall (6dp-rounded affinity, pair
+        # tiebreak) — SF-insensitive, unlike a fixed threshold whose
+        # qualifying set empties as co-supply density dilutes
+        return (
+            scored.select(
+                "s_a", "s_b", "shared_parts", rnd(aff, 6).alias("affinity")
+            )
+            .orderBy(F.desc("affinity"), "s_a", "s_b")
+            .limit(top_k)
         )
+    return scored.filter(aff >= threshold).select(
+        "s_a", "s_b", "shared_parts", rnd(aff, 6).alias("affinity")
     )
 
 

@@ -4285,12 +4285,22 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deliverable; on a real corpus the buckets differ and the curve
     bends.
 
-    Scale: the pair relation is the inverted-index join (never N²,
-    localCheckpointed at pair size — bounded by true near-dup density
-    at the LOWEST threshold); the sweep itself is a 3-row broadcast
-    join over it."""
+    Scale (VERDICT r8 #6 — the r8 form's exact pair join at the
+    loosest threshold grew 4.8x on 10x data because candidate density
+    tracked pairs-sharing-ANY-shingle): the pair relation now comes
+    from PREFIX-FILTERED candidate generation
+    (operators/dedup.py:jaccard_pairs_prefix — guaranteed recall 1 at
+    J >= 0.5 by the Bayardo/Chaudhuri prefix theorem, so the exact
+    oracle is unchanged), which joins only each doc's rarest-shingle
+    head and removes the hot join keys; candidates verify with the
+    exact set Jaccard, localCheckpointed at true-pair size; the sweep
+    itself is a 3-row broadcast join over it."""
     docs = load_table(spark, "documents", sf_dir)
-    pairs = D.jaccard_pairs(docs, threshold=min(_DTS_THRESHOLDS)).localCheckpoint()
+    # min(_DTS_THRESHOLDS) = 0.5 as the integer ratio 1/2 (prefix
+    # lengths need exact integer ceils)
+    pairs = D.jaccard_pairs_prefix(
+        docs, threshold_num=1, threshold_den=2
+    ).localCheckpoint()
     t = spark.createDataFrame(
         [(t,) for t in _DTS_THRESHOLDS], "threshold double"
     )
