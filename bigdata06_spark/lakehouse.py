@@ -121,18 +121,97 @@ def _write_log(path: str, version: int, add: list[str], remove: list[str]) -> No
 _PTMP = "__p_"
 
 
-def _iter_log_entries(path: str, version: int | None = None):
+#: bulk keys a parquet-checkpoint sidecar can hydrate back into the
+#: entry dict (everything else a checkpoint carries stays in its JSON)
+_CKPT_BULK = ("add", "stats", "blooms", "dvs")
+
+
+def _hydrate_checkpoint_bulk(path: str, entry: dict,
+                             bulk: tuple[str, ...]) -> None:
+    """Load the requested per-file bulk state from a parquet-
+    checkpoint sidecar into `entry`, restoring exactly the shape a
+    JSON checkpoint carries (round 9 — SCALE.md named the log format
+    as the last replay lever: the giant squashed entry's json.load
+    was ~5 s/GB single-threaded at 1M files; the sidecar is a
+    columnar read, and consumers that only need metadata never load
+    the bulk at all).
+
+    Column mapping: `file` → add list; `stats_json` (compact per-file
+    JSON, batch-parsed in ONE json.loads) → stats; `bl_<c>` typed
+    string columns → blooms; `dv` list column → dvs. Presence rules
+    mirror checkpoint_log's JSON emission: stats only when the table
+    has stats_cols, blooms only with a bloom spec, dvs only when live
+    DVs exist."""
+    import pyarrow.parquet as pq
+
+    side = os.path.join(_log_dir(path), entry["checkpoint_parquet"])
+    want_stats = "stats" in bulk and "stats_cols" in entry
+    bl_names = []
+    if "blooms" in bulk and "bloom" in entry:
+        bl_names = [f"bl_{c}" for c in entry["bloom"].get("cols", [])]
+    cols = ["file"]
+    if want_stats:
+        cols.append("stats_json")
+    cols += bl_names
+    if "dvs" in bulk:
+        cols.append("dv")
+    tbl = pq.read_table(side, columns=cols)
+    files = tbl.column("file").to_pylist()
+    if "add" in bulk:
+        entry["add"] = files
+    if want_stats:
+        sj = tbl.column("stats_json").to_pylist()
+        pairs = [(f, s) for f, s in zip(files, sj) if s]
+        parsed = (
+            json.loads("[" + ",".join(s for _f, s in pairs) + "]")
+            if pairs else []
+        )
+        entry["stats"] = {f: st for (f, _s), st in zip(pairs, parsed)}
+    if "blooms" in bulk and "bloom" in entry:
+        per_col = {n[3:]: tbl.column(n).to_pylist() for n in bl_names}
+        blooms: dict = {}
+        for i, f in enumerate(files):
+            b = {c: v[i] for c, v in per_col.items() if v[i] is not None}
+            if b:
+                blooms[f] = b
+        entry["blooms"] = blooms
+    if "dvs" in bulk:
+        dvc = tbl.column("dv").to_pylist()
+        dvs = {f: list(d) for f, d in zip(files, dvc) if d}
+        if dvs:
+            entry["dvs"] = dvs
+
+
+def _read_entry(path: str, v: int,
+                bulk: tuple[str, ...] = _CKPT_BULK) -> dict | None:
+    """Load log entry `v` (None when squashed away), hydrating a
+    parquet-checkpoint sidecar's bulk state on demand. `bulk` names
+    which per-file keys the caller folds — metadata-only consumers
+    pass () and never pay the sidecar read."""
+    lp = os.path.join(_log_dir(path), f"{v}.json")
+    if not os.path.exists(lp):
+        return None
+    with open(lp) as fh:
+        entry = json.load(fh)
+    if bulk and entry.get("checkpoint_parquet"):
+        _hydrate_checkpoint_bulk(path, entry, bulk)
+    return entry
+
+
+def _iter_log_entries(path: str, version: int | None = None,
+                      bulk: tuple[str, ...] = ()):
     """Yield (version, entry) for every surviving log entry up to
     `version` (latest when None) — the one loop behind every
-    metadata lookup (checkpoint-squashed versions skip naturally)."""
+    metadata lookup (checkpoint-squashed versions skip naturally).
+    Metadata lookups never touch a parquet checkpoint's bulk (every
+    consumer of this iterator reads only small spec/ledger keys), so
+    the default is a bulk-free load."""
     latest = current_version(path)
     v_hi = latest if version is None else version
     for v in range(v_hi + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
-            continue
-        with open(lp) as fh:
-            yield v, json.load(fh)
+        entry = _read_entry(path, v, bulk)
+        if entry is not None:
+            yield v, entry
 
 
 def _pvals_of_rel(rel_path: str) -> dict[str, str]:
@@ -157,11 +236,9 @@ def table_partition_by(path: str) -> list[str]:
     at init and re-emitted by checkpoint_log."""
     latest = current_version(path)
     for v in range(latest + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
+        entry = _read_entry(path, v, bulk=())
+        if entry is None:
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         if "partition_by" in entry:
             return list(entry["partition_by"])
     return []
@@ -257,11 +334,9 @@ def table_stats_cols(path: str) -> list[str]:
     re-emitted by checkpoint_log."""
     latest = current_version(path)
     for v in range(latest + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
+        entry = _read_entry(path, v, bulk=())
+        if entry is None:
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         if "stats_cols" in entry:
             return list(entry["stats_cols"])
     return []
@@ -325,11 +400,9 @@ def file_stats_at(path: str, version: int) -> dict:
         raise ValueError(f"version {version} not in [0, {latest}]")
     stats: dict = {}
     for v in range(version + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
+        entry = _read_entry(path, v, bulk=("stats",))
+        if entry is None:
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         if entry.get("checkpoint"):
             stats = dict(entry.get("stats", {}))
         else:
@@ -580,9 +653,18 @@ def _collect_file_blooms(spark: SparkSession, path: str, files: list[str],
     driver packs each set into a base64 bitmap. NULLs set no bits
     (a NULL lookup keeps every file instead)."""
     import base64
+    from urllib.parse import unquote
 
     cols, m, k = bloom["cols"], bloom["bits"], bloom["hashes"]
     full = [os.path.join(path, f) for f in files]
+    # scanner URIs percent-escape partition-dir characters
+    # (`col=NOT%20SPECIFIED`); listed names store them literally —
+    # resolve through the same abs→listed map _collect_file_stats
+    # uses, or a partitioned table whose value contains an escapable
+    # character records blooms under a name no reader ever looks up
+    # (sound but silently unpruned — found by the r9 parquet-vs-JSON
+    # checkpoint equivalence test)
+    abs_to_listed = {os.path.abspath(os.path.join(path, f)): f for f in files}
     df = spark.read.option("mergeSchema", "true").parquet(*full)
     present = [c for c in cols if c in df.columns]
     out: dict = {}
@@ -598,10 +680,17 @@ def _collect_file_blooms(spark: SparkSession, path: str, files: list[str],
             .collect()
         )
         for r in rows:
-            rel = _DATA + "/" + r["f"].split(f"/{_DATA}/", 1)[1]
+            p = r["f"]
+            for pre in ("file://", "file:"):
+                if p.startswith(pre):
+                    p = p[len(pre):]
+                    break
+            if not p.startswith("/"):
+                p = "/" + p
+            rel = abs_to_listed[os.path.abspath(unquote(p))]
             bits = bytearray(m // 8)
-            for p in r["ps"]:
-                bits[p // 8] |= 1 << (p % 8)
+            for pos in r["ps"]:
+                bits[pos // 8] |= 1 << (pos % 8)
             out.setdefault(rel, {})[c] = base64.b64encode(bytes(bits)).decode()
     return out
 
@@ -614,11 +703,9 @@ def file_blooms_at(path: str, version: int) -> dict:
         raise ValueError(f"version {version} not in [0, {latest}]")
     blooms: dict = {}
     for v in range(version + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
+        entry = _read_entry(path, v, bulk=("blooms",))
+        if entry is None:
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         if entry.get("checkpoint"):
             blooms = dict(entry.get("blooms", {}))
         else:
@@ -760,11 +847,9 @@ def _state_at_version(path: str, version: int) -> tuple[list[str], dict[str, lis
     files: set[str] = set()
     dvs: dict[str, list[str]] = {}
     for v in range(version + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):  # squashed away by checkpoint_log
+        entry = _read_entry(path, v, bulk=("add", "dvs"))
+        if entry is None:  # squashed away by checkpoint_log
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         if entry.get("checkpoint"):
             files = set(entry["add"])
             dvs = {f: list(lst) for f, lst in entry.get("dvs", {}).items()}
@@ -785,7 +870,7 @@ def _state_at_version(path: str, version: int) -> tuple[list[str], dict[str, lis
     return sorted(files), dvs
 
 
-def _replay_all(path: str, version: int) -> dict:
+def _replay_all(path: str, version: int, include_bulk: bool = True) -> dict:
     """ONE JSON-parse pass of the log through `version` → every
     artifact the manifest full rebuild needs: the snapshot file/DV
     state, per-file stats and blooms, the partition/stats/bloom
@@ -817,11 +902,9 @@ def _replay_all(path: str, version: int) -> dict:
     acts: list[dict] = []
     base: list[str] | None = None
     for v in range(version + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):  # squashed away by checkpoint_log
+        entry = _read_entry(path, v, bulk=_CKPT_BULK if include_bulk else ())
+        if entry is None:  # squashed away by checkpoint_log
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         # first-occurrence table specs (recorded at init, re-emitted
         # by checkpoint — identical to table_partition_by & co.)
         if pby is None and "partition_by" in entry:
@@ -877,7 +960,11 @@ def _replay_all(path: str, version: int) -> dict:
         if dr:
             acts.append({"kind": "drop", "column": dr["column"]})
         # file/DV/stats/bloom state — _state_at_version,
-        # file_stats_at, file_blooms_at
+        # file_stats_at, file_blooms_at (skipped entirely when the
+        # caller folds the bulk relationally — the manifest fast
+        # path: parquet-checkpoint sidecar + delta entries)
+        if not include_bulk:
+            continue
         if entry.get("checkpoint"):
             files = set(entry["add"])
             dvs = {f: list(lst) for f, lst in entry.get("dvs", {}).items()}
@@ -904,11 +991,9 @@ def _replay_all(path: str, version: int) -> dict:
     # identity/zorder (last-wins) over the remaining window — empty in
     # the steady case version == latest, so no extra parse there
     for v in range(version + 1, latest + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
+        entry = _read_entry(path, v, bulk=())
+        if entry is None:
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         if pby is None and "partition_by" in entry:
             pby = list(entry["partition_by"])
         if scols is None and "stats_cols" in entry:
@@ -936,8 +1021,11 @@ def _replay_all(path: str, version: int) -> dict:
             elif a["kind"] == "drop":
                 if a["column"] in logical:
                     logical.remove(a["column"])
+    if not include_bulk:
+        files, dvs, stats, blooms = None, None, None, None
     return {
-        "files": sorted(files), "dvs": dvs, "stats": stats,
+        "files": sorted(files) if files is not None else None,
+        "dvs": dvs, "stats": stats,
         "blooms": blooms, "pby": pby, "scols": scols, "bloom": bloom,
         "acts": acts, "logical_cols": logical, "base_cols": base,
         "generated": gen or {}, "identity": ident, "zorder": zmeta,
@@ -969,10 +1057,9 @@ def version_at_timestamp(path: str, ts: float) -> int:
     best = None
     for v in range(latest + 1):
         lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
+        entry = _read_entry(path, v, bulk=())
+        if entry is None:
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         cts = entry.get("ts", os.path.getmtime(lp))
         if cts <= ts:
             best = v
@@ -1002,11 +1089,9 @@ def table_constraints(path: str, version: int | None = None) -> dict[str, str]:
     v_end = latest if version is None else version
     out: dict[str, str] = {}
     for v in range(v_end + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):
+        entry = _read_entry(path, v, bulk=())
+        if entry is None:
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         if entry.get("checkpoint"):
             out = dict(entry.get("constraints", {}))
         ca = entry.get("constraint_add")
@@ -2371,11 +2456,9 @@ def _schema_actions_at(path: str, version: int) -> list[dict]:
     column mapping existed."""
     acts: list[dict] = []
     for v in range(version + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):  # squashed away by checkpoint_log
+        entry = _read_entry(path, v, bulk=())
+        if entry is None:  # squashed away by checkpoint_log
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         if "schema_actions_set" in entry:  # RESTORE/clone/checkpoint pin
             acts = [dict(a) for a in entry["schema_actions_set"]]
         elif "schema_set" in entry:  # legacy RESTORE pin (adds only)
@@ -3107,6 +3190,29 @@ def vacuum(path: str, keep_versions: int = 1,
         for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
             if dirpath != data_root and not dirnames and not filenames:
                 os.rmdir(dirpath)
+    # orphaned parquet-checkpoint sidecar dirs: a re-squash writes a
+    # new `<v>.checkpoint-<uuid>` dir and atomically re-points the
+    # entry; the superseded dir (and dirs of squashed-away versions)
+    # stay on disk for in-flight readers and are reclaimed here behind
+    # the same age guard as data files
+    referenced = set()
+    for _v_, e_ in _iter_log_entries(path):
+        s_ = e_.get("checkpoint_parquet")
+        if s_:
+            referenced.add(s_)
+    logd = _log_dir(path)
+    for n in sorted(os.listdir(logd)):
+        d = os.path.join(logd, n)
+        if (".checkpoint-" not in n or n in referenced
+                or not os.path.isdir(d)):
+            continue
+        if now - os.path.getmtime(d) < min_file_age_seconds:
+            continue
+        dead.append(os.path.relpath(d, path))
+        if not dry_run:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
     # superseded snapshot-manifest dirs (refresh_manifest defers their
     # deletion behind an age guard so in-flight readers finish; vacuum
     # is the designated reclaimer)
@@ -3138,14 +3244,26 @@ def vacuum(path: str, keep_versions: int = 1,
     return sorted(dead)
 
 
-def checkpoint_log(path: str, at_version: int | None = None) -> int:
+def checkpoint_log(path: str, at_version: int | None = None,
+                   parquet: bool = True) -> int:
     """LOG CHECKPOINTING: squash versions 0..V into one snapshot
     entry (the full file list of version V), so readers replay
     O(versions since checkpoint) instead of the whole history —
-    Delta's checkpoint-parquet / Iceberg's snapshot list, in one
-    JSON. Later version files are untouched; earlier per-version
-    time travel collapses onto the squashed snapshot (pair with
-    `vacuum`, which removes their files anyway). Returns V."""
+    Delta's checkpoint-parquet / Iceberg's snapshot list. Later
+    version files are untouched; earlier per-version time travel
+    collapses onto the squashed snapshot (pair with `vacuum`, which
+    removes their files anyway). Returns V.
+
+    `parquet=True` (default, round 9 — Delta's actual checkpoint
+    format): the PER-FILE BULK (file list, stats, blooms, DVs, plus
+    manifest-aligned partition/stats/bloom columns) streams to a
+    columnar sidecar dir `{V}.checkpoint-<uuid>/` next to the log,
+    and the JSON entry keeps only table-level metadata plus a
+    `checkpoint_parquet` pointer. Readers hydrate the bulk on demand
+    (`_read_entry`); metadata-only lookups never load it, and the
+    manifest full rebuild consumes the sidecar RELATIONALLY (no
+    driver-side dict of a million files at all). `parquet=False`
+    writes the legacy single-JSON checkpoint."""
     latest = current_version(path)
     v = latest if at_version is None else at_version
     if not (0 <= v <= latest):
@@ -3174,7 +3292,6 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
         if os.path.exists(old_p):
             os.remove(old_p)
     entry = {
-        "add": files,
         "remove": [],
         "checkpoint": True,
         "op": "CHECKPOINT",
@@ -3185,24 +3302,44 @@ def checkpoint_log(path: str, at_version: int | None = None) -> int:
     }
     if base_cols:
         entry["schema_cols"] = base_cols
-    if dvs:
-        # live deletion-vector map re-emitted so MOR reads survive too
-        entry["dvs"] = dvs
     if cons_pre:
         # live CHECK constraints re-emitted likewise
         entry["constraints"] = cons_pre
     if pby:
-        # partition spec + per-file values re-emitted likewise
+        # partition spec re-emitted likewise
         entry["partition_by"] = pby
-        entry.update(_entry_partition_meta(files))
     if scols_pre:
-        # stats spec + surviving files' stats survive the squash too
+        # stats spec survives the squash too
         entry["stats_cols"] = scols_pre
-        entry["stats"] = stats_pre
     if bloom_pre:
-        # bloom spec + surviving files' blooms likewise
+        # bloom spec likewise
         entry["bloom"] = bloom_pre
-        entry["blooms"] = blooms_pre
+    if parquet:
+        # the per-file bulk streams to a columnar sidecar; the JSON
+        # keeps the pointer (hydrated on demand by _read_entry)
+        from bigdata06_spark import lakehouse_manifest as M
+
+        bcols = list(bloom_pre["cols"]) if bloom_pre else []
+        side = f"{v}.checkpoint-{uuid.uuid4().hex[:8]}"
+        M.write_checkpoint_sidecar(
+            os.path.join(_log_dir(path), side), files, stats_pre,
+            dvs, pby, scols_pre, bcols, blooms_pre,
+        )
+        entry["checkpoint_parquet"] = side
+    else:
+        entry["add"] = files
+        if dvs:
+            # live deletion-vector map re-emitted so MOR reads survive
+            entry["dvs"] = dvs
+        if pby:
+            # per-file partition values re-emitted likewise
+            entry.update(_entry_partition_meta(files))
+        if scols_pre:
+            # surviving files' stats survive the squash too
+            entry["stats"] = stats_pre
+        if bloom_pre:
+            # surviving files' blooms likewise
+            entry["blooms"] = blooms_pre
     if gen_pre:
         # generated-column expressions likewise
         entry["generated"] = gen_pre
@@ -3249,11 +3386,9 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
         raise ValueError(f"no lakehouse table at {path}")
     rows = []
     for v in range(latest + 1):
-        lp = os.path.join(_log_dir(path), f"{v}.json")
-        if not os.path.exists(lp):  # squashed away
+        entry = _read_entry(path, v, bulk=("add",))
+        if entry is None:  # squashed away
             continue
-        with open(lp) as fh:
-            entry = json.load(fh)
         op = entry.get("op")
         if op is None:  # legacy entry: infer from signature keys
             if "cloned_from" in entry:

@@ -127,27 +127,33 @@ def _manifest_schema(pby: list[str], scols: list[str],
     return T.StructType(fields)
 
 
+def _file_row(f: str, stats: dict, dvs: dict, pby: list[str],
+              scols: list[str], bcols, blooms: dict) -> list:
+    """ONE manifest row for file `f` — the single definition behind
+    `_rows_for`, the distributed rebuild writer, and the parquet-
+    checkpoint sidecar, so the relational and dict-replay paths can
+    never diverge on a value's canonical form."""
+    pv = LH._pvals_of_rel(f)
+    r: list = [f]
+    for c in pby:
+        r.append(pv.get(c))
+    st = stats.get(f) or {}
+    for c in scols:
+        mn, mx = (st.get(c) or (None, None))
+        r += [_str_or_null(mn), _str_or_null(mx),
+              _num_or_null(mn), _num_or_null(mx)]
+    bl = (blooms or {}).get(f) or {}
+    for c in bcols:
+        r.append(bl.get(c))
+    r.append(list(dvs.get(f, [])))
+    return r
+
+
 def _rows_for(files: list[str], stats: dict, dvs: dict,
               pby: list[str], scols: list[str],
               bcols: list[str] = (), blooms: dict | None = None) -> list[tuple]:
-    rows = []
-    blooms = blooms or {}
-    for f in files:
-        pv = LH._pvals_of_rel(f)
-        r: list = [f]
-        for c in pby:
-            r.append(pv.get(c))
-        st = stats.get(f) or {}
-        for c in scols:
-            mn, mx = (st.get(c) or (None, None))
-            r += [_str_or_null(mn), _str_or_null(mx),
-                  _num_or_null(mn), _num_or_null(mx)]
-        bl = blooms.get(f) or {}
-        for c in bcols:
-            r.append(bl.get(c))
-        r.append(list(dvs.get(f, [])))
-        rows.append(tuple(r))
-    return rows
+    return [tuple(_file_row(f, stats, dvs, pby, scols, bcols, blooms or {}))
+            for f in files]
 
 
 #: rows per staged JSONL shard in the distributed full rebuild — sized
@@ -210,22 +216,55 @@ def _write_manifest_distributed(spark: SparkSession, out_dir: str,
     for i, f in enumerate(files):
         if i and i % _REBUILD_SHARD_ROWS == 0:
             _flush()
-        pv = LH._pvals_of_rel(f)
-        r: list = [f]
-        for c in pby:
-            r.append(pv.get(c))
-        st = stats.get(f) or {}
-        for c in scols:
-            mn, mx = (st.get(c) or (None, None))
-            r += [_str_or_null(mn), _str_or_null(mx),
-                  _num_or_null(mn), _num_or_null(mx)]
-        bl = blooms.get(f) or {}
-        for c in bcols:
-            r.append(bl.get(c))
-        r.append(list(dvs.get(f, [])))
+        r = _file_row(f, stats, dvs, pby, scols, bcols, blooms)
         for j, v in enumerate(r):
             batch_cols[j].append(v)
     _flush()  # the tail batch; an empty table writes a schema-only shard
+
+
+def write_checkpoint_sidecar(out_dir: str, files: list[str], stats: dict,
+                             dvs: dict, pby: list[str], scols: list[str],
+                             bcols: list[str], blooms: dict) -> None:
+    """The parquet-checkpoint bulk writer (round 9 — SCALE.md's "the
+    remaining floor is the LOG format" lever): one row per surviving
+    file with the SAME manifest-aligned columns `plan_files` scans
+    (p_<c>, mn/mx/mnn/mxn_<c>, bl_<c>, dv) PLUS `stats_json` — the
+    file's log-stats dict as compact JSON, so dict-replay consumers
+    (`LH._read_entry` hydration) reconstruct the exact original JSON
+    scalars (a string-typed "5" and a number 5 canonicalize the same
+    in mn_<c> but must replay differently). Streams
+    _REBUILD_SHARD_ROWS pyarrow batches like the rebuild writer:
+    O(shard) driver memory, no Spark job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _manifest_schema(pby, scols, bcols)
+    pa_schema = _arrow_schema(schema).append(
+        pa.field("stats_json", pa.string())
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ncols = len(pa_schema)
+    shard = 0
+    batch_cols: list[list] = [[] for _ in range(ncols)]
+
+    def _flush():
+        nonlocal shard, batch_cols
+        arrays = [pa.array(c, type=pa_schema.field(i).type)
+                  for i, c in enumerate(batch_cols)]
+        pq.write_table(pa.Table.from_arrays(arrays, schema=pa_schema),
+                       os.path.join(out_dir, f"part-{shard:05d}.parquet"))
+        shard += 1
+        batch_cols = [[] for _ in range(ncols)]
+
+    for i, f in enumerate(files):
+        if i and i % _REBUILD_SHARD_ROWS == 0:
+            _flush()
+        r = _file_row(f, stats, dvs, pby, scols, bcols, blooms)
+        st = stats.get(f)
+        r.append(json.dumps(st, separators=(",", ":")) if st else None)
+        for j, v in enumerate(r):
+            batch_cols[j].append(v)
+    _flush()  # tail; an empty table still writes a schema-only shard
 
 
 def _resets_state(entry: dict) -> bool:
@@ -292,6 +331,104 @@ def _fold_schema_meta(acts: list[dict], logical: list[str] | None,
     return acts, logical
 
 
+def _fold_manifest(spark: SparkSession, cur: DataFrame, delta,
+                   pby: list[str], scols: list[str], bcols: list[str],
+                   schema: T.StructType) -> DataFrame:
+    """Apply log entries `delta` to manifest frame `cur` relationally
+    — shared by the incremental refresh AND the parquet-checkpoint
+    fast rebuild. Sequential fold: add/remove are applied per entry
+    IN ORDER so the result is provably equivalent to log replay — a
+    path removed then re-added within the window survives (the old
+    manifest row is anti-joined away, the re-add row unioned in),
+    while added-then-removed vanishes. Data files are uuid-named so
+    this is belt-and-braces today, but the fold must not be
+    order-insensitive where the log is order-sensitive."""
+    add_set: set[str] = set()
+    add_stats: dict = {}
+    add_blooms: dict = {}
+    removes: set[str] = set()
+    dv_events: list[tuple[str, str]] = []  # (file, dv parquet)
+    for _dv, entry in delta:
+        for f in entry.get("remove", []):
+            removes.add(f)
+            add_set.discard(f)  # added-then-removed in this window
+            # removing a file spends its DVs (rewrite applied them)
+            dv_events = [(df_, d) for df_, d in dv_events if df_ != f]
+        for f in entry.get("add", []):
+            add_set.add(f)  # removes keeps f: old row still anti-joined
+        add_stats.update(entry.get("stats", {}))
+        add_blooms.update(entry.get("blooms", {}))
+        da = entry.get("dv_add")
+        if da:
+            for f in da["files"]:
+                for d in da["dv"]:
+                    dv_events.append((f, d))
+    adds = sorted(add_set)
+    if removes:
+        rm = spark.createDataFrame(
+            [(f,) for f in sorted(removes)], "file string")
+        cur = cur.join(F.broadcast(rm), "file", "left_anti")
+    if adds:
+        # union BEFORE the DV fold: a file added and DV'd within
+        # the same delta window must pick its DVs up too
+        new_rows = _rows_for(adds, add_stats, {}, pby, scols,
+                             bcols, add_blooms)
+        cur = cur.unionByName(spark.createDataFrame(new_rows, schema))
+    if dv_events:
+        ev = (
+            spark.createDataFrame(dv_events, "file string, d string")
+            .groupBy("file").agg(F.collect_list("d").alias("_new_dv"))
+        )
+        cur = (
+            cur.join(F.broadcast(ev), "file", "left")
+            .withColumn(
+                "dv",
+                F.when(F.col("_new_dv").isNull(), F.col("dv"))
+                .otherwise(F.concat(
+                    F.coalesce(F.col("dv"),
+                               F.array().cast("array<string>")),
+                    F.col("_new_dv"))),
+            )
+            .drop("_new_dv")
+        )
+    return cur
+
+
+def _sidecar_checkpoint(path: str, v: int) -> tuple[int, str] | None:
+    """(version, sidecar dir name) of the newest PARQUET checkpoint at
+    or below `v`, or None. Discovery is by directory NAME
+    (`<u>.checkpoint-<uuid>`), so no giant legacy-JSON checkpoint is
+    ever parsed just to learn it has no sidecar; the candidate's own
+    (small) JSON entry confirms the exact pointer. A checkpoint
+    encountered WITHOUT a sidecar blocks the fast path — its state
+    resets the log and is not relationally available."""
+    logd = LH._log_dir(path)
+    try:
+        names = os.listdir(logd)
+    except FileNotFoundError:
+        return None
+    cands: dict[int, set] = {}
+    for n in names:
+        if ".checkpoint-" not in n or not os.path.isdir(os.path.join(logd, n)):
+            continue
+        try:
+            u = int(n.split(".")[0])
+        except ValueError:
+            continue
+        if u <= v:
+            cands.setdefault(u, set()).add(n)
+    for u in sorted(cands, reverse=True):
+        entry = LH._read_entry(path, u, bulk=())
+        if entry is None:
+            continue
+        side = entry.get("checkpoint_parquet")
+        if side and side in cands[u]:
+            return u, side
+        if entry.get("checkpoint"):
+            return None  # legacy JSON checkpoint: no relational state
+    return None
+
+
 def refresh_manifest(spark: SparkSession, path: str,
                      to_version: int | None = None) -> dict:
     """Bring the manifest to `to_version` (latest when None).
@@ -346,71 +483,45 @@ def refresh_manifest(spark: SparkSession, path: str,
 
     out_dir = os.path.join(_mf_root(path), f"m{v}-{uuid.uuid4().hex[:8]}")
     if mode == "full":
-        st = LH._replay_all(path, v)
+        # relational fast path (round 9): when the newest checkpoint
+        # at or below v is a PARQUET checkpoint, its sidecar already
+        # holds manifest-aligned rows for the whole snapshot — read it
+        # with Spark and fold only the JSON tail, exactly like an
+        # incremental refresh. The driver never materializes a dict of
+        # a million files; the one O(files) pass happened when the
+        # checkpoint was written.
+        ck = _sidecar_checkpoint(path, v)
+        tail = _delta_entries(path, ck[0], v) if ck is not None else []
+        fast = ck is not None and not any(
+            _resets_state(e) for _dv, e in tail
+        )
+        st = LH._replay_all(path, v, include_bulk=not fast)
         pby, scols, bloom = st["pby"], st["scols"], st["bloom"]
         bcols = list(bloom["cols"]) if bloom else []
+        if fast and bcols and any(
+            set(e.get("blooms", {})) - set(e.get("add", []))
+            for _dv, e in tail
+        ):
+            # same defensive rule as the incremental branch: a
+            # re-bloomed un-added file needs a row UPDATE — replay
+            fast = False
+            st = LH._replay_all(path, v)
         schema = _manifest_schema(pby, scols, bcols)
-        _write_manifest_distributed(spark, out_dir, st["files"],
-                                    st["stats"], st["dvs"],
-                                    pby, scols, schema, bcols, st["blooms"])
+        if fast:
+            side = os.path.join(LH._log_dir(path), ck[1])
+            cur = spark.read.schema(schema).parquet(side)
+            cur = _fold_manifest(spark, cur, tail, pby, scols, bcols,
+                                 schema)
+            cur.write.mode("overwrite").parquet(out_dir)
+        else:
+            _write_manifest_distributed(spark, out_dir, st["files"],
+                                        st["stats"], st["dvs"],
+                                        pby, scols, schema, bcols,
+                                        st["blooms"])
     else:
         schema = _manifest_schema(pby, scols, bcols)
         cur = spark.read.schema(schema).parquet(meta["dir"])
-        # Sequential fold — add/remove are applied per entry IN ORDER
-        # so the result is provably equivalent to log replay: a path
-        # removed then re-added within the window survives (the old
-        # manifest row is anti-joined away, the re-add row unioned in),
-        # while added-then-removed vanishes. Data files are uuid-named
-        # so this is belt-and-braces today, but the fold must not be
-        # order-insensitive where the log is order-sensitive.
-        add_set: set[str] = set()
-        add_stats: dict = {}
-        add_blooms: dict = {}
-        removes: set[str] = set()
-        dv_events: list[tuple[str, str]] = []  # (file, dv parquet)
-        for _dv, entry in delta:
-            for f in entry.get("remove", []):
-                removes.add(f)
-                add_set.discard(f)  # added-then-removed in this window
-                # removing a file spends its DVs (rewrite applied them)
-                dv_events = [(df_, d) for df_, d in dv_events if df_ != f]
-            for f in entry.get("add", []):
-                add_set.add(f)  # removes keeps f: old row still anti-joined
-            add_stats.update(entry.get("stats", {}))
-            add_blooms.update(entry.get("blooms", {}))
-            da = entry.get("dv_add")
-            if da:
-                for f in da["files"]:
-                    for d in da["dv"]:
-                        dv_events.append((f, d))
-        adds = sorted(add_set)
-        if removes:
-            rm = spark.createDataFrame(
-                [(f,) for f in sorted(removes)], "file string")
-            cur = cur.join(F.broadcast(rm), "file", "left_anti")
-        if adds:
-            # union BEFORE the DV fold: a file added and DV'd within
-            # the same delta window must pick its DVs up too
-            new_rows = _rows_for(adds, add_stats, {}, pby, scols,
-                                 bcols, add_blooms)
-            cur = cur.unionByName(spark.createDataFrame(new_rows, schema))
-        if dv_events:
-            ev = (
-                spark.createDataFrame(dv_events, "file string, d string")
-                .groupBy("file").agg(F.collect_list("d").alias("_new_dv"))
-            )
-            cur = (
-                cur.join(F.broadcast(ev), "file", "left")
-                .withColumn(
-                    "dv",
-                    F.when(F.col("_new_dv").isNull(), F.col("dv"))
-                    .otherwise(F.concat(
-                        F.coalesce(F.col("dv"),
-                                   F.array().cast("array<string>")),
-                        F.col("_new_dv"))),
-                )
-                .drop("_new_dv")
-            )
+        cur = _fold_manifest(spark, cur, delta, pby, scols, bcols, schema)
         cur.write.mode("overwrite").parquet(out_dir)
 
     # partition/stats specs + schema replay are cached IN the meta so

@@ -2542,8 +2542,12 @@ def test_lakehouse_checkpoint_replace_is_atomic_swap(spark, sf_dir, tmp_path):
     log_files = os.listdir(os.path.join(path, "_log"))
     assert not [f for f in log_files if ".tmp-" in f]
     with open(os.path.join(path, "_log", f"{v1}.json")) as fh:
-        entry = json.load(fh)
-    assert entry["checkpoint"] is True
+        raw = json.load(fh)
+    assert raw["checkpoint"] is True
+    # parquet checkpoint: the JSON entry holds the sidecar pointer,
+    # not the bulk; hydration restores the exact file list
+    assert "add" not in raw and raw["checkpoint_parquet"].startswith(f"{v1}.checkpoint-")
+    entry = LH._read_entry(path, v1)
     assert sorted(entry["add"]) == LH.files_at_version(path, v1)
 
 
@@ -5495,3 +5499,175 @@ def test_optimize_where_keyword_named_column(spark, tmp_path):
     # a real trailing clause still parses alongside the keyword column
     sql(spark, "OPTIMIZE lh_kwcol WHERE incremental = 1 ZORDER BY (k, v)")
     assert sql(spark, "SELECT count(*) AS c FROM lh_kwcol").first().c == 123
+
+
+def test_parquet_checkpoint_hydration_matches_legacy_json(spark, sf_dir, tmp_path):
+    """Round 9 parquet checkpoints: squashing the SAME history with
+    parquet=True (sidecar) and parquet=False (legacy giant JSON) must
+    yield identical replay state — _replay_all field-for-field, and a
+    hydrated _read_entry carrying the same add/stats/blooms/dvs the
+    JSON form embeds inline."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark.catalog import load_table
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+
+    def build(p):
+        LH.table_init(o, p, "o_orderkey", n_files=4,
+                      partition_by=["o_orderpriority"],
+                      stats_cols=["o_orderdate"],
+                      bloom_cols=["o_orderkey"], bloom_bits=1024,
+                      bloom_hashes=3)
+        k = o.agg(F.min("o_orderkey")).first()[0]
+        upd = spark.createDataFrame(
+            [(k, 7.0)], ["o_orderkey", "o_totalprice"])
+        LH.merge(spark, p, "o_orderkey", updates=upd)
+        LH.delete_where(spark, p, f"o_orderkey = {k + 1}")
+        return LH.current_version(p)
+
+    import shutil
+
+    p1 = str(tmp_path / "ck_pq")
+    v1 = build(p1)
+    p2 = str(tmp_path / "ck_js")
+    shutil.copytree(p1, p2)  # identical history, identical file names
+    v2 = v1
+    LH.checkpoint_log(p1, parquet=True)
+    LH.checkpoint_log(p2, parquet=False)
+    st1, st2 = LH._replay_all(p1, v1), LH._replay_all(p2, v2)
+    for key in st1:
+        assert st1[key] == st2[key], f"replay field {key} diverged"
+    e1, e2 = LH._read_entry(p1, v1), LH._read_entry(p2, v2)
+    assert sorted(e1["add"]) == sorted(e2["add"])
+    assert e1.get("stats", {}) == e2.get("stats", {})
+    assert e1.get("blooms", {}) == e2.get("blooms", {})
+    assert e1.get("dvs", {}) == e2.get("dvs", {})
+    # metadata-only load of the parquet form never hydrates the bulk
+    lean = LH._read_entry(p1, v1, bulk=())
+    assert "add" not in lean and "stats" not in lean
+    # and both tables still read identically
+    r1 = sorted(map(tuple, LH.read_version(spark, p1, v1).collect()))
+    r2 = sorted(map(tuple, LH.read_version(spark, p2, v2).collect()))
+    assert r1 == r2
+
+
+def test_manifest_fast_rebuild_equals_dict_rebuild(spark, sf_dir, tmp_path, monkeypatch):
+    """The relational full rebuild (parquet-checkpoint sidecar + JSON
+    tail fold) must produce exactly the manifest the dict-replay
+    writer produces — row for row — and must actually TAKE the fast
+    path (the dict writer is monkeypatched to fail loud)."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_fastmf")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    LH.table_init(o, path, "o_orderkey", n_files=4,
+                  partition_by=["o_orderpriority"],
+                  stats_cols=["o_orderdate"],
+                  bloom_cols=["o_orderkey"], bloom_bits=1024, bloom_hashes=3)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    LH.merge(spark, path, "o_orderkey", updates=spark.createDataFrame(
+        [(k, 7.0)], ["o_orderkey", "o_totalprice"]))
+    ck_v = LH.checkpoint_log(path)
+    # tail commits AFTER the checkpoint: an append and a MOR delete
+    LH.merge(spark, path, "o_orderkey", inserts=spark.createDataFrame(
+        [(10_000_000, 1.0, None, "1-URGENT")],
+        "o_orderkey long, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"))
+    LH.delete_where(spark, path, f"o_orderkey = {k + 2}")
+    v = LH.current_version(path)
+    assert v > ck_v
+
+    # dict-path reference manifest rows, straight from the replay
+    st = LH._replay_all(path, v)
+    bcols = list(st["bloom"]["cols"]) if st["bloom"] else []
+    ref = sorted(M._rows_for(st["files"], st["stats"], st["dvs"],
+                             st["pby"], st["scols"], bcols, st["blooms"]))
+
+    def boom(*a, **kw):
+        raise AssertionError("dict-path writer called — fast path not taken")
+
+    monkeypatch.setattr(M, "_write_manifest_distributed", boom)
+    got = M.refresh_manifest(spark, path)
+    assert got["mode"] == "full"
+    rows = sorted(
+        tuple(r) for r in M.manifest_df(spark, path)
+        .select(*[f.name for f in M._manifest_schema(st["pby"], st["scols"], bcols).fields])
+        .collect()
+    )
+    ref = [tuple(x if not isinstance(x, list) else x for x in r) for r in ref]
+    assert [r[0] for r in rows] == [r[0] for r in ref]
+    for a, b in zip(rows, ref):
+        assert list(a)[:-1] == list(b)[:-1], f"row diverged: {a} vs {b}"
+        assert list(a[-1] or []) == list(b[-1] or []), f"dv diverged: {a} vs {b}"
+    # planning still reads the fast-path manifest (full snapshot)
+    _pv, planned, _dvs = M.plan_files(spark, path, stats_filter=None)
+    assert len(planned) == len(st["files"])
+
+
+_OCC_WORKER = r'''
+import sys
+path, w, n_ops = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .appName(f"occ-worker-{w}")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from bigdata06_spark import lakehouse as LH
+for i in range(n_ops):
+    rel = spark.createDataFrame([(1000 + 100 * w + i, float(w))],
+                                "k long, v double")
+    LH.merge_with_retry(spark, path, "k", inserts=rel,
+                        txn=(f"w{w}", i), max_retries=80)
+print("OK", w)
+'''
+
+
+def test_lakehouse_occ_cross_process_writers_no_lost_updates(spark, tmp_path):
+    """VERDICT r8 #5: the thread-based contention test races writers
+    inside ONE SparkSession/process — this one proves the atomic
+    create-if-absent commit guard across SEPARATE DRIVER PROCESSES
+    (each worker a fresh JVM + SparkSession against the same table
+    path, the real multi-writer deployment shape). Same invariants:
+    no lost updates, gap-free linearization (one commit per version),
+    idempotent-txn ledger complete."""
+    import subprocess
+    import sys as _sys
+
+    from bigdata06_spark import lakehouse as LH
+
+    path = str(tmp_path / "lh_occ_xproc")
+    LH.table_init(spark.createDataFrame(
+        [(k, 0.0) for k in range(20)], "k long, v double"),
+        path, "k", n_files=2)
+
+    n_writers, n_ops = 2, 3
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _OCC_WORKER, path, str(w), str(n_ops)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in range(n_writers)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed: {out[-500:]} / {err[-2000:]}"
+        assert "OK" in out
+
+    v = LH.current_version(path)
+    assert v == n_writers * n_ops, "a lost or duplicated commit"
+    got = {r.k for r in LH.read_version(spark, path, v).collect()}
+    want = set(range(20)) | {1000 + 100 * w + i
+                             for w in range(n_writers) for i in range(n_ops)}
+    assert got == want, "a cross-process writer's commit was lost"
+    counts = [LH.read_version(spark, path, x).count() for x in range(v + 1)]
+    assert counts == [20 + x for x in range(v + 1)]
+    txns = LH.table_txns(path, v)
+    assert {txns[f"w{w}"] for w in range(n_writers)} == {n_ops - 1}
