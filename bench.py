@@ -181,6 +181,15 @@ HEADLINE = [
     # KS two-sample test: pure-integer ECDF supremum over distinct
     # values
     "stats_ks_test",
+    # r9: the hard-oracled ANN serves (multi-table multiprobe LSH and
+    # IVF probing, exact 6dp rerank — now value-hash-gated), the two
+    # new rank/concordance stats (domain-bounded, not N-bounded), and
+    # the co-supply community rollup (fixpoint min-label components)
+    "knn_lsh_ann",
+    "knn_ivf_ann",
+    "stats_spearman_corr",
+    "stats_kendall_tau",
+    "graph_community_components",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a
@@ -201,6 +210,7 @@ FAMILIES = [
     ("lakehouse", ("lakehouse_",)),
     ("relational", ("join_", "dq_",)),
     ("events", ("events_", "orders_",)),
+    ("stats", ("stats_",)),
 ]
 
 

@@ -75,6 +75,37 @@ def load_all_queries() -> dict[str, QuerySpec]:
     # rounds instead of re-checking the same flagships. Names only;
     # zero semantic change; everything stays in the registry.
     flagship_head = [
+        # ---- round-9 head (VERDICT r8 #1): the 4 queries added AFTER
+        # the r8 sample draw lead (closing the only driver-coverage
+        # gap), then the 3 new r9 queries, then every query whose
+        # semantics or oracle CHANGED in r9 (ANN hard-oracle
+        # promotion, heavy-hitter Zipf key, anti-join/affinity
+        # non-vacuity fixes, scene-cut recomposition, bloom probe
+        # cast), then 35 r1/r2-era flagships whose only samples
+        # predate the hardened dtype-kind harness — 50 names, filling
+        # the external samplers' window exactly. Names may repeat
+        # below (dict insertion keeps the FIRST position).
+        "events_changepoint_cusum", "stats_ks_test",
+        "text_textrank_keywords", "dedup_threshold_sweep",
+        "stats_spearman_corr", "stats_kendall_tau",
+        "graph_community_components",
+        "knn_lsh_ann", "knn_ivf_ann", "agg_heavy_hitters",
+        "stream_heavy_hitters", "join_anti", "supplier_affinity_graph",
+        "multimodal_scene_cuts", "join_bloom_prune",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q6_forecast_revenue", "q18_large_volume_customers",
+        "ref_dedup_first_wins", "ref_enrichment_join",
+        "source_spotify_datasource", "join_inner", "join_asof",
+        "agg_grouping_sets", "agg_percentiles", "agg_approx_distinct",
+        "agg_pivot", "ref_flatten_json", "q5_revenue_by_nation",
+        "q10_returned_revenue", "q4_order_priority",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q22_global_sales_opportunity", "unpivot_measures",
+        "q7_volume_shipping", "q9_profit_by_nation", "q12_late_lines",
+        "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+        "q21_waiting_supplier", "q2_min_cost_supplier", "q8_market_share",
+        "q11_important_parts", "q15_top_supplier", "q16_supplier_count",
+        "q20_excess_suppliers", "ref_union_ragged", "ref_sort_topk",
         # ---- round-8 head: the 28 never-yet-driver-sampled entries
         # (VERDICT r7 #3 — after this round every registry query has
         # been driver-sampled at least once), plus agg_approx_percentile
