@@ -190,6 +190,11 @@ HEADLINE = [
     "stats_spearman_corr",
     "stats_kendall_tau",
     "graph_community_components",
+    # one-way ANOVA (k-cell arithmetic after one combine) and the
+    # parquet-checkpoint lifecycle (squash + sidecar time travel +
+    # relational manifest rebuild; warm reps re-read the built table)
+    "stats_anova_oneway",
+    "lakehouse_checkpoint_journey",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -88,7 +88,8 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "events_changepoint_cusum", "stats_ks_test",
         "text_textrank_keywords", "dedup_threshold_sweep",
         "stats_spearman_corr", "stats_kendall_tau",
-        "graph_community_components",
+        "graph_community_components", "stats_anova_oneway",
+        "lakehouse_checkpoint_journey",
         "knn_lsh_ann", "knn_ivf_ann", "agg_heavy_hitters",
         "stream_heavy_hitters", "join_anti", "supplier_affinity_graph",
         "multimodal_scene_cuts", "join_bloom_prune",
@@ -105,7 +106,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "q17_small_quantity_revenue", "q19_disjunctive_revenue",
         "q21_waiting_supplier", "q2_min_cost_supplier", "q8_market_share",
         "q11_important_parts", "q15_top_supplier", "q16_supplier_count",
-        "q20_excess_suppliers", "ref_union_ragged", "ref_sort_topk",
+        "q20_excess_suppliers",
         # ---- round-8 head: the 28 never-yet-driver-sampled entries
         # (VERDICT r7 #3 — after this round every registry query has
         # been driver-sampled at least once), plus agg_approx_percentile

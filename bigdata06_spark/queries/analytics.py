@@ -5772,3 +5772,100 @@ def graph_community_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_members"), "community")
     )
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS g, o_totalprice AS p,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    cells AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents) AS BIGINT) AS s_g,
+             CAST(sum(CAST(floor(p * p * 100.0 + 0.5) / 100.0
+                           AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS q_g
+      FROM x GROUP BY g
+    ),
+    terms AS (
+      SELECT n_g, s_g, q_g,
+             floor((CAST(s_g AS DOUBLE) / 100.0) * (CAST(s_g AS DOUBLE) / 100.0)
+                   / n_g * 100.0 + 0.5) / 100.0 AS term
+      FROM cells
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS DOUBLE) / 100.0 AS s_all,
+             CAST(sum(q_g) AS DOUBLE) AS q_all,
+             CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS ssb_part
+      FROM terms
+    )
+    SELECT k, n,
+           floor((ssb_part - s_all * s_all / n) / (k - 1)
+                 / ((q_all - ssb_part) / (n - k)) * 1e6 + 0.5) / 1e6
+             AS f_stat,
+           (ssb_part - s_all * s_all / n) / (k - 1)
+             / ((q_all - ssb_part) / (n - k)) > 2.372 AS significant
+    FROM s
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA (order totals across the 5 order priorities) —
+    the k-group mean-comparison member of the stats family (Welch
+    covers 2 groups). Numeric discipline is the chi-square pattern:
+    group sums ride integer CENTS (floor(x*100+0.5) of identical
+    doubles — exact BIGINT both engines), sums of squares ride
+    DECIMAL(38,6) over 2dp-rounded p*p (floor-based half-up rounding —
+    identical bits both engines; a raw double->decimal cast rounds
+    HALF_UP in Spark but not DuckDB, measured divergent), each
+    group's between-term (s_g/100)^2/n_g is 2dp-rounded (6dp would
+    push floor()'s LONG range in Spark at 1e13-scale terms) then
+    DECIMAL-summed
+    (decimal addition is associative — the k-row aggregation order
+    cannot flip a bit), and only the final
+    F = (SSB/(k-1))/(SSW/(N-k)) is floating point. Significance at
+    the F(4, inf) 5% critical value 2.372.
+
+    Scale: ONE groupBy collapses N rows to k cells (map-side
+    combined); everything downstream is k-row arithmetic."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    x = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("p"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    cells = x.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("cents").cast("long").alias("s_g"),
+        F.sum(
+            F.expr(
+                "CAST(floor(p * p * 100.0 + 0.5) / 100.0 AS DECIMAL(38,6))"
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("q_g"),
+    )
+    sd = F.col("s_g").cast("double") / 100.0
+    terms = cells.select(
+        "n_g", "s_g", "q_g", rnd(sd * sd / F.col("n_g"), 2).alias("term")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        (F.sum("s_g").cast("double") / 100.0).alias("s_all"),
+        F.sum("q_g").cast("double").alias("q_all"),
+        F.sum(F.col("term").cast("decimal(38,6)")).cast("double").alias("ssb_part"),
+    )
+    ssb = F.col("ssb_part") - F.col("s_all") * F.col("s_all") / F.col("n")
+    ssw = F.col("q_all") - F.col("ssb_part")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return s.select(
+        "k", "n", rnd(f_stat, 6).alias("f_stat"), (f_stat > 2.372).alias("significant")
+    )

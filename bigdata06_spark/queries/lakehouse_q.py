@@ -1660,3 +1660,107 @@ def lakehouse_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sqlcopy_orders
         GROUP BY status
     """)
+
+
+def _ckpt_journey_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_ckptj_{tag}")
+
+
+def _build_checkpoint_journey(spark: SparkSession, sf_dir: str) -> str:
+    """v0 init → v1 update merge → v2 delete merge → PARQUET
+    checkpoint (squashes 0..2 into a columnar sidecar) → v3 insert
+    merge → manifest refresh (takes the relational sidecar+tail fast
+    path). Idempotent per sf; a partial build rebuilds from
+    scratch."""
+    import shutil
+
+    from bigdata06_spark import lakehouse_manifest as M
+
+    path = _ckpt_journey_dir(sf_dir)
+    if LH.current_version(path) != 3:
+        shutil.rmtree(path, ignore_errors=True)
+        o = load_table(spark, "orders", sf_dir).select(
+            KEY, "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        LH.table_init(o, path, KEY, n_files=4, stats_cols=[KEY])
+        updates = (
+            o.filter((F.col(KEY) >= 10) & (F.col(KEY) < 200))
+            .select(KEY)
+            .withColumn("o_totalprice", F.lit(1.0))
+        )
+        LH.merge(spark, path, KEY, updates=updates)
+        deletes = o.filter((F.col(KEY) >= 300) & (F.col(KEY) < 400)).select(KEY)
+        LH.merge(spark, path, KEY, delete_keys=deletes)
+        LH.checkpoint_log(path)  # parquet sidecar; squashes 0..2
+        inserts = spark.createDataFrame(
+            [(50_000_000 + i, -1, 2.0, "X") for i in range(100)],
+            f"{KEY} long, o_custkey long, o_totalprice double, "
+            "o_orderpriority string",
+        )
+        LH.merge(spark, path, KEY, inserts=inserts)
+        M.refresh_manifest(spark, path)  # relational fast rebuild
+    return path
+
+
+@register(
+    "lakehouse_checkpoint_journey",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey >= 10 AND o_orderkey < 200
+                  THEN 1.0 ELSE o_totalprice END AS p
+      FROM orders
+      WHERE NOT (o_orderkey >= 300 AND o_orderkey < 400)
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN p = 1.0 AND k < 50000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS u2
+      FROM v2
+    )
+    SELECT 'checkpointed' AS stage, n2 AS n_rows, u2 AS n_updated,
+           CAST(0 AS BIGINT) AS n_inserted
+    FROM agg
+    UNION ALL
+    SELECT 'current', n2 + 100, u2, CAST(100 AS BIGINT) FROM agg
+    ORDER BY stage
+    """,
+)
+def lakehouse_checkpoint_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARQUET-CHECKPOINT lifecycle as a driver-gated query
+    (round 9 — the log-format lever needs an oracle row, not just
+    tests): a 4-version history is squashed at v2 into a columnar
+    sidecar checkpoint, a post-checkpoint insert lands at v3, and the
+    manifest refresh takes the relational fast path (Spark reads the
+    sidecar, folds the one-entry JSON tail — no driver-side file
+    dict). The query then reads BOTH the checkpointed snapshot (v2 —
+    time travel collapses onto the sidecar, hydrated on demand) and
+    the current snapshot (v3 — planned through the fast-rebuilt
+    manifest) and returns one audit row per stage; the oracle replays
+    the deterministic change set over the raw table. A wrong sidecar,
+    a broken hydration, or a fast-path fold divergence each shifts a
+    count and fails the value hash.
+
+    Scale: checkpoint cost is the one O(files) columnar stream the
+    format pays by design; reads after it are survivor-bounded
+    manifest plans + on-demand sidecar hydration."""
+    path = _build_checkpoint_journey(spark, sf_dir)
+
+    def stage(v: int, label: str) -> DataFrame:
+        df = LH.read_version(spark, path, v)
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                (
+                    (F.col("o_totalprice") == 1.0)
+                    & (F.col(KEY) < 50_000_000)
+                ).cast("long")
+            ).cast("long").alias("n_updated"),
+            F.sum((F.col(KEY) >= 50_000_000).cast("long"))
+            .cast("long")
+            .alias("n_inserted"),
+        )
+
+    return stage(2, "checkpointed").unionAll(stage(3, "current")).orderBy("stage")
