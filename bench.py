@@ -195,6 +195,8 @@ HEADLINE = [
     # relational manifest rebuild; warm reps re-read the built table)
     "stats_anova_oneway",
     "lakehouse_checkpoint_journey",
+    # k-core peeling (degree-bounded edge list, fail-loud fixpoint)
+    "graph_kcore",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -5869,3 +5869,116 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "k", "n", rnd(f_stat, 6).alias("f_stat"), (f_stat > 2.372).alias("significant")
     )
+
+
+_KCORE_K = 2
+_KCORE_MAX_ROUNDS = 16
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_MAX_ROUNDS) -> str:
+    """Unrolled peeling replay: each round recomputes degrees over the
+    surviving subgraph and drops nodes below k. Peeling is MONOTONE —
+    once stable, further rounds are identities — so unrolling a FIXED
+    `rounds` equals the engine's converge-then-stop fixpoint whenever
+    the engine converges within `rounds` (it raises loud otherwise,
+    so the two sides can never silently disagree)."""
+    ctes = [f"""ed0 AS MATERIALIZED (
+      SELECT sa AS src, sb AS dst FROM e
+      UNION ALL SELECT sb AS src, sa AS dst FROM e
+    )"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""keep{t} AS MATERIALIZED (
+      SELECT src AS v FROM ed{t-1} GROUP BY src HAVING count(*) >= {k}
+    ),
+    ed{t} AS MATERIALIZED (
+      SELECT ed.src, ed.dst FROM ed{t-1} ed
+        JOIN keep{t} a ON a.v = ed.src
+        JOIN keep{t} b ON b.v = ed.dst
+    )""")
+    return (
+        f"WITH {_COSUPPLY_EDGE_CTES},\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT src AS s, CAST(count(*) AS BIGINT) AS core_degree
+    FROM ed{rounds} GROUP BY src ORDER BY core_degree DESC, s"""
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE decomposition (k=2) of the mutual-top-5 co-supply graph
+    — the cohesion member of the graph family (PageRank: centrality,
+    components: reachability, triangles: statistics, LPA:
+    communities, k-core: the maximal subgraph where every member
+    keeps >= k ties — the standard dense-cluster / bot-ring screen;
+    k=2 strips every tree/pendant and keeps the cyclic cores, the
+    largest k whose core is non-empty at every fixture SF on this
+    degree-<=5 mutual graph — measured peeling depth 0/2/5 rounds at
+    sf0.001/0.01/0.1 against the 16-round fail-loud cap).
+    Iterative peeling: drop every node with degree < k, recompute
+    degrees on the survivors, repeat to fixpoint. The engine loops
+    with a convergence check and FAILS LOUD past `_KCORE_MAX_ROUNDS`;
+    the oracle unrolls exactly that many rounds — peeling is monotone,
+    so extra unrolled rounds are identities and the two sides agree
+    whenever the engine didn't raise.
+
+    Scale: each round is one groupBy(degree) + two semi-join prunes
+    on the degree-bounded edge list (<= 5 per node by construction);
+    round count is bounded by the peeling depth, not N. Labels
+    localCheckpoint per round (the iterative-lineage policy)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    co = (
+        sp.alias("a")
+        .join(sp.alias("b"), F.expr("a.p = b.p AND a.s <> b.s"))
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("sa").orderBy(F.desc("c"), F.asc("sb"))
+    d = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("sa", "sb")
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        d.alias("d")
+        .join(d.alias("m"), F.expr("m.sa = d.sb AND m.sb = d.sa"))
+        .filter(F.expr("d.sa < d.sb"))
+        .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
+    )
+    ed = (
+        e.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .unionAll(e.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = ed.count()
+    for _ in range(_KCORE_MAX_ROUNDS):
+        keep = (
+            ed.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= _KCORE_K)
+            .select(F.col("src").alias("v"))
+        )
+        ed2 = (
+            ed.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n2 = ed2.count()  # bounded: one scalar per round (control flow)
+        ed = ed2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {_KCORE_MAX_ROUNDS} rounds; "
+            f"raise _KCORE_MAX_ROUNDS (and regenerate the unrolled oracle)"
+        )
+    return (
+        ed.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("src").alias("s"), "core_degree")
+        .orderBy(F.desc("core_degree"), "s")
+    )
