@@ -2661,9 +2661,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     step that turns pairwise dedup output into keep-one-per-group
     decisions. Iterative min-label propagation (see
     operators/dedup.py:connected_components); the oracle is DuckDB's
-    recursive-CTE transitive closure of the same pair graph."""
+    recursive-CTE transitive closure of the same pair graph. Pairs
+    come from the prefix-filtered exact join (r9 — result-identical
+    to the plain inverted-index form, hot join keys pruned)."""
     docs = load_table(spark, "documents", sf_dir)
-    return D.connected_components(D.jaccard_pairs(docs, threshold=0.5), docs)
+    return D.connected_components(D.jaccard_pairs_prefix(docs), docs)
 
 
 @register("dedup_components_star", oracle=_COMPONENTS_SQL)
@@ -2675,7 +2677,7 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence unit test). See
     operators/dedup.py:connected_components_star."""
     docs = load_table(spark, "documents", sf_dir)
-    return D.connected_components_star(D.jaccard_pairs(docs, threshold=0.5), docs)
+    return D.connected_components_star(D.jaccard_pairs_prefix(docs), docs)
 
 
 _DECODED_SQL = """
@@ -3738,7 +3740,7 @@ def dedup_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe simhash form lives under its own full value-hash gate
     as `dedup_simhash_adaptive`."""
     docs = load_table(spark, "documents", sf_dir)
-    ex = D.jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    ex = D.jaccard_pairs_prefix(docs).select("doc_a", "doc_b")
     mh = D.minhash_lsh_pairs(docs, threshold=0.5).select(
         F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b"), F.lit(1).alias("_ma")
     )
