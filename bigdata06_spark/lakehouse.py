@@ -352,6 +352,34 @@ def _json_scalar(v):
     return str(v)
 
 
+def _abs_to_listed_map(path: str, files: list[str]) -> dict[str, str]:
+    """Exact abs-path -> listed-name map (files may be data/-rel,
+    CONVERT-adopted abs, or clone-source abs — suffix surgery can't
+    cover all three)."""
+    return {os.path.abspath(os.path.join(path, f)): f for f in files}
+
+
+def _listed_name_of_uri(uri: str, abs_to_listed: dict[str, str]) -> str:
+    """Resolve a scanner _metadata.file_path URI to the name AS LISTED
+    in the log. Scanner URIs carry a file:/ prefix and percent-escape
+    partition-dir characters (`col=NOT%20SPECIFIED`); listed names
+    store them literally. ONE implementation for every per-file
+    metadata collector (review r9: the stats and bloom collectors
+    carried diverging copies and the bloom copy missed the unquote —
+    escaped-partition blooms were recorded under names no lookup ever
+    hit)."""
+    from urllib.parse import unquote
+
+    p = uri
+    for pre in ("file://", "file:"):
+        if p.startswith(pre):
+            p = p[len(pre):]
+            break
+    if not p.startswith("/"):
+        p = "/" + p
+    return abs_to_listed[os.path.abspath(unquote(p))]
+
+
 def _collect_file_stats(spark: SparkSession, path: str, files: list[str],
                         stats_cols: list[str]) -> dict:
     full = [os.path.join(path, f) for f in files]
@@ -365,26 +393,10 @@ def _collect_file_stats(spark: SparkSession, path: str, files: list[str],
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("f")).agg(*aggs).collect()
     )
-    # exact abs-path → listed-name mapping (files may be data/-rel,
-    # CONVERT-adopted abs, or clone-source abs — suffix surgery can't
-    # cover all three)
-    abs_to_listed = {
-        os.path.abspath(os.path.join(path, f)): f for f in files
-    }
+    abs_to_listed = _abs_to_listed_map(path, files)
     out = {}
     for r in rows:
-        from urllib.parse import unquote
-
-        p = r["f"]
-        for pre in ("file://", "file:"):
-            if p.startswith(pre):
-                p = p[len(pre):]
-                break
-        if not p.startswith("/"):
-            p = "/" + p
-        # scanner URIs percent-escape partition-dir characters
-        # (`col=NOT%20SPECIFIED`); listed names store them literally
-        rel = abs_to_listed[os.path.abspath(unquote(p))]
+        rel = _listed_name_of_uri(r["f"], abs_to_listed)
         out[rel] = {
             c: [_json_scalar(r[f"_mn_{c}"]), _json_scalar(r[f"_mx_{c}"])]
             for c in present
@@ -653,18 +665,16 @@ def _collect_file_blooms(spark: SparkSession, path: str, files: list[str],
     driver packs each set into a base64 bitmap. NULLs set no bits
     (a NULL lookup keeps every file instead)."""
     import base64
-    from urllib.parse import unquote
 
     cols, m, k = bloom["cols"], bloom["bits"], bloom["hashes"]
     full = [os.path.join(path, f) for f in files]
-    # scanner URIs percent-escape partition-dir characters
-    # (`col=NOT%20SPECIFIED`); listed names store them literally —
-    # resolve through the same abs→listed map _collect_file_stats
-    # uses, or a partitioned table whose value contains an escapable
-    # character records blooms under a name no reader ever looks up
-    # (sound but silently unpruned — found by the r9 parquet-vs-JSON
-    # checkpoint equivalence test)
-    abs_to_listed = {os.path.abspath(os.path.join(path, f)): f for f in files}
+    # resolve scanner URIs through the shared map (see
+    # _listed_name_of_uri: the pre-r9 suffix surgery here missed the
+    # percent-unescape, so escaped-partition blooms were recorded
+    # under names no reader ever looked up — sound but silently
+    # unpruned, found by the parquet-vs-JSON checkpoint equivalence
+    # test)
+    abs_to_listed = _abs_to_listed_map(path, files)
     df = spark.read.option("mergeSchema", "true").parquet(*full)
     present = [c for c in cols if c in df.columns]
     out: dict = {}
@@ -680,14 +690,7 @@ def _collect_file_blooms(spark: SparkSession, path: str, files: list[str],
             .collect()
         )
         for r in rows:
-            p = r["f"]
-            for pre in ("file://", "file:"):
-                if p.startswith(pre):
-                    p = p[len(pre):]
-                    break
-            if not p.startswith("/"):
-                p = "/" + p
-            rel = abs_to_listed[os.path.abspath(unquote(p))]
+            rel = _listed_name_of_uri(r["f"], abs_to_listed)
             bits = bytearray(m // 8)
             for pos in r["ps"]:
                 bits[pos // 8] |= 1 << (pos % 8)
@@ -3201,12 +3204,23 @@ def vacuum(path: str, keep_versions: int = 1,
         if s_:
             referenced.add(s_)
     logd = _log_dir(path)
+    from bigdata06_spark import lakehouse_manifest as _M
+
     for n in sorted(os.listdir(logd)):
         d = os.path.join(logd, n)
         if (".checkpoint-" not in n or n in referenced
                 or not os.path.isdir(d)):
             continue
-        if now - os.path.getmtime(d) < min_file_age_seconds:
+        # an IN-FLIGHT checkpoint_log writes its sidecar BEFORE the
+        # atomic entry swap, so a just-written dir is legitimately
+        # unreferenced for a moment — sweep only past the same
+        # in-flight guard the manifest dirs use (review r9: the bare
+        # min_file_age default of 0 would let a concurrent vacuum
+        # delete the sidecar a committing writer is about to point
+        # at, which bricks the table since the squashed history is
+        # already gone)
+        if now - os.path.getmtime(d) < max(min_file_age_seconds,
+                                           _M._SWEEP_AGE_SEC):
             continue
         dead.append(os.path.relpath(d, path))
         if not dry_run:
@@ -3348,10 +3362,13 @@ def checkpoint_log(path: str, at_version: int | None = None,
         entry["identity"] = ident_pre
     if zmeta_pre:
         # frozen clustering grid + live clustered set likewise
+        # (live set built ONCE — set(files) inside the comprehension
+        # would be quadratic in file count, review r9)
+        live_set = set(files)
         entry["zorder"] = {
             **zmeta_pre,
             "clustered": [f for f in zmeta_pre["clustered"]
-                          if f in set(files)],
+                          if f in live_set],
         }
     if txns_pre:
         # idempotent-transaction ledger likewise

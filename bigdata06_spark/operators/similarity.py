@@ -148,7 +148,8 @@ def _sig_pandas_udf(tables: list[list[list[float]]]):
 
 def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6,
             n_tables: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 42, multiprobe: int = 1) -> DataFrame:
+            seed: int = 42, multiprobe: int = 1,
+            expect_dim: int | None = None) -> DataFrame:
     """ANN via MULTI-TABLE hyperplane LSH with query-side MULTIPROBE:
     `n_tables` independent signatures of `n_planes` sign bits each; a
     pair is a candidate if any table's signatures agree within
@@ -184,6 +185,10 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6
         raise ValueError("multiprobe supports 0 (off) or 1 (single-bit flips)")
     sample = corpus.select(vec_col).first()
     dim = len(sample[0])
+    if expect_dim is not None and dim != expect_dim:
+        # callers with a baked oracle (literal seeded planes) pin the
+        # width here instead of paying a second probe job (review r9)
+        raise ValueError(f"expected embedding dim {expect_dim}, data has {dim}")
     planes = _seeded_planes(dim, n_planes * n_tables, seed)
     tables = [planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
 
@@ -267,7 +272,7 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str, out: s
 
 def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
             nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 7) -> DataFrame:
+            seed: int = 7, expect_dim: int | None = None) -> DataFrame:
     """IVF-style ANN: corpus partitioned into `n_cells` by nearest
     centroid; queries probe their top-`nprobe` cells and re-rank
     exactly. Recall < 1 vs the exact scan, deterministic output —
@@ -276,6 +281,8 @@ def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
     pruning."""
     sample = corpus.select(vec_col).first()
     dim = len(sample[0])
+    if expect_dim is not None and dim != expect_dim:
+        raise ValueError(f"expected embedding dim {expect_dim}, data has {dim}")
     rng = np.random.RandomState(seed)
     centroids = [list(v / math.sqrt(dim)) for v in rng.randn(n_cells, dim)]
 

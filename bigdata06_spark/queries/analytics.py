@@ -3795,6 +3795,40 @@ def join_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosupply_mutual_edges(li: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """The mutual-top-5 co-supply edge relation (sa < sb) every graph
+    query shares (triangle census, LPA, community components, k-core
+    — ONE Spark-side definition, review r9; the SQL twin is
+    `_COSUPPLY_EDGE_CTES`): distinct supplier↔part pairs, co-supply
+    counts by part-key self-join, per-supplier top-5 by (count desc,
+    id), kept only when MUTUAL. The kNN edge list is <= 5·|nodes| rows
+    but its lineage (distinct + self-join + window) is the expensive
+    part and every caller fans it into several branches — both the
+    top-5 list and the mutual edges localCheckpoint so the co-supply
+    join runs once (measured 23s → ~4s at sf0.1)."""
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    co = (
+        sp.alias("a")
+        .join(sp.alias("b"), F.expr("a.p = b.p AND a.s <> b.s"))
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("sa").orderBy(F.desc("c"), F.asc("sb"))
+    d = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("sa", "sb")
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        d.alias("d")
+        .join(d.alias("m"), F.expr("m.sa = d.sb AND m.sb = d.sa"))
+        .filter(F.expr("d.sa < d.sb"))
+        .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
+    )
+    return e.localCheckpoint(eager=True) if checkpoint else e
+
+
 @register(
     "graph_triangle_census",
     oracle="""
@@ -3852,32 +3886,7 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata06_spark.queries.qutil import rnd
 
     li = load_table(spark, "lineitem", sf_dir)
-    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
-    co = (
-        sp.alias("a")
-        .join(sp.alias("b"), F.expr("a.p = b.p AND a.s <> b.s"))
-        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w = Window.partitionBy("sa").orderBy(F.desc("c"), F.asc("sb"))
-    # the kNN edge list is ≤5·|nodes| rows but its lineage (distinct +
-    # self-join + window) is the expensive part, and e feeds FIVE
-    # branches (mutuality self-join, three triangle legs, degrees) —
-    # checkpoint the tiny relation so the co-supply join runs once
-    # (measured 23s → ~4s at sf0.1)
-    d = (
-        co.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("sa", "sb")
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        d.alias("d")
-        .join(d.alias("m"), F.expr("m.sa = d.sb AND m.sb = d.sa"))
-        .filter(F.expr("d.sa < d.sb"))
-        .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
-        .localCheckpoint(eager=True)
-    )
+    e = _cosupply_mutual_edges(li)
     deg = (
         e.select(F.col("sa").alias("v"))
         .unionAll(e.select(F.col("sb").alias("v")))
@@ -3970,26 +3979,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|nodes| rows) so round t doesn't replay rounds 1..t-1 — the same
     iterative-lineage policy as `embedding_power_iteration`."""
     li = load_table(spark, "lineitem", sf_dir)
-    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
-    co = (
-        sp.alias("a")
-        .join(sp.alias("b"), F.expr("a.p = b.p AND a.s <> b.s"))
-        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w = Window.partitionBy("sa").orderBy(F.desc("c"), F.asc("sb"))
-    d = (
-        co.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("sa", "sb")
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        d.alias("d")
-        .join(d.alias("m"), F.expr("m.sa = d.sb AND m.sb = d.sa"))
-        .filter(F.expr("d.sa < d.sb"))
-        .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
-    )
+    e = _cosupply_mutual_edges(li, checkpoint=False)
     ed = (
         e.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
         .unionAll(e.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
@@ -5721,27 +5711,7 @@ def graph_community_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata06_spark.queries.qutil import rnd
 
     li = load_table(spark, "lineitem", sf_dir)
-    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
-    co = (
-        sp.alias("a")
-        .join(sp.alias("b"), F.expr("a.p = b.p AND a.s <> b.s"))
-        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w = Window.partitionBy("sa").orderBy(F.desc("c"), F.asc("sb"))
-    d = (
-        co.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("sa", "sb")
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        d.alias("d")
-        .join(d.alias("m"), F.expr("m.sa = d.sb AND m.sb = d.sa"))
-        .filter(F.expr("d.sa < d.sb"))
-        .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
-        .localCheckpoint(eager=True)
-    )
+    e = _cosupply_mutual_edges(li)
     nodes = (
         e.select(F.col("sa").alias("v"))
         .unionAll(e.select(F.col("sb").alias("v")))
@@ -5927,26 +5897,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round count is bounded by the peeling depth, not N. Labels
     localCheckpoint per round (the iterative-lineage policy)."""
     li = load_table(spark, "lineitem", sf_dir)
-    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
-    co = (
-        sp.alias("a")
-        .join(sp.alias("b"), F.expr("a.p = b.p AND a.s <> b.s"))
-        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w = Window.partitionBy("sa").orderBy(F.desc("c"), F.asc("sb"))
-    d = (
-        co.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("sa", "sb")
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        d.alias("d")
-        .join(d.alias("m"), F.expr("m.sa = d.sb AND m.sb = d.sa"))
-        .filter(F.expr("d.sa < d.sb"))
-        .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
-    )
+    e = _cosupply_mutual_edges(li, checkpoint=False)
     ed = (
         e.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
         .unionAll(e.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))

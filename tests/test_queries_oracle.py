@@ -55,15 +55,7 @@ def test_every_oracle_nonempty_at_driver_sf():
     DuckDB-only (the differential test already proves Spark == oracle,
     so oracle non-empty implies query non-empty); whole-registry sweep
     runs in seconds."""
-    import duckdb
-
-    con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"'/root/testdata/sf0.01/{t}.parquet'"
-        )
+    con = duck_connection("/root/testdata/sf0.01")
     empty = [
         name
         for name, spec in sorted(SPECS.items())

@@ -5599,7 +5599,6 @@ def test_manifest_fast_rebuild_equals_dict_rebuild(spark, sf_dir, tmp_path, monk
         .select(*[f.name for f in M._manifest_schema(st["pby"], st["scols"], bcols).fields])
         .collect()
     )
-    ref = [tuple(x if not isinstance(x, list) else x for x in r) for r in ref]
     assert [r[0] for r in rows] == [r[0] for r in ref]
     for a, b in zip(rows, ref):
         assert list(a)[:-1] == list(b)[:-1], f"row diverged: {a} vs {b}"
