@@ -67,7 +67,15 @@ def epoch_us(col: Column) -> Column:
 
 
 def rnd(col: Column, n: int = 2) -> Column:
-    """Half-up rounding as a pure IEEE expression (same bits as rnd_sql)."""
+    """Half-up rounding as a pure IEEE expression (same bits as rnd_sql).
+
+    DOMAIN CONSTRAINT (found by stats_anova_oneway, r9): Spark's
+    floor(double) returns LONG, so |x|·10^n must stay below 2^63 —
+    beyond it Spark overflows (wraps non-ANSI, throws ANSI) while
+    DuckDB's double-returning floor sails on, a silent cross-engine
+    divergence. For large-magnitude intermediates round at FEWER
+    decimals (the statistic loses nothing: 2dp on a 1e13-scale term
+    is 1e-15 relative error) — see stats_anova_oneway's terms."""
     p = float(10**n)
     return F.floor(col * p + F.lit(0.5)) / p
 
