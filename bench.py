@@ -197,6 +197,9 @@ HEADLINE = [
     "lakehouse_checkpoint_journey",
     # k-core peeling (degree-bounded edge list, fail-loud fixpoint)
     "graph_kcore",
+    # graph-ANN greedy serve (NSW base layer: kNN-graph build + the
+    # O(queries x hops x degree) walk, unrolled-oracle-gated)
+    "knn_graph_greedy",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -4316,3 +4316,172 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# -------------------------------------- graph-ANN greedy serve (NSW)
+
+_GG_DEGREE = 4
+_GG_STEPS = 8
+_GG_NQ = 10
+
+
+def _graph_greedy_oracle(nq: int = _GG_NQ, deg: int = _GG_DEGREE,
+                         steps: int = _GG_STEPS) -> str:
+    """Unrolled replay of the greedy graph walk: the kNN graph CTE
+    (exact top-`deg` by 6dp cosine, id tiebreak), then `steps` hops —
+    each hop joins the current node to its out-edges, picks the best
+    neighbor (sim DESC, id ASC) and MOVES only on strictly greater
+    sim. The move rule is absorbing (a node that stays, stays), so a
+    fixed unroll equals the engine's converge-early loop."""
+    sim = ("floor(list_cosine_similarity(a.embedding::DOUBLE[], "
+           "b.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0")
+    qsim = ("floor(list_cosine_similarity(q.embedding::DOUBLE[], "
+            "n.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0")
+    ctes = [f"""g AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {sim} DESC, b.vec_id ASC) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= {deg}
+    ),
+    entry AS (SELECT min(vec_id) AS e FROM embeddings),
+    s0 AS (
+      SELECT q.vec_id AS query_id, entry.e AS cur,
+             floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          ec.embedding::DOUBLE[])
+                   * 1000000.0 + 0.5) / 1000000.0 AS cur_sim,
+             CAST(0 AS BIGINT) AS hops
+      FROM embeddings q CROSS JOIN entry
+        JOIN embeddings ec ON ec.vec_id = entry.e
+      WHERE q.vec_id < {nq}
+    )"""]
+    for t in range(1, steps + 1):
+        ctes.append(f"""c{t} AS (
+      SELECT s.query_id, n.vec_id AS cand, {qsim} AS cand_sim
+      FROM s{t-1} s
+        JOIN g ON g.src = s.cur
+        JOIN embeddings n ON n.vec_id = g.dst
+        JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    b{t} AS (
+      SELECT query_id, cand, cand_sim FROM (
+        SELECT c{t}.*, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cand_sim DESC, cand ASC) AS rn
+        FROM c{t}) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT s.query_id,
+             CASE WHEN b.cand_sim > s.cur_sim THEN b.cand ELSE s.cur END AS cur,
+             CASE WHEN b.cand_sim > s.cur_sim THEN b.cand_sim
+                  ELSE s.cur_sim END AS cur_sim,
+             s.hops + CASE WHEN b.cand_sim > s.cur_sim THEN 1 ELSE 0 END AS hops
+      FROM s{t-1} s JOIN b{t} b USING (query_id)
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, cur AS found_id, cur_sim AS sim, hops
+    FROM s{steps} ORDER BY query_id"""
+    )
+
+
+@register("knn_graph_greedy", oracle=_graph_greedy_oracle())
+def knn_graph_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-BASED ANN serve — the NSW/HNSW family's base layer
+    (Malkov & Yashunin's navigable small world, single layer, beam 1):
+    a degree-{4} exact kNN graph over the corpus, then each query
+    GREEDY-WALKS from a fixed entry point (min id), hopping to the
+    best out-neighbor while it strictly improves 6dp cosine. Output:
+    where each walk lands, its similarity, and the hop count — the
+    serve primitive graph indexes are built around. Deterministic end
+    to end (6dp sims, id tiebreaks, absorbing stop rule), so the walk
+    replays under an unrolled SQL oracle; the engine loop converges
+    early and a fixed unroll is identical because the move rule is
+    absorbing. Completes the ANN taxonomy: hashing (LSH), space
+    partitioning (IVF), quantization (PQ/SQ8/BQ/MRL), and now graphs.
+
+    Scale honesty: the graph BUILD here is the exact all-pairs top-k
+    (fixture-sized); at 100 TB the standard construction bootstraps
+    candidates from the LSH/IVF operators (build once, serve many —
+    the persisted-index lifecycle `knn_ivfpq_persisted` models). The
+    SERVE is the scale path being exercised: each hop touches
+    degree-bounded edges of ONE node per query — O(queries · hops ·
+    degree) work regardless of corpus size, against broadcast-sized
+    walk state."""
+    e = load_table(spark, "embeddings", sf_dir)
+    ev = e.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    a = ev.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = ev.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    from bigdata06_spark.queries.qutil import rnd
+
+    w = Window.partitionBy("src").orderBy(
+        F.desc("esim"), F.asc("dst")
+    )
+    g = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .withColumn("esim", rnd(S.cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GG_DEGREE)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # bounded: deg·|corpus| edges
+    )
+    entry = e.agg(F.min("vec_id")).first()[0]
+    qv = ev.filter(F.col("vec_id") < _GG_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ec = ev.filter(F.col("vec_id") == entry).select(F.col("v").alias("cv"))
+    state = (
+        qv.crossJoin(F.broadcast(ec))
+        .select(
+            "query_id",
+            "qv",
+            F.lit(entry).cast("long").alias("cur"),
+            rnd(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cur_sim"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_GG_STEPS):
+        cand = (
+            state.join(g.withColumnRenamed("src", "cur"), "cur")
+            .join(
+                ev.select(F.col("vec_id").alias("dst"), F.col("v").alias("nv")),
+                "dst",
+            )
+            .withColumn("cand_sim", rnd(S.cosine(F.col("qv"), F.col("nv")), 6))
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("cand_sim"), F.asc("dst")
+        )
+        best = (
+            cand.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("dst").alias("cand"), "cand_sim")
+        )
+        moved = F.col("cand_sim") > F.col("cur_sim")
+        new_state = (
+            state.join(best, "query_id")
+            .select(
+                "query_id",
+                "qv",
+                F.when(moved, F.col("cand")).otherwise(F.col("cur")).alias("cur"),
+                F.when(moved, F.col("cand_sim"))
+                .otherwise(F.col("cur_sim"))
+                .alias("cur_sim"),
+                (F.col("hops") + moved.cast("long")).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # converge-early: greedy moves are absorbing, so once no walk
+        # moved this round none ever will — the fixed-unroll oracle
+        # stays identical (bounded: one scalar per round)
+        if new_state.join(state.select("query_id", F.col("cur").alias("_old")),
+                          "query_id").filter(F.col("cur") != F.col("_old")).count() == 0:
+            state = new_state
+            break
+        state = new_state
+    return state.select(
+        "query_id", F.col("cur").alias("found_id"),
+        F.col("cur_sim").alias("sim"), "hops"
+    ).orderBy("query_id")
