@@ -4323,26 +4323,69 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GG_DEGREE = 4
 _GG_STEPS = 8
 _GG_NQ = 10
+_GG_TABLES = 8
+_GG_PLANES = 12  # 4096 buckets/table: self-join bucket sizes stay tiny
+_GG_SEED = 5
+
+
+def _gg_build_planes():
+    import numpy as np
+
+    return np.random.RandomState(_GG_SEED).randn(
+        _GG_TABLES * _GG_PLANES, _ANN_DIM
+    )
 
 
 def _graph_greedy_oracle(nq: int = _GG_NQ, deg: int = _GG_DEGREE,
                          steps: int = _GG_STEPS) -> str:
-    """Unrolled replay of the greedy graph walk: the kNN graph CTE
-    (exact top-`deg` by 6dp cosine, id tiebreak), then `steps` hops —
+    """Unrolled replay of the LSH-built graph + greedy walk: literal
+    seeded BUILD planes → per-(vector, table) 12-bit sign buckets →
+    same-bucket candidate pairs → per-source top-`deg` by 6dp cosine
+    (id tiebreak) = the graph CTE (the exact all-pairs build would be
+    quadratic — review r9 caught the probe stall); then `steps` hops —
     each hop joins the current node to its out-edges, picks the best
     neighbor (sim DESC, id ASC) and MOVES only on strictly greater
     sim. The move rule is absorbing (a node that stays, stays), so a
-    fixed unroll equals the engine's converge-early loop."""
+    fixed unroll equals the engine's converge-early loop. A node with
+    no out-edges simply never moves (LEFT JOIN keeps the walk row)."""
+    planes = _gg_build_planes()
+    rows = []
+    for j in range(_GG_TABLES * _GG_PLANES):
+        t, b = j // _GG_PLANES, j % _GG_PLANES
+        for pos, w in enumerate(planes[j], start=1):
+            rows.append(f"({t},{b},{pos},CAST({float(w)!r} AS DOUBLE))")
     sim = ("floor(list_cosine_similarity(a.embedding::DOUBLE[], "
            "b.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0")
     qsim = ("floor(list_cosine_similarity(q.embedding::DOUBLE[], "
             "n.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0")
-    ctes = [f"""g AS MATERIALIZED (
+    ctes = [f"""pl(t, bit, pos, w) AS (VALUES {",".join(rows)}),
+    ex AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    gsig AS MATERIALIZED (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS b
+      FROM (
+        SELECT ex.vec_id, pl.t, pl.bit, sum(ex.x * pl.w) AS d
+        FROM ex JOIN pl ON pl.pos = ex.pos
+        GROUP BY ex.vec_id, pl.t, pl.bit
+      ) GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT sa.vec_id AS src, sb.vec_id AS dst
+      FROM gsig sa JOIN gsig sb ON sa.t = sb.t AND sa.b = sb.b
+      WHERE sa.vec_id <> sb.vec_id
+    ),
+    g AS MATERIALIZED (
       SELECT src, dst FROM (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
-               row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {sim} DESC, b.vec_id ASC) AS rn
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        SELECT cand.src, cand.dst,
+               row_number() OVER (PARTITION BY cand.src
+                                  ORDER BY {sim} DESC, cand.dst ASC) AS rn
+        FROM cand
+          JOIN embeddings a ON a.vec_id = cand.src
+          JOIN embeddings b ON b.vec_id = cand.dst
       ) WHERE rn <= {deg}
     ),
     entry AS (SELECT min(vec_id) AS e FROM embeddings),
@@ -4376,7 +4419,7 @@ def _graph_greedy_oracle(nq: int = _GG_NQ, deg: int = _GG_DEGREE,
              CASE WHEN b.cand_sim > s.cur_sim THEN b.cand_sim
                   ELSE s.cur_sim END AS cur_sim,
              s.hops + CASE WHEN b.cand_sim > s.cur_sim THEN 1 ELSE 0 END AS hops
-      FROM s{t-1} s JOIN b{t} b USING (query_id)
+      FROM s{t-1} s LEFT JOIN b{t} b USING (query_id)
     )""")
     return (
         "WITH " + ",\n    ".join(ctes)
@@ -4401,25 +4444,57 @@ def knn_graph_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbing. Completes the ANN taxonomy: hashing (LSH), space
     partitioning (IVF), quantization (PQ/SQ8/BQ/MRL), and now graphs.
 
-    Scale honesty: the graph BUILD here is the exact all-pairs top-k
-    (fixture-sized); at 100 TB the standard construction bootstraps
-    candidates from the LSH/IVF operators (build once, serve many —
-    the persisted-index lifecycle `knn_ivfpq_persisted` models). The
-    SERVE is the scale path being exercised: each hop touches
-    degree-bounded edges of ONE node per query — O(queries · hops ·
-    degree) work regardless of corpus size, against broadcast-sized
+    Scale: the graph BUILD bootstraps candidate pairs from seeded
+    12-bit LSH buckets (8 tables) — same-bucket self-join, then exact
+    top-`deg` per source, the standard NSW construction (the exact
+    all-pairs build is quadratic; review r9 caught its probe stall) —
+    and the whole build still replays in SQL because the buckets are
+    seeded sign bits. Build once, serve many (the persisted-index
+    lifecycle `knn_ivfpq_persisted` models); the SERVE touches
+    degree-bounded edges of ONE node per query per hop — O(queries ·
+    hops · degree) regardless of corpus size, against broadcast-sized
     walk state."""
-    e = load_table(spark, "embeddings", sf_dir)
-    ev = e.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
-    a = ev.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
-    b = ev.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    from bigdata06_spark.operators.similarity import _sig_pandas_udf
     from bigdata06_spark.queries.qutil import rnd
+    from bigdata06_spark.session import ensure_workers_can_import
 
-    w = Window.partitionBy("src").orderBy(
-        F.desc("esim"), F.asc("dst")
+    e = load_table(spark, "embeddings", sf_dir)
+    ensure_workers_can_import(spark)
+    planes = _gg_build_planes()
+    tables = [
+        planes[t * _GG_PLANES:(t + 1) * _GG_PLANES].tolist()
+        for t in range(_GG_TABLES)
+    ]
+    sig_udf = _sig_pandas_udf(tables)
+    ev = e.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    sigs = (
+        ev.withColumn("sig", sig_udf(F.col("v")))
+        .select(
+            "vec_id", "v",
+            F.explode(
+                F.expr(
+                    "array(%s)"
+                    % ", ".join(
+                        f"struct({t} as t, sig[{t}] as b)"
+                        for t in range(_GG_TABLES)
+                    )
+                )
+            ).alias("tb"),
+        )
+        .select("vec_id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     )
+    sa = sigs.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("va"), "t", "b"
+    )
+    sb = sigs.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("vb"), "t", "b"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("esim"), F.asc("dst"))
     g = (
-        a.join(b, F.col("src") != F.col("dst"))
+        sa.join(sb, ["t", "b"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "va", "dst", "vb")
+        .dropDuplicates(["src", "dst"])
         .withColumn("esim", rnd(S.cosine(F.col("va"), F.col("vb")), 6))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _GG_DEGREE)
@@ -4459,9 +4534,13 @@ def knn_graph_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("query_id", F.col("dst").alias("cand"), "cand_sim")
         )
-        moved = F.col("cand_sim") > F.col("cur_sim")
+        # LEFT join: a walk whose current node has no out-edges (an
+        # LSH-isolated vector) keeps its row and simply never moves —
+        # same rule as the oracle's LEFT JOIN (NULL > x is never true;
+        # the coalesce keeps the hops sum non-null)
+        moved = F.coalesce(F.col("cand_sim") > F.col("cur_sim"), F.lit(False))
         new_state = (
-            state.join(best, "query_id")
+            state.join(best, "query_id", "left")
             .select(
                 "query_id",
                 "qv",
