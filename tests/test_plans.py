@@ -730,3 +730,52 @@ def test_quantile_twopass_refine_scan_is_pushed(spark, sf_dir):
     plan = plan_of(refine)
     assert re.search(r"PushedFilters: \[.*l_extendedprice.*\]", plan), plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_graph_greedy_build_is_equi_join(spark, sf_dir):
+    """r9 knn_graph_greedy: the LSH-bucketed graph build must be an
+    EQUI-join on (table, bucket) — never an all-pairs nested loop (the
+    exact build was quadratic and stalled the sf1 probe) — and the
+    per-hop serve joins stay hash joins over the degree-bounded edge
+    list."""
+    plan = plan_of(SPECS["knn_graph_greedy"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop allowed is the 1-row entry-vector broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_kcore_and_community_no_cartesian(spark, sf_dir):
+    """r9 graph family: the shared co-supply projection joins on the
+    part key and the iterative stages on node keys — no plan may
+    degrade to a cross product."""
+    for name in ("graph_kcore", "graph_community_components"):
+        plan = plan_of(SPECS[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_prefix_jaccard_joins_on_shingle(spark, sf_dir):
+    """r9 jaccard_pairs_prefix: the candidate join must be a shuffled
+    or broadcast EQUI-join on the shingle key (prefix rows only) and
+    the verify stage equi-joins on the pair ids — never a cross
+    product; the df-rank window must reuse the doc-id partitioning
+    (no window over the shingle key, the skew axis)."""
+    from bigdata06_spark.catalog import load_table as _lt
+    from bigdata06_spark.operators.dedup import jaccard_pairs_prefix
+
+    plan = plan_of(jaccard_pairs_prefix(_lt(spark, "documents", sf_dir)))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kendall_cell_join_is_bounded_broadcast(spark, sf_dir):
+    """r9 stats_kendall_tau: the concordance double-sum is a DELIBERATE
+    nested-loop join, but only over the domain-bounded cell table —
+    the pin is that the cell aggregation (groupBy onto |X|*|Y| rows)
+    happens BEFORE the cross join, so N never enters the quadratic
+    term. localCheckpoint materializes the cells, so the final plan's
+    inputs must be checkpoint scans, not raw parquet."""
+    plan = plan_of(SPECS["stats_kendall_tau"].fn(spark, sf_dir))
+    # no raw fact scan may feed the cross join: the checkpointed cell
+    # relation replaces the parquet lineage entirely
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "Scan parquet" not in plan, plan
