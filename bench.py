@@ -200,6 +200,9 @@ HEADLINE = [
     # graph-ANN greedy serve (NSW base layer: kNN-graph build + the
     # O(queries x hops x degree) walk, unrolled-oracle-gated)
     "knn_graph_greedy",
+    # funnel latency rollup (two user-keyed min-aggs + cohort
+    # percentile_disc)
+    "events_funnel_time_to_convert",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

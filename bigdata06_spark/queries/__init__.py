@@ -90,7 +90,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "stats_spearman_corr", "stats_kendall_tau",
         "graph_community_components", "stats_anova_oneway",
         "lakehouse_checkpoint_journey", "graph_kcore",
-        "knn_graph_greedy",
+        "knn_graph_greedy", "events_funnel_time_to_convert",
         "knn_lsh_ann", "knn_ivf_ann", "agg_heavy_hitters",
         "stream_heavy_hitters", "join_anti", "supplier_affinity_graph",
         "multimodal_scene_cuts", "join_bloom_prune",
@@ -106,7 +106,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "q7_volume_shipping", "q9_profit_by_nation", "q12_late_lines",
         "q17_small_quantity_revenue", "q19_disjunctive_revenue",
         "q21_waiting_supplier", "q2_min_cost_supplier", "q8_market_share",
-        "q11_important_parts", "q15_top_supplier",
+        "q11_important_parts",
         # ---- round-8 head: the 28 never-yet-driver-sampled entries
         # (VERDICT r7 #3 — after this round every registry query has
         # been driver-sampled at least once), plus agg_approx_percentile

@@ -5933,3 +5933,92 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("s"), "core_degree")
         .orderBy(F.desc("core_degree"), "s")
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_sign
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_conv
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.t_sign
+      GROUP BY 1
+    ),
+    tt AS (
+      SELECT s.user_id,
+             strftime(make_timestamp(s.t_sign), '%Y-%m') AS cohort,
+             CAST((p.t_conv - s.t_sign) // 1000000 AS BIGINT) AS tt_sec
+      FROM s LEFT JOIN p USING (user_id)
+    )
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_signed,
+           CAST(count(tt_sec) AS BIGINT) AS n_converted,
+           floor(CAST(count(tt_sec) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+             AS conv_rate,
+           CAST(quantile_disc(tt_sec, 0.5) AS BIGINT) AS median_tt_sec,
+           CAST(quantile_disc(tt_sec, 0.9) AS BIGINT) AS p90_tt_sec
+    FROM tt GROUP BY cohort ORDER BY cohort
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT per signup cohort — the funnel family's latency
+    member (`events_funnel_steps` counts WHO converts; this measures
+    HOW FAST): each user's first signup anchors their cohort month,
+    the first strictly-later purchase closes the conversion, and the
+    per-cohort rollup reports conversion rate plus discrete median/p90
+    latency (percentile_disc — an actual data value, bit-exact cross-
+    engine; non-converters count in the denominator and NULL out of
+    the latency percentiles on both engines identically). Latencies
+    are integer epoch-microsecond differences floored to seconds.
+
+    Scale: two min-aggregates keyed on user_id (map-side combined),
+    one user-keyed join, then a cohort-keyed rollup — the exact
+    percentile buffers per cohort; the scale path at extreme cohort
+    sizes is the mergeable sketch (`agg_approx_percentile`'s pattern),
+    kept exact here as its reference."""
+    ev = load_table(spark, "events", sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_us(F.col("ts"))).alias("t_sign"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_us(F.col("ts")).alias("t_ev"))
+        .join(s, "user_id")
+        .filter(F.col("t_ev") > F.col("t_sign"))
+        .groupBy("user_id")
+        .agg(F.min("t_ev").alias("t_conv"))
+    )
+    tt = s.join(p, "user_id", "left").select(
+        F.date_format(
+            (F.col("t_sign") / 1_000_000).cast("timestamp"), "yyyy-MM"
+        ).alias("cohort"),
+        ((F.col("t_conv") - F.col("t_sign")) / 1_000_000)
+        .cast("long")
+        .alias("tt_sec"),
+    )
+    from bigdata06_spark.queries.qutil import rnd
+
+    return (
+        tt.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signed"),
+            F.count("tt_sec").cast("long").alias("n_converted"),
+            rnd(
+                F.count("tt_sec").cast("double") / F.count(F.lit(1)), 6
+            ).alias("conv_rate"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY tt_sec)"
+            ).cast("long").alias("median_tt_sec"),  # Spark's disc
+            # percentile returns DOUBLE even on integer input — pin
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY tt_sec)"
+            ).cast("long").alias("p90_tt_sec"),
+        )
+        .orderBy("cohort")
+    )
