@@ -1,9 +1,14 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"families": {...}, "n_queries": N, "sf": ...} — the per-query map lives
-in the committed BENCH_DETAIL.json (the driver captures only ~2000
-stdout chars, VERDICT r7 #2).
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{...}, "families": {...}, "load1_start": ..., "load1_end": ...,
+"uniform_inflation": ..., ...}. The per-query map on stdout is trimmed
+slowest-first to fit the driver's ~2000-char capture window (VERDICT r7
+#2); the FULL map lives in the committed BENCH_DETAIL.json. The load
+averages and the uniform-inflation estimate (median per-query ratio vs
+the committed detail) make the record self-adjudicating against host
+contention (VERDICT r9 next #1: the r9 driver record inflated 2.08x
+under external load with no way to prove it from the artifact).
 
 Each query is executed to completion (count() action) after a warm-up of
 the session; per-query wall time includes planning + execution. The
@@ -203,6 +208,14 @@ HEADLINE = [
     # funnel latency rollup (two user-keyed min-aggs + cohort
     # percentile_disc)
     "events_funnel_time_to_convert",
+    # r10 (VERDICT r9 #8): the LLM-pipeline flagship COMPOSITIONS a
+    # training-data user runs end-to-end — the multi-stage curation
+    # funnel, the fuzzy train/eval decontamination pass, and the full
+    # training-manifest assembly — benched beside the thin corpus row
+    # (corpus_split_assign) that was their only perf signal before
+    "corpus_curation_funnel",
+    "corpus_decontaminate",
+    "corpus_training_manifest",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a
@@ -234,9 +247,32 @@ def family_of(name: str) -> str:
     return "other"
 
 
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # the COMMITTED detail (read before this run overwrites it) is the
+    # idle reference for the contention self-adjudication below
+    prev_times: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        # the ratio is only meaningful against a detail measured at
+        # the SAME scale factor
+        if str(prev.get("sf")) == (sf if not sf.replace(".", "").isdigit()
+                                   else str(float(sf))):
+            prev_times = prev.get("queries", {})
+    except Exception:
+        pass
+    load1_start = _load1()
     specs = load_all_queries()
     spark = get_spark("bench")
     # warm the JVM/session so the first query doesn't pay startup costs:
@@ -266,50 +302,73 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    load1_end = _load1()
     fams: dict[str, float] = {}
     for name, t in times.items():
         fam = family_of(name)
         fams[fam] = round(fams.get(fam, 0.0) + t, 3)
 
+    # Host-contention self-adjudication (VERDICT r9 next #1): the r9
+    # driver record inflated 2.08x under external load with no way to
+    # prove it from the artifact. `uniform_inflation` is the MEDIAN
+    # per-query ratio of this run vs the committed (idle) detail over
+    # shared queries — external load inflates every query by a similar
+    # factor, so a high median with the committed detail unchanged
+    # reads as contention, while an isolated per-query jump with a
+    # ~1.0 median reads as a real regression. Load averages bracket
+    # the run for the same adjudication.
+    shared = sorted(
+        times[q] / prev_times[q]
+        for q in times
+        if prev_times.get(q) and prev_times[q] > 0.05 and times[q] > 0
+    )
+    uniform_inflation = (
+        round(shared[len(shared) // 2], 3) if shared else None
+    )
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Per-query detail goes to a committed side file (VERDICT r7 #2):
-    # the driver captures only the last ~2000 chars of stdout, and the
-    # per-query map outgrew that window at 57 entries. The final stdout
-    # line stays compact (total + family subtotals — bounded by the
-    # family count, not the registry size); round-over-round per-query
-    # diffs live in BENCH_DETAIL.json.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    common = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "reps": max(1, reps),
+        "stat": "min",
+        "sf": sf_val,
+        "load1_start": load1_start,
+        "load1_end": load1_end,
+        "uniform_inflation": uniform_inflation,
+    }
+    # Full per-query detail goes to the committed side file (VERDICT
+    # r7 #2); round-over-round per-query diffs live there.
     with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "families": fams,
-                "reps": max(1, reps),
-                "stat": "min",
-                "sf": sf_val,
-            },
-            f,
-            indent=1,
-        )
+        json.dump({**common, "queries": times, "families": fams}, f, indent=1)
         f.write("\n")
-    print(
-        json.dumps(
+    # The final stdout line carries per-query times too (VERDICT r9
+    # next #1) — but the driver records only the LAST ~2000 chars of
+    # output, so the line must stay under that or the recorded JSON is
+    # truncated mid-line and unparseable. Budget: keep the slowest
+    # queries (the ones a regression diff needs), drop the fastest
+    # until the line fits, and say how many were dropped (their times
+    # are all in BENCH_DETAIL.json).
+    by_cost = sorted(times, key=lambda q: -times[q])
+    keep = dict.fromkeys(by_cost, True)
+    while True:
+        q_map = {q: round(times[q], 2) for q in times if keep[q]}
+        omitted = len(times) - len(q_map)
+        line = json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
+                **common,
+                "queries": q_map,
+                "queries_omitted_fastest": omitted,
                 "families": fams,
                 "n_queries": len(times),
                 "detail": "BENCH_DETAIL.json",
-                "reps": max(1, reps),
-                "stat": "min",
-                "sf": sf_val,
             }
         )
-    )
+        if len(line) <= 1850 or not q_map:
+            break
+        keep[by_cost[len(q_map) - 1]] = False
+    print(line)
 
 
 if __name__ == "__main__":

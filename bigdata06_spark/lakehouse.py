@@ -3301,10 +3301,6 @@ def checkpoint_log(path: str, at_version: int | None = None,
     copies_pre = st["copy_sources"]
     cons_pre = st["constraints"]
     zmeta_pre = st["zorder"]
-    for old in range(v):
-        old_p = os.path.join(_log_dir(path), f"{old}.json")
-        if os.path.exists(old_p):
-            os.remove(old_p)
     entry = {
         "remove": [],
         "checkpoint": True,
@@ -3387,6 +3383,19 @@ def checkpoint_log(path: str, at_version: int | None = None,
     with open(tmp, "w") as fh:
         json.dump(entry, fh, indent=1)
     os.replace(tmp, target)
+    # squashed-entry removal comes LAST (review r10): the sidecar
+    # stream + entry swap above must complete before any history is
+    # destroyed — a crash mid-sidecar with the 0..v-1 entries already
+    # gone would leave v.json as the old DELTA entry over a deleted
+    # history (unreplayable table). After the swap, removal is safe in
+    # any crash window: replay of (old entries + new checkpoint v.json)
+    # equals replay of the checkpoint alone (the checkpoint entry
+    # RESETS file/DV/stats state and re-emits every spec), and a
+    # retried checkpoint simply redoes the idempotent removals.
+    for old in range(v):
+        old_p = os.path.join(_log_dir(path), f"{old}.json")
+        if os.path.exists(old_p):
+            os.remove(old_p)
     return v
 
 

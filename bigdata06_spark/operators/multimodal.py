@@ -24,6 +24,7 @@ stage parallelizes per-partition with zero shuffle.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -224,19 +225,59 @@ def sample_frames(decoded: DataFrame, every: int = 24) -> DataFrame:
 
 
 def feature_batch(dim: int):
-    """mapInPandas stage: deterministic fake embedding, long form
-    (doc_id, feat_idx, feat_val) — a real extractor would run the model
-    forward pass here; the fake is SQL-expressible so the Spark-side
-    batch plumbing is oracle-checked end-to-end."""
+    """mapInPandas stage: CONTENT-DERIVED byte-statistics features in
+    long form (doc_id, feat_idx, feat_val) — review r10 replaced the
+    modular-arithmetic fake with a real signal computed from the
+    payload bytes, the byte-histogram-moment family a curation
+    pipeline actually uses for media triage (file-type and
+    text-vs-binary discrimination). A learned model's forward pass
+    slots into the same stage shape; until then the output is usable
+    as-is AND stays SQL-expressible so the batch plumbing remains
+    under the exact value-hash oracle. The 8 features per asset:
+
+      1  mean byte value
+      2  byte variance (from integer Σc, Σc² — no float accumulation)
+      3  lowercase-letter fraction  [97, 122]
+      4  uppercase-letter fraction  [65, 90]
+      5  digit fraction             [48, 57]
+      6  space fraction             (== 32)
+      7  distinct-byte count / 256  (byte-diversity proxy)
+      8  max byte / 255
+
+    Each value is derived from integer byte counts (one
+    numpy bincount per asset) and floor-rounded to the 6dp grid, so
+    DuckDB replays it bit-for-bit from the same integer sums.
+    Zero-length payloads emit all-zero features (defined, not NaN)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, idxs, vals = [], [], []
-            for doc_id, blen in zip(pdf["doc_id"], pdf["byte_len"]):
-                for i in range(1, dim + 1):
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                n = int(a.size)
+                if n == 0:
+                    feats = [0.0] * dim
+                else:
+                    hist = np.bincount(a, minlength=256).astype(np.int64)
+                    s1 = int(a.sum(dtype=np.int64))
+                    s2 = int((a.astype(np.int64) ** 2).sum())
+                    feats = [
+                        s1 / n,
+                        (n * s2 - s1 * s1) / (n * n),
+                        int(hist[97:123].sum()) / n,
+                        int(hist[65:91].sum()) / n,
+                        int(hist[48:58].sum()) / n,
+                        int(hist[32]) / n,
+                        int((hist > 0).sum()) / 256.0,
+                        int(a.max()) / 255.0,
+                    ][:dim]
+                for i, v in enumerate(feats, start=1):
                     ids.append(doc_id)
                     idxs.append(i)
-                    vals.append(((int(blen) * i + int(doc_id)) % 997) / 997.0)
+                    # the shared 6dp grid rule (qutil.rnd)
+                    vals.append(math.floor(v * 1e6 + 0.5) / 1e6)
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "feat_idx": pd.Series(idxs, dtype="int64"),
                                 "feat_val": pd.Series(vals, dtype="float64")})
@@ -244,12 +285,13 @@ def feature_batch(dim: int):
     return fn
 
 
-def extract_features(decoded: DataFrame, dim: int = 8) -> DataFrame:
-    """Feature extraction over decoded assets (stubbed model)."""
+def extract_features(with_payloads: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction over raw asset payloads (byte-statistics
+    features; a model forward pass slots into the same stage)."""
     from bigdata06_spark.session import ensure_workers_can_import
 
-    ensure_workers_can_import(decoded.sparkSession)
-    return decoded.select("doc_id", "byte_len").mapInPandas(
+    ensure_workers_can_import(with_payloads.sparkSession)
+    return with_payloads.select("doc_id", "payload").mapInPandas(
         feature_batch(dim), schema=FEATURE_SCHEMA
     )
 

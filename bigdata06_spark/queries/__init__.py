@@ -75,6 +75,37 @@ def load_all_queries() -> dict[str, QuerySpec]:
     # rounds instead of re-checking the same flagships. Names only;
     # zero semantic change; everything stays in the registry.
     flagship_head = [
+        # ---- round-10 head (VERDICT r9 #7 — max-staleness rotation):
+        # first the 11 queries whose semantics or oracle CHANGED in
+        # r10 (co-supply degree cap x5 + capped affinity headline,
+        # adaptive-bits graph-ANN, content-derived multimodal
+        # features, dollar-binned spearman, overflow-proofed
+        # heavy-hitter keys x2, checkpoint-ordering-touched journey),
+        # then the 39 LONGEST-UNSAMPLED registry entries (last driver
+        # sample r1/r2 for 22 of them — all predating the dtype-kind
+        # harness — and early r4 for the rest), computed from the nine
+        # CORRECTNESS files. 50 names; names repeat below (dict
+        # insertion keeps the FIRST position).
+        "supplier_affinity_graph", "graph_triangle_census",
+        "graph_label_propagation", "graph_community_components",
+        "graph_kcore", "knn_graph_greedy", "multimodal_features",
+        "stats_spearman_corr", "agg_heavy_hitters",
+        "stream_heavy_hitters", "lakehouse_checkpoint_journey",
+        "agg_cube", "agg_rollup",
+        "agg_count_distinct", "agg_group_stats", "join_cross",
+        "join_full_outer", "join_left_outer", "join_nonequi",
+        "join_semi", "q15_top_supplier", "q16_supplier_count",
+        "q20_excess_suppliers", "ref_array_flatten",
+        "ref_category_flatten", "ref_counts", "ref_derived_columns",
+        "ref_filter_eq", "ref_pandas_api_on_spark",
+        "ref_playlist_flatten", "ref_ragged_dates", "ref_sort_topk",
+        "ref_union_ragged", "cdc_scd2_history", "corpus_pack_sequences",
+        "corpus_split_assign", "dedup_embedding_cosine", "dedup_exact",
+        "dedup_jaccard_stop_shingles", "dedup_minhash_lsh",
+        "dedup_simhash", "dq_expectations", "embedding_kmeans",
+        "events_hypertable_rollup", "graph_pagerank", "knn_bruteforce",
+        "knn_ivfpq", "knn_label_vote_sampled", "lakehouse_mv_incremental",
+        "lakehouse_row_cdf",
         # ---- round-9 head (VERDICT r8 #1): the 4 queries added AFTER
         # the r8 sample draw lead (closing the only driver-coverage
         # gap), then the 3 new r9 queries, then every query whose

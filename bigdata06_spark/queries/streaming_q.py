@@ -509,8 +509,11 @@ _SHH_CAPACITY = 1600  # >= buckets/phi: candidate recall guaranteed
 #: _HH_KEY (VERDICT r8 #3): share of key z is ~1/(z(z+1)) — scale-free,
 #: so heavy hitters exist (~14 keys, z <= 13 at phi=0.005) at every sf.
 #: Raw user_id's per-user share shrinks ~1/users (empty above sf0.01).
-_SHH_KEY = "1000 DIV (1 + (event_id * 2654435761) % 1000)"
-_SHH_KEY_SQL = "1000 // (1 + (event_id * 2654435761) % 1000)"
+#: event_id reduced mod a prime < 1e9 before multiplying, same
+#: overflow-proofing as _HH_KEY (ADVICE r9): identity at fixture SFs,
+#: keeps the product < 2^62 at any SF.
+_SHH_KEY = "1000 DIV (1 + ((event_id % 999999937) * 2654435761) % 1000)"
+_SHH_KEY_SQL = "1000 // (1 + ((event_id % 999999937) * 2654435761) % 1000)"
 
 
 @register(

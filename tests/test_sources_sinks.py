@@ -2551,6 +2551,51 @@ def test_lakehouse_checkpoint_replace_is_atomic_swap(spark, sf_dir, tmp_path):
     assert sorted(entry["add"]) == LH.files_at_version(path, v1)
 
 
+def test_lakehouse_checkpoint_crash_during_sidecar_preserves_history(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """Durability ordering (review r10): checkpoint_log must not
+    destroy the squashed history until the new entry is COMMITTED.
+    Inject a crash inside the sidecar stream — the worst window, after
+    state resolution but before the atomic swap — and the table must
+    replay exactly as before the attempt (all log entries intact); a
+    retried checkpoint then succeeds and removals are idempotent."""
+    from bigdata06_spark import lakehouse as LH
+    from bigdata06_spark import lakehouse_manifest as M
+    from bigdata06_spark.catalog import load_table
+
+    path = str(tmp_path / "lh_ckpt_crash")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    LH.table_init(o, path, "o_orderkey", n_files=2)
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    upd = spark.createDataFrame([(k, 5.0)], ["o_orderkey", "o_totalprice"])
+    v1 = LH.merge(spark, path, "o_orderkey", updates=upd)
+    before_files = LH.files_at_version(path, v1)
+    before_log = sorted(f for f in os.listdir(os.path.join(path, "_log"))
+                        if f.endswith(".json"))
+
+    real_writer = M.write_checkpoint_sidecar
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash mid-sidecar")
+
+    monkeypatch.setattr(M, "write_checkpoint_sidecar", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        LH.checkpoint_log(path)
+    # the crash must leave EVERY committed entry in place (no history
+    # deleted ahead of the swap) and the table fully replayable
+    after_log = sorted(f for f in os.listdir(os.path.join(path, "_log"))
+                       if f.endswith(".json") and ".tmp-" not in f)
+    assert after_log == before_log
+    assert LH.files_at_version(path, v1) == before_files
+    # retry with the real writer: succeeds, squashes, same state
+    monkeypatch.setattr(M, "write_checkpoint_sidecar", real_writer)
+    assert LH.checkpoint_log(path) == v1
+    assert LH.files_at_version(path, v1) == before_files
+    entry = LH._read_entry(path, v1)
+    assert entry["checkpoint"] is True
+    assert sorted(entry["add"]) == before_files
+
+
 def test_lakehouse_stats_skipping_prunes_files(spark, sf_dir, tmp_path):
     """Per-file column stats (stats_cols) land in every commit's log
     entry; a stats_filter read's planned scan holds only files whose
