@@ -216,6 +216,17 @@ HEADLINE = [
     "corpus_curation_funnel",
     "corpus_decontaminate",
     "corpus_training_manifest",
+    # r10 new operators: content-defined chunking dedup (one explode +
+    # per-doc windows + fingerprint groupBy), common-neighbor link
+    # prediction (two-hop join on the degree-bounded edge list), and
+    # the Brown-Forsythe variance-homogeneity test (k-cell arithmetic
+    # after one combine)
+    "dedup_cdc_chunks",
+    "graph_link_prediction",
+    "stats_levene",
+    # attribute-filtered vector search (pre-filter equi-join on the
+    # label — O(Q * N_class), the production metadata-filter shape)
+    "knn_filtered_ann",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -102,11 +102,35 @@ def register_table(spark: SparkSession, name: str, path: str,
     _refresh_view(spark, name)
 
 
+def _view_cache(spark: SparkSession) -> dict:
+    """Session-scoped registry of which (path, version) each lakehouse
+    temp view currently wraps — temp views are session-scoped, so the
+    cache lives on the session object and dies with it."""
+    c = getattr(spark, "_lh_view_cache", None)
+    if c is None:
+        c = {}
+        spark._lh_view_cache = c
+    return c
+
+
 def _refresh_view(spark: SparkSession, name: str) -> None:
+    """(Re-)register `name` over the table's CURRENT version — but
+    skip the rebuild when the existing view already wraps exactly that
+    version (review r10: `read_version` is not free — mergeSchema
+    reads every surviving file's footer at PLAN time, so re-CREATE-ing
+    an unchanged table on every warm statement re-paid O(files) footer
+    reads; a version is immutable state, so same (path, version) ⇒
+    same plan). Any commit bumps current_version and invalidates."""
     ent = _TABLES[name.lower()]
     v = LH.current_version(ent["path"])
-    if v >= 0:
-        LH.read_version(spark, ent["path"], v).createOrReplaceTempView(name)
+    if v < 0:
+        return
+    cache = _view_cache(spark)
+    key = ("tbl", name.lower())
+    if cache.get(key) == (ent["path"], v) and spark.catalog.tableExists(name):
+        return
+    LH.read_version(spark, ent["path"], v).createOrReplaceTempView(name)
+    cache[key] = (ent["path"], v)
 
 
 def _resolve(ref: str) -> tuple[str, str | None, str | None]:
@@ -1259,7 +1283,19 @@ def _rewrite_time_travel(spark: SparkSession, stmt: str) -> str:
             v = LH.version_at_timestamp(path, epoch)
         view = (f"{name or 'lh'}_asof_{v}_"
                 f"{hashlib.md5(path.encode()).hexdigest()[:6]}")
-        LH.read_version(spark, path, v).createOrReplaceTempView(view)
+        # pinned-version views are immutable, so a repeated AS-OF read
+        # reuses the session's existing view instead of re-paying
+        # read_version's O(files) footer reads (review r10) — guarded
+        # by the table's CURRENT version, since a later commit can
+        # change what a pinned version resolves to (checkpoint squash)
+        # or remove its files (vacuum)
+        cache = _view_cache(spark)
+        ckey = ("asof", view)
+        latest = LH.current_version(path)
+        if not (cache.get(ckey) == (path, v, latest)
+                and spark.catalog.tableExists(view)):
+            LH.read_version(spark, path, v).createOrReplaceTempView(view)
+            cache[ckey] = (path, v, latest)
         stmt = stmt[:m.start()] + view + stmt[m.end():]
     return stmt
 

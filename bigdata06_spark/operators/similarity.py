@@ -78,6 +78,55 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
     )
 
 
+def knn_filtered(queries: DataFrame, corpus: DataFrame, filter_col: str,
+                 k: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 round_sim: int | None = 6) -> DataFrame:
+    """FILTERED exact top-k (attribute-constrained vector search, new
+    r10): each query ranks only corpus vectors sharing its
+    `filter_col` value — the metadata-filter + ANN combination every
+    production vector store exposes (tenant isolation, language or
+    category constraints, same-class retrieval). The constraint is
+    expressed as an EQUI-JOIN on the attribute, so Spark PRE-filters
+    relationally: a hash join co-partitions corpus by attribute value
+    and each query scores only its class — O(Q · N_class), never the
+    O(Q · N) unconstrained scan followed by a post-filter (which, at
+    selective filters, also under-fills k — the classic post-filter
+    recall bug this formulation cannot have). The same shape composes
+    with the bucketed candidate generators (LSH/IVF) by adding the
+    attribute to their bucket keys."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(filter_col).alias("_f"),
+        as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col).alias("_f"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    sim = rnd(cosine(F.col("qv"), F.col("cv")), round_sim) if round_sim else (
+        cosine(F.col("qv"), F.col("cv"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "_f")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("_f").cast("long").alias("filter_value"),
+            "neighbor_id", "sim",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 def _seeded_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

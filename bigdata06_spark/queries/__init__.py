@@ -86,6 +86,8 @@ def load_all_queries() -> dict[str, QuerySpec]:
         # harness — and early r4 for the rest), computed from the nine
         # CORRECTNESS files. 50 names; names repeat below (dict
         # insertion keeps the FIRST position).
+        "dedup_cdc_chunks", "graph_link_prediction", "stats_levene",
+        "knn_filtered_ann",
         "supplier_affinity_graph", "graph_triangle_census",
         "graph_label_propagation", "graph_community_components",
         "graph_kcore", "knn_graph_greedy", "multimodal_features",
@@ -104,8 +106,6 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "dedup_jaccard_stop_shingles", "dedup_minhash_lsh",
         "dedup_simhash", "dq_expectations", "embedding_kmeans",
         "events_hypertable_rollup", "graph_pagerank", "knn_bruteforce",
-        "knn_ivfpq", "knn_label_vote_sampled", "lakehouse_mv_incremental",
-        "lakehouse_row_cdf",
         # ---- round-9 head (VERDICT r8 #1): the 4 queries added AFTER
         # the r8 sample draw lead (closing the only driver-coverage
         # gap), then the 3 new r9 queries, then every query whose

@@ -5892,6 +5892,114 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stats_levene",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice + 0.5) AS BIGINT) AS dollars
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    med AS (SELECT g, quantile_disc(dollars, 0.5) AS m FROM x GROUP BY g),
+    z AS (SELECT x.g, abs(x.dollars - med.m) AS z
+          FROM x JOIN med USING (g)),
+    cells AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z) AS BIGINT) AS s_g,
+             CAST(sum(CAST(z * z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q_g
+      FROM z GROUP BY g
+    ),
+    terms AS (
+      SELECT n_g, s_g, q_g,
+             CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g + 0.5)
+                  AS DECIMAL(38,6)) AS term
+      FROM cells
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS DOUBLE) AS s_all,
+             CAST(sum(q_g) AS DOUBLE) AS q_all,
+             CAST(sum(term) AS DOUBLE) AS ssb_part
+      FROM terms
+    )
+    SELECT k, n,
+           floor(((ssb_part - s_all * s_all / n) / (k - 1))
+                 / ((q_all - ssb_part) / (n - k)) * 1e6 + 0.5) / 1e6
+             AS w_stat,
+           ((ssb_part - s_all * s_all / n) / (k - 1))
+             / ((q_all - ssb_part) / (n - k)) > 2.372 AS significant
+    FROM s
+    """,
+)
+def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEVENE'S TEST, Brown-Forsythe variant (median-centered): are
+    the order-total VARIANCES equal across the 5 order priorities —
+    the homogeneity-of-variance check that guards `stats_anova_oneway`
+    (ANOVA's F assumes it) and the robust member of the spread-
+    comparison family. W = ANOVA-F computed on z = |x - median_g|;
+    the median (not the mean) centering is what makes it robust to
+    heavy tails.
+
+    Numeric discipline: x rides whole DOLLARS (floor(p+0.5) of
+    identical parquet doubles — exact BIGINT both engines; coarser
+    than ANOVA's cents ON PURPOSE, so the between-group term
+    floor(s_g²/n_g + 0.5) stays inside LONG range to ~sf10000 where a
+    cents-scale 2dp rounding overflowed at sf0.1-scale magnitudes);
+    per-group medians are DISCRETE percentiles (an actual data value,
+    integer both engines); z and Σz are exact BIGINT; Σz² rides
+    DECIMAL(38,0) (exact, associative); only the final W division is
+    floating point. Significance at the F(4, inf) 5% critical value.
+
+    Scale: one groupBy for the medians (exact percentile per group —
+    the k-cell buffer path; the mergeable-sketch variant swaps in
+    approx_percentile), one broadcast join of k medians, one combine
+    to k cells; everything downstream is k-row arithmetic."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    x = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").alias("dollars"),
+    )
+    med = x.groupBy("g").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY dollars)"
+        ).alias("m")
+    )
+    z = x.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("dollars") - F.col("m")).alias("z")
+    )
+    cells = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("s_g"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("q_g"),
+    )
+    sd = F.col("s_g").cast("double")
+    terms = cells.select(
+        "n_g", "s_g", "q_g",
+        F.floor(sd * sd / F.col("n_g") + 0.5).cast("decimal(38,6)").alias("term"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("double").alias("s_all"),
+        F.sum("q_g").cast("double").alias("q_all"),
+        F.sum("term").cast("double").alias("ssb_part"),
+    )
+    ssb = F.col("ssb_part") - F.col("s_all") * F.col("s_all") / F.col("n")
+    ssw = F.col("q_all") - F.col("ssb_part")
+    w_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return s.select(
+        "k", "n", rnd(w_stat, 6).alias("w_stat"),
+        (w_stat > 2.372).alias("significant"),
+    )
+
+
 _KCORE_K = 2
 _KCORE_MAX_ROUNDS = 16
 
@@ -5983,6 +6091,75 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("src").alias("s"), "core_degree")
         .orderBy(F.desc("core_degree"), "s")
+    )
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_COSUPPLY_EDGE_CTES},
+    ed AS (SELECT sa AS src, sb AS dst FROM e
+           UNION ALL SELECT sb AS src, sa AS dst FROM e),
+    cand AS (
+      SELECT e1.src AS a, e2.dst AS c, count(*) AS common_neighbors
+      FROM ed e1 JOIN ed e2 ON e2.src = e1.dst
+      WHERE e1.src < e2.dst
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT cand.a, cand.c, CAST(common_neighbors AS BIGINT)
+               AS common_neighbors
+      FROM cand
+        LEFT JOIN e ON e.sa = cand.a AND e.sb = cand.c
+      WHERE e.sa IS NULL
+    )
+    SELECT a AS s_a, c AS s_b, common_neighbors
+    FROM pred ORDER BY common_neighbors DESC, a, c LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by common-neighbor count (Liben-Nowell &
+    Kleinberg's strongest simple baseline) over the mutual-top-5
+    co-supply graph — the PREDICTION member of the graph family
+    (PageRank: centrality, components: reachability, triangles:
+    statistics, LPA: communities, k-core: cohesion, this: which edge
+    forms next). Candidates are NON-adjacent pairs at distance 2
+    (two hops through a shared neighbor), scored by how many
+    neighbors they share; top-20 with full (score desc, pair)
+    tie-break.
+
+    Scale: the two-hop join fans out ≤ deg² per node on the
+    DEGREE-BOUNDED edge list (deg ≤ 5 by the mutual-top-5
+    construction + the r10 hot-part cap underneath), so candidates
+    are ≤ 25·|nodes| — linear in the graph, never |nodes|². The
+    anti-join against existing edges and the global top-20
+    (TakeOrderedAndProject) are both candidate-sized."""
+    li = load_table(spark, "lineitem", sf_dir)
+    e = _cosupply_mutual_edges(li)
+    ed = e.select(F.col("sa").alias("src"), F.col("sb").alias("dst")).unionAll(
+        e.select(F.col("sb").alias("src"), F.col("sa").alias("dst"))
+    )
+    cand = (
+        ed.alias("e1")
+        .join(ed.alias("e2"), F.expr("e2.src = e1.dst"))
+        .filter(F.expr("e1.src < e2.dst"))
+        .groupBy(
+            F.col("e1.src").alias("a"), F.col("e2.dst").alias("c")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    pred = cand.join(
+        e,
+        (cand["a"] == e["sa"]) & (cand["c"] == e["sb"]),
+        "left_anti",
+    )
+    return (
+        pred.select(
+            F.col("a").alias("s_a"), F.col("c").alias("s_b"),
+            "common_neighbors",
+        )
+        .orderBy(F.desc("common_neighbors"), "s_a", "s_b")
+        .limit(20)
     )
 
 

@@ -383,6 +383,46 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+@register(
+    "knn_filtered_ann",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS filter_value,
+             c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[])
+                   * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM embeddings q
+        JOIN embeddings c ON c.label = q.label AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ), ranked AS (
+      SELECT query_id, filter_value, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, filter_value, neighbor_id, sim,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def knn_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (new r10): exact same-label cosine top-5
+    for the 10 probe vectors — the metadata-constrained retrieval
+    every production vector store exposes (tenant/language/category
+    filters). The constraint runs as a PRE-FILTER equi-join on the
+    attribute (`operators/similarity.py:knn_filtered`): a hash join
+    co-partitions the corpus by label and each query scores only its
+    class — O(Q · N_class) instead of the unconstrained O(Q · N) scan,
+    and structurally immune to the post-filter under-fill bug (top-k
+    then filter returns < k at selective predicates). Completes the
+    ANN family's serving dimensions: index kind (LSH/IVF/PQ/graph) ×
+    constraint handling (this)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.knn_filtered(e.filter(F.col("vec_id") < 10), e,
+                          filter_col="label", k=5)
+
+
 def _bq_oracle() -> str:
     """Generated oracle for knn_bq_rerank: sign-bit word packing via a
     list_sum comprehension (same splice pattern as the phash/PQ
@@ -3227,6 +3267,131 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + 7).alias("span_end"),
         (F.max("pos") + 7 - F.min("pos") + 1).alias("span_tokens"),
     ).drop("island")
+
+
+_CDC_HASH_SQL = ("list_reduce(list_prepend(0::BIGINT, "
+                 "list_transform(string_split({col}, ''), ch -> ascii(ch))), "
+                 "(acc, ch) -> (acc * 31 + ch) % 1000000007)")
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (
+      SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS tok
+      FROM w
+    ),
+    th AS (
+      SELECT doc_id, pos, tok, {_CDC_HASH_SQL.format(col='tok')} AS h
+      FROM tok
+    ),
+    bd AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos = 0 OR h % 16 = 0 THEN 1 ELSE 0 END AS b
+      FROM th
+    ),
+    ck AS (
+      SELECT doc_id, pos, tok,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chunk
+      FROM bd
+    ),
+    chunks AS (
+      SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tok,
+             string_agg(tok, ' ' ORDER BY pos) AS ctext
+      FROM ck GROUP BY 1, 2
+    ),
+    cfp AS (
+      SELECT doc_id, chunk, n_tok, {_CDC_HASH_SQL.format(col='ctext')} AS fp
+      FROM chunks
+    ),
+    dup AS (SELECT fp FROM cfp GROUP BY fp HAVING count(DISTINCT doc_id) > 1)
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN d.fp IS NOT NULL THEN n_tok ELSE 0 END)
+                AS BIGINT) AS dup_tokens,
+           floor(CAST(sum(CASE WHEN d.fp IS NOT NULL THEN n_tok ELSE 0 END)
+                      AS DOUBLE) / sum(n_tok) * 1e6 + 0.5) / 1e6
+             AS dup_token_ratio
+    FROM cfp f LEFT JOIN dup d USING (fp)
+    GROUP BY f.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/storage-dedup
+    member of the dedup family, new r10): chunk boundaries are cut
+    where a token's rolling hash ≡ 0 mod 16 (expected chunk ~16
+    tokens) — so an insertion or deletion RESYNCHRONIZES within one
+    chunk instead of shifting every downstream boundary, the property
+    fixed-width chunking lacks and the reason CDC is the standard for
+    delta storage and near-identical-document detection. Each chunk is
+    fingerprinted (portable polynomial hash, so the whole pipeline
+    replays bit-for-bit in SQL); a chunk is DUPLICATED when its
+    fingerprint occurs in more than one document. Output: per-document
+    chunk counts, duplicated-chunk counts, and the duplicated-token
+    ratio — the triage signal a curation pipeline thresholds on
+    (complements `dedup_substring_spans`, which finds exact positions;
+    CDC answers the same question in one pass at a fraction of the
+    shuffle: boundaries are LOCAL to each token, no cross-doc n-gram
+    index).
+
+    Scale: explode is linear; the chunk-id running sum is windowed PER
+    DOCUMENT (bounded by doc length, never corpus-wide); chunk
+    assembly is one keyed groupBy on (doc, chunk); the duplicate test
+    is a groupBy on the fingerprint (uniform hash keys — no skew) +
+    one join back. No self-joins, no quadratic term anywhere."""
+    from pyspark.sql import Window
+
+    from bigdata06_spark.queries.qutil import rnd
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(T.words(F.col("text"))).alias("pos", "tok")
+    )
+    h = T.rolling_hash(F.col("tok"))
+    bd = toks.withColumn(
+        "b", F.when((F.col("pos") == 0) | (h % 16 == 0), 1).otherwise(0)
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ck = bd.withColumn("chunk", F.sum("b").over(wd))
+    chunks = ck.groupBy("doc_id", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("ctext"),
+    )
+    cfp = chunks.withColumn("fp", T.rolling_hash(F.col("ctext")))
+    dup = (
+        cfp.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp", F.lit(1).alias("isdup"))
+    )
+    per_doc = cfp.join(dup, "fp", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.coalesce(F.col("isdup"), F.lit(0))).cast("long").alias("n_dup_chunks"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum(F.col("n_tok") * F.coalesce(F.col("isdup"), F.lit(0)))
+        .cast("long")
+        .alias("dup_tokens"),
+    )
+    return per_doc.select(
+        "doc_id", "n_chunks", "n_dup_chunks", "n_tokens", "dup_tokens",
+        rnd(
+            F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_token_ratio"),
+    )
 
 
 _BM25_TERMS = ("merge", "stream", "hash")

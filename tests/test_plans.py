@@ -753,6 +753,19 @@ def test_kcore_and_community_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, (name, plan)
 
 
+def test_link_prediction_two_hop_is_equi_join_topk(spark, sf_dir):
+    """r10 graph_link_prediction: the two-hop candidate stage must be
+    an EQUI-join on the shared-neighbor key over the degree-bounded
+    edge list (never a cross product), the existing-edge exclusion a
+    hash anti-join, and the global top-20 a TakeOrderedAndProject (no
+    full sort of the candidate relation)."""
+    plan = plan_of(SPECS["graph_link_prediction"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_prefix_jaccard_joins_on_shingle(spark, sf_dir):
     """r9 jaccard_pairs_prefix: the candidate join must be a shuffled
     or broadcast EQUI-join on the shingle key (prefix rows only) and

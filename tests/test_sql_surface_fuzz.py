@@ -346,3 +346,49 @@ def test_optimize_clause_split_property(v):
     inc = _kw_at_depth0(f" t WHERE part = '{v} INCREMENTAL'",
                         r"\bINCREMENTAL\b")
     assert inc == []
+
+
+def test_view_cache_skips_replan_and_invalidates_on_commit(spark, tmp_path):
+    """The session view cache (review r10): re-CREATE-ing an unchanged
+    table must NOT re-pay read_version (mergeSchema footer reads), a
+    repeated AS-OF ref must reuse its pinned view, and ANY new commit
+    must invalidate both so the next statement sees the new state."""
+    path = str(tmp_path / "vc_tbl")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    LH.table_init(df, path, "k", n_files=1)
+    create = (f"CREATE TABLE vc_t USING lakehouse "
+              f"TBLPROPERTIES ('key' 'k') LOCATION '{path}'")
+    LSQL.sql(spark, create)
+    assert LSQL.sql(spark, "SELECT * FROM vc_t").count() == 2
+
+    calls = []
+    real = LH.read_version
+
+    def counting(spark_, p, v, **kw):
+        calls.append((p, v))
+        return real(spark_, p, v, **kw)
+
+    import bigdata06_spark.lakehouse_sql as LSQLM
+    orig = LSQLM.LH.read_version
+    LSQLM.LH.read_version = counting
+    try:
+        # warm re-CREATE + repeated AS-OF: zero read_version re-plans
+        LSQL.sql(spark, create)
+        LSQL.sql(spark, "SELECT * FROM vc_t VERSION AS OF 0 o").count()
+        n_first_asof = len(calls)
+        LSQL.sql(spark, create)
+        LSQL.sql(spark, "SELECT * FROM vc_t VERSION AS OF 0 o").count()
+        assert len(calls) == n_first_asof, "warm statements re-planned"
+        # a commit invalidates: UPDATE bumps the version, and the next
+        # read must see the new value (a stale cached view would not)
+        LSQL.sql(spark, "UPDATE vc_t SET v = CAST(99.0 AS DOUBLE) "
+                        "WHERE k = 1")
+        got = {r["k"]: r["v"] for r in
+               LSQL.sql(spark, "SELECT k, v FROM vc_t").collect()}
+        assert got == {1: 99.0, 2: 20.0}
+        # and the pinned v0 view still reads the ORIGINAL state
+        old = {r["k"]: r["v"] for r in LSQL.sql(
+            spark, "SELECT k, v FROM vc_t VERSION AS OF 0 o").collect()}
+        assert old == {1: 10.0, 2: 20.0}
+    finally:
+        LSQLM.LH.read_version = orig
