@@ -227,6 +227,13 @@ HEADLINE = [
     # attribute-filtered vector search (pre-filter equi-join on the
     # label — O(Q * N_class), the production metadata-filter shape)
     "knn_filtered_ann",
+    # MATCH_RECOGNIZE-lite (gaps-and-islands + position joins) and
+    # retrieval over the content-derived multimodal feature vectors
+    "events_match_recognize",
+    "multimodal_feature_knn",
+    # streaming MATCH_RECOGNIZE: the same pattern as a per-user DFA in
+    # transformWithState ValueState (O(1) state per key)
+    "stream_match_recognize",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

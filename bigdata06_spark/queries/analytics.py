@@ -3535,6 +3535,103 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_match_recognize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, rn, tus,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+               AS island
+      FROM seq WHERE event_type = 'view'
+    ),
+    runs AS (
+      SELECT user_id, CAST(min(rn) AS BIGINT) AS v_start_rn,
+             CAST(max(rn) AS BIGINT) AS v_end_rn,
+             CAST(count(*) AS BIGINT) AS n_views,
+             min(tus) AS start_us
+      FROM v GROUP BY user_id, island
+    )
+    SELECT r.user_id, r.v_start_rn AS match_start_rn, r.n_views,
+           CAST((e2.tus - r.start_us) // 1000000 AS BIGINT) AS span_sec
+    FROM runs r
+      JOIN seq e1 ON e1.user_id = r.user_id AND e1.rn = r.v_end_rn + 1
+                 AND e1.event_type = 'click'
+      JOIN seq e2 ON e2.user_id = r.user_id AND e2.rn = r.v_end_rn + 2
+                 AND e2.event_type = 'purchase'
+    """,
+)
+def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-PATTERN MATCHING (SQL:2016 MATCH_RECOGNIZE, which Spark
+    lacks natively) for the quantified pattern `view+ click purchase`
+    per user stream: one-or-more consecutive views, immediately
+    followed by a click, immediately followed by a purchase — one row
+    per GREEDY match (maximal view run), with the view count the
+    quantifier absorbed and the wall-clock span from first view to
+    purchase. Trigram leads (`events_path_analysis`) cannot express
+    the unbounded `+` quantifier; this is the gaps-and-islands
+    compilation every MATCH_RECOGNIZE engine performs under the hood:
+    consecutive same-type runs become islands (rn minus a per-type
+    row_number is constant within a run), then the pattern tail is
+    verified by POSITION joins (rn+1, rn+2) on the numbered stream.
+
+    Scale: two windows over the (user, time) ordering — partition
+    sizes bounded by per-user activity, the same distribution every
+    sessionization query here rides — then equi-joins on
+    (user_id, rn); match count is output-sized. No self-join on
+    time, no cross product."""
+    from bigdata06_spark.queries.qutil import epoch_us
+
+    ev = load_table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy(epoch_us(F.col("ts")), "event_id")
+    seq = ev.select(
+        "user_id", "event_id", "event_type",
+        epoch_us(F.col("ts")).alias("tus"),
+        F.row_number().over(wo).alias("rn"),
+    ).localCheckpoint(eager=True)  # numbered stream fans into 3 branches
+    wv = Window.partitionBy("user_id").orderBy("rn")
+    v = seq.filter(F.col("event_type") == "view").select(
+        "user_id", "rn", "tus",
+        (F.col("rn") - F.row_number().over(wv)).alias("island"),
+    )
+    runs = v.groupBy("user_id", "island").agg(
+        F.min("rn").cast("long").alias("match_start_rn"),
+        F.max("rn").cast("long").alias("v_end_rn"),
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.min("tus").alias("start_us"),
+    )
+    e1 = seq.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u1"), F.col("rn").alias("rn1")
+    )
+    e2 = seq.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("rn").alias("rn2"),
+        F.col("tus").alias("t2"),
+    )
+    m = (
+        runs.join(
+            e1,
+            (F.col("user_id") == F.col("u1"))
+            & (F.col("rn1") == F.col("v_end_rn") + 1),
+        )
+        .join(
+            e2,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("rn2") == F.col("v_end_rn") + 2),
+        )
+    )
+    return m.select(
+        "user_id", "match_start_rn", "n_views",
+        ((F.col("t2") - F.col("start_us")) / F.lit(1000000))
+        .cast("long")
+        .alias("span_sec"),
+    )
+
+
+@register(
     "sql_defined_functions",
     oracle="""
     SELECT o_orderkey,

@@ -2776,10 +2776,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(M.decode_media(M.attach_binary_payload(docs)))
 
 
-@register(
-    "multimodal_features",
-    oracle="""
-    WITH ch AS (
+#: the byte-statistics feature relation (doc_id, feat_idx, feat_val)
+#: in SQL — shared by multimodal_features' oracle and the downstream
+#: consumers that retrieve over the feature vectors
+_MM_FEAT_SQL = """ch AS (
       SELECT doc_id, unicode(u) AS c
       FROM (SELECT doc_id, unnest(string_split(text, '')) AS u FROM documents)
     ),
@@ -2798,19 +2798,29 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(DISTINCT c) AS BIGINT) AS dc,
              CAST(max(c) AS BIGINT) AS mx
       FROM ch GROUP BY doc_id
-    )
-    SELECT doc_id, CAST(fi AS BIGINT) AS feat_idx,
-           floor(CASE fi
-             WHEN 1 THEN CAST(s1 AS DOUBLE) / n
-             WHEN 2 THEN CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)
-             WHEN 3 THEN CAST(lo AS DOUBLE) / n
-             WHEN 4 THEN CAST(up AS DOUBLE) / n
-             WHEN 5 THEN CAST(dg AS DOUBLE) / n
-             WHEN 6 THEN CAST(sp AS DOUBLE) / n
-             WHEN 7 THEN CAST(dc AS DOUBLE) / 256.0
-             ELSE CAST(mx AS DOUBLE) / 255.0
-           END * 1e6 + 0.5) / 1e6 AS feat_val
-    FROM st, (SELECT unnest(range(1, 9)) AS fi)
+    ),
+    feat AS (
+      SELECT doc_id, CAST(fi AS BIGINT) AS feat_idx,
+             floor(CASE fi
+               WHEN 1 THEN CAST(s1 AS DOUBLE) / n
+               WHEN 2 THEN CAST(n * s2 - s1 * s1 AS DOUBLE)
+                           / CAST(n * n AS DOUBLE)
+               WHEN 3 THEN CAST(lo AS DOUBLE) / n
+               WHEN 4 THEN CAST(up AS DOUBLE) / n
+               WHEN 5 THEN CAST(dg AS DOUBLE) / n
+               WHEN 6 THEN CAST(sp AS DOUBLE) / n
+               WHEN 7 THEN CAST(dc AS DOUBLE) / 256.0
+               ELSE CAST(mx AS DOUBLE) / 255.0
+             END * 1e6 + 0.5) / 1e6 AS feat_val
+      FROM st, (SELECT unnest(range(1, 9)) AS fi)
+    )"""
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    WITH {_MM_FEAT_SQL}
+    SELECT doc_id, feat_idx, feat_val FROM feat
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2828,6 +2838,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is exactly 8 rows per asset."""
     docs = load_table(spark, "documents", sf_dir)
     return M.extract_features(M.attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_feature_knn",
+    oracle=f"""
+    WITH {_MM_FEAT_SQL},
+    vec AS (
+      SELECT doc_id, list(feat_val ORDER BY feat_idx) AS v
+      FROM feat GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             floor(list_cosine_similarity(q.v, c.v) * 1000000.0 + 0.5)
+               / 1000000.0 AS sim
+      FROM vec q JOIN vec c ON q.doc_id <> c.doc_id
+      WHERE q.doc_id < 10
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-BASED RETRIEVAL over the multimodal feature vectors
+    (new r10): exact cosine top-5 among assets, using the
+    byte-statistics embeddings `multimodal_features` extracts — the
+    composition that makes the feature slot a working pipeline
+    (extract → vectorize → retrieve), the same shape a real model
+    embedding drops into. The long-form feature relation pivots to an
+    ordered 8-dim array (array_sort on (feat_idx, val) structs —
+    deterministic order, so the cosine fold visits dimensions
+    identically in both engines), then the broadcast-query exact scan
+    (`knn_bruteforce`) ranks per query.
+
+    Scale: feature extraction is the linear Arrow pass; the pivot is
+    one keyed groupBy; retrieval is the documented exact baseline
+    (broadcast queries × corpus scan) — swap in the LSH/IVF serve
+    members for large query sets, exactly as with real embeddings."""
+    docs = load_table(spark, "documents", sf_dir)
+    feats = M.extract_features(M.attach_binary_payload(docs))
+    vec = feats.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("feat_idx", "feat_val"))),
+            lambda s: s["feat_val"],
+        ).alias("v")
+    )
+    return S.knn_bruteforce(
+        vec.filter(F.col("doc_id") < 10), vec, k=5,
+        id_col="doc_id", vec_col="v",
+    )
 
 
 @register(

@@ -17,6 +17,7 @@ from bigdata06_spark.streaming import ops as SO
 from bigdata06_spark.streaming.stateful import (
     running_user_totals,
     user_last3_events,
+    user_pattern_matches,
     user_peak_totals,
     user_type_counts,
 )
@@ -358,6 +359,72 @@ def stream_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "n_total", "type_counts")
+    )
+
+
+@register(
+    "stream_match_recognize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, rn,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+               AS island
+      FROM seq WHERE event_type = 'view'
+    ),
+    runs AS (
+      SELECT user_id, CAST(max(rn) AS BIGINT) AS v_end_rn,
+             CAST(count(*) AS BIGINT) AS n_views
+      FROM v GROUP BY user_id, island
+    ),
+    m AS (
+      SELECT r.user_id, r.n_views
+      FROM runs r
+        JOIN seq e1 ON e1.user_id = r.user_id AND e1.rn = r.v_end_rn + 1
+                   AND e1.event_type = 'click'
+        JOIN seq e2 ON e2.user_id = r.user_id AND e2.rn = r.v_end_rn + 2
+                   AND e2.event_type = 'purchase'
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(sum(n_views) AS BIGINT) AS views_matched
+    FROM m GROUP BY user_id
+    """,
+)
+def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE (new r10): the quantified row pattern
+    `view+ click purchase` matched per user BY A DFA CARRIED AS TYPED
+    STREAMING STATE (transformWithStateInPandas ValueState — one
+    4-field row per user: run length, click-pending, cumulative
+    matches, matched views). The batch twin `events_match_recognize`
+    compiles the pattern to gaps-and-islands; the streaming form needs
+    neither the numbered stream nor the islands — O(1) state per key,
+    each event advancing the automaton once, which is what makes
+    pattern matching viable over an unbounded stream. Rows sort by
+    (ts, event_id) within each batch before the DFA steps; across
+    batches the DFA position carries, so a time-ordered batch
+    sequence replays the batch answer exactly — pinned against the
+    SAME islands oracle, per-user rollup. Update mode; final per-user
+    emission = max cumulative matches; users with zero matches drop
+    (the oracle's inner joins produce no row for them)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = SO.run_to_table(
+        user_pattern_matches(SO.stream_events(spark, sf_dir)), "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_matches"), F.desc("views_matched")
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_matches") > 0))
+        .select("user_id", "n_matches", "views_matched")
     )
 
 

@@ -239,6 +239,98 @@ def user_last3_events(events: DataFrame) -> DataFrame:
     )
 
 
+TWS_PATTERN_SCHEMA = "user_id long, n_matches long, views_matched long"
+
+
+def _user_pattern_processor():
+    """StatefulProcessor running a per-user DFA for the quantified
+    row pattern `view+ click purchase` (streaming MATCH_RECOGNIZE —
+    the batch twin is `events_match_recognize`'s gaps-and-islands
+    compilation). State is ONE ValueState row: the DFA position
+    (current view-run length, click-pending flag) plus the cumulative
+    match count and matched-view total — O(1) per key no matter the
+    stream length, the property that makes pattern matching viable as
+    streaming state where buffering raw history is not.
+
+    Ordering contract: rows are sorted by (ts, event_id) WITHIN each
+    batch before the DFA steps (transformWithState hands them over
+    unordered); across batches the DFA carries its position, so a
+    time-ordered batch sequence (the log-replay contract every
+    file-source here satisfies) replays exactly the batch answer."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class UserPattern(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "dfa",
+                StructType([
+                    StructField("run_views", LongType()),
+                    StructField("pending_click", LongType()),
+                    StructField("matches", LongType()),
+                    StructField("views_matched", LongType()),
+                ]),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            run, pending, matches, vm = (
+                tuple(self._st.get()) if self._st.exists() else (0, 0, 0, 0)
+            )
+            evs = []
+            for pdf in rows:
+                evs.extend(
+                    (ts.to_pydatetime(), int(eid), et)
+                    for ts, eid, et in zip(
+                        pdf["ts"], pdf["event_id"], pdf["event_type"]
+                    )
+                )
+            evs.sort(key=lambda e: (e[0], e[1]))
+            for _ts, _eid, et in evs:
+                if et == "view":
+                    run = run + 1 if not pending else 1
+                    pending = 0
+                elif et == "click" and run > 0 and not pending:
+                    pending = 1
+                elif et == "purchase" and pending:
+                    matches += 1
+                    vm += run
+                    run, pending = 0, 0
+                else:
+                    run, pending = 0, 0
+            self._st.update((run, pending, matches, vm))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_matches": [matches],
+                    "views_matched": [vm],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserPattern()
+
+
+def user_pattern_matches(events: DataFrame) -> DataFrame:
+    """Per-user `view+ click purchase` match counts via
+    transformWithStateInPandas ValueState (the streaming
+    MATCH_RECOGNIZE DFA). Update mode; the final emission per user
+    (max n_matches) is the batch-equivalent answer."""
+    from bigdata06_spark.compat import activate_protobuf_for_session
+
+    activate_protobuf_for_session(events.sparkSession)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_user_pattern_processor(),
+        outputStructType=TWS_PATTERN_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def user_peak_totals(events: DataFrame) -> DataFrame:
     """Per-user event count + running max via transformWithStateInPandas.
     Requires the RocksDB state store provider AND `protobuf` (the

@@ -1069,3 +1069,62 @@ def test_mg_streaming_state_merges_across_batches(spark, tmp_path):
         .collect()
     }
     assert recount == direct
+
+
+def test_pattern_dfa_state_carries_across_batches(spark, tmp_path):
+    """stream_match_recognize's DFA under REAL multi-batch replay: a
+    `view+ click purchase` match SPLIT across three time-ordered
+    micro-batches (views in batch 1, click in batch 2, purchase in
+    batch 3) must still count — only carried ValueState can see it —
+    and a pattern broken by an interleaved event must not. Also pins
+    the within-batch (ts, event_id) sort: batch-2 rows are written
+    out of time order."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from bigdata06_spark.streaming import ops as SO
+    from bigdata06_spark.streaming.stateful import user_pattern_matches
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, etype, sec):
+        return (eid, t0 + dt.timedelta(seconds=sec), user, etype)
+
+    # user 1: views (b1) -> click (b2) -> purchase (b3)  => 1 match, 2 views
+    # user 2: view (b1) -> error (b2) -> click+purchase (b3) => broken, 0
+    # user 3: complete match inside b2, written OUT of ts order
+    batches = [
+        [ev(1, 1, "view", 0), ev(2, 1, "view", 1), ev(3, 2, "view", 0)],
+        [ev(6, 3, "purchase", 12), ev(4, 3, "view", 10), ev(5, 3, "click", 11),
+         ev(7, 1, "click", 2), ev(8, 2, "error", 1)],
+        [ev(9, 1, "purchase", 3), ev(10, 2, "click", 2),
+         ev(11, 2, "purchase", 3)],
+    ]
+    src = str(tmp_path / "src")
+    for part in batches:
+        spark.createDataFrame(
+            part, "event_id long, ts timestamp, user_id long, event_type string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = SO.run_to_table(user_pattern_matches(stream), "update")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n_matches"), F.desc("views_matched"))
+    final = {
+        r["user_id"]: (r["n_matches"], r["views_matched"])
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).collect()
+    }
+    assert final[1] == (1, 2), f"cross-batch match lost: {final}"
+    assert final[2] == (0, 0), f"broken pattern counted: {final}"
+    assert final[3] == (1, 1), f"out-of-order batch mis-sorted: {final}"
