@@ -234,6 +234,10 @@ HEADLINE = [
     # streaming MATCH_RECOGNIZE: the same pattern as a per-user DFA in
     # transformWithState ValueState (O(1) state per key)
     "stream_match_recognize",
+    # Mann-Kendall trend (calendar-bounded pairwise sign sum) and the
+    # Benford first-digit DQ screen (9-row digit-domain rollup)
+    "stats_mann_kendall",
+    "dq_benford_test",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -89,6 +89,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "dedup_cdc_chunks", "graph_link_prediction", "stats_levene",
         "knn_filtered_ann", "events_match_recognize",
         "multimodal_feature_knn", "stream_match_recognize",
+        "stats_mann_kendall", "dq_benford_test",
         "supplier_affinity_graph", "graph_triangle_census",
         "graph_label_propagation", "graph_community_components",
         "graph_kcore", "knn_graph_greedy", "multimodal_features",

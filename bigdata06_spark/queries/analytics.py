@@ -5294,6 +5294,74 @@ _PSI_BINS = 10
 
 
 @register(
+    "dq_benford_test",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+    scored AS (
+      SELECT obs.d, obs.n, tot.total,
+             log10(1.0 + 1.0 / obs.d) AS p,
+             floor(CAST(obs.n AS DOUBLE) / tot.total * 1e6 + 0.5) / 1e6
+               AS observed_frac,
+             floor(log10(1.0 + 1.0 / obs.d) * 1e6 + 0.5) / 1e6
+               AS benford_frac
+      FROM obs CROSS JOIN tot
+    )
+    SELECT d, n, observed_frac, benford_frac,
+           floor((n - total * p) * (n - total * p) / (total * p)
+                 * 1e6 + 0.5) / 1e6 AS chi2_contrib
+    FROM scored ORDER BY d
+    """,
+)
+def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit screen on order totals — the classic
+    data-quality / fraud-detection test (fabricated or truncated
+    numeric columns deviate from P(d) = log10(1 + 1/d); auditors and
+    pipeline DQ monitors both run exactly this): per leading digit,
+    the observed count, observed vs Benford fraction, and the
+    chi-square contribution (n − N·p)²/(N·p). TPC-H totalprice is
+    uniform-ish, NOT Benford — the test's value here is the exact
+    cross-engine statistic, and the uniform data gives large
+    contributions (a realistic 'alarm' output shape). Leading digit
+    extracted from the integer part's decimal string (identical
+    floor + string path both engines — no float log10 on the value
+    itself, which could round differently at magnitude boundaries).
+
+    Scale: one scan → 9-row aggregate (map-side combined); everything
+    downstream is digit-domain arithmetic."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    p = F.log10(1.0 + 1.0 / F.col("d"))
+    dev = F.col("n") - F.col("total") * p
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "d", "n",
+            rnd(F.col("n").cast("double") / F.col("total"), 6)
+            .alias("observed_frac"),
+            rnd(p, 6).alias("benford_frac"),
+            rnd(dev * dev / (F.col("total") * p), 6).alias("chi2_contrib"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
     "dq_distribution_drift",
     oracle=f"""
     WITH s AS (
@@ -5986,6 +6054,91 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
     return s.select(
         "k", "n", rnd(f_stat, 6).alias("f_stat"), (f_stat > 2.372).alias("significant")
+    )
+
+
+@register(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT n.n, pairs.s,
+           floor((pairs.s - CASE WHEN pairs.s > 0 THEN 1
+                                 WHEN pairs.s < 0 THEN -1 ELSE 0 END)
+                 / sqrt(n.n * (n.n - 1.0) * (2.0 * n.n + 5.0) / 18.0)
+                 * 1e6 + 0.5) / 1e6 AS z,
+           abs((pairs.s - CASE WHEN pairs.s > 0 THEN 1
+                               WHEN pairs.s < 0 THEN -1 ELSE 0 END)
+               / sqrt(n.n * (n.n - 1.0) * (2.0 * n.n + 5.0) / 18.0)) > 1.96
+             AS significant
+    FROM n CROSS JOIN pairs
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST on daily order revenue — the
+    nonparametric is-there-a-monotonic-trend member of the stats
+    family (complements `events_changepoint_cusum`, which finds WHERE
+    a level shifted; MK says WHETHER the series drifts at all, with no
+    distributional assumption). S = Σ_{i<j} sgn(x_j − x_i) over the
+    day-ordered series (integer-exact: daily revenue rides summed
+    cents); Z applies the standard continuity correction and the
+    no-ties variance n(n−1)(2n+5)/18 (revenue cents make exact ties
+    measure-zero; any tie contributes 0 to S identically on both
+    engines, and the variance convention is pinned here and in the
+    oracle).
+
+    Scale: the pairwise relation is DOMAIN-bounded, not data-bounded —
+    one groupBy collapses N orders to ≤ |calendar| daily rows (~2.4k
+    at every TPC-H SF), and the all-pairs join runs on that bounded
+    relation (the `stats_kendall_tau` cells argument). At a truly
+    unbounded time domain, S computes from a merge-rank pass instead;
+    the day-domain form is the exact reference."""
+    from bigdata06_spark.queries.qutil import rnd
+
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)  # bounded: one row per calendar day
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("xb"))
+    pairs = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.signum(F.col("xb") - F.col("xa")).cast("long"))
+            .cast("long")
+            .alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sc = F.col("s") - F.signum(F.col("s")).cast("long")
+    var = (
+        F.col("n").cast("double") * (F.col("n") - 1.0) * (2.0 * F.col("n") + 5.0)
+        / 18.0
+    )
+    z = sc.cast("double") / F.sqrt(var)
+    return (
+        n.crossJoin(F.broadcast(pairs))
+        .select("n", "s", rnd(z, 6).alias("z"),
+                (F.abs(z) > 1.96).alias("significant"))
     )
 
 
