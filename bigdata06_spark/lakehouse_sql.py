@@ -77,6 +77,7 @@ Lake statement surface its users would expect.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,6 +101,22 @@ def register_table(spark: SparkSession, name: str, path: str,
     over the CURRENT version."""
     _TABLES[name.lower()] = {"path": path, "key": key}
     _refresh_view(spark, name)
+
+
+def _log_fingerprint(path: str) -> tuple:
+    """Order-stable fingerprint of the table's _log listing. Changes
+    on every commit (new entry), checkpoint squash (entries removed,
+    v.json mtime bumped by the atomic replace), and vacuum (sidecar
+    dirs removed) — the full set of events that can change what a
+    pinned version resolves to."""
+    logd = os.path.join(path, "_log")
+    try:
+        with os.scandir(logd) as it:
+            return tuple(sorted(
+                (e.name, e.stat().st_mtime_ns) for e in it
+            ))
+    except OSError:
+        return ()
 
 
 def _view_cache(spark: SparkSession) -> dict:
@@ -1286,16 +1303,19 @@ def _rewrite_time_travel(spark: SparkSession, stmt: str) -> str:
         # pinned-version views are immutable, so a repeated AS-OF read
         # reuses the session's existing view instead of re-paying
         # read_version's O(files) footer reads (review r10) — guarded
-        # by the table's CURRENT version, since a later commit can
-        # change what a pinned version resolves to (checkpoint squash)
-        # or remove its files (vacuum)
+        # by a fingerprint of the LOG DIRECTORY LISTING, not just the
+        # head version: checkpoint squash rewrites v.json in place and
+        # removes earlier entries, and vacuum removes sidecar dirs —
+        # NEITHER bumps current_version (review r10 caught the
+        # head-version guard missing both), but both change the log
+        # listing. One listdir per statement vs O(files) footer reads.
         cache = _view_cache(spark)
         ckey = ("asof", view)
-        latest = LH.current_version(path)
-        if not (cache.get(ckey) == (path, v, latest)
+        fp = _log_fingerprint(path)
+        if not (cache.get(ckey) == (path, v, fp)
                 and spark.catalog.tableExists(view)):
             LH.read_version(spark, path, v).createOrReplaceTempView(view)
-            cache[ckey] = (path, v, latest)
+            cache[ckey] = (path, v, fp)
         stmt = stmt[:m.start()] + view + stmt[m.end():]
     return stmt
 

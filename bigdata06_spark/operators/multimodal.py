@@ -246,8 +246,20 @@ def feature_batch(dim: int):
 
     Each value is derived from integer byte counts (one
     numpy bincount per asset) and floor-rounded to the 6dp grid, so
-    DuckDB replays it bit-for-bit from the same integer sums.
-    Zero-length payloads emit all-zero features (defined, not NaN)."""
+    DuckDB replays it bit-for-bit from the same integer sums — the
+    variance numerator/denominator convert to double BEFORE dividing
+    (matching the oracle's CAST(...AS DOUBLE)/CAST(...AS DOUBLE);
+    Python's exact-rational int/int division differs by 1 ulp once the
+    numerator passes 2^53 — review r10). Zero-length payloads emit NO
+    feature rows ("no content, no features" — mirrored by the
+    oracle's length(text) > 0 filter; review r10 caught the previous
+    all-zero convention diverging from DuckDB's string_split('','')
+    = [''] artifact)."""
+    if not (1 <= dim <= 8):
+        raise ValueError(
+            f"dim must be in [1, 8] (the byte-statistics family has 8 "
+            f"members), got {dim}"
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -258,21 +270,20 @@ def feature_batch(dim: int):
                 a = np.frombuffer(payload, dtype=np.uint8)
                 n = int(a.size)
                 if n == 0:
-                    feats = [0.0] * dim
-                else:
-                    hist = np.bincount(a, minlength=256).astype(np.int64)
-                    s1 = int(a.sum(dtype=np.int64))
-                    s2 = int((a.astype(np.int64) ** 2).sum())
-                    feats = [
-                        s1 / n,
-                        (n * s2 - s1 * s1) / (n * n),
-                        int(hist[97:123].sum()) / n,
-                        int(hist[65:91].sum()) / n,
-                        int(hist[48:58].sum()) / n,
-                        int(hist[32]) / n,
-                        int((hist > 0).sum()) / 256.0,
-                        int(a.max()) / 255.0,
-                    ][:dim]
+                    continue
+                hist = np.bincount(a, minlength=256).astype(np.int64)
+                s1 = int(a.sum(dtype=np.int64))
+                s2 = int((a.astype(np.int64) ** 2).sum())
+                feats = [
+                    s1 / n,
+                    float(n * s2 - s1 * s1) / float(n * n),
+                    int(hist[97:123].sum()) / n,
+                    int(hist[65:91].sum()) / n,
+                    int(hist[48:58].sum()) / n,
+                    int(hist[32]) / n,
+                    int((hist > 0).sum()) / 256.0,
+                    int(a.max()) / 255.0,
+                ][:dim]
                 for i, v in enumerate(feats, start=1):
                     ids.append(doc_id)
                     idxs.append(i)

@@ -61,8 +61,12 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
-    sim = rnd(cosine(F.col("qv"), F.col("cv")), round_sim) if round_sim else cosine(
-        F.col("qv"), F.col("cv")
+    # `is not None`, not truthiness: round_sim=0 means "round to the
+    # integer grid", only None disables rounding (review r10)
+    sim = (
+        rnd(cosine(F.col("qv"), F.col("cv")), round_sim)
+        if round_sim is not None
+        else cosine(F.col("qv"), F.col("cv"))
     )
     scored = (
         F.broadcast(q)
@@ -105,8 +109,10 @@ def knn_filtered(queries: DataFrame, corpus: DataFrame, filter_col: str,
         F.col(filter_col).alias("_f"),
         as_double(F.col(vec_col)).alias("cv"),
     )
-    sim = rnd(cosine(F.col("qv"), F.col("cv")), round_sim) if round_sim else (
-        cosine(F.col("qv"), F.col("cv"))
+    sim = (
+        rnd(cosine(F.col("qv"), F.col("cv")), round_sim)
+        if round_sim is not None
+        else cosine(F.col("qv"), F.col("cv"))
     )
     scored = (
         F.broadcast(q)

@@ -76,16 +76,19 @@ def load_all_queries() -> dict[str, QuerySpec]:
     # zero semantic change; everything stays in the registry.
     flagship_head = [
         # ---- round-10 head (VERDICT r9 #7 — max-staleness rotation):
-        # first the 11 queries whose semantics or oracle CHANGED in
-        # r10 (co-supply degree cap x5 + capped affinity headline,
-        # adaptive-bits graph-ANN, content-derived multimodal
-        # features, dollar-binned spearman, overflow-proofed
-        # heavy-hitter keys x2, checkpoint-ordering-touched journey),
-        # then the 39 LONGEST-UNSAMPLED registry entries (last driver
-        # sample r1/r2 for 22 of them — all predating the dtype-kind
-        # harness — and early r4 for the rest), computed from the nine
-        # CORRECTNESS files. 50 names; names repeat below (dict
-        # insertion keeps the FIRST position).
+        # first the 9 queries ADDED in r10 (never sampled), then the
+        # 11 whose semantics or oracle CHANGED in r10 (co-supply
+        # degree cap x5 + capped affinity headline, adaptive-bits
+        # graph-ANN, content-derived multimodal features,
+        # dollar-binned spearman, overflow-proofed heavy-hitter keys
+        # x2, checkpoint-ordering-touched journey), then the
+        # LONGEST-UNSAMPLED registry entries (last driver sample
+        # r1/r2 for 22 of them — all predating the dtype-kind harness
+        # — and early r4 for the rest), computed from the nine
+        # CORRECTNESS files. EXACTLY 50 names before the round-9
+        # block (review r10 counted 55 — the overflow now rotates
+        # next round); names repeat below (dict insertion keeps the
+        # FIRST position).
         "dedup_cdc_chunks", "graph_link_prediction", "stats_levene",
         "knn_filtered_ann", "events_match_recognize",
         "multimodal_feature_knn", "stream_match_recognize",
@@ -106,8 +109,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "ref_union_ragged", "cdc_scd2_history", "corpus_pack_sequences",
         "corpus_split_assign", "dedup_embedding_cosine", "dedup_exact",
         "dedup_jaccard_stop_shingles", "dedup_minhash_lsh",
-        "dedup_simhash", "dq_expectations", "embedding_kmeans",
-        "events_hypertable_rollup", "graph_pagerank", "knn_bruteforce",
+        "dedup_simhash",
         # ---- round-9 head (VERDICT r8 #1): the 4 queries added AFTER
         # the r8 sample draw lead (closing the only driver-coverage
         # gap), then the 3 new r9 queries, then every query whose

@@ -6383,7 +6383,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction + the r10 hot-part cap underneath), so candidates
     are ≤ 25·|nodes| — linear in the graph, never |nodes|². The
     anti-join against existing edges and the global top-20
-    (TakeOrderedAndProject) are both candidate-sized."""
+    (TakeOrderedAndProject) are both candidate-sized.
+
+    At the sf0.001 fixture the tiny mutual graph has no non-adjacent
+    distance-2 pairs and the TRUE answer is empty (both engines agree;
+    verified) — the driver's non-vacuity gate runs at sf0.01, where
+    the answer is 20 rows."""
     li = load_table(spark, "lineitem", sf_dir)
     e = _cosupply_mutual_edges(li)
     ed = e.select(F.col("sa").alias("src"), F.col("sb").alias("dst")).unionAll(

@@ -2781,7 +2781,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: consumers that retrieve over the feature vectors
 _MM_FEAT_SQL = """ch AS (
       SELECT doc_id, unicode(u) AS c
-      FROM (SELECT doc_id, unnest(string_split(text, '')) AS u FROM documents)
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS u
+            FROM documents WHERE length(text) > 0)
     ),
     st AS (
       SELECT doc_id,

@@ -913,3 +913,23 @@ def test_wordpiece_greedy_longest_match_and_fallback(spark):
     assert got["internal"] == ["intern", "al"]
     assert got["inter"] == ["inter"]
     assert got["xyz"] == ["xy", "z"]  # 'z' is the single-char fallback
+
+
+def test_extract_features_empty_payload_emits_no_rows(spark):
+    """Zero-length payloads contribute NO feature rows (review r10:
+    the previous all-zero convention diverged from the oracle's
+    string_split('','') artifact); dim is bounded to the 8-member
+    byte-statistics family."""
+    import pytest as _pytest
+
+    from bigdata06_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    out = M.extract_features(df).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert len(out) == 8
+    with _pytest.raises(ValueError, match=r"dim must be in \[1, 8\]"):
+        M.extract_features(df, dim=16)

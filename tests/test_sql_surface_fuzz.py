@@ -390,5 +390,19 @@ def test_view_cache_skips_replan_and_invalidates_on_commit(spark, tmp_path):
         old = {r["k"]: r["v"] for r in LSQL.sql(
             spark, "SELECT k, v FROM vc_t VERSION AS OF 0 o").collect()}
         assert old == {1: 10.0, 2: 20.0}
+        # checkpoint squash does NOT bump current_version but changes
+        # what a pinned version resolves to — the log-listing
+        # fingerprint must invalidate the AS-OF cache (review r10: a
+        # head-version guard misses this)
+        LSQL.sql(spark, "SELECT k FROM vc_t VERSION AS OF 0 o").count()
+        n_before = len(calls)
+        LH.checkpoint_log(path)
+        try:
+            LSQL.sql(spark, "SELECT k FROM vc_t VERSION AS OF 0 o").count()
+        except Exception:
+            pass  # a squashed-away v0 may legitimately no longer read
+        assert len(calls) > n_before, (
+            "AS-OF cache served a stale pinned view across a "
+            "checkpoint squash without re-planning")
     finally:
         LSQLM.LH.read_version = orig
