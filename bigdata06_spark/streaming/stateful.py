@@ -242,6 +242,22 @@ def user_last3_events(events: DataFrame) -> DataFrame:
 TWS_PATTERN_SCHEMA = "user_id long, n_matches long, views_matched long"
 
 
+def pattern_step(state: tuple, event_type: str) -> tuple:
+    """ONE transition of the `view+ click purchase` automaton —
+    module-level and pure so the DFA's semantics are property-testable
+    against a regex reference independent of the streaming machinery
+    (tests/test_property.py). State: (run_views, pending_click,
+    matches, views_matched)."""
+    run, pending, matches, vm = state
+    if event_type == "view":
+        return (run + 1 if not pending else 1, 0, matches, vm)
+    if event_type == "click" and run > 0 and not pending:
+        return (run, 1, matches, vm)
+    if event_type == "purchase" and pending:
+        return (0, 0, matches + 1, vm + run)
+    return (0, 0, matches, vm)
+
+
 def _user_pattern_processor():
     """StatefulProcessor running a per-user DFA for the quantified
     row pattern `view+ click purchase` (streaming MATCH_RECOGNIZE —
@@ -288,18 +304,10 @@ def _user_pattern_processor():
                     )
                 )
             evs.sort(key=lambda e: (e[0], e[1]))
+            st = (run, pending, matches, vm)
             for _ts, _eid, et in evs:
-                if et == "view":
-                    run = run + 1 if not pending else 1
-                    pending = 0
-                elif et == "click" and run > 0 and not pending:
-                    pending = 1
-                elif et == "purchase" and pending:
-                    matches += 1
-                    vm += run
-                    run, pending = 0, 0
-                else:
-                    run, pending = 0, 0
+                st = pattern_step(st, et)
+            run, pending, matches, vm = st
             self._st.update((run, pending, matches, vm))
             yield pd.DataFrame(
                 {

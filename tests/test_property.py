@@ -542,3 +542,76 @@ def test_bloom_probe_never_false_negative(spark, build, probe):
         ).collect()
     }
     assert set(build) <= kept, f"bloom dropped true keys: {set(build) - kept}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(seq=st.lists(
+    st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+    min_size=0, max_size=60,
+))
+def test_pattern_dfa_equals_regex_reference(seq):
+    """For ANY event-type sequence, the `view+ click purchase` DFA
+    (the streaming MATCH_RECOGNIZE state machine, run one
+    pattern_step per event) must agree with an independent regex
+    reference: encode the stream as one char per event and count
+    non-overlapping greedy matches of v+cp, plus the total views
+    inside matches. Pure-Python, no Spark — pins the automaton
+    semantics the 3-micro-batch streaming test then carries through
+    the state store."""
+    import re as _re
+
+    from bigdata06_spark.streaming.stateful import pattern_step
+
+    st_ = (0, 0, 0, 0)
+    for et in seq:
+        st_ = pattern_step(st_, et)
+    _, _, matches, views_matched = st_
+
+    code = {"view": "v", "click": "c", "purchase": "p",
+            "signup": "s", "error": "e"}
+    s = "".join(code[e] for e in seq)
+    ref = _re.findall(r"(v+)cp", s)
+    assert matches == len(ref)
+    assert views_matched == sum(len(r) for r in ref)
+
+
+def test_cdc_chunks_reassemble_to_original_text():
+    """CDC chunking invariant: the chunks of every document are
+    disjoint, covering, and order-preserving — reassembling them
+    (chunk texts joined by single spaces, in chunk order) must
+    reproduce the original text exactly, for EVERY fixture document.
+    Checked on the oracle's relational form; the Spark side equals it
+    under the registered value-hash gate."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    bad = con.sql("""
+        WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                   FROM documents),
+        tok AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+                       unnest(ws) AS tok FROM w),
+        th AS (SELECT doc_id, pos, tok,
+                      list_reduce(list_prepend(0::BIGINT,
+                        list_transform(string_split(tok, ''),
+                                       ch -> ascii(ch))),
+                        (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h
+               FROM tok),
+        ck AS (SELECT doc_id, pos, tok,
+                      sum(CASE WHEN pos = 0 OR h % 16 = 0
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS chunk
+               FROM th),
+        chunks AS (SELECT doc_id, chunk,
+                          string_agg(tok, ' ' ORDER BY pos) AS ctext
+                   FROM ck GROUP BY 1, 2),
+        rebuilt AS (SELECT doc_id,
+                           string_agg(ctext, ' ' ORDER BY chunk) AS t2
+                    FROM chunks GROUP BY doc_id)
+        SELECT count(*) FROM rebuilt JOIN documents USING (doc_id)
+        WHERE t2 <> text
+    """).fetchone()[0]
+    assert bad == 0
