@@ -238,6 +238,9 @@ HEADLINE = [
     # Benford first-digit DQ screen (9-row digit-domain rollup)
     "stats_mann_kendall",
     "dq_benford_test",
+    # filtered IVF serve: the attribute composed into the (cell, label)
+    # candidate key — the scale path of knn_filtered_ann
+    "knn_filtered_ivf_ann",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -327,13 +327,22 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str, out: s
 
 def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
             nprobe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 7, expect_dim: int | None = None) -> DataFrame:
+            seed: int = 7, expect_dim: int | None = None,
+            filter_col: str | None = None) -> DataFrame:
     """IVF-style ANN: corpus partitioned into `n_cells` by nearest
     centroid; queries probe their top-`nprobe` cells and re-rank
     exactly. Recall < 1 vs the exact scan, deterministic output —
     exact-oracle-gated (queries/llm.py:_ivf_ann_oracle). Scale: corpus
     would be written partitioned by cell → probing = partition
-    pruning."""
+    pruning.
+
+    `filter_col` (new r10) composes the metadata constraint INTO the
+    index: the candidate join key becomes (cell, attribute), so a
+    query touches only same-attribute rows of its probed cells —
+    written partitioned by (attribute, cell), the filter is one more
+    partition-pruning axis, never a post-filter (which under-fills k
+    at selective predicates). This is the bucketed-generator
+    composition `knn_filtered`'s exact scan points to."""
     sample = corpus.select(vec_col).first()
     dim = len(sample[0])
     if expect_dim is not None and dim != expect_dim:
@@ -341,29 +350,36 @@ def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
     rng = np.random.RandomState(seed)
     centroids = [list(v / math.sqrt(dim)) for v in rng.randn(n_cells, dim)]
 
-    c = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")),
-        centroids,
-        "cv",
-        "cell",
-    )
-    qv = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    c_cols = [F.col(id_col).alias("neighbor_id"),
+              as_double(F.col(vec_col)).alias("cv")]
+    q_cols = [F.col(id_col).alias("query_id"),
+              as_double(F.col(vec_col)).alias("qv")]
+    if filter_col is not None:
+        c_cols.append(F.col(filter_col).alias("_f"))
+        q_cols.append(F.col(filter_col).alias("_f"))
+    c = ivf_assign(corpus.select(*c_cols), centroids, "cv", "cell")
+    qv = queries.select(*q_cols)
     # top-nprobe cells per query: score against each centroid, explode
     scores = F.expr(_cell_scores_sql("qv", centroids))
+    join_key = ["cell"] + (["_f"] if filter_col is not None else [])
     probes = (
         qv.withColumn("probe", F.explode(F.slice(F.sort_array(scores, asc=False), 1, nprobe)))
-        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+        .select("query_id", "qv", *join_key[1:], F.col("probe.cell").alias("cell"))
     )
     scored = (
-        probes.join(c, "cell")
+        probes.join(c, join_key)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    out_cols = ["query_id"]
+    if filter_col is not None:
+        out_cols.append(F.col("_f").cast("long").alias("filter_value"))
+    out_cols += ["neighbor_id", "sim", F.col("rn").cast("long").alias("rn")]
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "sim", F.col("rn").cast("long").alias("rn"))
+        .select(*out_cols)
     )
 
 

@@ -92,7 +92,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "dedup_cdc_chunks", "graph_link_prediction", "stats_levene",
         "knn_filtered_ann", "events_match_recognize",
         "multimodal_feature_knn", "stream_match_recognize",
-        "stats_mann_kendall", "dq_benford_test",
+        "stats_mann_kendall", "dq_benford_test", "knn_filtered_ivf_ann",
         "supplier_affinity_graph", "graph_triangle_census",
         "graph_label_propagation", "graph_community_components",
         "graph_kcore", "knn_graph_greedy", "multimodal_features",
@@ -109,7 +109,6 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "ref_union_ragged", "cdc_scd2_history", "corpus_pack_sequences",
         "corpus_split_assign", "dedup_embedding_cosine", "dedup_exact",
         "dedup_jaccard_stop_shingles", "dedup_minhash_lsh",
-        "dedup_simhash",
         # ---- round-9 head (VERDICT r8 #1): the 4 queries added AFTER
         # the r8 sample draw lead (closing the only driver-coverage
         # gap), then the 3 new r9 queries, then every query whose

@@ -871,7 +871,8 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_ann_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 8,
-                    nprobe: int = 3, seed: int = 7) -> str:
+                    nprobe: int = 3, seed: int = 7,
+                    filtered: bool = False) -> str:
     """Full SQL replay of `ivf_ann`: the seeded centroids embed as a
     literal (cell, pos, w) relation; assignment is argmax-dot with the
     fold's first-max-wins tie rule (ORDER BY score DESC, cell ASC);
@@ -916,7 +917,8 @@ def _ivf_ann_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 8,
         FROM sc WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
     ),
     rr AS (
-      SELECT p.query_id, a.vec_id AS neighbor_id,
+      SELECT p.query_id,{" CAST(eq.label AS BIGINT) AS filter_value,"
+                         if filtered else ""} a.vec_id AS neighbor_id,
              floor(list_cosine_similarity(eq.embedding::DOUBLE[],
                                           en.embedding::DOUBLE[]) * 1000000.0 + 0.5)
                / 1000000.0 AS sim
@@ -924,9 +926,11 @@ def _ivf_ann_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 8,
         JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
         JOIN embeddings eq ON eq.vec_id = p.query_id
         JOIN embeddings en ON en.vec_id = a.vec_id
+             {"AND en.label = eq.label" if filtered else ""}
     )
-    SELECT query_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rn FROM (
-      SELECT query_id, neighbor_id, sim,
+    SELECT query_id,{" filter_value," if filtered else ""} neighbor_id,
+           sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT rr.*,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
       FROM rr) WHERE rn <= {k}
@@ -943,6 +947,25 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     return S.ivf_ann(e.filter(F.col("vec_id") < 10), e, k=5, n_cells=8,
                      nprobe=3, expect_dim=_ANN_DIM)
+
+
+@register("knn_filtered_ivf_ann", oracle=_ivf_ann_oracle(filtered=True))
+def knn_filtered_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED IVF serve (new r10): the metadata constraint composed
+    INTO the index — the candidate join key is (cell, label), so each
+    query touches only same-label rows of its probed cells. This is
+    the SCALE path of `knn_filtered_ann`'s exact pre-filter scan:
+    written partitioned by (label, cell), the attribute becomes one
+    more partition-pruning axis (probe = prune on both), and recall
+    equals plain IVF's within the label class — structurally immune
+    to the post-filter under-fill bug because filtering happens
+    before ranking. Same seeded centroids, nprobe=3, exact 6dp
+    rerank; the whole path replays under the generated value-hash
+    oracle (the filter adds one equality to the candidate
+    condition)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return S.ivf_ann(e.filter(F.col("vec_id") < 10), e, k=5, n_cells=8,
+                     nprobe=3, expect_dim=_ANN_DIM, filter_col="label")
 
 
 # ---------------------------------------------------------- text analysis
