@@ -108,15 +108,21 @@ def _log_fingerprint(path: str) -> tuple:
     on every commit (new entry), checkpoint squash (entries removed,
     v.json mtime bumped by the atomic replace), and vacuum (sidecar
     dirs removed) — the full set of events that can change what a
-    pinned version resolves to."""
-    logd = os.path.join(path, "_log")
+    pinned version resolves to. A listing that FAILS (a scandir/stat
+    racing a concurrent squash, transient EACCES) returns a
+    never-matching token — two errored fingerprints must not compare
+    equal, or a stale pinned view could be served across the very
+    squash that raced the listing (review r10)."""
+    import uuid as _uuid
+
+    logd = LH._log_dir(path)
     try:
         with os.scandir(logd) as it:
             return tuple(sorted(
                 (e.name, e.stat().st_mtime_ns) for e in it
             ))
     except OSError:
-        return ()
+        return ("_fp_error", _uuid.uuid4().hex)
 
 
 def _view_cache(spark: SparkSession) -> dict:

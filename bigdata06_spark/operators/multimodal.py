@@ -264,16 +264,24 @@ def feature_batch(dim: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        sq = np.arange(256, dtype=np.int64) ** 2
         for pdf in batches:
             ids, idxs, vals = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # NULL payloads (nullable binary input, like the
+                # checksum stage's contract) and empty payloads both
+                # emit no rows — no content, no features
+                if payload is None:
+                    continue
                 a = np.frombuffer(payload, dtype=np.uint8)
                 n = int(a.size)
                 if n == 0:
                     continue
                 hist = np.bincount(a, minlength=256).astype(np.int64)
-                s1 = int(a.sum(dtype=np.int64))
-                s2 = int((a.astype(np.int64) ** 2).sum())
+                # moments from the 256-cell histogram (O(256), no
+                # n-element int64 temporaries in the hot Arrow stage)
+                s1 = int(np.dot(hist, np.arange(256, dtype=np.int64)))
+                s2 = int(np.dot(hist, sq))
                 feats = [
                     s1 / n,
                     float(n * s2 - s1 * s1) / float(n * n),

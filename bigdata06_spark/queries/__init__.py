@@ -76,7 +76,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
     # zero semantic change; everything stays in the registry.
     flagship_head = [
         # ---- round-10 head (VERDICT r9 #7 — max-staleness rotation):
-        # first the 9 queries ADDED in r10 (never sampled), then the
+        # first the 10 queries ADDED in r10 (never sampled), then the
         # 11 whose semantics or oracle CHANGED in r10 (co-supply
         # degree cap x5 + capped affinity headline, adaptive-bits
         # graph-ANN, content-derived multimodal features,

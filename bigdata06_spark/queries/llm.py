@@ -2859,7 +2859,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit from the same integer sums over the text's code
     points (payload = UTF-8 of ASCII text, so bytes == code points).
     Scale: one Arrow-batched pass over payloads, no shuffle at all —
-    output is exactly 8 rows per asset."""
+    8 rows per non-empty asset (null/empty payloads emit none)."""
     docs = load_table(spark, "documents", sf_dir)
     return M.extract_features(M.attach_binary_payload(docs))
 

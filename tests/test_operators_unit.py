@@ -933,3 +933,16 @@ def test_extract_features_empty_payload_emits_no_rows(spark):
     assert len(out) == 8
     with _pytest.raises(ValueError, match=r"dim must be in \[1, 8\]"):
         M.extract_features(df, dim=16)
+
+
+def test_extract_features_null_payload_emits_no_rows(spark):
+    """NULL payloads (nullable binary input — the checksum stage's
+    contract) emit no feature rows rather than crashing the Arrow
+    worker (review r10 second pass)."""
+    from bigdata06_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xy")), (2, None)], "doc_id long, payload binary"
+    )
+    out = M.extract_features(df).collect()
+    assert {r["doc_id"] for r in out} == {1}
