@@ -282,8 +282,18 @@ def _load1() -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # per-SF detail files: a run at another scale must never clobber
+    # the committed idle reference of the canonical SF (a sf0.01 smoke
+    # once overwrote the sf0.1 detail — same hazard class as the
+    # contended-run overwrite ADVICE r10 flagged). The sf1 probe gets
+    # the committed scale-proof artifact VERDICT r10 next #2 asked for.
+    detail_name = {
+        "0.1": "BENCH_DETAIL.json",
+        "1": "BENCH_SF1_DETAIL.json",
+        "1_probe": "BENCH_SF1_DETAIL.json",
+    }.get(sf, f"BENCH_DETAIL_sf{sf}.json")
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        os.path.dirname(os.path.abspath(__file__)), detail_name)
     # the COMMITTED detail (read before this run overwrites it) is the
     # idle reference for the contention self-adjudication below
     prev_times: dict[str, float] = {}
@@ -364,8 +374,20 @@ def main() -> None:
         "uniform_inflation": uniform_inflation,
     }
     # Full per-query detail goes to the committed side file (VERDICT
-    # r7 #2); round-over-round per-query diffs live there.
-    with open(detail_path, "w") as f:
+    # r7 #2); round-over-round per-query diffs live there. A CONTENDED
+    # run (uniform_inflation well above 1.0 — the exact case the field
+    # exists to detect) must NOT replace the idle reference it was
+    # just compared against, or committing it propagates an inflated
+    # baseline (ADVICE r10): it goes to a .contended side path instead.
+    contended = uniform_inflation is not None and uniform_inflation > 1.15
+    out_path = detail_path + ".contended" if contended else detail_path
+    if contended:
+        print(
+            f"WARN: uniform_inflation={uniform_inflation} > 1.15 — "
+            f"detail written to {out_path}, idle reference kept",
+            file=sys.stderr,
+        )
+    with open(out_path, "w") as f:
         json.dump({**common, "queries": times, "families": fams}, f, indent=1)
         f.write("\n")
     # The final stdout line carries per-query times too (VERDICT r9
@@ -387,7 +409,7 @@ def main() -> None:
                 "queries_omitted_fastest": omitted,
                 "families": fams,
                 "n_queries": len(times),
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
         if len(line) <= 1850 or not q_map:

@@ -143,17 +143,27 @@ def _refresh_view(spark: SparkSession, name: str) -> None:
     reads every surviving file's footer at PLAN time, so re-CREATE-ing
     an unchanged table on every warm statement re-paid O(files) footer
     reads; a version is immutable state, so same (path, version) ⇒
-    same plan). Any commit bumps current_version and invalidates."""
+    same plan). Any commit bumps current_version and invalidates.
+
+    The cache key ALSO carries `_log_fingerprint` (ADVICE r10): the
+    (path, version) pair alone relies on the invariant that every
+    head-state-changing op bumps current_version (true today —
+    checkpoint squash is replay-equivalent), but a future op that
+    rewrote head files without a version bump would serve a stale
+    plan. The fingerprint — one scandir, orders of magnitude cheaper
+    than the O(files) footer reads the cache avoids — makes the AS-OF
+    path's guard cover the current-version path too."""
     ent = _TABLES[name.lower()]
     v = LH.current_version(ent["path"])
     if v < 0:
         return
     cache = _view_cache(spark)
     key = ("tbl", name.lower())
-    if cache.get(key) == (ent["path"], v) and spark.catalog.tableExists(name):
+    state = (ent["path"], v, _log_fingerprint(ent["path"]))
+    if cache.get(key) == state and spark.catalog.tableExists(name):
         return
     LH.read_version(spark, ent["path"], v).createOrReplaceTempView(name)
-    cache[key] = (ent["path"], v)
+    cache[key] = state
 
 
 def _resolve(ref: str) -> tuple[str, str | None, str | None]:

@@ -31,6 +31,20 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer")
+
+
+def _filter_value_col(df: DataFrame, filter_col: str) -> Column:
+    """`filter_value` output column in a type-faithful way (ADVICE r10):
+    integral attributes widen to long (matches the BIGINT the oracles
+    expect); everything else (string tenant/language keys, dates, …)
+    propagates UNCHANGED — a hard cast-to-long would silently turn a
+    categorical filter into all-NULLs."""
+    dt = df.schema["_f"].dataType.simpleString()
+    col = F.col("_f")
+    return col.cast("long") if dt in _INTEGRAL_TYPES else col
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold — same op order as DuckDB's list_dot_product."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -126,7 +140,7 @@ def knn_filtered(queries: DataFrame, corpus: DataFrame, filter_col: str,
         .filter(F.col("rn") <= k)
         .select(
             "query_id",
-            F.col("_f").cast("long").alias("filter_value"),
+            _filter_value_col(scored, filter_col).alias("filter_value"),
             "neighbor_id", "sim",
             F.col("rn").cast("long").alias("rn"),
         )
@@ -374,7 +388,7 @@ def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     out_cols = ["query_id"]
     if filter_col is not None:
-        out_cols.append(F.col("_f").cast("long").alias("filter_value"))
+        out_cols.append(_filter_value_col(scored, filter_col).alias("filter_value"))
     out_cols += ["neighbor_id", "sim", F.col("rn").cast("long").alias("rn")]
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -9,9 +9,10 @@ configuration:
   that makes one static plan survive a 100x scale-up.
 - Arrow on for every pandas interchange path (Pandas UDFs,
   `applyInPandas`, `mapInPandas`, `toPandas`).
-- `spark.sql.shuffle.partitions` sized to cores for local runs; on a
-  real cluster this (or rather AQE's advisory partition size) would be
-  sized so a shuffle partition is ~128-200MB.
+- `spark.sql.shuffle.partitions` scaled with INPUT BYTES (floored at
+  cores) — AQE coalesces below the initial count but never splits
+  above it, so the initial count must grow with the data or 10x the
+  input lands on the same hash buckets (see `input_scaled_partitions`).
 - Session timezone pinned to UTC so timestamp semantics match the
   DuckDB oracle (naive-UTC) bit-for-bit.
 """
@@ -25,6 +26,48 @@ from pyspark.sql import SparkSession
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+
+
+#: compressed-parquet bytes of input per initial shuffle partition.
+#: 4 MB of snappy parquet decodes to ~25-40 MB of in-memory rows, and
+#: the heaviest operators (graph self-joins) amplify shuffle volume a
+#: further 2-4x over input — landing each shuffle partition in the
+#: 64-200 MB band Spark's tuning guide targets.
+_BYTES_PER_SHUFFLE_PARTITION = 4 << 20
+
+
+def input_scaled_partitions(cores: int, sf_dir: str | None = None) -> int:
+    """Initial shuffle-partition count derived from INPUT SIZE, not
+    just cores (VERDICT r10 next #1).
+
+    `spark.sql.shuffle.partitions` pinned to core count is the one
+    local-mode artifact that misbehaves at scale: AQE's partition
+    coalescing only ever MERGES below the initial number — it never
+    splits past it — so an initial count sized to cores means 10x the
+    data lands on the same 32 hash buckets, each 10x larger (the
+    measured cause of the graph family's >2x sf1 ratios, SCALE.md
+    round-10 table). Deriving the initial count from input bytes
+    (floored at cores so small inputs still use every slot) restores
+    the invariant a real cluster has — partitions grow with data —
+    and AQE coalesces the excess for cheap stages at runtime.
+
+    `sf_dir` defaults to `$SPARK_GRAFT_SF_DIR` (the dataset every
+    entry point reads); sizing sums the parquet bytes under it. On a
+    production deployment this generalizes to the planned scan set's
+    file-listing size — same one-listing cost.
+    """
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    except OSError:
+        total = 0
+    return max(cores, 8, -(-total // _BYTES_PER_SHUFFLE_PARTITION))
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
@@ -91,7 +134,7 @@ def get_spark(app_name: str = "bigdata06_spark", cores: int | None = None,
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.shuffle.partitions", str(input_scaled_partitions(n)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -946,3 +946,63 @@ def test_extract_features_null_payload_emits_no_rows(spark):
     )
     out = M.extract_features(df).collect()
     assert {r["doc_id"] for r in out} == {1}
+
+
+def test_documents_fixture_text_is_ascii():
+    """_MM_FEAT_SQL (queries/llm.py) replays the engine's BYTE
+    statistics from DuckDB's per-CODE-POINT unnest — valid only while
+    the documents fixture is pure ASCII (UTF-8 bytes == code points).
+    Pin that invariant across every shipped SF so a future fixture
+    regeneration that introduces multi-byte text fails HERE with the
+    reason, not as an opaque oracle hash mismatch (ADVICE r10)."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        (n_bad,) = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}') "
+            "WHERE text IS NOT NULL AND length(text) <> octet_length(ENCODE(text))"
+        ).fetchone()
+        assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents break _MM_FEAT_SQL"
+
+
+def test_sharded_graph_ann_build_past_1m(spark):
+    """The wall `knn_graph_greedy_sharded` exists to remove (VERDICT
+    r10 next #3): a graph-ANN build + serve over MORE than 2^20
+    vectors — the corpus size where the single-shard form fail-louds
+    — must complete, with the cell count growing past the SQL-fold
+    boundary so the Arrow assignment/probe path is the one exercised.
+    dim=16 keeps the synthetic corpus cheap while giving the 15
+    sign-plane bucket space full rank (in dim << bits, hyperplanes
+    carve far fewer than 2^bits regions and buckets go quadratic —
+    the operator's documented design envelope is dim >= bits)."""
+    from pyspark.sql import functions as F
+
+    from bigdata06_spark.queries.llm import (
+        _GS_EXPR_CELLS,
+        _GS_STEPS,
+        _graph_greedy_sharded_impl,
+        _gs_bits,
+        _gs_ncells,
+    )
+
+    n = (1 << 20) + 1
+    assert _gs_ncells(n) > _GS_EXPR_CELLS  # Arrow path, not the SQL fold
+    assert _gs_bits(n, _gs_ncells(n)) <= 15  # bounded at ANY corpus size
+    ev = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16), j -> "
+            "CAST(pmod(hash(id * 31 + j), 2001) - 1000 AS DOUBLE) / 1000.0)"
+        ).alias("v"),
+    )
+    out = _graph_greedy_sharded_impl(spark, ev, n, 16, nq=5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 0 <= r["found_id"] < n
+        assert -1.0 <= r["sim"] <= 1.0
+        assert 0 <= r["hops"] <= _GS_STEPS

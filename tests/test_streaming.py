@@ -1107,10 +1107,22 @@ def test_pattern_dfa_state_carries_across_batches(spark, tmp_path):
          ev(11, 2, "purchase", 3)],
     ]
     src = str(tmp_path / "src")
-    for part in batches:
+    for i, part in enumerate(batches):
         spark.createDataFrame(
             part, "event_id long, ts timestamp, user_id long, event_type string"
         ).coalesce(1).write.mode("append").parquet(src)
+        # maxFilesPerTrigger=1 replays in (mtime, path) order; equal
+        # mtimes on a coarse-timestamp fs fall back to RANDOM part
+        # names (ADVICE r10 flake source). Pin write order with
+        # explicit strictly-increasing mtimes.
+        import glob as _glob
+        import os as _os
+
+        for f in _glob.glob(f"{src}/*.parquet"):
+            st = _os.stat(f)
+            if st.st_mtime < 1_000_000_000 + i:
+                continue  # already pinned by an earlier iteration
+            _os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
     stream = (
         spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string")
