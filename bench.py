@@ -241,6 +241,20 @@ HEADLINE = [
     # filtered IVF serve: the attribute composed into the (cell, label)
     # candidate key — the scale path of knn_filtered_ann
     "knn_filtered_ivf_ann",
+    # ---- round 11
+    # sharded graph-ANN (DiskANN/SPANN shape): coarse-cell routed NSW
+    # walks — the form whose build has no corpus-size ceiling
+    "knn_graph_greedy_sharded",
+    # its measured serve-quality companion (walks + exact top-1 scan)
+    "knn_sharded_recall",
+    # robust trend slope over the calendar-bounded pair domain
+    "stats_theil_sen",
+    # equi-depth histogram: global-sort ntile + bucket bounds
+    "agg_equidepth_histogram",
+    # integer-exact fractional-credit multi-touch attribution
+    "events_attribution_linear",
+    # seed-restart PageRank: per-iteration join+groupBy, integer ranks
+    "graph_personalized_pagerank",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -1362,6 +1362,49 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice AS v,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(v) AS lo, max(v) AS hi
+    FROM t GROUP BY 1
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of order totals (new r11) — the quantile
+    complement to `agg_histogram`'s fixed-width buckets: ntile(8)
+    assigns each row to one of 8 equal-POPULATION buckets, and the
+    rollup reports each bucket's count and [lo, hi] value bounds —
+    the structure query optimizers keep for selectivity estimation
+    (equi-depth bounds adapt to skew; equi-width buckets go empty or
+    hot). ntile's split rule (earlier buckets take the remainder) is
+    identical in Spark and DuckDB, and the (value, key) ORDER pins a
+    total order, so bucket assignment is deterministic; bounds are
+    stored doubles projected unchanged (bit-exact, no rounding
+    needed).
+
+    Scale: ntile over a global ORDER is a full sort — the honest cost
+    of an exact equi-depth histogram (Spark range-partitions the sort;
+    no single-machine bottleneck); the approximate path at 100 TB is
+    `agg_approx_percentile`/`agg_quantile_twopass` computing the 9
+    boundary quantiles directly."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(F.col("o_totalprice").alias("v"),
+                 F.ntile(8).over(w).alias("bucket"))
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+
+
+@register(
     "events_activity_heatmap",
     oracle="""
     SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
@@ -2151,6 +2194,100 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     f"CAST({teleport} AS BIGINT) DIV n + (coalesce(sc, CAST(0 AS BIGINT)) * {D_NUM}) DIV {D_DEN}"
                 ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+_PPR_SEED = "purchase"
+
+
+def _ppr_oracle(seed: str = _PPR_SEED, iters: int = 4, scale: int = 10**12,
+                d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled integer personalized-PageRank replay (see
+    `graph_personalized_pagerank`): identical to `_pagerank_oracle`
+    except r0 and the restart mass both concentrate on the seed."""
+    teleport = scale * (d_den - d_num) // d_den
+    parts = [
+        f"""
+    WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    edges AS (SELECT src, dst, count(*) AS w FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, edges.w, outw.ow FROM edges JOIN outw ON edges.src = outw.src),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    r0 AS (SELECT node, CAST(CASE WHEN node = '{seed}' THEN {scale} ELSE 0 END AS BIGINT) AS r
+           FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    s{i} AS (SELECT e.dst AS node, CAST(sum((r{i-1}.r * e.w) // e.ow) AS BIGINT) AS sc
+             FROM e JOIN r{i-1} ON e.src = r{i-1}.node GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    CAST(CASE WHEN nodes.node = '{seed}' THEN {teleport} ELSE 0 END
+                         + (coalesce(s{i}.sc, 0) * {d_num}) // {d_den} AS BIGINT) AS r
+             FROM nodes LEFT JOIN s{i} ON s{i}.node = nodes.node)"""
+        )
+    parts.append(f"\n    SELECT node, r AS rank_scaled FROM r{iters}")
+    return "".join(parts)
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from the '{purchase}' seed (new r11) —
+    the query-biased variant of `graph_pagerank` and the primitive
+    behind related-item / similar-node recommendation: all restart
+    mass returns to the SEED instead of spreading uniformly, so ranks
+    measure proximity TO THE SEED under damped random walks (nodes
+    the seed can't reach decay to 0), not global centrality. Same
+    event-type transition graph, 4 fixed iterations.
+
+    Exactness: the `graph_pagerank` integer discipline verbatim —
+    1e12-scaled BIGINT ranks, floor-div contributions and damping, so
+    the unrolled DuckDB replay is bit-identical; the only deltas are
+    r0 (seed-concentrated) and the restart term (seed-only), both
+    pure CASE expressions.
+
+    Scale shape: identical per-iteration join+groupBy as PageRank —
+    personalization changes only two scalar expressions, which is the
+    point: the distributed plan is seed-independent, so one prepared
+    pipeline serves any seed (or any seed VECTOR, by making r0 a
+    relation)."""
+    S, D_NUM, D_DEN, ITERS = 10**12, 85, 100, 4
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("dst", F.lead("event_type").over(w)).filter(
+        F.col("dst").isNotNull())
+    edges = pairs.groupBy(F.col("event_type").alias("src"), "dst").agg(
+        F.count(F.lit(1)).alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(outw, "src")
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    teleport = S * (D_DEN - D_NUM) // D_DEN
+    seed_r = F.when(F.col("node") == _PPR_SEED, F.lit(S)).otherwise(F.lit(0))
+    ranks = nodes.select("node", seed_r.cast("long").alias("r"))
+    restart = F.when(F.col("node") == _PPR_SEED, F.lit(teleport)).otherwise(
+        F.lit(0)).cast("long")
+    for _ in range(ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("(r * w) DIV ow").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("sc"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (restart
+                 + F.expr(f"(coalesce(sc, CAST(0 AS BIGINT)) * {D_NUM}) DIV {D_DEN}")
+                 ).cast("long").alias("r"),
             )
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
@@ -5207,6 +5344,105 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "events_attribution_linear",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vcents,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS wid
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, wid, event_type AS touch FROM ev
+      WHERE event_type <> 'purchase'
+    ),
+    tcount AS (
+      SELECT user_id, wid, count(*) AS k FROM touches GROUP BY 1, 2
+    ),
+    purch AS (
+      SELECT ev.user_id, ev.wid, ev.vcents, tcount.k
+      FROM ev LEFT JOIN tcount USING (user_id, wid)
+      WHERE ev.event_type = 'purchase'
+    ),
+    credits AS (
+      SELECT t.touch, (p.vcents * 1000) // p.k AS millicents
+      FROM purch p JOIN touches t USING (user_id, wid)
+      WHERE p.k IS NOT NULL
+      UNION ALL
+      SELECT 'no_touch' AS touch, vcents * 1000 AS millicents
+      FROM purch WHERE k IS NULL
+    )
+    SELECT touch, CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum(millicents) AS BIGINT) AS attributed_millicents
+    FROM credits GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR MULTI-TOUCH attribution (new r11) — the fractional-credit
+    complement to `events_attribution_last_touch`: every purchase
+    splits its value EQUALLY across all of the user's touches since
+    the previous purchase (the conversion window), instead of crediting
+    only the final one — the model marketing teams A/B against
+    last-touch. A purchase with no preceding touches in its window
+    keeps full credit under 'no_touch'.
+
+    Exactness: credit arithmetic is all-INTEGER — value in summed
+    cents, per-touch credit = (cents·1000) floor-DIV n_touches
+    (millicent floor division, identical in Spark `DIV` and DuckDB
+    `//`) — so attributed totals are BIGINT-exact on both engines, no
+    float allocation anywhere. Window ids come from a purchase-count
+    running sum with the (ts, event_id) tiebreak.
+
+    Scale: one user-keyed window pass + two joins keyed (user_id,
+    window_id) — co-partitioned by the same exchange, no broadcast of
+    anything unbounded; per-window touch counts are the only
+    intermediate state. The same shape at 100 TB is exactly this plan
+    with more partitions."""
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = e.select(
+        "user_id", "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vcents"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w),
+            F.lit(0),
+        ).alias("wid"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "wid", F.col("event_type").alias("touch"))
+    tcount = touches.groupBy("user_id", "wid").agg(
+        F.count(F.lit(1)).alias("k"))
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tcount, ["user_id", "wid"], "left")
+        .select("user_id", "wid", "vcents", "k")
+    )
+    credited = (
+        purch.filter(F.col("k").isNotNull())
+        .join(touches, ["user_id", "wid"])
+        .select("touch", F.expr("(vcents * 1000) DIV k").alias("millicents"))
+        .unionAll(
+            purch.filter(F.col("k").isNull())
+            .select(F.lit("no_touch").alias("touch"),
+                    (F.col("vcents") * 1000).alias("millicents"))
+        )
+    )
+    return (
+        credited.groupBy("touch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_credits"),
+             F.sum("millicents").cast("long").alias("attributed_millicents"))
+        .orderBy("touch")
+    )
+
+
 _BASKET_MIN_SUPPORT = 2  # absolute pair-support floor
 _BASKET_TOP_K = 50
 
@@ -6179,6 +6415,97 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.crossJoin(F.broadcast(pairs))
         .select("n", "s", rnd(z, 6).alias("z"),
                 (F.abs(z) > 1.96).alias("significant"))
+    )
+
+
+@register(
+    "stats_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+      SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS np FROM slopes
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(max(np) AS BIGINT) AS n_pairs,
+           sum(slope) / count(*) AS slope_cents_per_day
+    FROM ranked
+    WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+    """,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND SLOPE on daily order revenue — the
+    estimator companion to `stats_mann_kendall` (MK answers WHETHER a
+    monotone trend exists; Theil-Sen answers HOW STEEP, with a 29%
+    breakdown point vs least-squares' zero): the MEDIAN of all
+    pairwise slopes (cents_j − cents_i)/(d_j − d_i) over the
+    day-ordered series.
+
+    Exactness across engines: daily revenue rides summed integer
+    CENTS (the `stats_mann_kendall` trick), each slope is ONE IEEE
+    division of exact integers — bit-identical in Spark and DuckDB —
+    and the median is taken by EXPLICIT RANK (row_number over slope;
+    rows (n+1)//2 and (n+2)//2 averaged with the same sum/count
+    expression on both sides), never an engine `median()` whose
+    interpolation convention could differ. Equal slope values make
+    the rank tiebreak value-irrelevant.
+
+    Scale: the pairwise relation is DOMAIN-bounded (≤ |calendar|² /2
+    ≈ 2.9M pairs at every TPC-H SF — the `stats_kendall_tau` cells
+    argument), so the global rank window runs on a bounded relation;
+    at an unbounded time domain the median comes from a two-pass
+    quantile (`agg_quantile_twopass`) over the same slope relation."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)  # bounded: one row per calendar day
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("xb"))
+    slopes = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            ((F.col("xb") - F.col("xa")).cast("double")
+             / F.datediff(F.col("db"), F.col("da"))).alias("slope")
+        )
+    )
+    wr = Window.orderBy("slope")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()).alias("np"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(np + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(np + 2) DIV 2"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        n_days.crossJoin(
+            F.broadcast(
+                mid.agg(
+                    F.max("np").cast("long").alias("n_pairs"),
+                    (F.sum("slope") / F.count(F.lit(1)))
+                    .alias("slope_cents_per_day"),
+                )
+            )
+        )
+        .select("n_days", "n_pairs", "slope_cents_per_day")
     )
 
 

@@ -5269,6 +5269,79 @@ def _graph_greedy_sharded_oracle(nq: int = _GS_NQ, deg: int = _GS_DEG,
     )
 
 
+def _sharded_recall_oracle() -> str:
+    """Serve-quality replay: the FULL sharded-walk oracle as a
+    subquery (DuckDB allows a WITH inside a derived table), joined to
+    the exact top-1 scan; hit = walk landed at >= exact top-1 quality
+    (>=, not ==: a walk may land on the query itself at sim 1.0,
+    which the exact scan excludes)."""
+    inner = _graph_greedy_sharded_oracle()
+    return f"""
+    WITH ex AS (
+      SELECT query_id, exact_sim FROM (
+        SELECT q.vec_id AS query_id,
+               floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[])
+                     * 1000000.0 + 0.5) / 1000000.0 AS exact_sim,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY floor(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                       c.embedding::DOUBLE[])
+                                * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          c.vec_id ASC) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_GS_NQ}
+      ) WHERE rn = 1
+    ),
+    sh AS (SELECT * FROM ({inner}) t)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN sh.sim >= ex.exact_sim THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_top1_sim_hits,
+           CAST(sum(CAST(sh.sim AS DECIMAL(25,6))) AS DOUBLE) AS sum_found_sim,
+           CAST(sum(CAST(ex.exact_sim AS DECIMAL(25,6))) AS DOUBLE) AS sum_exact_sim,
+           CAST(sum(sh.hops) AS BIGINT) AS sum_hops
+    FROM sh JOIN ex USING (query_id)
+    """
+
+
+@register("knn_sharded_recall", oracle=_sharded_recall_oracle())
+def knn_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-QUALITY measurement for the sharded graph-ANN (new r11)
+    — the `knn_ivf_nprobe_curve` discipline applied to
+    `knn_graph_greedy_sharded`: run the routed walks AND the exact
+    top-1 scan, and report how often the walk lands at exact-top-1
+    quality (sim >=, since a walk may absorb at the query itself,
+    which the exact scan excludes), plus exact decimal sim totals and
+    total hop count. An ANN serve path without a measured quality
+    number is not done — this query IS the number, and at 100 TB it
+    runs on a sampled query set against the same index, exactly as
+    here.
+
+    Exactness: sims are 6dp-rounded on both sides, totals ride
+    DECIMAL sums (order-insensitive), hit counts and hops are
+    integers."""
+    from bigdata06_spark.queries.qutil import dsum
+
+    e = load_table(spark, "embeddings", sf_dir)
+    n = e.count()
+    ev = e.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    sh = _graph_greedy_sharded_impl(spark, ev, n, _ANN_DIM)
+    ex = S.knn_bruteforce(
+        e.filter(F.col("vec_id") < _GS_NQ), e, k=1
+    ).select("query_id", F.col("sim").alias("exact_sim"))
+    return (
+        sh.join(ex, "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum((F.col("sim") >= F.col("exact_sim")).cast("int"))
+            .cast("long").alias("n_top1_sim_hits"),
+            dsum(F.col("sim")).alias("sum_found_sim"),
+            dsum(F.col("exact_sim")).alias("sum_exact_sim"),
+            F.sum("hops").cast("long").alias("sum_hops"),
+        )
+    )
+
+
 @register("knn_graph_greedy_sharded", oracle=_graph_greedy_sharded_oracle())
 def knn_graph_greedy_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHARDED graph-ANN (new r11, VERDICT r10 next #3) — the
