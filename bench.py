@@ -255,6 +255,8 @@ HEADLINE = [
     "events_attribution_linear",
     # seed-restart PageRank: per-iteration join+groupBy, integer ranks
     "graph_personalized_pagerank",
+    # CHECK-constraint journey: per-write validation aggregate + reject
+    "lakehouse_check_constraints",
 ]
 
 # Family subtotals (VERDICT r6 #9): with 50+ headline entries, a

@@ -76,17 +76,18 @@ def load_all_queries() -> dict[str, QuerySpec]:
     # zero semantic change; everything stays in the registry.
     flagship_head = [
         # ---- round-11 head (VERDICT r10 #7 — keep the max-staleness
-        # rotation): first the 6 queries ADDED in r11 (never sampled),
+        # rotation): first the 7 queries ADDED in r11 (never sampled),
         # then the 11 whose code path CHANGED in r11 (pixel-feature
         # slot x2, co-supply halved join + session materialization x5,
         # filter_value typing x2, view-cache fingerprint keying x2),
-        # then the 33 LONGEST-UNSAMPLED registry entries (last driver
+        # then the 32 LONGEST-UNSAMPLED registry entries (last driver
         # sample r4 — computed from the ten CORRECTNESS files; the
-        # remaining 9 r4-vintage entries overflow to the r12 head).
+        # remaining 10 r4-vintage entries overflow to the r12 head).
         # EXACTLY 50 names before the round-10 block.
         "knn_graph_greedy_sharded", "knn_sharded_recall",
         "stats_theil_sen", "agg_equidepth_histogram",
         "events_attribution_linear", "graph_personalized_pagerank",
+        "lakehouse_check_constraints",
         "multimodal_features", "multimodal_feature_knn",
         "graph_triangle_census", "graph_label_propagation",
         "graph_community_components", "graph_kcore",
@@ -106,7 +107,6 @@ def load_all_queries() -> dict[str, QuerySpec]:
         "stream_session_window", "stream_stream_join",
         "stream_transform_with_state", "stream_tumbling_agg",
         "supplier_affinity_graph_capped", "text_bm25_topk",
-        "text_bpe_train",
         # ---- round-10 head (VERDICT r9 #7 — max-staleness rotation):
         # first the 10 queries ADDED in r10 (never sampled), then the
         # 11 whose semantics or oracle CHANGED in r10 (co-supply

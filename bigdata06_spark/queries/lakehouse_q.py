@@ -1281,6 +1281,87 @@ def lakehouse_convert_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _constraint_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"lakehouse_constraint_{tag}")
+
+
+@register(
+    "lakehouse_check_constraints",
+    oracle="""
+    WITH adopted AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      UNION ALL VALUES (900000001, -7, 11.5), (900000002, -7, 22.5),
+                       (900000011, -7, 33.5)
+    )
+    SELECT CAST(o_custkey = -7 AS BOOLEAN) AS is_manual,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           'price_nonneg' AS active_constraints
+    FROM adopted GROUP BY 1
+    """,
+)
+def lakehouse_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-CONSTRAINT journey through the SQL surface (new r11 —
+    the enforcement machinery existed since r8 as LH.add_constraint /
+    the per-writer `_validate_constraints` pass, unit-tested but never
+    registered): CTAS builds the table; ADD CONSTRAINT validates
+    EXISTING rows first (Delta's contract); a conforming INSERT
+    lands; a NEGATIVE-PRICE insert must be REJECTED before any log
+    commit (the journey fail-louds if the write is accepted — the
+    whole point of the query); a second constraint is added then
+    DROPPED, after which a row that would have violated it lands
+    fine. Final state: the two conforming manual rows plus the
+    post-drop row are in; the rejected row is not; the live
+    constraint set is exactly {'price_nonneg'}.
+
+    Scale: constraint validation is ONE extra aggregate over the
+    rows being written (map-side combined, no shuffle beyond the
+    write's own), never a table scan — ADD CONSTRAINT is the only
+    full-scan validation, by design."""
+    from bigdata06_spark import lakehouse_sql as LSQL
+
+    path = _constraint_dir(sf_dir)
+    if LH.current_version(path) < 0:
+        load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).createOrReplaceTempView("lc_seed")
+        LSQL.sql(spark, f"""
+            CREATE TABLE lc_orders USING lakehouse
+            TBLPROPERTIES ('key' '{KEY}') LOCATION '{path}'
+            AS SELECT * FROM lc_seed
+        """)
+        LSQL.sql(spark, "ALTER TABLE lc_orders ADD CONSTRAINT "
+                        "price_nonneg CHECK (o_totalprice >= 0)")
+        LSQL.sql(spark, "INSERT INTO lc_orders VALUES "
+                        "(900000001, -7, 11.5), (900000002, -7, 22.5)")
+        try:
+            LSQL.sql(spark, "INSERT INTO lc_orders VALUES "
+                            "(900000003, -7, -5.0)")
+        except LH.ConstraintViolationError:
+            pass
+        else:
+            raise RuntimeError(
+                "constraint journey: negative-price INSERT was NOT "
+                "rejected — CHECK enforcement is broken")
+        LSQL.sql(spark, "ALTER TABLE lc_orders ADD CONSTRAINT "
+                        "small_keys CHECK (o_orderkey < 900000010)")
+        LSQL.sql(spark, "ALTER TABLE lc_orders DROP CONSTRAINT small_keys")
+        LSQL.sql(spark, "INSERT INTO lc_orders VALUES "
+                        "(900000011, -7, 33.5)")
+    else:
+        LSQL.register_table(spark, "lc_orders", path, KEY)
+    live = ",".join(sorted(LH.table_constraints(path)))
+    return LSQL.sql(spark, """
+        SELECT CAST(o_custkey = -7 AS BOOLEAN) AS is_manual,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lc_orders GROUP BY is_manual
+    """).withColumn("active_constraints", F.lit(live))
+
+
 def _liquid_dir(sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(tempfile.gettempdir(), f"lakehouse_liquid_{tag}")
