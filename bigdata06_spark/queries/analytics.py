@@ -5391,11 +5391,14 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps full credit under 'no_touch'.
 
     Exactness: credit arithmetic is all-INTEGER — value in summed
-    cents, per-touch credit = (cents·1000) floor-DIV n_touches
-    (millicent floor division, identical in Spark `DIV` and DuckDB
-    `//`) — so attributed totals are BIGINT-exact on both engines, no
-    float allocation anywhere. Window ids come from a purchase-count
-    running sum with the (ts, event_id) tiebreak.
+    cents, per-touch credit = (cents·1000) DIV n_touches. Spark `DIV`
+    truncates toward zero while DuckDB `//` floors — identical on the
+    NON-NEGATIVE event values this table carries (pinned: min(value)
+    >= 0 at every fixture SF; a table with negative conversion values
+    would need floor() on the Spark side) — so attributed totals are
+    BIGINT-exact on both engines, no float allocation anywhere.
+    Window ids come from a purchase-count running sum with the
+    (ts, event_id) tiebreak.
 
     Scale: one user-keyed window pass + two joins keyed (user_id,
     window_id) — co-partitioned by the same exchange, no broadcast of

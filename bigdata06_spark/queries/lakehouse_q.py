@@ -1323,6 +1323,12 @@ def lakehouse_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata06_spark import lakehouse_sql as LSQL
 
     path = _constraint_dir(sf_dir)
+    # a process killed mid-journey leaves a partial table (final
+    # version is 5); rebuild from scratch rather than serving it
+    if 0 <= LH.current_version(path) < 5:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
     if LH.current_version(path) < 0:
         load_table(spark, "orders", sf_dir).select(
             "o_orderkey", "o_custkey", "o_totalprice"
