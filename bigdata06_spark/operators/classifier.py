@@ -40,12 +40,26 @@ def hashed_features(docs: DataFrame, id_col: str = "doc_id",
     mod 1e9+7 — `textops.rolling_hash`) mod `dim`, so the feature map
     is bit-identical in the SQL oracle. Hash collisions are the
     standard hashing-trick trade (Weinberger et al. 2009): both
-    engines collide identically, so exactness is unaffected."""
-    base = (
+    engines collide identically, so exactness is unaffected.
+
+    r11 (guide §4.4): the rolling hash is an INTERPRETED higher-order
+    fold over the word's characters — evaluating it per token
+    occurrence was 2.7 s of the 7.9 s training wall at sf0.1. Hash
+    once per DISTINCT word (the vocabulary is Heaps'-law-bounded) and
+    join the bucket back onto the token stream — the same
+    per-distinct-word discipline `text_wordpiece_tokenize` uses for
+    its Arrow segmentation. The join is vocabulary × tokens; Spark
+    broadcasts the vocab side from stats (tiny at any SF that fits a
+    broadcast; past that it is a plain shuffle join on the word)."""
+    tokens = (
         docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
-        .select(F.col(id_col), (rolling_hash(F.col("w")) % dim).alias("bucket"))
     )
+    vocab = (
+        tokens.select("w").distinct()
+        .select("w", (rolling_hash(F.col("w")) % dim).alias("bucket"))
+    )
+    base = tokens.join(vocab, "w").select(F.col(id_col), "bucket")
     if binary:
         # presence features: x = 1 iff the bucket occurs. Measured to
         # matter for full-batch perceptron dynamics on this corpus:
@@ -100,55 +114,108 @@ def perceptron_train(docs: DataFrame, label: Column, epochs: int = 16,
     All-integer end-to-end: counts × integer weights, sign(0) pinned
     to −1. A hashed BIAS feature is the caller's choice (append a
     constant token to `text_col`, or rely on the corpus's own length
-    variation)."""
-    feats = hashed_features(docs, id_col, text_col, dim, binary=binary).localCheckpoint(eager=False)
+    variation).
+
+    r11 execution-shape rewrite (guide §2.3/§5.1), bit-identical
+    output: the weight vector is BOUNDED MODEL STATE (≤ `dim` nonzero
+    entries by construction), so it now lives on the driver — the
+    contract every distributed linear trainer uses (MLlib holds the
+    coefficient vector on the driver and treeAggregates gradients) and
+    the same boundedness class as the pocket error counts this
+    operator always pulled. What that buys, measured at sf0.1:
+
+    - features PACK to one array row per doc (collect_list after the
+      one doc-keyed exchange), eagerly checkpointed once; every epoch
+      is then a single scan of |docs| rows — the former shape paid a
+      broadcast-weight join + a full (doc, bucket)-row aggregate
+      per epoch;
+    - scoring is an integer `aggregate` fold over the packed array
+      against a literal weight map (≤ dim entries — constant-folded
+      per task, never corpus-sized);
+    - ONE action per epoch: the bucket-keyed delta aggregate (over
+      only the misclassified docs' exploded features, map-side
+      combined to ≤ dim rows) UNION a sentinel row carrying the
+      misclassified-doc count — the pocket statistic and the update
+      arrive in the same ≤ dim+1-row pull. The former shape ran a
+      16-deep lazy-checkpoint chain whose broadcasts serialized 16
+      extra planning jobs.
+
+    Isolated min-of-3 at sf0.1: train 10.2 → 5.4 s, eval 11.6 →
+    5.6 s (same output relation). Every driver pull is ≤ dim+1 rows —
+    algorithm state, never row data."""
     lab = docs.select(F.col(id_col), label.cast("long").alias("y"))
-    w = None
-    iterates: list[DataFrame] = []
-    err_counts: list[DataFrame] = []
-    for k in range(epochs):
-        scored = _score(feats, lab, w, id_col)
-        errors = _errors(scored, id_col)
-        delta = (
-            feats.join(errors, id_col)
-            .groupBy("bucket")
-            .agg(F.sum(F.col("x") * F.col("y")).cast("long").alias("d"))
+    bx = hashed_features(docs, id_col, text_col, dim, binary=binary).groupBy(
+        id_col
+    ).agg(
+        F.collect_list(
+            F.struct(F.col("bucket").cast("long").alias("b"), F.col("x").alias("x"))
+        ).alias("bx")
+    )
+    packed = (
+        lab.join(bx, id_col, "left")
+        .select(
+            F.col(id_col),
+            "y",
+            F.coalesce(
+                F.col("bx"),
+                F.expr("CAST(array() AS array<struct<b: bigint, x: bigint>>)"),
+            ).alias("bx"),
         )
-        if w is None:
-            w = delta.select("bucket", F.col("d").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    w: dict[int, int] = {}
+    iterates: list[dict[int, int]] = []
+    err_counts: list[int] = []
+    for k in range(epochs + 1):
+        if w:
+            m = F.create_map(
+                *[
+                    F.lit(v).cast("long")
+                    for kv in sorted(w.items())
+                    for v in kv
+                ]
+            )
+            s = F.aggregate(
+                F.col("bx"),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc
+                + e["x"] * F.coalesce(F.element_at(m, e["b"]), F.lit(0).cast("long")),
+            )
         else:
-            w = (
-                w.join(delta, "bucket", "full_outer")
-                .select(
-                    "bucket",
-                    (F.coalesce(F.col("w"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0)))
-                    .cast("long")
-                    .alias("w"),
+            s = F.lit(0).cast("long")
+        pred = F.when(s > 0, F.lit(1)).otherwise(F.lit(-1))
+        errs = packed.filter(pred != F.col("y"))
+        # one bounded action: per-bucket delta (≤ dim rows) + the
+        # sentinel (-1) row carrying the pocket error count of the
+        # CURRENT iterate (iterate k-1; the final pass evaluates the
+        # last iterate and applies no update)
+        rows = (
+            errs.select(F.explode("bx").alias("e"), "y")
+            .groupBy(F.col("e.b").alias("bucket"))
+            .agg(F.sum(F.col("e.x") * F.col("y")).cast("long").alias("d"))
+            .unionAll(
+                errs.agg(F.count(F.lit(1)).cast("long").alias("d")).select(
+                    F.lit(-1).cast("long").alias("bucket"), "d"
                 )
             )
-        # D-row relation; truncate the per-epoch lineage so epoch k's
-        # plan doesn't replay epochs 1..k-1 per reference (the
-        # bpe_train/pq_fit lineage rule)
-        w = w.localCheckpoint(eager=False)
-        iterates.append(w)
-        # pocket statistic: training-error COUNT of the new iterate —
-        # built as a 1-row relation and evaluated with all the others
-        # in ONE action below (16 separate .count() actions measured
-        # ~2x the wall time; the lazy checkpoints materialize inside
-        # the single union job either way)
-        err_counts.append(
-            _errors(_score(feats, lab, w, id_col), id_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit(k).alias("k"), "n")
+            .collect()
         )
-    all_counts = err_counts[0]
-    for c in err_counts[1:]:
-        all_counts = all_counts.unionAll(c)
-    # one bounded action: `epochs` scalars (algorithm state, not row
-    # data — the connected_components control-flow contract)
-    counts = {r.k: r.n for r in all_counts.collect()}
-    best_k = min(range(epochs), key=lambda k: (counts[k], k))
-    return iterates[best_k].filter(F.col("w") != 0)
+        n_err, delta = 0, {}
+        for r in rows:
+            if r["bucket"] == -1:
+                n_err = int(r["d"])
+            else:
+                delta[int(r["bucket"])] = int(r["d"])
+        if k > 0:
+            err_counts.append(n_err)
+        if k == epochs:
+            break
+        for b, d in delta.items():
+            w[b] = w.get(b, 0) + d
+        iterates.append(dict(w))
+    best_k = min(range(epochs), key=lambda i: (err_counts[i], i))
+    best = sorted((b, v) for b, v in iterates[best_k].items() if v != 0)
+    return docs.sparkSession.createDataFrame(best, "bucket long, w long")
 
 
 def perceptron_score(docs: DataFrame, weights: DataFrame,

@@ -124,7 +124,9 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def jaccard_pairs_prefix(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 3,
-                         threshold_num: int = 1, threshold_den: int = 2) -> DataFrame:
+                         threshold_num: int = 1, threshold_den: int = 2,
+                         index: DataFrame | None = None,
+                         sets_: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard join, J >= num/den, via PREFIX FILTERING
     (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo/Ma/Srikant WWW'07) —
     the RESULT relation is identical to `jaccard_pairs` at the same
@@ -154,8 +156,17 @@ def jaccard_pairs_prefix(docs: DataFrame, id_col: str = "doc_id",
 
     Shuffles: index (1), df groupBy (map-side combined), per-doc
     rank window (reuses the id partitioning), prefix self-join on
-    shingle, pair distinct, verify joins on the two id keys."""
-    idx = shingle_index(docs, id_col, text_col, n)
+    shingle, pair distinct, verify joins on the two id keys.
+
+    `index`/`sets_` (r11): callers composing several dedup methods
+    over the SAME corpus (dedup_methods_agreement runs this beside
+    two minhash families) pass the shingle index — and optionally the
+    per-doc set arrays derived from it — prebuilt (typically
+    localCheckpointed) so the explode+distinct runs once per QUERY,
+    not once per method. Must be exactly `shingle_index(docs, id_col,
+    text_col, n)` / its collect_set rollup; results are identical
+    either way (equality-tested)."""
+    idx = index if index is not None else shingle_index(docs, id_col, text_col, n)
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     wdoc = Window.partitionBy(id_col).orderBy("_df", "shingle")
     wsz = Window.partitionBy(id_col)
@@ -183,7 +194,8 @@ def jaccard_pairs_prefix(docs: DataFrame, id_col: str = "doc_id",
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets_ = idx.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    if sets_ is None:
+        sets_ = idx.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
     return _verify_candidates(
         cands, sets_, id_col, threshold_num / threshold_den
     )
@@ -270,7 +282,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3, threshold: float = 0.5,
                       num_hashes: int = NUM_MINHASH, bands: int = MINHASH_BANDS,
-                      seed_offset: int = 0) -> DataFrame:
+                      seed_offset: int = 0,
+                      index: DataFrame | None = None,
+                      sets_: DataFrame | None = None,
+                      candidates_only: bool = False) -> DataFrame:
     """MinHash + LSH banding near-duplicate join, exact-verified.
 
     Pipeline: signatures → split into `bands` bands of r rows → band
@@ -290,11 +305,18 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     exactly once for the whole pipeline. Measured at sf0.1: ~30%
     faster end-to-end than re-deriving per-doc arrays from the raw
     docs scan in the verify branch.
-    """
+
+    `index`/`sets_`: see `jaccard_pairs_prefix` — the prebuilt-index
+    hook for multi-method callers (r11). `candidates_only=True`
+    returns the distinct banding CANDIDATE pairs unverified — for
+    callers that already hold the exact pair set (an exact-recall
+    join's output) and can take `candidates ∩ exact` by semi-join
+    instead of re-running per-pair verification."""
     r = num_hashes // bands
-    idx = shingle_index(docs, id_col, text_col, n)
+    idx = index if index is not None else shingle_index(docs, id_col, text_col, n)
     sig = idx.groupBy(id_col).agg(*_minhash_aggs(num_hashes, seed_offset))
-    sets_ = idx.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    if sets_ is None and not candidates_only:
+        sets_ = idx.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
     buckets = sig.select(F.col(id_col), F.explode(_band_structs(bands, r)).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
@@ -306,6 +328,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if candidates_only:
+        return cands
     return _verify_candidates(cands, sets_, id_col, threshold)
 
 
@@ -754,20 +778,22 @@ def connected_components(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("src_label").alias("nbr_min"))
         )
-        new_labels = (
+        # r11: carry the changed FLAG inside the checkpointed relation
+        # (min-propagation only ever lowers a label, so changed ==
+        # new < old) instead of re-joining new vs old labels — one
+        # fewer join per round, and the convergence count becomes a
+        # bare scan of the just-materialized checkpoint.
+        new_flagged = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias("new_label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.select("node", F.col("label").alias("old")), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_flagged.filter(F.col("chg")).count()
+        labels = new_flagged.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             converged = True
             break

@@ -4049,9 +4049,6 @@ def join_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COSUPPLY_MAX_DEG = 33
 
 
-_COSUPPLY_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _cosupply_mutual_edges(li: DataFrame, checkpoint: bool = True,
                            sf_dir: str | None = None) -> DataFrame:
     """The mutual-top-5 co-supply edge relation (sa < sb) every graph
@@ -4069,44 +4066,54 @@ def _cosupply_mutual_edges(li: DataFrame, checkpoint: bool = True,
     top-5 list and the mutual edges localCheckpoint so the co-supply
     join runs once (measured 23s → ~4s at sf0.1).
 
-    Session-scoped materialization (r11): the relation is a pure
-    function of the immutable fixture lineitem, and SIX registered
-    queries each rebuilt it from scratch — the family's dominant
-    shared cost (r11 decomposition: the k-core FIXPOINT is 5 rounds /
-    ~1.9 s flat across SFs, while this projection is 3.6 s sf0.1 /
-    10.1 s sf1 PER REBUILD). With `sf_dir` given, the checkpointed
-    edge list is cached per (sparkContext.applicationId, sf_dir) —
-    the build-once-serve-many lifecycle `knn_ivfpq_persisted` models
-    for ANN indexes, applied to a shared graph view; on a cluster
-    this is the materialized view the family would read. Cache
-    entries are edge lists (<= 5·|suppliers| rows) pinned via
-    localCheckpoint; a new Spark context gets a new applicationId, so
-    dead-session frames are never served."""
-    spark = li.sparkSession
-    key = None
-    if sf_dir is not None:
-        key = (spark.sparkContext.applicationId, sf_dir)
-        hit = _COSUPPLY_CACHE.get(key)
-        if hit is not None:
-            return hit
-    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
-    heavy = (
-        sp.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("_deg"))
-        .filter(F.col("_deg") > _COSUPPLY_MAX_DEG)
-        .select("p")
+    r11 optimization-round note: a mid-build revision memoized the
+    checkpointed edge list in a module dict keyed on (applicationId,
+    sf_dir) so the six consumer queries shared one build. REMOVED
+    (r11): a module-level memo keyed on the data directory means a
+    benched query's warm reps serve a cached intermediate instead of
+    computing from the parquet inputs — exactly the cross-invocation
+    caching the bench methodology forbids. Every caller now rebuilds
+    the projection inside its own timed region; sharing happens only
+    WITHIN one query plan (the localCheckpoints below). On a real
+    cluster the six consumers would read a materialized view with
+    explicit refresh semantics — that lifecycle belongs in the
+    lakehouse MV operator (`lakehouse_mv_join_incremental`), not a
+    process-global dict. `sf_dir` stays in the signature (callers
+    pass it; harmless) so the call sites did not churn."""
+    # r11 optimization (guide §2.2/§3.5): the former pipeline was
+    # distinct(s,p) -> degree groupBy(p) -> broadcast anti-join ->
+    # p-key SELF-JOIN -> pair groupBy — four exchanges plus a join.
+    # One groupBy(p).collect_set(s) replaces all of the first three:
+    # the set dedups (s,p) pairs, size(set) IS the exact distinct
+    # degree (the > _COSUPPLY_MAX_DEG drop happens before any
+    # explode), and the ordered pairs come from an in-partition
+    # combination expansion over the sorted set — the self-join
+    # disappears entirely. Exchanges: (p) + (x,y) = 2, was 4 + join.
+    # Pair counts are bit-identical (combinations of the distinct
+    # supplier set per part == the a.s < b.s self-join output).
+    # Expansion form matters: posexplode + slice explode (codegen'd
+    # generators) measured 2.05 s vs 3.38 s for the equivalent nested
+    # transform/flatten lambda (higher-order array functions are
+    # interpreted — the minhash_signatures lesson) vs 2.77 s for the
+    # old self-join, at sf0.1 min-of-3.
+    # Skew trade, documented: a hot part's full distinct-supplier set
+    # now assembles at one reducer (O(deg) memory) BEFORE the cap
+    # drops it, where the anti-join form kept hot keys as streaming
+    # counts; the explode stays cap-bounded either way. At adversarial
+    # skew (deg ~ 1e6) revert the heavy-drop to the count+anti-join
+    # form and keep the combination expansion for the survivors.
+    parts_sets = (
+        li.groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.array_sort(F.collect_set(F.col("l_suppkey"))).alias("ss"))
+        .filter(F.size("ss") <= _COSUPPLY_MAX_DEG)
     )
-    sp = sp.join(F.broadcast(heavy), "p", "left_anti")
-    # join each unordered pair ONCE (a.s < b.s) and mirror after the
-    # aggregate: co-supply counts are symmetric, so this halves the
-    # self-join output and the (sa, sb) shuffle — measured the
-    # projection (the whole family's dominant term, r11) at
-    # 10.2 -> 7.4 s sf0.1 cold; bit-identical counts, oracles
-    # untouched (their a.s <> b.s form IS this relation)
     co_half = (
-        sp.alias("a")
-        .join(sp.alias("b"), F.expr("a.p = b.p AND a.s < b.s"))
-        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        parts_sets.select(F.posexplode("ss").alias("i", "x"), F.col("ss"))
+        .select(
+            "x",
+            F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("y"),
+        )
+        .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     co = co_half.select(
@@ -4127,10 +4134,6 @@ def _cosupply_mutual_edges(li: DataFrame, checkpoint: bool = True,
         .filter(F.expr("d.sa < d.sb"))
         .select(F.col("d.sa").alias("sa"), F.col("d.sb").alias("sb"))
     )
-    if key is not None:
-        e = e.localCheckpoint(eager=True)
-        _COSUPPLY_CACHE[key] = e
-        return e
     return e.localCheckpoint(eager=True) if checkpoint else e
 
 
@@ -6455,18 +6458,33 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness across engines: daily revenue rides summed integer
     CENTS (the `stats_mann_kendall` trick), each slope is ONE IEEE
-    division of exact integers — bit-identical in Spark and DuckDB —
-    and the median is taken by EXPLICIT RANK (row_number over slope;
-    rows (n+1)//2 and (n+2)//2 averaged with the same sum/count
-    expression on both sides), never an engine `median()` whose
-    interpolation convention could differ. Equal slope values make
-    the rank tiebreak value-irrelevant.
+    division of exact integers — bit-identical in Spark, DuckDB and
+    numpy float64 — and the median is taken by EXPLICIT RANK (rows
+    (n+1)//2 and (n+2)//2 of the ascending sort, averaged with the
+    same sum/2 expression on both sides), never an engine `median()`
+    whose interpolation convention could differ. Equal slope values
+    make the rank tiebreak value-irrelevant.
 
-    Scale: the pairwise relation is DOMAIN-bounded (≤ |calendar|² /2
-    ≈ 2.9M pairs at every TPC-H SF — the `stats_kendall_tau` cells
-    argument), so the global rank window runs on a bounded relation;
-    at an unbounded time domain the median comes from a two-pass
-    quantile (`agg_quantile_twopass`) over the same slope relation."""
+    r11 execution shape (guide §2.1/§5): the DISTRIBUTED part of this
+    statistic is the daily cents rollup — one map-side-combined
+    aggregate over 100 TB of orders collapsing to ≤ |calendar| rows
+    (~2.4k at every TPC-H SF; the fixture calendar is 1992-1998 at
+    any SF). The pair/median phase runs on that DOMAIN-BOUNDED
+    relation, so it is bounded driver state (the q2p-histogram /
+    pocket-count pull class) and is computed in-process: the original
+    form built the ~2.9M-row pair relation distributively and ranked
+    it through a row_number() over a GLOBAL single-partition sort
+    window — all pair rows through one task, 3.5 s at sf0.1 for what
+    is 0.2 s of in-memory arithmetic. A two-pass histogram refinement
+    (`agg_quantile_twopass`) was measured as the distributed
+    alternative: 2.9-4.5 s — every pass pays job+shuffle overhead on
+    a relation that fits in one task's memory by construction. The
+    day-domain guard FAILS LOUD past 2^13 days (22 calendar years;
+    pairs then exceed the bounded-pull budget): an unbounded time
+    domain needs the merge-rank / two-pass-quantile path over the
+    distributed slope relation, not a silent driver blowup."""
+    import numpy as np
+
     o = load_table(spark, "orders", sf_dir)
     daily = (
         o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
@@ -6475,40 +6493,31 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
-        .localCheckpoint(eager=True)  # bounded: one row per calendar day
     )
-    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("xa"))
-    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("xb"))
-    slopes = (
-        a.join(b, F.col("da") < F.col("db"))
-        .select(
-            ((F.col("xb") - F.col("xa")).cast("double")
-             / F.datediff(F.col("db"), F.col("da"))).alias("slope")
+    rows = daily.collect()  # bounded: one row per calendar day
+    if len(rows) > 8192:
+        raise RuntimeError(
+            f"stats_theil_sen: {len(rows)} days exceeds the 8192-day "
+            "bounded-driver budget; an unbounded time domain needs the "
+            "distributed two-pass quantile over the slope relation "
+            "(see agg_quantile_twopass)"
         )
-    )
-    wr = Window.orderBy("slope")
-    ranked = slopes.select(
-        "slope",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()).alias("np"),
-    )
-    mid = ranked.filter(
-        (F.col("rn") == F.expr("(np + 1) DIV 2"))
-        | (F.col("rn") == F.expr("(np + 2) DIV 2"))
-    )
-    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    return (
-        n_days.crossJoin(
-            F.broadcast(
-                mid.agg(
-                    F.max("np").cast("long").alias("n_pairs"),
-                    (F.sum("slope") / F.count(F.lit(1)))
-                    .alias("slope_cents_per_day"),
-                )
-            )
-        )
-        .select("n_days", "n_pairs", "slope_cents_per_day")
+    di = np.array([r["d"].toordinal() for r in rows], dtype=np.int64)
+    cents = np.array([r["cents"] for r in rows], dtype=np.int64)
+    order = np.argsort(di)
+    di, cents = di[order], cents[order]
+    n = len(di)
+    iu, ju = np.triu_indices(n, k=1)
+    slopes = (cents[ju] - cents[iu]).astype(np.float64) / (
+        di[ju] - di[iu]
+    ).astype(np.float64)
+    slopes.sort()
+    np_pairs = slopes.size
+    v1 = slopes[(np_pairs + 1) // 2 - 1]
+    v2 = slopes[(np_pairs + 2) // 2 - 1]
+    return spark.createDataFrame(
+        [(n, int(np_pairs), float((v1 + v2) / 2.0))],
+        "n_days long, n_pairs long, slope_cents_per_day double",
     )
 
 

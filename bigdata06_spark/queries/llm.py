@@ -4036,12 +4036,50 @@ def dedup_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe simhash form lives under its own full value-hash gate
     as `dedup_simhash_adaptive`."""
     docs = load_table(spark, "documents", sf_dir)
-    ex = D.jaccard_pairs_prefix(docs).select("doc_a", "doc_b")
-    mh = D.minhash_lsh_pairs(docs, threshold=0.5).select(
-        F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b"), F.lit(1).alias("_ma")
+    # r11 (guide §2.2/§2.3): three structural rewrites, identical
+    # output. (1) The three method pipelines each rebuilt the shingle
+    # index (the interpreted explode+distinct — the corpus scan's
+    # dominant term) from scratch; it now builds ONCE inside this
+    # query's own timed plan, localCheckpointed, and feeds all three.
+    # (2) The exact-Jaccard verification arrays carry a BIJECTIVE
+    # integer encoding of the shingles (monotonic ids over the
+    # distinct-shingle relation, fixed by the checkpoint) instead of
+    # the ~20-byte shingle strings: array_intersect sizes — the only
+    # thing verification reads — are invariant under any bijection,
+    # and the per-candidate join payload shrinks ~5x (measured the
+    # verify stage 4.4 -> 1.6 s at sf0.1). (3) The two minhash
+    # families no longer re-verify their candidates pair-by-pair:
+    # the prefix-filtered exact join has RECALL 1 by construction
+    # (its correctness proof, operators/dedup.py), so a banding
+    # candidate has J >= t iff it appears in the exact pair set —
+    # `candidates ∩ ex` by left-semi join IS the verified output.
+    idx = D.shingle_index(docs).localCheckpoint(eager=True)
+    sdict = (
+        idx.select("shingle")
+        .distinct()
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # bijection pinned by the checkpoint
     )
-    mb = D.minhash_lsh_pairs(docs, threshold=0.5, seed_offset=101).select(
-        F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b"), F.lit(1).alias("_mb")
+    sets_ = (
+        idx.join(sdict, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sid").alias("sh_set"))
+        .localCheckpoint(eager=True)
+    )
+    ex = D.jaccard_pairs_prefix(docs, index=idx, sets_=sets_).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    mh = (
+        D.minhash_lsh_pairs(docs, threshold=0.5, index=idx, candidates_only=True)
+        .join(ex, ["doc_a", "doc_b"], "left_semi")
+        .select("doc_a", "doc_b", F.lit(1).alias("_ma"))
+    )
+    mb = (
+        D.minhash_lsh_pairs(
+            docs, threshold=0.5, seed_offset=101, index=idx, candidates_only=True
+        )
+        .join(ex, ["doc_a", "doc_b"], "left_semi")
+        .select("doc_a", "doc_b", F.lit(1).alias("_mb"))
     )
     joined = ex.join(mh, ["doc_a", "doc_b"], "full_outer").join(
         mb, ["doc_a", "doc_b"], "full_outer"

@@ -1074,3 +1074,50 @@ def test_pixel_features_encoding_invariant(monkeypatch):
     bpdf = pd.DataFrame({"doc_id": [1], "payload": [enc_a]})
     bf = pd.concat(list(M.feature_batch(8)(iter([bpdf]))))
     assert not (fa.to_numpy() == bf["feat_val"].to_numpy()).all()
+
+
+def test_prebuilt_index_and_candidates_only_paths_match(spark, sf_dir):
+    """r11 optimization hooks: (a) passing a prebuilt shingle index —
+    and verification sets under ANY bijective element encoding — into
+    jaccard_pairs_prefix / minhash_lsh_pairs yields the identical pair
+    set as the self-built path; (b) candidates_only=True returns a
+    SUPERSET of the verified pairs (banding recall), so semi-joining
+    candidates against an exact-recall pair set reproduces the
+    verified output (the dedup_methods_agreement rewrite)."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        minhash_lsh_pairs,
+        shingle_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    idx = shingle_index(docs).localCheckpoint(eager=True)
+    sdict = (
+        idx.select("shingle").distinct()
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    int_sets = (
+        idx.join(sdict, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sid").alias("sh_set"))
+    )
+    pairs = lambda df: sorted(map(tuple, df.select("doc_a", "doc_b").collect()))
+
+    ex_default = pairs(jaccard_pairs_prefix(docs))
+    ex_prebuilt = pairs(jaccard_pairs_prefix(docs, index=idx, sets_=int_sets))
+    assert ex_default == ex_prebuilt
+
+    mh_default = pairs(minhash_lsh_pairs(docs, threshold=0.5))
+    mh_prebuilt = pairs(minhash_lsh_pairs(docs, threshold=0.5, index=idx))
+    assert mh_default == mh_prebuilt
+
+    cands = pairs(minhash_lsh_pairs(docs, threshold=0.5, candidates_only=True))
+    assert set(mh_default) <= set(cands)  # candidates are a superset
+    ex_df = spark.createDataFrame(ex_default or [(0, 0)], ["doc_a", "doc_b"])
+    semi = pairs(
+        minhash_lsh_pairs(docs, threshold=0.5, candidates_only=True)
+        .join(ex_df, ["doc_a", "doc_b"], "left_semi")
+    )
+    assert semi == mh_default
