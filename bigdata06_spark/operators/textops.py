@@ -129,111 +129,82 @@ def bpe_train(docs, n_merges: int = 6, id_col: str = "doc_id",
               text_col: str = "text", return_vocab: bool = False):
     """Train a BPE merge table from the corpus (Sennrich et al., ACL
     2016) — LEARNING the merges, not just applying a shipped table
-    (`text_bpe_tokenize` is the apply side). Fully relational and
-    deterministic, so the iterative algorithm replays exactly in SQL:
+    (`text_bpe_tokenize` is the apply side).
 
-    - word vocabulary with counts: ONE corpus scan; every later round
-      runs on the vocab relation (Heaps'-law-bounded), never the
-      corpus — the scaling property real BPE trainers rely on;
-    - per round: adjacent-pair counts weighted by word count → argmax
-      pair (ties to lexicographically smallest) → GREEDY left-to-right
-      merge applied relationally: candidate positions marked, runs of
-      overlapping candidates (only possible when a = b) resolved by
-      island parity (gaps-and-islands: island = pos − cumulative
-      candidate count; keep candidates at even offset from their
-      island start; drop the position consumed by a kept merge);
-    - the argmax joins in by broadcast — no driver collect in the
-      loop; the unrolled lineage is pure, so retries/replays are
-      bit-deterministic.
+    Execution shape (r11, guide §5.1): the DISTRIBUTED part is the
+    word-count vocabulary — one corpus scan collapsing 100 TB of text
+    to the Heaps'-law-bounded (word, count) relation. The merge
+    rounds themselves run on that bounded relation and nothing else
+    (the scaling property real BPE trainers rely on — HuggingFace
+    tokenizers hold exactly this table in memory), so they are
+    bounded driver state, like the pocket-perceptron weights and the
+    two-pass-quantile histogram. Per round: adjacent-pair counts
+    weighted by word count → argmax pair (ties to lexicographically
+    smallest) → greedy LEFT-TO-RIGHT merge (overlapping candidate
+    runs resolve by parity — the same semantics the former
+    relational island-parity implementation had, value-hash-pinned
+    by the unrolled SQL oracle at three SFs). The former form ran
+    the rounds as ~5 distributed jobs per round over a ≤ vocab-row
+    relation — pure scheduling overhead (3.5 s at sf0.1 for 31
+    distinct words); now one bounded pull + in-memory rounds
+    (3.5 → ~0.8 s). FAILS LOUD past 2^22 distinct words (~200 MB of
+    driver vocab — generous: web-scale corpora plateau near 10M
+    after the C4-style filters this pipeline applies upstream).
 
     Returns (round, pair_left, pair_right, merged, pair_count) — one
-    row per learned merge. Shuffle budget per round: 1 vocab-sized
-    pair aggregate + windows clustered on the word key."""
-    from pyspark.sql import Window
-
-    from bigdata06_spark.operators.scale import rebalance_for_amplification
-
-    docs = rebalance_for_amplification(docs, id_col)
-    vocab = (
+    row per learned merge; with `return_vocab`, also the trained
+    (w, wc, sym) segmentation relation (tokenizing a corpus is a join
+    against it, never a re-run of the merge loop per document)."""
+    spark = docs.sparkSession
+    vocab_rows = (
         docs.select(F.explode(words(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()  # bounded: Heaps'-law vocabulary, guarded below
     )
-    V = vocab.select("w", "wc", F.split("w", "").alias("sym"))
-    merges = None
-    for r in range(n_merges):
-        ex = V.select("w", "wc", F.posexplode("sym").alias("pos", "s"))
-        wnd = Window.partitionBy("w").orderBy("pos")
-        exn = ex.withColumn("nxt", F.lead("s").over(wnd))
-        pairs = (
-            exn.filter(F.col("nxt").isNotNull())
-            .groupBy(F.col("s").alias("a"), F.col("nxt").alias("b"))
-            .agg(F.sum("wc").cast("long").alias("pair_count"))
+    if len(vocab_rows) > (1 << 22):
+        raise RuntimeError(
+            f"bpe_train: {len(vocab_rows)} distinct words exceeds the "
+            "2^22 bounded-driver vocabulary budget; shard the merge "
+            "loop (per-prefix sub-vocabularies) before lifting this"
         )
-        best = (
-            pairs.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("a").alias("pair_left"),
-                F.col("b").alias("pair_right"),
-                F.concat("a", "b").alias("merged"),
-                "pair_count",
-            )
-        )
-        merges = best if merges is None else merges.unionAll(best)
-
-        bc = F.broadcast(
-            best.select(F.col("pair_left").alias("_A"), F.col("pair_right").alias("_B"))
-        )
-        st = (
-            exn.crossJoin(bc)
-            .withColumn("is_cand", (F.col("s") == F.col("_A")) & (F.col("nxt") == F.col("_B")))
-            .withColumn("cand_rn", F.sum(F.col("is_cand").cast("int")).over(wnd))
-            .withColumn("island", F.when(F.col("is_cand"), F.col("pos") - F.col("cand_rn")))
-        )
-        wisl = Window.partitionBy("w", "island")
-        st = (
-            st.withColumn(
-                "run_start", F.min(F.when(F.col("is_cand"), F.col("pos"))).over(wisl)
-            )
-            .withColumn(
-                "kept",
-                F.col("is_cand") & (((F.col("pos") - F.col("run_start")) % 2) == 0),
-            )
-            .withColumn("consumed", F.coalesce(F.lag("kept").over(wnd), F.lit(False)))
-        )
-        V = (
-            st.filter(~F.col("consumed"))
-            .withColumn(
-                "out_s",
-                F.when(F.col("kept"), F.concat(F.col("_A"), F.col("_B"))).otherwise(
-                    F.col("s")
-                ),
-            )
-            .groupBy("w", "wc")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "out_s"))),
-                    lambda x: x["out_s"],
-                ).alias("sym")
-            )
-        )
-        # Linearize the unrolled lineage: without this, each round's
-        # `best` branch re-derives every prior round's vocab (O(R²)
-        # vocab passes — measured 29s → 7s at sf0.01 for R=6). The
-        # vocab relation is Heaps'-law-bounded, so materializing it
-        # per round is cheap; executor-local checkpoint, same caveat
-        # as connected_components (lost executor → recompute).
-        V = V.localCheckpoint(eager=True)
+    # split(w, "") semantics: per-character symbols
+    vocab = [(r["w"], int(r["wc"]), list(r["w"])) for r in vocab_rows]
+    merges = []
+    for rnd in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, wc, sym in vocab:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + wc
+        if not counts:
+            break  # no adjacent pairs anywhere: nothing left to learn
+        (a, b), pc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, a, b, a + b, pc))
+        nxt = []
+        for w, wc, sym in vocab:
+            out, i, n = [], 0, len(sym)
+            while i < n:
+                if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt.append((w, wc, out))
+        vocab = nxt
+    merges_df = spark.createDataFrame(
+        merges,
+        "round long, pair_left string, pair_right string, "
+        "merged string, pair_count long",
+    )
     if return_vocab:
-        # (merge table, trained segmentation: word -> symbol array) —
-        # the tokenizer half: tokenizing a corpus with the learned
-        # vocab is a join against this Heaps'-bounded relation, never
-        # a re-run of the merge loop per document
-        return merges, V
-    return merges
+        vocab_df = spark.createDataFrame(
+            vocab, "w string, wc long, sym array<string>"
+        )
+        return merges_df, vocab_df
+    return merges_df
 
 
 def wordpiece_segment(words: "DataFrame", vocab: list[str], max_len: int,

@@ -5115,14 +5115,21 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     string renderings are bit-identical; a bare double->string cast is
     NOT, the two engines disagree on scientific-notation cutoffs).
 
-    Scale: a single aggregate computes all 24 measures in one scan
-    (the multi-count-distinct plans via Catalyst's expand — one pass,
-    6x row expansion, map-side partial aggregation), then stack()
-    pivots the 1x24 row to the 6x5 profile — no per-column re-scans,
-    which is the difference between profiling a 100 TB table once and
-    six times."""
+    Scale: TWO aggregates over two scans (then one cross join of two
+    1-row frames + stack()). r11 split (guide §2.3, plan evidence in
+    plans/r11/dq_profile_columns_*.txt): the former single aggregate
+    mixed the six exact countDistincts with string/timestamp min/max
+    — Catalyst's multi-distinct rewrite EXPANDs every row 7x and
+    groups by all six distinct columns, and the var-length min/max
+    buffers disqualify HashAggregate, so the whole 7x-expanded
+    relation went through SortAggregate with two full sorts (3.7 s
+    for 150k rows at sf0.1). Split, the distinct-count aggregate
+    keeps only long buffers (Expand -> HashAggregate, no sort) and
+    the null/min/max aggregate is keyless (SortAggregate WITHOUT a
+    sort, one pass, map-side combined). 3.7 -> ~0.9 s; identical
+    24 measures, and a 100 TB profile still costs O(2 scans), never
+    per-column re-scans."""
     o = load_table(spark, "orders", sf_dir)
-    aggs = []
     cols = [
         ("o_orderkey", "int"),
         ("o_custkey", "int"),
@@ -5131,10 +5138,13 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderdate", "ts"),
         ("o_orderpriority", "str"),
     ]
+    nd_aggs = [
+        F.countDistinct(F.col(name)).alias(f"nd_{name}") for name, _ in cols
+    ]
+    mm_aggs = []
     for name, kind in cols:
         c = F.col(name)
-        aggs.append(F.sum(c.isNull().cast("long")).alias(f"nn_{name}"))
-        aggs.append(F.countDistinct(c).alias(f"nd_{name}"))
+        mm_aggs.append(F.sum(c.isNull().cast("long")).alias(f"nn_{name}"))
         if kind == "money":
             mn = F.format_string("%.2f", F.min(c))
             mx = F.format_string("%.2f", F.max(c))
@@ -5144,9 +5154,9 @@ def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             mn = F.min(c).cast("string")
             mx = F.max(c).cast("string")
-        aggs.append(mn.alias(f"mn_{name}"))
-        aggs.append(mx.alias(f"mx_{name}"))
-    wide = o.agg(*aggs)
+        mm_aggs.append(mn.alias(f"mn_{name}"))
+        mm_aggs.append(mx.alias(f"mx_{name}"))
+    wide = o.agg(*nd_aggs).crossJoin(F.broadcast(o.agg(*mm_aggs)))
     stack = ", ".join(
         f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
         for name, _ in cols

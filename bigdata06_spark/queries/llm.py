@@ -4394,11 +4394,17 @@ def knn_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = codebook.localCheckpoint()
     cells = cells.localCheckpoint()
     codes = codes.localCheckpoint()
+    # r11: the serving coarse centroids are part of the fitted index —
+    # compute them ONCE and hand them to every curve point (ivfpq_serve
+    # with cents=None rebuilds them from the corpus per call: three
+    # identical O(corpus·dim) posexplode aggregates for one curve).
+    cents = S.ivfpq_coarse_centroids(e, cells).localCheckpoint()
     exact = S.knn_bruteforce(q, e, k=_NPC_TOPK).select("query_id", "neighbor_id")
     points = []
     for np_ in _NPC_PROBES:
         ann = S.ivfpq_serve(
-            q, e, codebook, cells, codes, k_neighbors=_NPC_TOPK, nprobe=np_
+            q, e, codebook, cells, codes, k_neighbors=_NPC_TOPK, nprobe=np_,
+            cents=cents,
         ).select("query_id", "neighbor_id")
         hits = ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
         points.append(

@@ -60,6 +60,22 @@ def _events_stream_dir(sf_dir: str) -> str:
     return d
 
 
+def _dir_bytes(d: str) -> int:
+    """Total bytes of the (symlinked) data files under a stream dir —
+    the input-size signal stream_state_partitions scales from."""
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(d, followlinks=True):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return total
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded stream (file source).
 
@@ -69,10 +85,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply the catalog's shared ts normalization."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    d = _events_stream_dir(sf_dir)
+    spark._bd6_stream_bytes = _dir_bytes(d)  # sizes the state partitions
     raw = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
-        .load(_events_stream_dir(sf_dir))
+        .load(d)
     )
     return normalize_events_ts(raw)
 
@@ -91,26 +109,60 @@ def as_event_time(events: DataFrame) -> DataFrame:
     return events
 
 
+#: compressed input bytes per streaming STATE partition. Each shuffle
+#: partition of a stateful operator is a state-store instance that
+#: pays open/commit/snapshot PER MICRO-BATCH (several stores per
+#: partition for a two-sided join) — the dominant fixed cost of a
+#: replay at small state. 2 MB of parquet events ≈ 100k rows ≈ tens
+#: of thousands of state entries: comfortably one store.
+_BYTES_PER_STATE_PARTITION = 2 << 20
+
+
+def stream_state_partitions(nbytes: int | None) -> int:
+    """State-partition count for a streaming drain, derived from the
+    stream's INPUT SIZE (guide §2: scale-adaptive partitioning — the
+    streaming twin of session.input_scaled_partitions). The r10 form
+    pinned 32 regardless of input; at sf0.1 that meant 32 state-store
+    instances × stores-per-operator × batches for ~40k state rows —
+    measured 5.2 s for stream_stream_join's EMPTY finalization batch
+    alone (pure store open/evict/commit). Floored at 8 so tiny test
+    streams still exercise multi-partition state; grows with input
+    (a 100 TB stream gets thousands). `SPARK_GRAFT_STREAM_PARTITIONS`
+    overrides for cluster tuning."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "")
+    if env:
+        return max(1, int(env))
+    if not nbytes:
+        return 32  # unknown input: the former fixed clamp
+    return max(8, -(-nbytes // _BYTES_PER_STATE_PARTITION))
+
+
 def run_to_table(result: DataFrame, mode: str) -> DataFrame:
     """Drain a streaming DataFrame through availableNow → memory sink;
     return the materialized table.
 
-    Clamps shuffle partitions for the replay: a session built without
-    engine configs (e.g. the external driver's) defaults to 200, which
-    is pure task overhead at this state size. Runtime-settable, applies
-    to the streaming query's stateful shuffles."""
+    Sets shuffle partitions for the replay to the input-scaled state
+    partition count (`stream_state_partitions`; the source builders
+    stash the stream's input bytes on the session) and RESTORES the
+    session value afterwards — the r10 form clamped 200 → 32 as a
+    permanent session side effect; batch queries running after a
+    drain now keep their own partitioning."""
     spark = result.sparkSession
-    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-    name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    target = stream_state_partitions(getattr(spark, "_bd6_stream_bytes", None))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        name = f"stream_out_{uuid.uuid4().hex[:12]}"
+        q = (
+            result.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return result.sparkSession.table(name)
 
 
@@ -271,6 +323,7 @@ def stream_events_with_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         flush.coalesce(1).write.mode("overwrite").parquet(flush_path)
     raw_schema = raw.schema
+    spark._bd6_stream_bytes = _dir_bytes(d)  # sizes the state partitions
     stream = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
