@@ -578,16 +578,33 @@ def test_fuzzy_er_join_is_blocked_equijoin(spark, sf_dir):
 
 
 def test_affinity_capped_degree_pass_no_window(spark, sf_dir):
-    """VERDICT r3 #1: the max_deg hot-part pass must be a map-side-
-    combined groupBy + broadcast anti-join — never a Window over the
-    part key (which would shuffle the full supplier↔part relation on
-    the very keys the cap exists to remove) — and the projection
-    itself must stay an equi-join on the part key, no cross product."""
+    """VERDICT r3 #1 (shape updated r11): the max_deg hot-part cap
+    must apply BEFORE any pair expansion and never as a Window over
+    the part key (which would shuffle the full supplier↔part relation
+    on the very keys the cap exists to remove), and the projection
+    must never degrade to a cross product. r11 form: one part-keyed
+    collect_set + size(ss) <= cap filter + combination expansion
+    (Generate), replacing the former count + broadcast anti-join +
+    p-key self-join — the pair relation is generated in-partition, so
+    there is no join at all to mis-plan."""
     plan = plan_of(SPECS["supplier_affinity_graph_capped"].fn(spark, sf_dir))
     assert "Window" not in plan, plan
-    assert re.search(r"BroadcastHashJoin LeftAnti", plan), plan
+    assert "Generate" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the cap itself executes inside the checkpointed projection (not
+    # visible in the downstream plan), so pin its SEMANTICS: a part
+    # above max_deg contributes no pairs at all
+    from bigdata06_spark.queries.analytics import _affinity_graph
+
+    rows = [("s%02d" % i, "hot") for i in range(5)] + [
+        ("s%02d" % i, "cold") for i in range(3)
+    ]
+    li = spark.createDataFrame(rows, ["l_suppkey", "l_partkey"])
+    got = _affinity_graph(li, threshold=0.0, max_deg=4).collect()
+    touched = {r.s_a for r in got} | {r.s_b for r in got}
+    assert touched == {"s00", "s01", "s02"}, got  # hot part (deg 5) dropped
+    assert all(r.shared_parts == 1 for r in got), got
 
 
 def test_lsh_probe_broadcasts_query_buckets(spark, sf_dir):
