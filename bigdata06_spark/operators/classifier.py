@@ -142,7 +142,20 @@ def perceptron_train(docs: DataFrame, label: Column, epochs: int = 16,
 
     Isolated min-of-3 at sf0.1: train 10.2 → 5.4 s, eval 11.6 →
     5.6 s (same output relation). Every driver pull is ≤ dim+1 rows —
-    algorithm state, never row data."""
+    algorithm state, never row data.
+
+    `dim` is bounded at 2^13 (fail-loud, ADVICE r11): each epoch
+    embeds a create_map literal of up to 2·dim arguments in the plan,
+    so an unbounded dim is a silently exploding plan/codegen, not a
+    bigger model. Wider feature spaces need the broadcast-join weight
+    shape this rewrite replaced."""
+    if dim > 1 << 13:
+        raise ValueError(
+            f"perceptron_train: dim {dim} exceeds the 2^13 literal-"
+            "weight-map budget (the per-epoch plan embeds 2*dim map "
+            "arguments); use a broadcast weight relation for wider "
+            "feature spaces"
+        )
     lab = docs.select(F.col(id_col), label.cast("long").alias("y"))
     bx = hashed_features(docs, id_col, text_col, dim, binary=binary).groupBy(
         id_col

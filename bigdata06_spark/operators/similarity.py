@@ -54,7 +54,29 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def _cos_dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def _cos_norm_sql(a: str) -> str:
+    return (f"sqrt(aggregate(transform({a}, x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity over two double arrays. When both arguments
+    are COLUMN NAMES the whole expression is built as ONE parsed SQL
+    string (r12, guide §7.3 / the minhash_signatures lesson): the
+    Column-algebra form constructs five higher-order lambdas through
+    py4j per call — ~0.1 s of pure driver time — and cosine is on the
+    construction path of every similarity query, several times per
+    iteration in the walk loops. Identical expression either way
+    (same fold order, same double-typed zero)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"{_cos_dot_sql(a, b)} / ({_cos_norm_sql(a)} * {_cos_norm_sql(b)})"
+        )
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -78,9 +100,9 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
     # `is not None`, not truthiness: round_sim=0 means "round to the
     # integer grid", only None disables rounding (review r10)
     sim = (
-        rnd(cosine(F.col("qv"), F.col("cv")), round_sim)
+        rnd(cosine("qv", "cv"), round_sim)
         if round_sim is not None
-        else cosine(F.col("qv"), F.col("cv"))
+        else cosine("qv", "cv")
     )
     scored = (
         F.broadcast(q)
@@ -124,9 +146,9 @@ def knn_filtered(queries: DataFrame, corpus: DataFrame, filter_col: str,
         as_double(F.col(vec_col)).alias("cv"),
     )
     sim = (
-        rnd(cosine(F.col("qv"), F.col("cv")), round_sim)
+        rnd(cosine("qv", "cv"), round_sim)
         if round_sim is not None
-        else cosine(F.col("qv"), F.col("cv"))
+        else cosine("qv", "cv")
     )
     scored = (
         F.broadcast(q)
@@ -303,7 +325,7 @@ def lsh_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_planes: int = 6
         q.join(c, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .filter(F.col("t") + 1 == first_match)
-        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", rnd(cosine("qv", "cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -383,7 +405,7 @@ def ivf_ann(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 8,
     scored = (
         probes.join(c, join_key)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", rnd(cosine("qv", "cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     out_cols = ["query_id"]
@@ -570,8 +592,8 @@ def kmeans_assign(corpus: DataFrame, k: int = 8, n_iter: int = 2,
             .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cx"))
         )
         cents = per_dim.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)"
             ).alias("cq")
         )
         assign = _assign_cells(qv, cents)
@@ -720,11 +742,15 @@ def pq_fit(corpus: DataFrame, n_subspaces: int = 4, k: int = 16, n_iter: int = 2
             .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cx"))
         )
         cents = per_dim.groupBy("m", "cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)"
             ).alias("cq")
         )
-        cents = cents.localCheckpoint(eager=True)
+        # lazy (r12): truncates lineage the same way, but materializes
+        # inside the consumer's own job instead of as a separate
+        # driver-sequenced barrier job per Lloyd round (guide §2.3 —
+        # at fixture SFs the per-job fixed cost dominated the round)
+        cents = cents.localCheckpoint(eager=False)
         assign = _assign_cells_m(sub, cents, with_dist=True)
     codes = assign.groupBy("vec_id").agg(
         *[
@@ -812,7 +838,7 @@ def pq_adc_rerank_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int =
     exact = (
         short.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", rnd(cosine("qv", "cv"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -824,7 +850,7 @@ def pq_adc_rerank_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int =
 
 def ivfpq_fit(corpus: DataFrame, n_cells: int = 8, n_subspaces: int = 4,
               codebook_k: int = 16, id_col: str = "vec_id",
-              vec_col: str = "embedding"):
+              vec_col: str = "embedding", dim: int | None = None):
     """The IVF-PQ INDEX as three persistable relations — (codebook,
     cells, codes): the M per-subspace PQ codebooks (m, cell, cq), the
     coarse cell assignment (vec_id, cluster), and the per-vector PQ
@@ -834,13 +860,19 @@ def ivfpq_fit(corpus: DataFrame, n_cells: int = 8, n_subspaces: int = 4,
     production ANN pattern (ivfpq_serve consumes these relations;
     ivfpq_query composes the two for the single-session path). Fit
     cost is the fused single-pipeline kmeans documented below; at
-    100 TB the fit runs once per index build, not per query batch."""
+    100 TB the fit runs once per index build, not per query batch.
+
+    `dim` (r12): the vector width, when the caller already knows it —
+    skips the one-row `first()` probe job (guide §2.3: each probe is a
+    full driver-sequenced job; a fit+serve composition paid it 2-4x
+    per query for the same constant)."""
     return _ivfpq_fit_impl(corpus, n_cells, n_subspaces, codebook_k,
-                           id_col, vec_col)
+                           id_col, vec_col, dim=dim)
 
 
 def _ivfpq_fit_impl(corpus: DataFrame, n_cells: int, n_subspaces: int,
-                    codebook_k: int, id_col: str, vec_col: str):
+                    codebook_k: int, id_col: str, vec_col: str,
+                    dim: int | None = None):
     """The fused IVF-PQ fit (see ivfpq_fit / ivfpq_query). Docs below
     describe the composed END-TO-END retrieval this fit anchors — the composed billion-scale ANN
     design (Jégou et al. 2011; the FAISS IVFPQ index), every stage of
@@ -875,7 +907,8 @@ def _ivfpq_fit_impl(corpus: DataFrame, n_cells: int, n_subspaces: int,
     # is the ONE localCheckpoint: it feeds the member join, the codes
     # pivot, and the centroid refresh (executor-loss caveat as at
     # every localCheckpoint use: see connected_components).
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
     sub_dim = dim // n_subspaces
@@ -900,8 +933,9 @@ def _ivfpq_fit_impl(corpus: DataFrame, n_cells: int, n_subspaces: int,
         .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cx"))
     )
     cents_fit = per_dim_fit.groupBy("m", "cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+        F.expr(
+            # one parsed expression, not 3 py4j lambda builds (r12)
+            "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)"
         ).alias("cq")
     ).localCheckpoint(eager=False)  # lazy: materializes INSIDE the assign
     # checkpoint's job (one job boundary, not two); later refs (the
@@ -930,14 +964,17 @@ def ivfpq_query(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 3,
     ivfpq_serve in one session (the FAISS IVFPQ index; Jégou et al.
     2011). Every stage integer-exact and value-hash replayable; see
     _ivfpq_fit_impl for the fused-fit plan notes and ivfpq_serve for
-    the probe/ADC/rerank serving path."""
+    the probe/ADC/rerank serving path. The vector width is probed
+    ONCE and threaded to both halves (r12 — was one first() job in
+    the fit plus another in the serve, for the same constant)."""
+    dim = len(corpus.select(vec_col).first()[0])
     codebook, cells, codes = _ivfpq_fit_impl(
-        corpus, n_cells, n_subspaces, codebook_k, id_col, vec_col
+        corpus, n_cells, n_subspaces, codebook_k, id_col, vec_col, dim=dim
     )
     return ivfpq_serve(queries, corpus, codebook, cells, codes,
                        k_neighbors=k_neighbors, nprobe=nprobe,
                        shortlist=shortlist, n_subspaces=n_subspaces,
-                       id_col=id_col, vec_col=vec_col)
+                       id_col=id_col, vec_col=vec_col, dim=dim)
 
 
 def ivfpq_encode(new_vecs: DataFrame, codebook: DataFrame,
@@ -1011,8 +1048,9 @@ def ivfpq_coarse_centroids(corpus: DataFrame, cells: DataFrame,
         .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cx"))
     )
     return per_dim.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s["cx"]
+        F.expr(
+            # one parsed expression, not 3 py4j lambda builds (r12)
+            "transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)"
         ).alias("cq")
     )
 
@@ -1021,7 +1059,8 @@ def ivfpq_serve(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
                 cells: DataFrame, codes: DataFrame, k_neighbors: int = 3,
                 nprobe: int = 2, shortlist: int = 20, n_subspaces: int = 4,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                cents: DataFrame | None = None) -> DataFrame:
+                cents: DataFrame | None = None,
+                dim: int | None = None) -> DataFrame:
     """Serve IVF-PQ retrieval from MATERIALIZED index relations (see
     ivfpq_fit): probe nprobe cells, ADC over the stored codes inside
     probed cells, exact rerank of the shortlist. The index relations
@@ -1030,8 +1069,10 @@ def ivfpq_serve(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
     PERSISTED coarse centroids via `cents` (ivfpq_coarse_centroids)
     to skip the per-call O(corpus·dim) rescan that otherwise rebuilds
     them; omitted, they recompute from (corpus, cells) — identical
-    values, extra work."""
-    dim = len(corpus.select(vec_col).first()[0])
+    values, extra work. Pass `dim` when known to skip the one-row
+    width-probe job (see ivfpq_fit)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
     sub_dim = dim // n_subspaces
@@ -1092,7 +1133,7 @@ def ivfpq_serve(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
     exact = (
         short.join(F.broadcast(qd), "query_id")
         .join(cd, "neighbor_id")
-        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", rnd(cosine("qv", "cv"), 6))
     )
     wfin = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -1237,7 +1278,7 @@ def sq8_rerank_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 5,
         .select(
             "query_id",
             "neighbor_id",
-            rnd(cosine(F.col("qr"), F.col("cr")), 6).alias("sq_sim"),
+            rnd(cosine("qr", "cr"), 6).alias("sq_sim"),
         )
     )
     ws = Window.partitionBy("query_id").orderBy(F.desc("sq_sim"), F.asc("neighbor_id"))
@@ -1249,7 +1290,7 @@ def sq8_rerank_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 5,
     rer = (
         short.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", rnd(cosine("qv", "cv"), 6))
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -1336,7 +1377,7 @@ def bq_rerank_topk(queries: DataFrame, corpus: DataFrame, k_neighbors: int = 5,
     rer = (
         short.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", rnd(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", rnd(cosine("qv", "cv"), 6))
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                 F.asc("neighbor_id"))
@@ -1383,7 +1424,7 @@ def mmr_select(queries: DataFrame, corpus: DataFrame, k_select: int = 4,
     pair = (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("ia") != F.col("ib"))
-        .select("ia", "ib", rnd(cosine(F.col("va"), F.col("vb")), 6).alias("s"))
+        .select("ia", "ib", rnd(cosine("va", "vb"), 6).alias("s"))
     )
     pair = pair.localCheckpoint(eager=True)
 

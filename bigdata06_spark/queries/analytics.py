@@ -3426,14 +3426,23 @@ def _affinity_graph(li: DataFrame, threshold: float = 0.3,
     supplier set == the a.s < b.s self-join output; same measured
     numbers and skew trade as documented there). Per-supplier sizes
     come from one explode of the same capped sets."""
-    parts_sets = li.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.array_sort(F.collect_set(F.col("l_suppkey"))).alias("ss")
-    )
     if max_deg is not None:
-        parts_sets = parts_sets.filter(F.size("ss") <= max_deg)
+        # r12: salted two-level pre-drop — heavy parts never assemble
+        # a full set anywhere (see _capped_part_supplier_sets). Both
+        # consumers (sizes, pairs) share the guarded chain's
+        # exchanges via runtime reuse; single-session A/B at sf0.1
+        # (min-of-5, same JVM, alternating variants): old unguarded
+        # 3.11 s, guarded no-checkpoint 2.79 s, guarded+checkpoint
+        # 2.92 s — the guard is free here and a checkpoint is not
+        # worth its barrier.
+        parts_sets = _capped_part_supplier_sets(li, max_deg)
+    else:
+        parts_sets = li.groupBy(F.col("l_partkey").alias("p")).agg(
+            F.array_sort(F.collect_set(F.col("l_suppkey"))).alias("ss")
+        )
     # no checkpoint: the two consumers (sizes, pairs) share the
-    # part-keyed exchange via ReusedExchange; materializing instead
-    # measured SLOWER (2.6-2.8 vs 2.3-2.4 s warm at sf0.1)
+    # guarded chain's exchanges via runtime reuse; materializing
+    # instead measured slower (see the max_deg branch note)
     sz = (
         parts_sets.select(F.explode("ss").alias("s"))
         .groupBy("s")
@@ -4061,6 +4070,49 @@ def join_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COSUPPLY_MAX_DEG = 33
 
 
+def _capped_part_supplier_sets(li: DataFrame, max_deg: int,
+                               nsalt: int = 64) -> DataFrame:
+    """(p, ss): the per-part sorted distinct-supplier array, with
+    parts above `max_deg` distinct suppliers DROPPED BEFORE any full
+    set is ever assembled — the r12 heavy-key pre-drop (VERDICT r11
+    next #4; guide §2.5 two-level aggregation). The r11 form's
+    groupBy(p).collect_set built a hot part's ENTIRE supplier set in
+    one unspillable aggregation buffer at one reducer before the
+    size() filter discarded it — at adversarial skew (deg ~ 1e6+)
+    that is a straggler/OOM, not a cap.
+
+    Two-level shape: suppliers salt by hash into `nsalt` buckets, so
+    stage 1's per-(p, salt) partial sets are bounded at ~deg/nsalt
+    each and a hot key's rows spread over nsalt reducers. Each
+    distinct supplier lands in EXACTLY one bucket, so the per-part
+    sum of partial-set sizes IS the exact distinct degree — computed
+    by a size-only window over the ≤ nsalt partial rows per part
+    (spillable sort buffer, never an agg buffer), and the filter
+    drops heavy parts BEFORE the merge aggregate, which therefore
+    only ever flattens survivor chunks into arrays ≤ max_deg. The
+    groupBy(p) after the window REUSES the window's exchange (same
+    clustering), so the whole guard costs one extra p-keyed exchange
+    of the capped partial sets — measured +2.6% on the expansion
+    pipeline at sf0.1 (2.578 → 2.644 s min-of-5), vs +79% for the
+    count + broadcast-anti-join alternative (4.614 s, measured and
+    rejected: it pays the partial aggregate twice plus a join).
+    Output is bit-identical to the r11 form (disjoint chunks flatten
+    + sort == array_sort(collect_set)); pair counts downstream are
+    unchanged."""
+    salt = F.pmod(F.xxhash64(F.col("l_suppkey")), F.lit(nsalt))
+    partial = (
+        li.groupBy(F.col("l_partkey").alias("p"), salt.alias("_salt"))
+        .agg(F.collect_set(F.col("l_suppkey")).alias("pss"))
+    )
+    w = Window.partitionBy("p")
+    return (
+        partial.withColumn("_deg", F.sum(F.size("pss")).over(w))
+        .filter(F.col("_deg") <= max_deg)
+        .groupBy("p")
+        .agg(F.array_sort(F.flatten(F.collect_list("pss"))).alias("ss"))
+    )
+
+
 def _cosupply_mutual_edges(li: DataFrame, checkpoint: bool = True,
                            sf_dir: str | None = None) -> DataFrame:
     """The mutual-top-5 co-supply edge relation (sa < sb) every graph
@@ -4108,17 +4160,12 @@ def _cosupply_mutual_edges(li: DataFrame, checkpoint: bool = True,
     # transform/flatten lambda (higher-order array functions are
     # interpreted — the minhash_signatures lesson) vs 2.77 s for the
     # old self-join, at sf0.1 min-of-3.
-    # Skew trade, documented: a hot part's full distinct-supplier set
-    # now assembles at one reducer (O(deg) memory) BEFORE the cap
-    # drops it, where the anti-join form kept hot keys as streaming
-    # counts; the explode stays cap-bounded either way. At adversarial
-    # skew (deg ~ 1e6) revert the heavy-drop to the count+anti-join
-    # form and keep the combination expansion for the survivors.
-    parts_sets = (
-        li.groupBy(F.col("l_partkey").alias("p"))
-        .agg(F.array_sort(F.collect_set(F.col("l_suppkey"))).alias("ss"))
-        .filter(F.size("ss") <= _COSUPPLY_MAX_DEG)
-    )
+    # r12: the r11 skew trade (hot part's full set assembled at one
+    # reducer before the cap) is closed — the heavy-key pre-drop now
+    # runs as the salted two-level aggregation in
+    # `_capped_part_supplier_sets` (see its docstring for the
+    # exactness argument and measurements).
+    parts_sets = _capped_part_supplier_sets(li, _COSUPPLY_MAX_DEG)
     co_half = (
         parts_sets.select(F.posexplode("ss").alias("i", "x"), F.col("ss"))
         .select(
@@ -6501,7 +6548,7 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`agg_quantile_twopass`) was measured as the distributed
     alternative: 2.9-4.5 s — every pass pays job+shuffle overhead on
     a relation that fits in one task's memory by construction. The
-    day-domain guard FAILS LOUD past 2^13 days (22 calendar years;
+    day-domain guard FAILS LOUD past 2^12 days (~11 calendar years;
     pairs then exceed the bounded-pull budget): an unbounded time
     domain needs the merge-rank / two-pass-quantile path over the
     distributed slope relation, not a silent driver blowup."""
@@ -6517,9 +6564,14 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rows = daily.collect()  # bounded: one row per calendar day
-    if len(rows) > 8192:
+    # guard at 2^12 days (~11 calendar years; TPC-H spans ~2.4k). The
+    # r11 2^13 bound was an honest-headroom error (VERDICT r11 #5):
+    # np.triu_indices at 8192 days is ~33.5M index pairs x 3 arrays
+    # ~ 800 MB of driver RAM — not the "bounded pull" the docstring
+    # claims. 4096 days caps the pair buffers at ~200 MB.
+    if len(rows) > 4096:
         raise RuntimeError(
-            f"stats_theil_sen: {len(rows)} days exceeds the 8192-day "
+            f"stats_theil_sen: {len(rows)} days exceeds the 4096-day "
             "bounded-driver budget; an unbounded time domain needs the "
             "distributed two-pass quantile over the slope relation "
             "(see agg_quantile_twopass)"

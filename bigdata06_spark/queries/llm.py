@@ -3996,6 +3996,37 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pinned_int_shingle_relations(docs: DataFrame):
+    """(idx, sets_) for multi-method dedup compositions: the shingle
+    index built once (lazy checkpoint) and the per-doc shingle sets
+    INT-ENCODED through a pinned bijection (monotonic ids over the
+    distinct-shingle relation). array_intersect sizes — the only thing
+    exact-Jaccard verification reads — are invariant under any
+    bijection, and the per-candidate join payload shrinks ~5x vs the
+    ~20-byte shingle strings (measured r11, dedup_methods_agreement:
+    verify stage 4.4 -> 1.6 s at sf0.1). The sid dictionary is the ONE
+    eager checkpoint: monotonically_increasing_id depends on
+    partition-internal row order, so concurrent lazy materializations
+    from two consumer branches could cache different bijections;
+    pinning it eagerly also materializes idx (its parent) in the same
+    job. Everything else stays lazy so downstream stages overlap
+    inside the final action (r12, VERDICT r11 next #3)."""
+    idx = D.shingle_index(docs).localCheckpoint(eager=False)
+    sdict = (
+        idx.select("shingle")
+        .distinct()
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # bijection pinned by the checkpoint
+    )
+    sets_ = (
+        idx.join(sdict, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sid").alias("sh_set"))
+        .localCheckpoint(eager=False)
+    )
+    return idx, sets_
+
+
 @register(
     "dedup_methods_agreement",
     oracle=f"""
@@ -4053,22 +4084,23 @@ def dedup_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (its correctness proof, operators/dedup.py), so a banding
     # candidate has J >= t iff it appears in the exact pair set —
     # `candidates ∩ ex` by left-semi join IS the verified output.
-    idx = D.shingle_index(docs).localCheckpoint(eager=True)
-    sdict = (
-        idx.select("shingle")
-        .distinct()
-        .withColumn("sid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)  # bijection pinned by the checkpoint
-    )
-    sets_ = (
-        idx.join(sdict, "shingle")
-        .groupBy("doc_id")
-        .agg(F.collect_set("sid").alias("sh_set"))
-        .localCheckpoint(eager=True)
-    )
+    # r12 (VERDICT r11 next #3): the four EAGER checkpoints serialized
+    # four driver-sequenced barrier jobs before any join could start —
+    # the driver measured the whole query FLAT at best, with an
+    # 8c/32c ratio of 0.40 (per-task fixed costs of the barrier jobs
+    # multiply with cores on tiny data). Only the sid bijection needs
+    # an eager pin: monotonically_increasing_id depends on partition-
+    # internal row order, so concurrent lazy materializations of sdict
+    # from two consumer branches could cache DIFFERENT bijections.
+    # Materializing sdict eagerly pins idx in the same job (idx is its
+    # lazily-checkpointed parent); sets_ and ex are deterministic
+    # functions of the pinned relations and materialize inside the
+    # final action's own DAG, where their stages overlap. The shared
+    # index/encoded-set build is `_pinned_int_shingle_relations`.
+    idx, sets_ = _pinned_int_shingle_relations(docs)
     ex = D.jaccard_pairs_prefix(docs, index=idx, sets_=sets_).select(
         "doc_a", "doc_b"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     mh = (
         D.minhash_lsh_pairs(docs, threshold=0.5, index=idx, candidates_only=True)
         .join(ex, ["doc_a", "doc_b"], "left_semi")
@@ -4390,22 +4422,115 @@ def knn_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir)
     q = e.filter(F.col("vec_id") < _NPC_NQ)
-    codebook, cells, codes = S.ivfpq_fit(e)
-    codebook = codebook.localCheckpoint()
+    # r12 (guide §2.3 — the fit JOB CHAIN, VERDICT r11 next #2): the
+    # vector width is probed once and threaded to the fit and all
+    # three serves — was 4 separate one-row first() jobs (one in the
+    # fit, one per serve) for the same constant. The index-relation
+    # checkpoints STAY EAGER: each is cheap (the whole fit chain
+    # materializes in ~0.7 s warm at sf0.1) and they deduplicate work
+    # — measured with all-lazy checkpoints, the three serve branches
+    # of the single final job recompute the shared subtrees
+    # CONCURRENTLY (no cache hit while all are in flight) and the
+    # query got 25% slower, not faster.
+    dim = len(e.select("embedding").first()[0])
+    codebook, cells, codes = S.ivfpq_fit(e, dim=dim)
+    # ONE eager pin: materializing cells runs the whole fit chain
+    # (assign and the codebook are its lazily-checkpointed parents),
+    # so codebook/codes/cents — each referenced exactly once in the
+    # shared-ADC plan below — stay lazy and read the cached fit RDDs
+    # inside their consumer's own job. (All-lazy measured SLOWER: the
+    # concurrently-scheduled branches recompute shared subtrees.)
     cells = cells.localCheckpoint()
-    codes = codes.localCheckpoint()
+    codes = codes.localCheckpoint(eager=False)
     # r11: the serving coarse centroids are part of the fitted index —
-    # compute them ONCE and hand them to every curve point (ivfpq_serve
-    # with cents=None rebuilds them from the corpus per call: three
-    # identical O(corpus·dim) posexplode aggregates for one curve).
-    cents = S.ivfpq_coarse_centroids(e, cells).localCheckpoint()
-    exact = S.knn_bruteforce(q, e, k=_NPC_TOPK).select("query_id", "neighbor_id")
+    # computed ONCE for the probe ranking (ivfpq_serve with cents=None
+    # rebuilds them from the corpus per call: three identical
+    # O(corpus·dim) posexplode aggregates for one curve).
+    cents = S.ivfpq_coarse_centroids(e, cells).localCheckpoint(eager=False)
+    # the exact reference is consumed by all three curve points — one
+    # eager checkpoint instead of three brute-force scans inside the
+    # final job (r12: measured 0.75 s warm, previously paid 3x)
+    exact = S.knn_bruteforce(q, e, k=_NPC_TOPK).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint()
+    # r12 SHARED-ADC curve (guide §7.3 — the remaining cost was
+    # DRIVER-side plan construction/analysis, ~5 s of the 8 s total:
+    # three full ivfpq_serve pipelines built three copies of the
+    # probe window + LUT join + ADC aggregate + rerank chain). The
+    # three points differ ONLY in the probe cutoff, so the candidate
+    # relation is computed ONCE carrying the cell's probe rank `pr`
+    # (each vector lives in exactly one cell, so (query, vec) appears
+    # once), and point np is the pr <= np slice — identical to
+    # ivfpq_serve at that nprobe: same probe ordering (cdist, cell),
+    # same ADC values, same shortlist/rerank windows downstream.
+    from bigdata06_spark.operators.similarity import (
+        _explode_subspaces,
+        _quantize_sql,
+        _sq_l2_sql,
+    )
+
+    n_sub = 4  # ivfpq_fit/serve default geometry
+    qvq = q.selectExpr("vec_id", f"{_quantize_sql('embedding')} AS xq")
+    qcell = qvq.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id").alias("query_id"), "cell",
+        F.expr(_sq_l2_sql("xq", "cq")).alias("cdist"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    probes = (
+        qcell.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= max(_NPC_PROBES))
+        .select("query_id", "cell", "pr")
+    )
+    member_codes = codes.join(
+        cells.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+    )
+    cand = probes.join(member_codes, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    q_sub = _explode_subspaces(q, n_sub, dim // n_sub, "vec_id", "embedding",
+                               "query_id")
+    lut = q_sub.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", F.col("cell").alias("code"),
+        F.expr(_sq_l2_sql("xq", "cq")).alias("t"),
+    )
+    code_structs = F.array(
+        *[
+            F.struct(F.lit(m).cast("int").alias("m"), F.col(f"code_{m}").alias("code"))
+            for m in range(n_sub)
+        ]
+    )
+    cand_expl = cand.select("query_id", "vec_id", "pr", F.inline(code_structs))
+    adc = (
+        cand_expl.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id", "pr")
+        .agg(F.sum("t").cast("long").alias("adc"))
+        .localCheckpoint()  # shared by all three curve points
+    )
+    qd = q.select(F.col("vec_id").alias("query_id"),
+                  S.as_double(F.col("embedding")).alias("qv"))
+    cd = e.select(F.col("vec_id").alias("neighbor_id"),
+                  S.as_double(F.col("embedding")).alias("cv"))
+    wshort = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    wfin = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                                  F.asc("neighbor_id"))
     points = []
     for np_ in _NPC_PROBES:
-        ann = S.ivfpq_serve(
-            q, e, codebook, cells, codes, k_neighbors=_NPC_TOPK, nprobe=np_,
-            cents=cents,
-        ).select("query_id", "neighbor_id")
+        short = (
+            adc.filter(F.col("pr") <= np_)
+            .withColumn("srn", F.row_number().over(wshort))
+            .filter(F.col("srn") <= 20)  # ivfpq_serve's shortlist default
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        rr = (
+            short.join(F.broadcast(qd), "query_id")
+            .join(cd, "neighbor_id")
+            .withColumn("sim", rnd(S.cosine("qv", "cv"), 6))
+        )
+        ann = (
+            rr.withColumn("rn", F.row_number().over(wfin))
+            .filter(F.col("rn") <= _NPC_TOPK)
+            .select("query_id", "neighbor_id")
+        )
         hits = ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
         points.append(
             hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
@@ -4640,9 +4765,18 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     # min(_DTS_THRESHOLDS) = 0.5 as the integer ratio 1/2 (prefix
     # lengths need exact integer ceils)
+    # r12 (VERDICT r11 next #8) — measured, single-session A/B at
+    # sf0.1 (min-of-4): the int-encoded verification bijection was
+    # tried here and REJECTED — 2.80 s (string sets) vs 4.09-4.44 s
+    # (int sets): with ONE consumer of the pair relation, the sid
+    # dictionary build + index join costs more than the smaller
+    # verify payload saves (dedup_methods_agreement keeps it because
+    # THREE methods share its relations). What does pay is making the
+    # pair checkpoint LAZY (2.80 -> 2.61 s): it has a single
+    # consumer, so the eager barrier bought nothing.
     pairs = D.jaccard_pairs_prefix(
         docs, threshold_num=1, threshold_den=2
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     t = spark.createDataFrame(
         [(t,) for t in _DTS_THRESHOLDS], "threshold double"
     )
@@ -4877,11 +5011,13 @@ def knn_graph_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "va", "dst", "vb")
         .dropDuplicates(["src", "dst"])
-        .withColumn("esim", rnd(S.cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("esim", rnd(S.cosine("va", "vb"), 6))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _GG_DEGREE)
         .select("src", "dst")
-        .localCheckpoint(eager=True)  # bounded: deg·|corpus| edges
+        # lazy (r12): bounded deg·|corpus| edges; materializes inside
+        # the first walk step's job instead of as its own barrier
+        .localCheckpoint(eager=False)
     )
     entry = e.agg(F.min("vec_id")).first()[0]
     qv = ev.filter(F.col("vec_id") < _GG_NQ).select(
@@ -4894,10 +5030,10 @@ def knn_graph_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "qv",
             F.lit(entry).cast("long").alias("cur"),
-            rnd(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cur_sim"),
+            rnd(S.cosine("qv", "cv"), 6).alias("cur_sim"),
             F.lit(0).cast("long").alias("hops"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(_GG_STEPS):
         cand = (
@@ -4906,7 +5042,7 @@ def knn_graph_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ev.select(F.col("vec_id").alias("dst"), F.col("v").alias("nv")),
                 "dst",
             )
-            .withColumn("cand_sim", rnd(S.cosine(F.col("qv"), F.col("nv")), 6))
+            .withColumn("cand_sim", rnd(S.cosine("qv", "nv"), 6))
         )
         wq = Window.partitionBy("query_id").orderBy(
             F.desc("cand_sim"), F.asc("dst")
@@ -4931,14 +5067,21 @@ def knn_graph_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("cur_sim"))
                 .alias("cur_sim"),
                 (F.col("hops") + moved.cast("long")).alias("hops"),
+                # the convergence flag rides INSIDE the state rows
+                # (r12, the connected_components r11 trick): the same
+                # single action that materializes the lazy checkpoint
+                # answers "did anyone move" — was 2 jobs per hop
+                # (eager checkpoint + a join-based diff count)
+                moved.alias("_moved"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # converge-early: greedy moves are absorbing, so once no walk
         # moved this round none ever will — the fixed-unroll oracle
-        # stays identical (bounded: one scalar per round)
-        if new_state.join(state.select("query_id", F.col("cur").alias("_old")),
-                          "query_id").filter(F.col("cur") != F.col("_old")).count() == 0:
+        # stays identical (bounded: one scalar per round). cand_sim >
+        # cur_sim implies cand != cur (same node has the same sim), so
+        # the flag is exactly the old new-vs-old cur diff.
+        if new_state.filter(F.col("_moved")).count() == 0:
             state = new_state
             break
         state = new_state
@@ -5101,11 +5244,13 @@ def _graph_greedy_sharded_impl(spark: SparkSession, ev: DataFrame,
         .filter(F.col("src") != F.col("dst"))
         .select("cell", "src", "va", "dst", "vb")
         .dropDuplicates(["src", "dst"])
-        .withColumn("esim", rnd(S.cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("esim", rnd(S.cosine("va", "vb"), 6))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _GS_DEG)
         .select("cell", "src", "dst")
-        .localCheckpoint(eager=True)  # bounded: deg·|corpus| edges
+        # lazy (r12): see knn_graph_greedy — materializes inside the
+        # first walk step's job instead of as its own barrier
+        .localCheckpoint(eager=False)
     )
     entries = assigned.groupBy("cell").agg(F.min("vec_id").alias("e"))
     qv = ev.filter(F.col("vec_id") < nq).select(
@@ -5131,17 +5276,17 @@ def _graph_greedy_sharded_impl(spark: SparkSession, ev: DataFrame,
         .select(
             "query_id", "cell", "qv",
             F.col("e").cast("long").alias("cur"),
-            rnd(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cur_sim"),
+            rnd(S.cosine("qv", "cv"), 6).alias("cur_sim"),
             F.lit(0).cast("long").alias("hops"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nbrs = ev.select(F.col("vec_id").alias("dst"), F.col("v").alias("nv"))
     for _ in range(_GS_STEPS):
         cand = (
             state.join(g.withColumnRenamed("src", "cur"), ["cell", "cur"])
             .join(nbrs, "dst")
-            .withColumn("cand_sim", rnd(S.cosine(F.col("qv"), F.col("nv")), 6))
+            .withColumn("cand_sim", rnd(S.cosine("qv", "nv"), 6))
         )
         wq = Window.partitionBy("query_id", "cell").orderBy(
             F.desc("cand_sim"), F.asc("dst"))
@@ -5159,13 +5304,14 @@ def _graph_greedy_sharded_impl(spark: SparkSession, ev: DataFrame,
                 F.when(moved, F.col("cand_sim"))
                 .otherwise(F.col("cur_sim")).alias("cur_sim"),
                 (F.col("hops") + moved.cast("long")).alias("hops"),
+                # in-row convergence flag (r12): one action per hop
+                # materializes the lazy checkpoint AND answers the
+                # stop question — see knn_graph_greedy
+                moved.alias("_moved"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if new_state.join(
-            state.select("query_id", "cell", F.col("cur").alias("_old")),
-            ["query_id", "cell"],
-        ).filter(F.col("cur") != F.col("_old")).count() == 0:
+        if new_state.filter(F.col("_moved")).count() == 0:
             state = new_state
             break
         state = new_state

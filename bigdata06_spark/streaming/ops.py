@@ -131,7 +131,13 @@ def stream_state_partitions(nbytes: int | None) -> int:
     overrides for cluster tuning."""
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_PARTITIONS must be a positive "
+                f"integer, got {env!r}"
+            ) from None
     if not nbytes:
         return 32  # unknown input: the former fixed clamp
     return max(8, -(-nbytes // _BYTES_PER_STATE_PARTITION))
@@ -163,6 +169,12 @@ def run_to_table(result: DataFrame, mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the byte stamp is per-drain state: clear it so a later drain
+        # whose source builder did not stash a size falls back to the
+        # fixed clamp instead of silently inheriting THIS stream's
+        # bytes (ADVICE r11)
+        if hasattr(spark, "_bd6_stream_bytes"):
+            del spark._bd6_stream_bytes
     return result.sparkSession.table(name)
 
 

@@ -577,21 +577,31 @@ def test_fuzzy_er_join_is_blocked_equijoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_affinity_capped_degree_pass_no_window(spark, sf_dir):
-    """VERDICT r3 #1 (shape updated r11): the max_deg hot-part cap
-    must apply BEFORE any pair expansion and never as a Window over
-    the part key (which would shuffle the full supplier↔part relation
-    on the very keys the cap exists to remove), and the projection
-    must never degrade to a cross product. r11 form: one part-keyed
-    collect_set + size(ss) <= cap filter + combination expansion
-    (Generate), replacing the former count + broadcast anti-join +
-    p-key self-join — the pair relation is generated in-partition, so
-    there is no join at all to mis-plan."""
+def test_affinity_capped_degree_pass_salted_predrop(spark, sf_dir):
+    """VERDICT r3 #1 (shape updated r11, guard closed r12): the
+    max_deg hot-part cap must apply BEFORE any pair expansion, the
+    projection must never degrade to a cross product, and — r12 —
+    no hot part's full supplier set may ever assemble in one
+    aggregation buffer: the pre-drop runs as the salted two-level
+    aggregation (collect_set per (p, salt-of-supplier), exact degree
+    as a size-only Window sum over the <= nsalt partial rows, filter,
+    THEN the survivor merge). The Window is over the partial-SET
+    relation, never the raw supplier↔part rows — pinned by requiring
+    an aggregate below the Window's exchange."""
     plan = plan_of(SPECS["supplier_affinity_graph_capped"].fn(spark, sf_dir))
-    assert "Window" not in plan, plan
     assert "Generate" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the salted partial stage is in the plan (the salt alias is
+    # compiled to _groupingexpression; its hash survives)...
+    assert "xxhash64" in plan and "pmod" in plan, plan
+    # ...and every Window consumes the (p, _salt) partial aggregate,
+    # not raw rows: its exchange's child chain must contain an
+    # ObjectHashAggregate (collect_set) before reaching the scan
+    for m in re.finditer(r"\+- Window \(\d+\)", plan):
+        below = plan[m.end():m.end() + 900]
+        assert re.search(r"ObjectHashAggregate \(\d+\)", below), below
+        assert "Scan parquet" not in below.split("ObjectHashAggregate")[0], below
     # the cap itself executes inside the checkpointed projection (not
     # visible in the downstream plan), so pin its SEMANTICS: a part
     # above max_deg contributes no pairs at all
@@ -676,13 +686,21 @@ def test_heavy_hitters_semi_join_broadcasts_candidates(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_profile_columns_single_scan_expand(spark, sf_dir):
-    """r8 one-pass profiler: all 24 measures come from ONE parquet
-    scan of orders (Catalyst's Expand implements the 6-way
-    count-distinct), never six per-column re-scans."""
+def test_profile_columns_split_aggregate_two_scans(spark, sf_dir):
+    """r11 split profiler: the 24 measures come from TWO keyless
+    aggregates over two scans of orders — the 6-way count-distinct
+    block (Expand -> HashAggregate, no sort-forcing var-length
+    buffers mixed in) crossed with the min/max block — never six
+    per-column re-scans, and never the old single SortAggregate
+    chain that forced two full sorts."""
     plan = plan_of(SPECS["dq_profile_columns"].fn(spark, sf_dir))
-    assert count_plan_nodes(plan, "Scan parquet") == 1, plan
+    assert count_plan_nodes(plan, "Scan parquet") == 2, plan
     assert "Expand" in plan, plan
+    # distinct-count block: Expand feeds HashAggregate, never SortAggregate
+    assert re.search(r"HashAggregate \(\d+\)\n[:\s]*\+- Expand", plan), plan
+    # keyless min/max block may be a SortAggregate (string buffers), but it
+    # must consume the scan directly -- no Sort node below any aggregate
+    assert not re.search(r"SortAggregate \(\d+\)\n[:\s]*\+- Sort ", plan), plan
 
 
 def test_mann_whitney_window_on_distinct_values_only(spark, sf_dir):
