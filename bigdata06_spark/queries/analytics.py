@@ -3428,21 +3428,21 @@ def _affinity_graph(li: DataFrame, threshold: float = 0.3,
     come from one explode of the same capped sets."""
     if max_deg is not None:
         # r12: salted two-level pre-drop — heavy parts never assemble
-        # a full set anywhere (see _capped_part_supplier_sets). Both
-        # consumers (sizes, pairs) share the guarded chain's
-        # exchanges via runtime reuse; single-session A/B at sf0.1
-        # (min-of-5, same JVM, alternating variants): old unguarded
-        # 3.11 s, guarded no-checkpoint 2.79 s, guarded+checkpoint
-        # 2.92 s — the guard is free here and a checkpoint is not
-        # worth its barrier.
-        parts_sets = _capped_part_supplier_sets(li, max_deg)
+        # a full set anywhere (see _capped_part_supplier_sets). The
+        # EAGER checkpoint matters here: the two consumers (sizes,
+        # pairs) otherwise re-execute the guarded two-aggregate chain
+        # (interleaved 6-rep A/B at sf0.1, min/med: no-checkpoint
+        # 2.97/3.24 s vs eager 2.71/2.91 s; unguarded baseline
+        # 2.28/2.52 — the delta is the guard's documented price).
+        parts_sets = _capped_part_supplier_sets(li, max_deg).localCheckpoint(
+            eager=True
+        )
     else:
+        # unguarded path keeps the single exchange; the two consumers
+        # share it via runtime exchange reuse
         parts_sets = li.groupBy(F.col("l_partkey").alias("p")).agg(
             F.array_sort(F.collect_set(F.col("l_suppkey"))).alias("ss")
         )
-    # no checkpoint: the two consumers (sizes, pairs) share the
-    # guarded chain's exchanges via runtime reuse; materializing
-    # instead measured slower (see the max_deg branch note)
     sz = (
         parts_sets.select(F.explode("ss").alias("s"))
         .groupBy("s")
@@ -4081,35 +4081,49 @@ def _capped_part_supplier_sets(li: DataFrame, max_deg: int,
     size() filter discarded it — at adversarial skew (deg ~ 1e6+)
     that is a straggler/OOM, not a cap.
 
-    Two-level shape: suppliers salt by hash into `nsalt` buckets, so
-    stage 1's per-(p, salt) partial sets are bounded at ~deg/nsalt
-    each and a hot key's rows spread over nsalt reducers. Each
-    distinct supplier lands in EXACTLY one bucket, so the per-part
-    sum of partial-set sizes IS the exact distinct degree — computed
-    by a size-only window over the ≤ nsalt partial rows per part
-    (spillable sort buffer, never an agg buffer), and the filter
-    drops heavy parts BEFORE the merge aggregate, which therefore
-    only ever flattens survivor chunks into arrays ≤ max_deg. The
-    groupBy(p) after the window REUSES the window's exchange (same
-    clustering), so the whole guard costs one extra p-keyed exchange
-    of the capped partial sets — measured +2.6% on the expansion
-    pipeline at sf0.1 (2.578 → 2.644 s min-of-5), vs +79% for the
-    count + broadcast-anti-join alternative (4.614 s, measured and
-    rejected: it pays the partial aggregate twice plus a join).
-    Output is bit-identical to the r11 form (disjoint chunks flatten
-    + sort == array_sort(collect_set)); pair counts downstream are
-    unchanged."""
+    Two-level cap-or-null shape: suppliers salt by hash into `nsalt`
+    buckets, so stage 1's per-(p, salt) partial sets are bounded at
+    ~deg/nsalt each, a hot key's MERGE work spreads over nsalt
+    reducers, and map-side partial aggregation still combines before
+    the exchange (raw row volume never concentrates — the property a
+    plain repartition-by-p guard would lose, which is why that
+    bench-cheaper variant was rejected despite measuring ~0% here).
+    Each distinct supplier lands in EXACTLY one bucket, so the
+    per-part sum of partial-set sizes IS the exact distinct degree.
+    Stage 2 then NULLS any partial larger than max_deg before
+    collecting: a heavy part contributes only its sizes, so the
+    merge buffer is bounded at nsalt·max_deg entries REGARDLESS of
+    skew, the _deg filter drops heavy parts, and for survivors
+    (deg <= max_deg ⇒ every partial kept, disjoint) the flatten+sort
+    is bit-identical to array_sort(collect_set). No window, no join.
+
+    Measured (sf0.1, one session, 6 interleaved reps, min/med of the
+    full kcore / affinity pipelines): unguarded 3.87/4.38 & 2.28/2.52;
+    this form + eager checkpoint at the call sites 4.33/4.98 &
+    2.71/2.91 (~+10-15%, the guard's price); the r11-window variant
+    5.02/— & 3.10/— (rejected, extra sort + third aggregate); count +
+    broadcast-anti-join +79% (rejected, pays the partial aggregate
+    twice plus a join); repartition('p') single-exchange 3.84/4.12
+    (rejected as above — raw-row shuffle reintroduces the straggler
+    at adversarial skew)."""
     salt = F.pmod(F.xxhash64(F.col("l_suppkey")), F.lit(nsalt))
     partial = (
         li.groupBy(F.col("l_partkey").alias("p"), salt.alias("_salt"))
         .agg(F.collect_set(F.col("l_suppkey")).alias("pss"))
     )
-    w = Window.partitionBy("p")
+    kept = partial.select(
+        "p",
+        F.size("pss").alias("psz"),
+        F.when(F.size("pss") <= max_deg, F.col("pss")).alias("keep"),
+    )
     return (
-        partial.withColumn("_deg", F.sum(F.size("pss")).over(w))
+        kept.groupBy("p")
+        .agg(
+            F.sum("psz").alias("_deg"),
+            F.flatten(F.collect_list("keep")).alias("_fl"),
+        )
         .filter(F.col("_deg") <= max_deg)
-        .groupBy("p")
-        .agg(F.array_sort(F.flatten(F.collect_list("pss"))).alias("ss"))
+        .select("p", F.array_sort("_fl").alias("ss"))
     )
 
 
@@ -4164,8 +4178,13 @@ def _cosupply_mutual_edges(li: DataFrame, checkpoint: bool = True,
     # reducer before the cap) is closed — the heavy-key pre-drop now
     # runs as the salted two-level aggregation in
     # `_capped_part_supplier_sets` (see its docstring for the
-    # exactness argument and measurements).
-    parts_sets = _capped_part_supplier_sets(li, _COSUPPLY_MAX_DEG)
+    # exactness argument and measurements). Eager checkpoint: the
+    # unionAll below consumes co_half twice, which would re-execute
+    # the guarded chain past exchange reuse (kcore A/B min/med:
+    # checkpointed 4.33/4.98 vs plain 4.69/5.06).
+    parts_sets = _capped_part_supplier_sets(
+        li, _COSUPPLY_MAX_DEG
+    ).localCheckpoint(eager=True)
     co_half = (
         parts_sets.select(F.posexplode("ss").alias("i", "x"), F.col("ss"))
         .select(

@@ -136,9 +136,15 @@ def _user_last3_processor():
             n = self._n.get()[0] if self._n.exists() else 0
             for pdf in rows:
                 n += len(pdf)
+                # top-3 of the union == top-3 of (state ∪ each chunk's
+                # top-3), so convert only 3 rows per chunk to Python
+                # datetimes instead of the whole chunk (r12, guide
+                # §4.2 — the conversion was the per-row cost; ordering
+                # on the raw int64s is the datetime ordering)
+                top = pdf.nlargest(3, ["ts", "event_id"])
                 entries.extend(
                     (ts.to_pydatetime(), int(eid))
-                    for ts, eid in zip(pdf["ts"], pdf["event_id"])
+                    for ts, eid in zip(top["ts"], top["event_id"])
                 )
             entries.sort(key=lambda e: (e[0], e[1]), reverse=True)
             entries = entries[:3]
@@ -292,20 +298,31 @@ def _user_pattern_processor():
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
             run, pending, matches, vm = (
                 tuple(self._st.get()) if self._st.exists() else (0, 0, 0, 0)
             )
-            evs = []
+            # sort by (ts, event_id) with numpy on the RAW epoch values
+            # (r12, guide §4.2): the old form built a per-row
+            # (pydatetime, int, str) tuple list and Python-sorted it —
+            # ~100k Timestamp.to_pydatetime() calls per drain for an
+            # ordering that only ever compares the underlying int64s.
+            # Identical order: epoch int64 compares exactly like the
+            # datetime it encodes; lexsort's primary key is the LAST
+            # array. Only the event_type array is touched after the
+            # sort — the DFA never reads ts/event_id.
+            ts_p, eid_p, et_p = [], [], []
             for pdf in rows:
-                evs.extend(
-                    (ts.to_pydatetime(), int(eid), et)
-                    for ts, eid, et in zip(
-                        pdf["ts"], pdf["event_id"], pdf["event_type"]
-                    )
-                )
-            evs.sort(key=lambda e: (e[0], e[1]))
+                # Series.astype("int64") yields epoch ticks for naive
+                # AND tz-aware datetime dtypes alike (every chunk of a
+                # drain shares one dtype, so the unit is consistent)
+                ts_p.append(pdf["ts"].astype("int64").to_numpy())
+                eid_p.append(pdf["event_id"].astype("int64").to_numpy())
+                et_p.append(pdf["event_type"].to_numpy())
+            order = np.lexsort((np.concatenate(eid_p), np.concatenate(ts_p)))
             st = (run, pending, matches, vm)
-            for _ts, _eid, et in evs:
+            for et in np.concatenate(et_p)[order]:
                 st = pattern_step(st, et)
             run, pending, matches, vm = st
             self._st.update((run, pending, matches, vm))

@@ -582,31 +582,45 @@ def test_affinity_capped_degree_pass_salted_predrop(spark, sf_dir):
     max_deg hot-part cap must apply BEFORE any pair expansion, the
     projection must never degrade to a cross product, and — r12 —
     no hot part's full supplier set may ever assemble in one
-    aggregation buffer: the pre-drop runs as the salted two-level
-    aggregation (collect_set per (p, salt-of-supplier), exact degree
-    as a size-only Window sum over the <= nsalt partial rows, filter,
-    THEN the survivor merge). The Window is over the partial-SET
-    relation, never the raw supplier↔part rows — pinned by requiring
-    an aggregate below the Window's exchange."""
+    aggregation buffer. The pre-drop runs as the salted two-level
+    cap-or-null aggregation (collect_set per (p, salt-of-supplier);
+    merge aggregate sums partial sizes for the exact degree and
+    collects only partials <= max_deg, so its buffer is bounded at
+    nsalt·max_deg). The guarded projection is eagerly checkpointed at
+    its call sites, so its shape is pinned on the HELPER's own plan;
+    the query-level plan is pinned for expansion sanity."""
+    from bigdata06_spark.catalog import load_table
+    from bigdata06_spark.queries.analytics import (
+        _affinity_graph,
+        _capped_part_supplier_sets,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    hplan = plan_of(_capped_part_supplier_sets(li, 33))
+    # salted stage-1 key is present...
+    assert "xxhash64" in hplan and "pmod" in hplan, hplan
+    # ...two aggregation levels (partial sets, then the bounded
+    # merge), object-hash — never a Window, sort-aggregate chain,
+    # join, or raw-row round-robin/repartition exchange
+    assert len(re.findall(r"ObjectHashAggregate \(\d+\)", hplan)) >= 2, hplan
+    assert "Window" not in hplan, hplan
+    assert "Join" not in hplan, hplan
+    assert "SortAggregate" not in hplan, hplan
+    # both exchanges are hash exchanges keyed by aggregate keys (the
+    # rejected repartition('p') variant would show a raw-row exchange
+    # directly above the scan — no partial aggregate below it)
+    for m in re.finditer(r"\+- Exchange hashpartitioning", hplan):
+        below = hplan[m.end():m.end() + 900]
+        agg = below.find("ObjectHashAggregate")
+        scan = below.find("Scan parquet")
+        assert agg != -1 and (scan == -1 or agg < scan), below
     plan = plan_of(SPECS["supplier_affinity_graph_capped"].fn(spark, sf_dir))
     assert "Generate" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    # the salted partial stage is in the plan (the salt alias is
-    # compiled to _groupingexpression; its hash survives)...
-    assert "xxhash64" in plan and "pmod" in plan, plan
-    # ...and every Window consumes the (p, _salt) partial aggregate,
-    # not raw rows: its exchange's child chain must contain an
-    # ObjectHashAggregate (collect_set) before reaching the scan
-    for m in re.finditer(r"\+- Window \(\d+\)", plan):
-        below = plan[m.end():m.end() + 900]
-        assert re.search(r"ObjectHashAggregate \(\d+\)", below), below
-        assert "Scan parquet" not in below.split("ObjectHashAggregate")[0], below
     # the cap itself executes inside the checkpointed projection (not
     # visible in the downstream plan), so pin its SEMANTICS: a part
     # above max_deg contributes no pairs at all
-    from bigdata06_spark.queries.analytics import _affinity_graph
-
     rows = [("s%02d" % i, "hot") for i in range(5)] + [
         ("s%02d" % i, "cold") for i in range(3)
     ]
